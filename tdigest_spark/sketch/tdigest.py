@@ -1,0 +1,303 @@
+"""Deterministic mergeable t-digest (continuous mode).
+
+Semantics re-derived from the reference library welch/tdigest
+(/root/reference/tdigest.js) and Dunning's t-digest paper, re-expressed as a
+batch/vectorized numpy kernel suitable for Spark two-phase aggregation:
+
+- centroid state = two parallel float64 arrays ``(means, weights)`` sorted by
+  mean with **unique** means (exact-duplicate values always collapse into one
+  centroid, matching the reference's unconditional exact-match absorption,
+  tdigest.js:174-178);
+- per-centroid mass bound ``w <= max(1, 4*N*delta*q*(1-q))`` — the reference's
+  capacity rule (tdigest.js:190-191), enforced by a deterministic left-to-right
+  merging pass (Dunning's MergingDigest style) instead of the reference's
+  randomized re-insertion compress (tdigest.js:312-337), so a given merge tree
+  always yields bit-identical results;
+- the first and last centroids are never merged, so ``means[0] == min`` and
+  ``means[-1] == max`` (the reference's boundary rule, tdigest.js:179-182);
+- compression is only triggered when the centroid count exceeds
+  ``K / delta`` (reference's K-trigger, tdigest.js:199-202), so small digests
+  are *exact* multiset unions and merge is exactly associative/commutative on
+  them;
+- query semantics (quantile / cdf interpolation, half-weight boundary rule,
+  out-of-range clamping) match tdigest.js:216-310 — see the ported spec
+  literals in tests/test_tdigest_core.py.
+
+No code is copied from the reference; this is a from-scratch vectorized
+implementation of the published algorithm.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["TDigest"]
+
+_MAGIC = b"TDG1"
+# header: magic, mode(u1, 0=continuous), pad(3), delta f8, n f8, min f8,
+# max f8, ncentroids u4  -> then means f8[C], weights f8[C]
+_HEADER = struct.Struct("<4sB3xdddd I")
+
+
+def _capacity_merge(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic single-pass merging compression.
+
+    Inputs must be sorted by mean with unique means. Greedily merges adjacent
+    centroids while the merged mass fits the capacity 4*N*delta*q*(1-q)
+    evaluated at the midpoint rank q of the candidate cluster. First and last
+    centroids are pinned (never merged) to keep exact min/max.
+    """
+    c = means.shape[0]
+    if c <= 2:
+        return means, weights
+    total = float(weights.sum())
+    out_means = np.empty(c, dtype=np.float64)
+    out_weights = np.empty(c, dtype=np.float64)
+    # pin first centroid
+    out_means[0] = means[0]
+    out_weights[0] = weights[0]
+    k = 1
+    w_so_far = float(weights[0])
+    cl_mean = float(means[1])
+    cl_w = float(weights[1])
+    four_nd = 4.0 * total * delta
+    last = c - 1
+    for j in range(2, c):
+        wj = float(weights[j])
+        cand_w = cl_w + wj
+        q = (w_so_far + 0.5 * cand_w) / total
+        cap = four_nd * q * (1.0 - q)
+        if j != last and cand_w <= cap:
+            # weighted-mean absorb (same incremental formula as the
+            # reference's _addweight, tdigest.js:154-166, vectorized form)
+            cl_mean += wj * (float(means[j]) - cl_mean) / cand_w
+            cl_w = cand_w
+        else:
+            out_means[k] = cl_mean
+            out_weights[k] = cl_w
+            k += 1
+            w_so_far += cl_w
+            cl_mean = float(means[j])
+            cl_w = wj
+    out_means[k] = cl_mean
+    out_weights[k] = cl_w
+    k += 1
+    return out_means[:k].copy(), out_weights[:k].copy()
+
+
+def _coalesce_sorted(
+    means: np.ndarray, weights: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum weights of equal adjacent means (input sorted by mean)."""
+    if means.shape[0] <= 1:
+        return means, weights
+    change = np.empty(means.shape[0], dtype=bool)
+    change[0] = True
+    np.not_equal(means[1:], means[:-1], out=change[1:])
+    if change.all():
+        return means, weights
+    idx = np.flatnonzero(change)
+    return means[idx], np.add.reduceat(weights, idx)
+
+
+class TDigest:
+    """Continuous-mode t-digest over float64 values.
+
+    delta is the welch-style compression parameter (reference default 0.01;
+    paper compression factor = 1/delta, i.e. delta=0.01 ≡ "delta=100" in
+    Dunning's parameterization). K controls the lazy-compression trigger
+    (compress when centroid count > K/delta), matching tdigest.js:199-202.
+    """
+
+    __slots__ = ("means", "weights", "vmin", "vmax", "n", "delta", "K")
+
+    def __init__(self, delta: float = 0.01, K: float = 25.0):
+        self.delta = float(delta)
+        self.K = float(K)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.vmin = np.inf
+        self.vmax = -np.inf
+        self.n = 0.0
+
+    # ------------------------------------------------------------------ build
+
+    @property
+    def size(self) -> int:
+        return int(self.means.shape[0])
+
+    @property
+    def _buffer_limit(self) -> float:
+        return self.K / self.delta if self.K > 0 else np.inf
+
+    def push(self, values, weights=None) -> "TDigest":
+        """Batch ingest: sort + coalesce duplicates + merge into state."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.shape[0] == 0:
+            return self
+        finite = np.isfinite(v)
+        if weights is None:
+            if not finite.all():
+                v = v[finite]
+                if v.shape[0] == 0:
+                    return self
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            sw_means, sw_weights = _coalesce_sorted(
+                sv, np.ones(sv.shape[0], dtype=np.float64)
+            )
+        else:
+            w = np.asarray(weights, dtype=np.float64).ravel()
+            if w.shape[0] == 1 and v.shape[0] > 1:
+                w = np.full(v.shape[0], w[0])
+            keep = finite & (w > 0)
+            if not keep.all():
+                v, w = v[keep], w[keep]
+            if v.shape[0] == 0:
+                return self
+            order = np.argsort(v, kind="stable")
+            sw_means, sw_weights = _coalesce_sorted(v[order], w[order])
+        return self._absorb(sw_means, sw_weights)
+
+    def _absorb(self, smeans: np.ndarray, sweights: np.ndarray) -> "TDigest":
+        """Merge a sorted-unique (means, weights) block into the state."""
+        if self.size == 0:
+            means, weights = smeans, sweights
+        else:
+            means = np.concatenate([self.means, smeans])
+            weights = np.concatenate([self.weights, sweights])
+            order = np.argsort(means, kind="stable")
+            means, weights = _coalesce_sorted(means[order], weights[order])
+        self.n += float(sweights.sum())
+        self.vmin = min(self.vmin, float(smeans[0]))
+        self.vmax = max(self.vmax, float(smeans[-1]))
+        if means.shape[0] > self._buffer_limit:
+            means, weights = _capacity_merge(means, weights, self.delta)
+        self.means, self.weights = means, weights
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        """Digest union (reference push_centroid re-ingest, tdigest.js:93-100).
+
+        Associative and commutative exactly while below the compression
+        trigger; deterministic (sort-based) always.
+        """
+        if other.size == 0:
+            return self
+        if self.size == 0:
+            self.means = other.means.copy()
+            self.weights = other.weights.copy()
+            self.vmin, self.vmax, self.n = other.vmin, other.vmax, other.n
+            return self
+        return self._absorb(other.means, other.weights)
+
+    def compress(self) -> "TDigest":
+        """Force a deterministic compression pass now."""
+        if self.size > 2:
+            self.means, self.weights = _capacity_merge(
+                self.means, self.weights, self.delta
+            )
+        return self
+
+    # ----------------------------------------------------------------- query
+
+    def _mean_cumn(self) -> np.ndarray:
+        # cumulative weight up to each centroid plus half its own weight
+        # (reference mean_cumn, tdigest.js:117)
+        return np.cumsum(self.weights) - 0.5 * self.weights
+
+    def quantile(self, p):
+        """Smallest x with >= p of the mass <= x; reference percentile
+        semantics (tdigest.js:272-310): p clamps to [0,1]; interpolate means
+        by mean_cumn; quantile(0)=min, quantile(1)=max."""
+        scalar = np.isscalar(p)
+        ps = np.atleast_1d(np.asarray(p, dtype=np.float64))
+        if self.size == 0:
+            out = np.full(ps.shape, np.nan)
+            return float(out[0]) if scalar else out
+        h = np.clip(ps, 0.0, 1.0) * self.n
+        mc = self._mean_cumn()
+        # np.interp clamps h outside [mc[0], mc[-1]] to the extreme means,
+        # which equal vmin/vmax because extreme centroids are never merged.
+        out = np.interp(h, mc, self.means)
+        out[ps <= 0.0] = self.vmin
+        out[ps >= 1.0] = self.vmax
+        return float(out[0]) if scalar else out
+
+    def cdf(self, x):
+        """Percentile rank in [0,1]; reference p_rank semantics
+        (tdigest.js:216-255): out-of-range clamps to 0/1, interpolation of
+        mean_cumns, boundary point reports half its centroid weight inward."""
+        scalar = np.isscalar(x)
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if self.size == 0:
+            out = np.full(xs.shape, np.nan)
+            return float(out[0]) if scalar else out
+        mc = self._mean_cumn()
+        out = np.interp(xs, self.means, mc) / self.n
+        out[xs < self.vmin] = 0.0
+        out[xs > self.vmax] = 1.0
+        # single-centroid digest: any in-range x sits at the centroid
+        if self.size == 1:
+            inside = (xs >= self.vmin) & (xs <= self.vmax)
+            out[inside] = 0.5
+        return float(out[0]) if scalar else out
+
+    def trimmed_mean(self, lo: float = 0.0, hi: float = 1.0) -> float:
+        """Mean of the values between quantiles lo and hi, pro-rating the
+        centroid mass that straddles the cut boundaries (absent in the
+        reference; required by the north_star; same semantics as Dunning's
+        reference Java implementation)."""
+        if self.size == 0:
+            return float("nan")
+        h_lo, h_hi = lo * self.n, hi * self.n
+        if h_hi <= h_lo:
+            return float("nan")
+        cum_hi = np.cumsum(self.weights)
+        cum_lo = cum_hi - self.weights
+        overlap = np.minimum(cum_hi, h_hi) - np.maximum(cum_lo, h_lo)
+        cover = np.clip(overlap, 0.0, None)
+        tw = cover.sum()
+        if tw <= 0:
+            return float("nan")
+        return float(np.dot(self.means, cover) / tw)
+
+    def centroids(self) -> list[tuple[float, float]]:
+        """Sorted [(mean, n)] export (reference toArray, tdigest.js:46-57)."""
+        return list(zip(self.means.tolist(), self.weights.tolist()))
+
+    # ------------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        head = _HEADER.pack(
+            _MAGIC, 0, self.delta, self.n,
+            self.vmin if self.size else np.nan,
+            self.vmax if self.size else np.nan,
+            self.size,
+        )
+        return head + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        magic, mode, delta, n, vmin, vmax, c = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC or mode != 0:
+            raise ValueError("not a TDigest blob")
+        td = cls(delta=delta)
+        off = _HEADER.size
+        td.means = np.frombuffer(data, dtype="<f8", count=c, offset=off).copy()
+        off += 8 * c
+        td.weights = np.frombuffer(data, dtype="<f8", count=c, offset=off).copy()
+        td.n = n
+        td.vmin = vmin if c else np.inf
+        td.vmax = vmax if c else -np.inf
+        return td
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"TDigest(delta={self.delta}, n={self.n}, size={self.size}, "
+            f"min={self.vmin}, max={self.vmax})"
+        )
