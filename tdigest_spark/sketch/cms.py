@@ -1,0 +1,137 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) with a deterministic
+heavy-hitters heap. Companion sketch per BASELINE.json north_rule; absent in
+the reference. Merge = elementwise matrix add (+ heap union re-estimated).
+Spark cross-check oracle: df.stat.countMinSketch / exact GROUP BY counts."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import hash64_with_seed, hash_strings
+
+__all__ = ["CMS"]
+
+_HEADER = struct.Struct("<4sII q I")  # magic, depth, width, total, n_heavy
+
+
+class CMS:
+    __slots__ = ("depth", "width", "table", "total", "heavy", "k_heavy")
+
+    def __init__(self, depth: int = 5, width: int = 2048, k_heavy: int = 64):
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+        self.k_heavy = k_heavy
+        self.heavy: dict[int, int] = {}  # raw uint64 key -> est count
+
+    # ------------------------------------------------------------------ build
+
+    def _rows(self, keys: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for uint64 keys."""
+        cols = np.empty((self.depth, keys.shape[0]), dtype=np.int64)
+        for d in range(self.depth):
+            cols[d] = (hash64_with_seed(keys, d * 0x9E37 + 0xABCD) %
+                       np.uint64(self.width)).astype(np.int64)
+        return cols
+
+    def update_ints(self, values: np.ndarray, counts=None) -> "CMS":
+        v = np.asarray(values)
+        if v.shape[0] == 0:
+            return self
+        if counts is not None:
+            # caller supplies pre-aggregated counts for unique keys
+            keys = v.astype(np.int64)
+            kcounts = np.asarray(counts, dtype=np.int64)
+        else:
+            keys, kcounts = np.unique(v.astype(np.int64), return_counts=True)
+        ukeys = keys.astype(np.uint64)
+        cols = self._rows(ukeys)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], kcounts)
+        self.total += int(kcounts.sum())
+        self._refresh_heavy(ukeys)
+        return self
+
+    def _estimate_keys(self, ukeys: np.ndarray) -> np.ndarray:
+        cols = self._rows(ukeys)
+        ests = np.empty((self.depth, ukeys.shape[0]), dtype=np.int64)
+        for d in range(self.depth):
+            ests[d] = self.table[d][cols[d]]
+        return ests.min(axis=0)
+
+    def _refresh_heavy(self, candidate_keys: np.ndarray) -> None:
+        """Track top-k keys by estimated count (deterministic tie-break on
+        key value)."""
+        if self.k_heavy <= 0:
+            return
+        cand = set(self.heavy.keys())
+        cand.update(int(k) for k in candidate_keys.tolist())
+        arr = np.fromiter(cand, dtype=np.uint64, count=len(cand))
+        est = self._estimate_keys(arr)
+        order = np.lexsort((arr, -est))[: self.k_heavy]
+        self.heavy = {
+            int(arr[i]): int(est[i]) for i in order
+        }
+
+    # ------------------------------------------------------------------ query
+
+    def estimate_ints(self, values: np.ndarray) -> np.ndarray:
+        v = np.asarray(values).astype(np.int64).astype(np.uint64)
+        return self._estimate_keys(v)
+
+    def estimate_strings(self, values) -> np.ndarray:
+        return self._estimate_keys(hash_strings(values))
+
+    def heavy_hitters(self) -> list[tuple[int, int]]:
+        """[(raw key, est count)] sorted by count desc, key asc."""
+        return sorted(self.heavy.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def merge(self, other: "CMS") -> "CMS":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("shape mismatch")
+        self.table += other.table
+        self.total += other.total
+        if other.heavy or self.heavy:
+            cand = np.fromiter(
+                set(self.heavy) | set(other.heavy), dtype=np.uint64
+            )
+            self._refresh_heavy(cand)
+        return self
+
+    # ------------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        head = _HEADER.pack(
+            b"CMS1", self.depth, self.width, self.total, len(self.heavy)
+        )
+        hk = np.fromiter(self.heavy.keys(), dtype="<u8", count=len(self.heavy))
+        hv = np.fromiter(self.heavy.values(), dtype="<i8", count=len(self.heavy))
+        return (
+            head
+            + self.table.astype("<i8").tobytes()
+            + hk.tobytes()
+            + hv.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CMS":
+        magic, depth, width, total, nh = _HEADER.unpack_from(data, 0)
+        if magic != b"CMS1":
+            raise ValueError("not a CMS blob")
+        c = cls(depth=depth, width=width)
+        off = _HEADER.size
+        c.table = (
+            np.frombuffer(data, dtype="<i8", count=depth * width, offset=off)
+            .reshape(depth, width)
+            .copy()
+        )
+        off += 8 * depth * width
+        hk = np.frombuffer(data, dtype="<u8", count=nh, offset=off)
+        off += 8 * nh
+        hv = np.frombuffer(data, dtype="<i8", count=nh, offset=off)
+        c.total = total
+        c.heavy = {int(k): int(v) for k, v in zip(hk, hv)}
+        return c

