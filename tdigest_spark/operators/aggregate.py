@@ -1,0 +1,352 @@
+"""Two-phase mergeable sketch aggregation over Spark DataFrames.
+
+This is the Spark-native re-expression of the reference's entire aggregate
+lifecycle (/root/reference/tdigest.js push :82-91 / push_centroid :93-100 /
+percentile :272-310): PySpark exposes no Python UDAF with a user merge phase,
+so the mergeable-UDAF pattern is built explicitly (SURVEY.md §7.6):
+
+  phase 1 (partial):  df.select(cols).mapInArrow(...)   — one serialized
+      sketch state per input partition, built with vectorized numpy kernels
+      over whole Arrow batches (no per-row Python, per BASELINE.json
+      input_hint). ``array<T>`` columns are flattened JVM-side-cheap via the
+      Arrow ListArray buffer — no explode, no row amplification, no shuffle.
+  phase 2 (merge):    deterministic binary-tree fold over the partial states,
+      either driver-side (states are O(1/delta) bytes — tiny) or as iterative
+      grouped Spark rounds for very large partition counts
+      (treeAggregate-style, per BASELINE.json north_star).
+
+Scale notes (100 TB / 1000 executors): phase 1 is embarrassingly parallel and
+shuffle-free; the only data movement is #partitions × O(16 KB) states. The
+fan-in path (``tree_merge_states``) keeps every round's group below
+``fanout`` states so no single task ever materializes more than
+fanout × state_size bytes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "SketchSpec",
+    "TDIGEST",
+    "TDIGEST_DISCRETE",
+    "AUTODIGEST",
+    "HLL_INTS",
+    "HLL_STRINGS",
+    "CMS_INTS",
+    "BLOOM_INTS",
+    "BLOOM_STRINGS",
+    "KLL_SPEC",
+    "build_sketches",
+    "build_sketch",
+    "build_sketch_grouped",
+    "partials_df",
+    "merge_partials",
+    "tree_merge_states",
+]
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """A mergeable sketch kind: zero / vectorized batch update / merge /
+    serde. ``update`` receives a numpy array of the column's (possibly
+    flattened) values."""
+
+    name: str
+    make: Callable[[], Any]
+    from_bytes: Callable[[bytes], Any]
+    update: Callable[[Any, np.ndarray], Any]
+
+    def merge_bytes(self, a: bytes | None, b: bytes | None) -> bytes | None:
+        if a is None:
+            return b
+        if b is None:
+            return a
+        sk = self.from_bytes(a)
+        sk.merge(self.from_bytes(b))
+        return sk.to_bytes()
+
+
+def _mk_tdigest(delta: float = 0.01):
+    from ..sketch.tdigest import TDigest
+
+    return SketchSpec(
+        name=f"tdigest(delta={delta})",
+        make=lambda: TDigest(delta=delta),
+        from_bytes=lambda b: TDigest.from_bytes(b),
+        update=lambda sk, v: sk.push(v),
+    )
+
+
+def _mk_autodigest(mode: str = "auto", delta: float = 0.01):
+    from ..sketch.discrete import AutoDigest
+
+    return SketchSpec(
+        name=f"autodigest({mode})",
+        make=lambda: AutoDigest(mode=mode, delta=delta),
+        from_bytes=lambda b: AutoDigest.from_bytes(b),
+        update=lambda sk, v: sk.push(v),
+    )
+
+
+def _mk_discrete():
+    from ..sketch.discrete import DiscreteDigest
+
+    return SketchSpec(
+        name="discrete",
+        make=lambda: DiscreteDigest(),
+        from_bytes=lambda b: DiscreteDigest.from_bytes(b),
+        update=lambda sk, v: sk.push(v),
+    )
+
+
+def _mk_hll(p: int = 14, strings: bool = False):
+    from ..sketch.hll import HLL
+
+    return SketchSpec(
+        name=f"hll(p={p},{'str' if strings else 'int'})",
+        make=lambda: HLL(p=p),
+        from_bytes=lambda b: HLL.from_bytes(b),
+        update=(
+            (lambda sk, v: sk.update_strings(v))
+            if strings
+            else (lambda sk, v: sk.update_ints(v))
+        ),
+    )
+
+
+def _mk_cms(depth: int = 5, width: int = 8192, k_heavy: int = 64):
+    from ..sketch.cms import CMS
+
+    return SketchSpec(
+        name=f"cms({depth}x{width})",
+        make=lambda: CMS(depth=depth, width=width, k_heavy=k_heavy),
+        from_bytes=lambda b: CMS.from_bytes(b),
+        update=lambda sk, v: sk.update_ints(v),
+    )
+
+
+def _mk_bloom(expected_items: int = 1_000_000, fpp: float = 0.01, strings=False):
+    from ..sketch.bloom import BloomFilter
+
+    return SketchSpec(
+        name=f"bloom(n={expected_items},fpp={fpp})",
+        make=lambda: BloomFilter(expected_items=expected_items, fpp=fpp),
+        from_bytes=lambda b: BloomFilter.from_bytes(b),
+        update=(
+            (lambda sk, v: sk.add_strings(v))
+            if strings
+            else (lambda sk, v: sk.add_ints(v))
+        ),
+    )
+
+
+def _mk_kll(k: int = 200):
+    from ..sketch.kll import KLL
+
+    return SketchSpec(
+        name=f"kll(k={k})",
+        make=lambda: KLL(k=k),
+        from_bytes=lambda b: KLL.from_bytes(b),
+        update=lambda sk, v: sk.update(v),
+    )
+
+
+# default-parameter singletons (factories for custom params)
+TDIGEST = _mk_tdigest
+TDIGEST_DISCRETE = _mk_discrete
+AUTODIGEST = _mk_autodigest
+HLL_INTS = lambda p=14: _mk_hll(p, strings=False)  # noqa: E731
+HLL_STRINGS = lambda p=14: _mk_hll(p, strings=True)  # noqa: E731
+CMS_INTS = _mk_cms
+BLOOM_INTS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, False)  # noqa: E731
+BLOOM_STRINGS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, True)  # noqa: E731
+KLL_SPEC = _mk_kll
+
+
+def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow column -> flat numpy values. List columns are flattened through
+    the Arrow offsets buffer (vectorized; null rows contribute nothing)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    if col.null_count:
+        col = col.drop_null()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.asarray(col.to_pylist(), dtype=object)
+    return col.to_numpy(zero_copy_only=False)
+
+
+def partials_df(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]]) -> DataFrame:
+    """Phase 1: one row per input partition with a binary state per sketch
+    plus lineage metrics (rows / values seen). Single pass over the data for
+    all sketches (shared scan + shared Arrow transfer)."""
+    cols = sorted({c for c, _ in sketches.values()})
+    names = list(sketches.keys())
+    specs = {n: spec for n, (_, spec) in sketches.items()}
+    col_of = {n: c for n, (c, _) in sketches.items()}
+    sel = df.select(*cols)
+
+    out_fields = [pa.field("rows", pa.int64()), pa.field("values_seen", pa.int64())]
+    out_fields += [pa.field(f"state_{n}", pa.binary()) for n in names]
+    out_schema = pa.schema(out_fields)
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sks = {n: specs[n].make() for n in names}
+        rows = 0
+        values_seen = 0
+        for batch in batches:
+            rows += batch.num_rows
+            cache: dict[str, np.ndarray] = {}
+            for n in names:
+                c = col_of[n]
+                if c not in cache:
+                    cache[c] = _column_values(batch.column(batch.schema.get_field_index(c)))
+                vals = cache[c]
+                if vals.shape[0]:
+                    specs[n].update(sks[n], vals)
+            values_seen += sum(v.shape[0] for v in cache.values())
+        arrays = [
+            pa.array([rows], pa.int64()),
+            pa.array([values_seen], pa.int64()),
+        ]
+        arrays += [pa.array([sks[n].to_bytes()], pa.binary()) for n in names]
+        yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    schema_str = "rows long, values_seen long, " + ", ".join(
+        f"state_{n} binary" for n in names
+    )
+    return sel.mapInArrow(build, schema_str)
+
+
+def merge_partials(
+    pdf_rows: list, names: list[str], specs: dict[str, SketchSpec]
+) -> dict[str, bytes]:
+    """Deterministic driver-side binary-tree fold of collected partial rows.
+
+    Rows are sorted by their serialized bytes first so the result is
+    independent of collection order (commutativity), then folded as a fixed
+    balanced tree (determinism; merge is associative-after-sort)."""
+    out: dict[str, bytes] = {}
+    for n in names:
+        states = sorted(r[f"state_{n}"] for r in pdf_rows)
+        while len(states) > 1:
+            nxt = []
+            for i in range(0, len(states), 2):
+                if i + 1 < len(states):
+                    nxt.append(specs[n].merge_bytes(states[i], states[i + 1]))
+                else:
+                    nxt.append(states[i])
+            states = nxt
+        out[n] = states[0] if states else specs[n].make().to_bytes()
+    return out
+
+
+def build_sketches(
+    df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]]
+) -> dict[str, Any]:
+    """One-pass build of several sketches over a DataFrame; returns
+    deserialized final sketch objects keyed by name."""
+    names = list(sketches.keys())
+    specs = {n: spec for n, (_, spec) in sketches.items()}
+    parts = partials_df(df, sketches)
+    rows = parts.collect()
+    merged = merge_partials(rows, names, specs)
+    return {n: specs[n].from_bytes(merged[n]) for n in names}
+
+
+def build_sketch(df: DataFrame, column: str, spec: SketchSpec) -> Any:
+    return build_sketches(df, {"s": (column, spec)})["s"]
+
+
+def tree_merge_states(
+    states_df: DataFrame,
+    spec: SketchSpec,
+    state_col: str = "state",
+    depth: int | None = None,
+) -> bytes:
+    """Scale path for very large partial counts: RDD ``treeAggregate`` over
+    serialized states (per BASELINE.json north_star) — executors combine
+    locally, then log-depth intermediate combiner stages, so the driver only
+    ever receives O(1) states. Safe because merge is commutative (sort-based)
+    and associative within the sketch's error envelope."""
+    rdd = states_df.select(state_col).rdd.map(lambda r: bytes(r[0]))
+    nparts = max(rdd.getNumPartitions(), 2)
+    if depth is None:
+        depth = max(2, int(math.ceil(math.log(nparts, 4))))
+    out = rdd.treeAggregate(None, spec.merge_bytes, spec.merge_bytes, depth=depth)
+    return out if out is not None else spec.make().to_bytes()
+
+
+def build_sketch_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    column: str,
+    spec: SketchSpec,
+) -> DataFrame:
+    """Grouped two-phase aggregate: per-(partition, key) partial states built
+    vectorized, then only the tiny states shuffle to a per-key merge
+    (``groupBy(keys).applyInPandas``). Raw rows never shuffle — at 100 TB the
+    exchange moves #partitions × #keys × O(16 KB), not the data.
+
+    Returns DataFrame[group_cols..., state binary, rows long]."""
+    import pandas as pd
+
+    sel = df.select(*group_cols, column)
+    part_schema = (
+        ", ".join(f"{c} string" for c in group_cols) + ", state binary, rows long"
+    )
+    is_list = df.schema[column].dataType.typeName() == "array"
+
+    def partial(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # sketches keyed by group tuple, accumulated across all batches of
+        # this partition; grouping itself is pandas-vectorized (hash groupby)
+        acc: dict[tuple, Any] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in pdfs:
+            for kr, sub in pdf.groupby(group_cols, sort=False):
+                if not isinstance(kr, tuple):
+                    kr = (kr,)
+                if is_list:
+                    arrs = sub[column].to_numpy()
+                    vals = (
+                        np.concatenate(arrs) if arrs.shape[0] else np.empty(0)
+                    )
+                else:
+                    vals = sub[column].to_numpy()
+                if kr not in acc:
+                    acc[kr] = spec.make()
+                    counts[kr] = 0
+                if vals.shape[0]:
+                    spec.update(acc[kr], vals)
+                counts[kr] += len(sub)
+        if acc:
+            ks = list(acc.keys())
+            out = {
+                c: [str(k[i]) for k in ks] for i, c in enumerate(group_cols)
+            }
+            out["state"] = [acc[k].to_bytes() for k in ks]
+            out["rows"] = [counts[k] for k in ks]
+            yield pd.DataFrame(out)
+
+    parts = sel.mapInPandas(partial, part_schema)
+
+    def final_merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["state"].map(bytes).to_numpy())
+        states = pdf["state"].to_numpy()[order]
+        acc = bytes(states[0])
+        for s in states[1:]:
+            acc = spec.merge_bytes(acc, bytes(s))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["state"] = [acc]
+        out["rows"] = [int(pdf["rows"].sum())]
+        return pd.DataFrame(out)
+
+    return parts.groupBy(*group_cols).applyInPandas(final_merge, part_schema)

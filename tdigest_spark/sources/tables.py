@@ -1,0 +1,67 @@
+"""Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md)
+and session construction helpers."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+__all__ = ["TABLES", "load_tables", "get_spark", "register_views"]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    base = Path(sf_dir)
+    out = {}
+    for name in TABLES:
+        p = base / f"{name}.parquet"
+        if p.exists():
+            out[name] = spark.read.parquet(str(p))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "tdigest-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Session tuned for this engine: AQE on (runtime re-plan + skew join),
+    Arrow transfer on, sane shuffle parallelism for local mode."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        local_n = master.split("[")[-1].rstrip("]") if "[" in master else cpus
+        shuffle_partitions = 32 if local_n == "*" else max(int(local_n), 8)
+    return (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

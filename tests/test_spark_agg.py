@@ -1,0 +1,155 @@
+"""End-to-end Spark two-phase sketch aggregation tests (SURVEY.md §7.2):
+scan -> vectorized partial build -> associative merge -> query, verified
+against exact numpy oracles on the same rows and against the serial sketch
+core (distributed == serial, BASELINE.json north_star)."""
+
+import numpy as np
+import pytest
+
+from tdigest_spark.operators.aggregate import (
+    BLOOM_INTS,
+    CMS_INTS,
+    HLL_INTS,
+    KLL_SPEC,
+    TDIGEST,
+    build_sketch,
+    build_sketch_grouped,
+    build_sketches,
+    partials_df,
+    tree_merge_states,
+)
+from tdigest_spark.sketch.tdigest import TDigest
+
+
+@pytest.fixture(scope="module")
+def exact_tokens(seq_table):
+    """All token values + n_tok collected once for the exact oracle."""
+    rows = seq_table.select("doc_id", "tokens", "n_tok", "source").collect()
+    toks = np.concatenate([np.asarray(r["tokens"], dtype=np.int64) for r in rows])
+    n_tok = np.array([r["n_tok"] for r in rows], dtype=np.float64)
+    srcs = np.array([r["source"] for r in rows])
+    return toks, n_tok, srcs, rows
+
+
+def test_row_invariant_tokens_roundtrip(seq_table, exact_tokens):
+    # input_hint invariant: per-row token-array equality vs generated input
+    toks, n_tok, _, rows = exact_tokens
+    from tdigest_spark.sources.sequence_table import _chunk
+    rng = np.random.default_rng(42)
+    regen = _chunk(rng, 0, 5_000, 50257)  # first file regenerated
+    first = {r["doc_id"]: r["tokens"] for r in rows if r["doc_id"] < "doc-000000005000"}
+    regen_ids = regen.column("doc_id").to_pylist()
+    regen_toks = regen.column("tokens").to_pylist()
+    for did, tk in zip(regen_ids[:100], regen_toks[:100]):
+        assert first[did] == tk
+    assert (n_tok == [len(r["tokens"]) for r in rows]).all()
+
+
+def test_tdigest_over_ntok_matches_serial_and_exact(spark, seq_table, exact_tokens):
+    _, n_tok, _, _ = exact_tokens
+    dist = build_sketch(seq_table, "n_tok", TDIGEST(0.01))
+    serial = TDigest(0.01)
+    serial.push(n_tok)
+    ps = np.arange(0.05, 1.0, 0.05)
+    # distributed vs exact
+    exact = np.quantile(n_tok, ps)
+    achieved = np.searchsorted(np.sort(n_tok), dist.quantile(ps), side="right") / n_tok.size
+    assert np.abs(achieved - ps).max() < 0.01
+    # distributed min/max/count exact
+    assert dist.n == n_tok.size
+    assert dist.quantile(0.0) == n_tok.min()
+    assert dist.quantile(1.0) == n_tok.max()
+    # distributed vs serial: same data, tight agreement
+    assert np.abs(dist.cdf(exact) - serial.cdf(exact)).max() < 0.005
+
+
+def test_tdigest_over_token_values_flattened(spark, seq_table, exact_tokens):
+    toks, _, _, _ = exact_tokens
+    dist = build_sketch(seq_table, "tokens", TDIGEST(0.01))
+    assert dist.n == toks.size
+    grid = np.quantile(toks, np.arange(0.05, 1.0, 0.05))
+    # the digest reports mid-CDF at a duplicated value (half its weight
+    # inward — the reference's boundary rule, tdigest.js:220-224), so the
+    # exact oracle is the mid-CDF, not the right-continuous CDF
+    sorted_toks = np.sort(toks)
+    mid_cdf = (
+        np.searchsorted(sorted_toks, grid, side="left")
+        + np.searchsorted(sorted_toks, grid, side="right")
+    ) / (2 * toks.size)
+    assert np.abs(dist.cdf(grid) - mid_cdf).max() < 0.01
+
+
+def test_one_pass_multi_sketch(spark, seq_table, exact_tokens):
+    toks, n_tok, _, _ = exact_tokens
+    out = build_sketches(
+        seq_table,
+        {
+            "tok_digest": ("tokens", TDIGEST(0.01)),
+            "ntok_digest": ("n_tok", TDIGEST(0.01)),
+            "tok_hll": ("tokens", HLL_INTS(14)),
+            "tok_cms": ("tokens", CMS_INTS(5, 8192, 32)),
+            "tok_bloom": ("tokens", BLOOM_INTS(200_000, 0.01)),
+            "ntok_kll": ("n_tok", KLL_SPEC(200)),
+        },
+    )
+    assert out["tok_digest"].n == toks.size
+    exact_distinct = len(np.unique(toks))
+    assert abs(out["tok_hll"].estimate() - exact_distinct) / exact_distinct < 0.03
+    # token 13 is the 'rare'-source heavy hitter plus zipf mass
+    exact_13 = int((toks == 13).sum())
+    est_13 = int(out["tok_cms"].estimate_ints(np.array([13]))[0])
+    assert est_13 >= exact_13
+    assert est_13 - exact_13 <= 0.005 * toks.size
+    present = np.unique(toks)[:1000]
+    assert out["tok_bloom"].might_contain_ints(present).all()
+    ps = np.arange(0.1, 1.0, 0.1)
+    kq = out["ntok_kll"].quantile(ps)
+    left = np.searchsorted(np.sort(n_tok), kq, side="left") / n_tok.size
+    right = np.searchsorted(np.sort(n_tok), kq, side="right") / n_tok.size
+    err = np.maximum(left - ps, 0) + np.maximum(ps - right, 0)
+    assert err.max() < 0.03
+
+
+def test_grouped_digest_per_source(spark, seq_table, exact_tokens):
+    toks, n_tok, srcs, rows = exact_tokens
+    got = build_sketch_grouped(seq_table, ["source"], "n_tok", TDIGEST(0.01)).collect()
+    assert {r["source"] for r in got} == set(np.unique(srcs))
+    for r in got:
+        mask = srcs == r["source"]
+        exact = n_tok[mask]
+        d = TDigest.from_bytes(r["state"])
+        assert d.n == exact.size
+        assert r["rows"] == exact.size
+        med = d.quantile(0.5)
+        lo, hi = np.quantile(exact, [0.45, 0.55])
+        assert lo <= med <= hi
+    # rollup: merging per-source digests == global digest (mergeability)
+    merged = TDigest(0.01)
+    for r in sorted(got, key=lambda r: r["source"]):
+        merged.merge(TDigest.from_bytes(r["state"]))
+    assert merged.n == n_tok.size
+    glob = build_sketch(seq_table, "n_tok", TDIGEST(0.01))
+    ps = np.arange(0.05, 1.0, 0.05)
+    assert np.abs(merged.cdf(glob.quantile(ps)) - ps).max() < 0.02
+
+
+def test_tree_merge_states_scale_path(spark, seq_table, exact_tokens):
+    _, n_tok, _, _ = exact_tokens
+    spec = TDIGEST(0.01)
+    parts = partials_df(seq_table, {"d": ("n_tok", spec)}).select(
+        "state_d"
+    )
+    blob = tree_merge_states(parts, spec, state_col="state_d")
+    d = TDigest.from_bytes(blob)
+    assert d.n == n_tok.size
+    ps = np.arange(0.1, 1.0, 0.1)
+    achieved = np.searchsorted(np.sort(n_tok), d.quantile(ps), side="right") / n_tok.size
+    assert np.abs(achieved - ps).max() < 0.01
+
+
+def test_partials_carry_lineage_metrics(spark, seq_table):
+    parts = partials_df(seq_table, {"d": ("n_tok", TDIGEST(0.01))})
+    rows = parts.collect()
+    assert sum(r["rows"] for r in rows) == seq_table.count()
+    assert all(r["values_seen"] > 0 for r in rows)
+    assert len(rows) == seq_table.rdd.getNumPartitions()
