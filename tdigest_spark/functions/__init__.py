@@ -1,0 +1,129 @@
+"""Scalar sketch-query functions over state columns.
+
+Arrow-batched pandas UDFs (never row-at-a-time Python UDFs) that evaluate
+sketch queries against serialized state BinaryType columns — the Spark
+analogue of the reference's query entry points percentile/p_rank
+(/root/reference/tdigest.js:272-310, 216-255)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "digest_quantile",
+    "digest_cdf",
+    "digest_trimmed_mean",
+    "digest_count",
+    "digest_size",
+    "hll_estimate",
+    "kll_quantile",
+    "bloom_might_contain_int",
+    "cms_estimate_int",
+]
+
+
+def digest_quantile(state_col, p: float):
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("double")
+    def q(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: float(TDigest.from_bytes(bytes(b)).quantile(p))
+        )
+
+    return q(state_col)
+
+
+def digest_cdf(state_col, x: float):
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("double")
+    def c(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: float(TDigest.from_bytes(bytes(b)).cdf(x)))
+
+    return c(state_col)
+
+
+def digest_trimmed_mean(state_col, lo: float, hi: float):
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("double")
+    def t(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: float(TDigest.from_bytes(bytes(b)).trimmed_mean(lo, hi))
+        )
+
+    return t(state_col)
+
+
+def digest_count(state_col):
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("double")
+    def n(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: float(TDigest.from_bytes(bytes(b)).n))
+
+    return n(state_col)
+
+
+def digest_size(state_col):
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("long")
+    def s(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: TDigest.from_bytes(bytes(b)).size)
+
+    return s(state_col)
+
+
+def hll_estimate(state_col):
+    from ..sketch.hll import HLL
+
+    @pandas_udf("double")
+    def e(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: HLL.from_bytes(bytes(b)).estimate())
+
+    return e(state_col)
+
+
+def kll_quantile(state_col, p: float):
+    from ..sketch.kll import KLL
+
+    @pandas_udf("double")
+    def q(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: float(KLL.from_bytes(bytes(b)).quantile(p)))
+
+    return q(state_col)
+
+
+def bloom_might_contain_int(state_col, value: int):
+    from ..sketch.bloom import BloomFilter
+
+    @pandas_udf("boolean")
+    def m(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: bool(
+                BloomFilter.from_bytes(bytes(b)).might_contain_ints(
+                    np.array([value])
+                )[0]
+            )
+        )
+
+    return m(state_col)
+
+
+def cms_estimate_int(state_col, value: int):
+    from ..sketch.cms import CMS
+
+    @pandas_udf("long")
+    def e(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: int(
+                CMS.from_bytes(bytes(b)).estimate_ints(np.array([value]))[0]
+            )
+        )
+
+    return e(state_col)

@@ -106,6 +106,17 @@ def _mk_discrete():
     )
 
 
+def _mk_discrete_str():
+    from ..sketch.discrete import DiscreteDigest
+
+    return SketchSpec(
+        name="discrete_str",
+        make=lambda: DiscreteDigest(is_string=True),
+        from_bytes=lambda b: DiscreteDigest.from_bytes(b),
+        update=lambda sk, v: sk.push(v),
+    )
+
+
 def _mk_hll(p: int = 14, strings: bool = False):
     from ..sketch.hll import HLL
 
@@ -161,6 +172,7 @@ def _mk_kll(k: int = 200):
 # default-parameter singletons (factories for custom params)
 TDIGEST = _mk_tdigest
 TDIGEST_DISCRETE = _mk_discrete
+TDIGEST_DISCRETE_STR = _mk_discrete_str
 AUTODIGEST = _mk_autodigest
 HLL_INTS = lambda p=14: _mk_hll(p, strings=False)  # noqa: E731
 HLL_STRINGS = lambda p=14: _mk_hll(p, strings=True)  # noqa: E731

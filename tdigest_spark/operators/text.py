@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines (SURVEY spec: lang-ID,
+quality scoring, token counting, fingerprinting).
+
+Everything here is built from JVM-side pyspark.sql.functions (whole-stage
+codegen, no Python in the hot path); the only exceptions would be model-based
+steps, which don't exist here. At 100 TB these are embarrassingly parallel
+map-only stages — no shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_tokens",
+    "token_count",
+    "quality_features",
+    "langid_heuristic",
+    "fingerprint",
+]
+
+# tiny per-language stopword lists for the n-gram/stopword lang-ID heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def word_tokens(col) -> Column:
+    """Whitespace tokenization as array<string> (empty array for blank)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (BPE-ish regex variant: count word pieces)."""
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_count(col) -> Column:
+    """Rough subword count: words + digit runs + punctuation marks, the
+    cheap length heuristic pipelines use before real tokenization."""
+    words = F.size(F.split(F.trim(col), r"\s+"))
+    puncts = F.size(F.split(col, r"[^\w\s]")) - F.lit(1)
+    return words + puncts
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, all codegen'd
+    column expressions."""
+    c = F.col(col)
+    words = word_tokens(c)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    punct_chars = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars_m", n_chars)
+        .withColumn(
+            "avg_word_len",
+            F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def langid_heuristic(col) -> Column:
+    """Stopword-vote language ID: score = fraction of words in each
+    language's stopword list; argmax wins ('und' when nothing matches).
+    Pure column expressions -> whole-stage codegen."""
+    words = word_tokens(col)
+    scores = []
+    for lang, stops in _STOPWORDS.items():
+        stop_arr = F.array(*[F.lit(w) for w in stops])
+        hits = F.size(
+            F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w)))
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col, ngram: int = 5) -> Column:
+    """Deterministic document fingerprint: min over xxhash64 of word
+    ``ngram``-grams (a 1-permutation minhash / rolling-hash analogue),
+    entirely JVM-side."""
+    words = word_tokens(col)
+    n = F.size(words)
+    grams = F.when(
+        n >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(ngram - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, ngram))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+    return F.array_min(grams)
