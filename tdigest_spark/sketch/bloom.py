@@ -58,6 +58,8 @@ class BloomFilter:
         v = np.asarray(values)
         if v.shape[0] == 0:
             return self
+        # set semantics: dedup first (ufunc.at cost scales with inputs)
+        v = np.unique(v)
         return self._add_hashed(v.astype(np.int64).astype(np.uint64))
 
     def add_strings(self, values) -> "BloomFilter":

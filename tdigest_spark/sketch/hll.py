@@ -50,7 +50,9 @@ class HLL:
     def update_ints(self, values: np.ndarray) -> "HLL":
         if len(values) == 0:
             return self
-        return self._update_hashes(hash64(np.asarray(values)))
+        # HLL is set-semantics: dedup first so the hash + register update
+        # touch each distinct value once (huge win on token data)
+        return self._update_hashes(hash64(np.unique(np.asarray(values))))
 
     def update_strings(self, values) -> "HLL":
         if len(values) == 0:

@@ -44,49 +44,41 @@ _HEADER = struct.Struct("<4sB3xdddd I")
 def _capacity_merge(
     means: np.ndarray, weights: np.ndarray, delta: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic single-pass merging compression.
+    """Deterministic fully-vectorized scale-function merging compression.
 
-    Inputs must be sorted by mean with unique means. Greedily merges adjacent
-    centroids while the merged mass fits the capacity 4*N*delta*q*(1-q)
-    evaluated at the midpoint rank q of the candidate cluster. First and last
-    centroids are pinned (never merged) to keep exact min/max.
+    Inputs must be sorted by mean with unique means. Each centroid is placed
+    at its midpoint rank q_i = (cum_i - w_i/2)/N and bucketed by the scale
+    function k(q) = ln(q/(1-q)) / (4*delta); adjacent centroids sharing a
+    k-unit merge into their weighted mean. Because k'(q) = 1/(4*delta*q(1-q)),
+    one k-unit spans a q-mass of ~4*N*delta*q*(1-q) — exactly the reference's
+    per-centroid capacity rule (tdigest.js:190-191) expressed as a scale
+    function (the k2 family in Dunning's terms). First and last centroids are
+    pinned so min/max stay exact (tdigest.js:179-182). No Python loop: cumsum
+    + log + reduceat, so compression is O(C) vectorized.
     """
     c = means.shape[0]
-    if c <= 2:
+    if c <= 3:
         return means, weights
     total = float(weights.sum())
-    out_means = np.empty(c, dtype=np.float64)
-    out_weights = np.empty(c, dtype=np.float64)
-    # pin first centroid
-    out_means[0] = means[0]
-    out_weights[0] = weights[0]
-    k = 1
-    w_so_far = float(weights[0])
-    cl_mean = float(means[1])
-    cl_w = float(weights[1])
-    four_nd = 4.0 * total * delta
-    last = c - 1
-    for j in range(2, c):
-        wj = float(weights[j])
-        cand_w = cl_w + wj
-        q = (w_so_far + 0.5 * cand_w) / total
-        cap = four_nd * q * (1.0 - q)
-        if j != last and cand_w <= cap:
-            # weighted-mean absorb (same incremental formula as the
-            # reference's _addweight, tdigest.js:154-166, vectorized form)
-            cl_mean += wj * (float(means[j]) - cl_mean) / cand_w
-            cl_w = cand_w
-        else:
-            out_means[k] = cl_mean
-            out_weights[k] = cl_w
-            k += 1
-            w_so_far += cl_w
-            cl_mean = float(means[j])
-            cl_w = wj
-    out_means[k] = cl_mean
-    out_weights[k] = cl_w
-    k += 1
-    return out_means[:k].copy(), out_weights[:k].copy()
+    cum = np.cumsum(weights)
+    q = (cum - 0.5 * weights) / total
+    k = np.log(q / (1.0 - q)) / (4.0 * delta)
+    bucket = np.floor(k)
+    starts = np.empty(c, dtype=bool)
+    starts[0] = True
+    np.not_equal(bucket[1:], bucket[:-1], out=starts[1:])
+    # pin the extreme centroids as their own clusters
+    starts[1] = True
+    starts[-1] = True
+    idx = np.flatnonzero(starts)
+    new_w = np.add.reduceat(weights, idx)
+    new_means = np.add.reduceat(means * weights, idx) / new_w
+    # singleton clusters keep their exact mean (no fp drift through m*w/w)
+    sizes = np.diff(np.append(idx, c))
+    single = sizes == 1
+    if single.any():
+        new_means[single] = means[idx[single]]
+    return new_means, new_w
 
 
 def _coalesce_sorted(
@@ -136,17 +128,24 @@ class TDigest:
 
     def push(self, values, weights=None) -> "TDigest":
         """Batch ingest: sort + coalesce duplicates + merge into state."""
-        v = np.asarray(values, dtype=np.float64).ravel()
-        if v.shape[0] == 0:
+        raw = np.asarray(values).ravel()
+        if raw.shape[0] == 0:
             return self
+        if weights is None and raw.dtype.kind in ("i", "u", "b"):
+            # integer fast path (token data): radix-friendly unique+counts,
+            # then only the distinct values are lifted to float64
+            uv, uc = np.unique(raw, return_counts=True)
+            return self._absorb(
+                uv.astype(np.float64), uc.astype(np.float64)
+            )
+        v = raw.astype(np.float64, copy=False).ravel()
         finite = np.isfinite(v)
         if weights is None:
             if not finite.all():
                 v = v[finite]
                 if v.shape[0] == 0:
                     return self
-            order = np.argsort(v, kind="stable")
-            sv = v[order]
+            sv = np.sort(v)
             sw_means, sw_weights = _coalesce_sorted(
                 sv, np.ones(sv.shape[0], dtype=np.float64)
             )
@@ -165,6 +164,24 @@ class TDigest:
 
     def _absorb(self, smeans: np.ndarray, sweights: np.ndarray) -> "TDigest":
         """Merge a sorted-unique (means, weights) block into the state."""
+        if smeans.shape[0] > 2 * self._buffer_limit:
+            # pre-compress a huge incoming block so the concat+argsort below
+            # runs on O(1/delta) centroids, not the raw batch
+            self.n += float(sweights.sum())
+            self.vmin = min(self.vmin, float(smeans[0]))
+            self.vmax = max(self.vmax, float(smeans[-1]))
+            smeans, sweights = _capacity_merge(smeans, sweights, self.delta)
+            if self.size == 0:
+                self.means, self.weights = smeans, sweights
+                return self
+            means = np.concatenate([self.means, smeans])
+            weights = np.concatenate([self.weights, sweights])
+            order = np.argsort(means, kind="stable")
+            means, weights = _coalesce_sorted(means[order], weights[order])
+            if means.shape[0] > self._buffer_limit:
+                means, weights = _capacity_merge(means, weights, self.delta)
+            self.means, self.weights = means, weights
+            return self
         if self.size == 0:
             means, weights = smeans, sweights
         else:
