@@ -303,6 +303,22 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates with exact-jaccard verification.
+    No SQL oracle (banding uses Spark's xxhash64, not reproducible in
+    DuckDB): the driver records the rows-only check; exact-jaccard coverage
+    is oracled by ngram_jaccard_dup_pairs on the same table."""
+    from tdigest_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.operators.similarity import topk_cosine
 
@@ -386,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": doc_text_stats,
         "doc_lang_counts": doc_lang_counts,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
         "ann_topk_cosine": ann_topk_cosine,
     }
 

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Beyond the per-query seconds, the line carries the BASELINE.json north-rule
+evidence:
+
+* ``tokens_per_sec`` — one-pass multi-sketch build (t-digest + HLL + CMS +
+  KLL + Bloom, single scan, vectorized Arrow kernels) over the deterministic
+  synthetic sequence table (schema per BASELINE.json input_hint).
+* ``scaling`` — the same sketch-build job run at two parallelism levels
+  (``local[N]`` vs ``local[4N]``, proxy for N vs 4N executors per the
+  north_rule; no real cluster in this sandbox) with throughput at both and
+  ``efficiency = (thr_4N / thr_N) / 4``. Disable with SPARK_GRAFT_SCALING=0.
+
+Everything is deterministic: fixed seeds, deterministic sketch merges.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# sequence table sized for ~485M tokens: the 5-sketch one-pass build runs
+# long enough at local[8] (>10s) for a stable two-parallelism scaling
+# measurement; generated once and cached under .cache/
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1440000"))
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"tdigest-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_table_path() -> Path:
+    from tdigest_spark.sources.sequence_table import (
+        default_cache_dir,
+        generate_sequence_table,
+    )
+
+    # 256 files -> 8 task waves at local[32]: balanced under stragglers
+    return generate_sequence_table(
+        default_cache_dir() / f"bench_n{BENCH_ROWS}",
+        n_rows=BENCH_ROWS,
+        seed=7,
+        rows_per_file=max(1, BENCH_ROWS // 256),
+    )
+
+
+def token_sketch_build(
+    spark, path: Path, warmup: bool = False
+) -> tuple[float, int]:
+    """One-pass multi-sketch build over the token arrays; returns
+    (seconds, total tokens). Uses the scan-in-worker fast path (pyarrow
+    reads the row-group splits directly inside each task — no JVM row
+    decode); the only traffic is #partitions x O(1 MB) serialized states.
+    ``warmup=True`` runs a 1/8-subset pass (primes python workers, page
+    cache, parquet footers) without paying a full extra scan."""
+    import glob
+
+    from tdigest_spark.operators.aggregate import (
+        BLOOM_INTS,
+        CMS_INTS,
+        HLL_INTS,
+        KLL_SPEC,
+        TDIGEST,
+    )
+    from tdigest_spark.operators.scan import build_sketches_scan
+
+    files = sorted(glob.glob(str(path) + "/*.parquet"))
+    if warmup:
+        files = files[:: max(1, len(files) // 32)]
+    t0 = time.perf_counter()
+    sketches = build_sketches_scan(
+        spark,
+        files,
+        {
+            "td_tokens": ("tokens", TDIGEST(0.01)),
+            "td_ntok": ("n_tok", TDIGEST(0.01)),
+            "hll_tokens": ("tokens", HLL_INTS(14)),
+            "cms_tokens": ("tokens", CMS_INTS(5, 16384, 64)),
+            "kll_tokens": ("tokens", KLL_SPEC(200)),
+            "bloom_tokens": ("tokens", BLOOM_INTS(60000, 0.01)),
+        },
+        target_rows_per_split=8192,
+    )
+    dt = time.perf_counter() - t0
+    total_tokens = int(sketches["td_tokens"].n)
+    assert total_tokens > 0
+    return dt, total_tokens
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_nation_revenue",
+        "events_type_stats",
+        "events_top_users_window",
+        "tdigest_quantity_quantiles",
+        "discrete_quantile_quantity",
+        "hll_distinct_check",
+        "cms_topk_quantity",
+        "doc_exact_dedup",
+        "minhash_lsh_pairs",
+        "ann_topk_cosine",
+    ]
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    path = bench_table_path()
+
+    scaling = None
+    if RUN_SCALING:
+        # Two-cluster-size proxy (north_rule: N vs 4N executors; no real
+        # cluster in this sandbox): the same job on the same input at
+        # local[2] vs local[8]. N=2 is chosen because a pure-compute probe
+        # shows this VM stops scaling past ~8-16 runnable threads
+        # (host-level throttling), which would measure the hypervisor, not
+        # the engine; 2 -> 8 isolates the engine's own scaling behavior.
+        lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        hi_cpus = lo_cpus * 4
+        results = {}
+        for cpus in (lo_cpus, hi_cpus):
+            s = make_spark(cpus)
+            token_sketch_build(s, path, warmup=True)
+            secs, n_tokens = token_sketch_build(s, path)
+            results[cpus] = n_tokens / secs
+            s.stop()
+            time.sleep(1)
+        scaling = {
+            "cores_lo": lo_cpus,
+            "cores_hi": hi_cpus,
+            "tokens_per_sec_lo": round(results[lo_cpus]),
+            "tokens_per_sec_hi": round(results[hi_cpus]),
+            "efficiency": round(
+                (results[hi_cpus] / results[lo_cpus]) / (hi_cpus / lo_cpus), 3
+            ),
+        }
+
+    spark = make_spark(CPUS)
+    token_sketch_build(spark, path, warmup=True)
+    hi_s, n_tokens = token_sketch_build(spark, path)
+    tokens_per_sec = n_tokens / hi_s
+
+    queries = run_headline(spark)
+    queries["token_sketch_build"] = round(hi_s, 3)
+    total = round(sum(queries.values()), 3)
+
+    sf = 0.1
+    try:
+        sf = float(Path(SF_DIR).name.replace("sf", ""))
+    except ValueError:
+        pass
+
+    result = {
+        "metric": "headline queries + one-pass token multi-sketch build",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "tokens": n_tokens,
+        "tokens_per_sec": round(tokens_per_sec),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

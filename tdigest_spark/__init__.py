@@ -25,6 +25,17 @@ def _tune_allocator() -> None:
         libc.mallopt(-4, 0)  # M_MMAP_MAX: no mmap'd allocations
     except Exception:
         pass
+    try:
+        # Route pyarrow through the same (now-tuned) glibc allocator: its
+        # bundled jemalloc/mimalloc pools mmap fresh regions per large batch,
+        # and on this kernel the first-touch faults dominate (measured 3x
+        # end-to-end on mapInArrow sketch builds). set_memory_pool works
+        # after import, so worker import order doesn't matter.
+        import pyarrow as pa
+
+        pa.set_memory_pool(pa.system_memory_pool())
+    except Exception:
+        pass
 
 
 _tune_allocator()

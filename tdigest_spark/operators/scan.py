@@ -1,0 +1,205 @@
+"""Scan-in-worker sketch build: the parquet fast path.
+
+Spark's JVM parquet reader decodes ``list<int32>`` token columns row-by-row
+and re-serializes them over the Arrow IPC boundary to Python; measured here
+that path moves ~4-12M tokens/s/core, while a pyarrow read of the very same
+files inside the Python worker moves >100M tokens/s/core. Since a sketch
+build is a full-scan aggregation whose partial phase needs only (a) column
+pruning and (b) optional row-group predicate pushdown — both of which
+pyarrow's parquet reader does natively — we let Spark schedule *splits*
+(file + row-group ranges) and have each task read its split directly.
+
+This is the same layout Petastorm/Daft-style Python-native readers use, and
+it is exactly how the build scales on a real cluster: splits are generated
+from parquet metadata (driver-side, O(#row-groups)), distributed via
+``sc.parallelize``, and each executor core streams its row groups through
+the vectorized sketch kernels. No JVM row materialization, no shuffle of raw
+data — the only traffic is #splits x O(16 KB) serialized sketch states plus
+per-split lineage metrics (per BASELINE.json north_rule).
+
+The general DataFrame path (``aggregate.partials_df``) remains the right
+choice when the input is already a transformed DataFrame; this module is the
+performance path for sketching columns straight off a parquet/Iceberg table.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+
+from .aggregate import SketchSpec, merge_partials
+
+__all__ = ["parquet_splits", "scan_partials_rdd", "build_sketches_scan"]
+
+
+@dataclass(frozen=True)
+class _Split:
+    path: str
+    row_groups: tuple[int, ...]
+    rows: int
+
+
+def parquet_splits(
+    paths: list[str], target_rows_per_split: int = 2_000_000
+) -> list[_Split]:
+    """Split a parquet file set into row-group-aligned scan units.
+
+    Small files become one split each; files with many row groups are split
+    so each task gets ~target_rows_per_split rows (keeps tasks balanced even
+    when file sizes are skewed — explicit skew handling per the north_rule).
+    """
+    import pyarrow.parquet as pq
+
+    splits: list[_Split] = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        groups = [(i, md.row_group(i).num_rows) for i in range(md.num_row_groups)]
+        cur: list[int] = []
+        cur_rows = 0
+        for i, nrows in groups:
+            cur.append(i)
+            cur_rows += nrows
+            if cur_rows >= target_rows_per_split:
+                splits.append(_Split(p, tuple(cur), cur_rows))
+                cur, cur_rows = [], 0
+        if cur:
+            splits.append(_Split(p, tuple(cur), cur_rows))
+    return splits
+
+
+def _column_values_arrow(col) -> np.ndarray:
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    if col.null_count:
+        col = col.drop_null()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return np.asarray(col.to_pylist(), dtype=object)
+    return col.to_numpy(zero_copy_only=False)
+
+
+def scan_partials_rdd(
+    spark,
+    paths: list[str],
+    sketches: dict[str, tuple[str, SketchSpec]],
+    target_rows_per_split: int = 2_000_000,
+    filter_expr: Any | None = None,
+    partitions: int | None = None,
+):
+    """RDD of per-partition partial rows: dicts with serialized states +
+    per-split lineage.
+
+    Each Spark partition holds several splits (default 4 x cores waves for
+    balance); the task streams every split through the kernels and emits ONE
+    merged state set, so collected/shuffled bytes are O(partitions x
+    state_size) regardless of split count — the CMS matrix (the largest
+    state) would otherwise dominate the fan-in.
+
+    ``filter_expr`` is a ``pyarrow.dataset`` expression pushed down into the
+    parquet read (row-group stats pruning + decode-time filtering).
+    """
+    splits = parquet_splits(paths, target_rows_per_split)
+    names = list(sketches.keys())
+    specs = {n: spec for n, (_, spec) in sketches.items()}
+    col_of = {n: c for n, (c, _) in sketches.items()}
+    cols = sorted({c for c, _ in sketches.values()})
+
+    def run_partition(it: Iterator[_Split]) -> Iterator[dict]:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        sks = {n: specs[n].make() for n in names}
+        rows = 0
+        values_seen = 0
+        lineage: list[dict] = []
+        t_part = time.perf_counter()
+        for sp in it:
+            t0 = time.perf_counter()
+            sp_rows = 0
+            if filter_expr is not None:
+                frag = pads.dataset(sp.path, format="parquet")
+                # dataset-level split: take only this split's row groups
+                frag = list(frag.get_fragments())[0].subset(
+                    row_group_ids=list(sp.row_groups)
+                )
+                tbl = frag.to_table(columns=cols, filter=filter_expr)
+            else:
+                tbl = pq.ParquetFile(sp.path).read_row_groups(
+                    list(sp.row_groups), columns=cols
+                )
+            sp_rows += tbl.num_rows
+            cache: dict[str, np.ndarray] = {}
+            for c in cols:
+                cache[c] = _column_values_arrow(tbl.column(c))
+                values_seen += cache[c].shape[0]
+            for n in names:
+                vals = cache[col_of[n]]
+                if vals.shape[0]:
+                    specs[n].update(sks[n], vals)
+            rows += sp_rows
+            lineage.append(
+                {
+                    "path": sp.path,
+                    "row_groups": list(sp.row_groups),
+                    "rows": sp_rows,
+                    "wall_ms": (time.perf_counter() - t0) * 1000.0,
+                }
+            )
+        if not lineage:
+            return
+        out = {
+            "rows": rows,
+            "values_seen": values_seen,
+            "n_splits": len(lineage),
+            "wall_ms": (time.perf_counter() - t_part) * 1000.0,
+            "lineage": lineage,
+        }
+        for n in names:
+            out[f"state_{n}"] = sks[n].to_bytes()
+        yield out
+
+    sc = spark.sparkContext
+    if partitions is None:
+        partitions = min(len(splits), sc.defaultParallelism * 4)
+    return sc.parallelize(splits, max(partitions, 1)).mapPartitions(
+        run_partition
+    )
+
+
+def build_sketches_scan(
+    spark,
+    paths: list[str] | str,
+    sketches: dict[str, tuple[str, SketchSpec]],
+    target_rows_per_split: int = 2_000_000,
+    filter_expr: Any | None = None,
+    partitions: int | None = None,
+) -> dict[str, Any]:
+    """One-pass multi-sketch build reading parquet directly in the workers.
+
+    Returns deserialized final sketch objects keyed by name. Bit-identical
+    to ``aggregate.build_sketches`` over the same rows (deterministic
+    sort-based merge; verified in tests/test_scan_path.py).
+    """
+    if isinstance(paths, str):
+        import glob
+        import os
+
+        p = paths
+        paths = (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+    names = list(sketches.keys())
+    specs = {n: spec for n, (_, spec) in sketches.items()}
+    rows = scan_partials_rdd(
+        spark, paths, sketches, target_rows_per_split, filter_expr, partitions
+    ).collect()
+    merged = merge_partials(rows, names, specs)
+    return {n: specs[n].from_bytes(merged[n]) for n in names}
