@@ -1,0 +1,201 @@
+"""Checkpointed, resumable sketch builds with per-partition lineage.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". The unit of work is a *split* (file + row-group range, from
+``operators.scan.parquet_splits``); each completed batch of splits writes
+one parquet checkpoint file containing its serialized sketch states plus
+lineage (paths, row groups, rows, values, wall_ms, attempt timestamps).
+A resumed run lists the checkpoint dir, re-derives the full split set from
+the (immutable) input, and schedules only the difference — then merges old
+and new partial states into the final sketches.
+
+Why parquet files per task-batch (not a transactional table): states are
+O(16 KB)-O(1 MB) blobs, writes are append-only and idempotent (file name =
+deterministic batch key; a re-run of the same batch overwrites the same
+file with identical content), and reads are a single columnar scan. At
+1000-executor scale the checkpoint table stays tiny (#batches rows), and
+restart cost is O(completed work skipped).
+
+The reference has no persistence at all (its closest notion is
+toArray()/push_centroid re-ingest, /root/reference/tdigest.js:46-57,
+93-100); checkpointing falls out of sketch mergeability: digest(all) =
+merge(digest(done), digest(rest)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..operators.aggregate import SketchSpec, merge_partials
+from ..operators.scan import parquet_splits
+
+__all__ = ["CheckpointedBuild"]
+
+
+def _batch_key(splits: list) -> str:
+    h = hashlib.sha256()
+    for sp in splits:
+        h.update(sp.path.encode())
+        h.update(repr(sp.row_groups).encode())
+    return h.hexdigest()[:16]
+
+
+class CheckpointedBuild:
+    """Resumable one-pass multi-sketch build over a parquet file set.
+
+    >>> cb = CheckpointedBuild(ckpt_dir, {"td": ("tokens", TDIGEST(0.01))})
+    >>> sketches = cb.run(spark, paths)          # first run: full build
+    >>> sketches = cb.run(spark, paths)          # re-run: all cached, no scan
+    After a mid-run failure, completed batches are skipped on resume.
+    """
+
+    def __init__(
+        self,
+        checkpoint_dir: str | Path,
+        sketches: dict[str, tuple[str, SketchSpec]],
+        target_rows_per_split: int = 2_000_000,
+        splits_per_batch: int = 8,
+    ) -> None:
+        self.dir = Path(checkpoint_dir)
+        self.sketches = sketches
+        self.names = list(sketches.keys())
+        self.specs = {n: spec for n, (_, spec) in sketches.items()}
+        self.target_rows_per_split = target_rows_per_split
+        self.splits_per_batch = splits_per_batch
+
+    # -- checkpoint table ---------------------------------------------------
+
+    def completed(self) -> dict[str, dict]:
+        """batch_key -> stored row (states + lineage) for finished batches."""
+        out: dict[str, dict] = {}
+        if not self.dir.exists():
+            return out
+        for f in sorted(self.dir.glob("batch-*.parquet")):
+            try:
+                tbl = pq.read_table(f)
+            except Exception:
+                continue  # torn write of an in-flight batch: redo it
+            for row in tbl.to_pylist():
+                out[row["batch_key"]] = row
+        return out
+
+    def metrics(self) -> list[dict]:
+        """Per-batch merge/lineage metrics for observability."""
+        rows = []
+        for key, row in sorted(self.completed().items()):
+            lineage = json.loads(row["lineage"])
+            rows.append(
+                {
+                    "batch_key": key,
+                    "rows": row["rows"],
+                    "values_seen": row["values_seen"],
+                    "n_splits": len(lineage),
+                    "wall_ms": row["wall_ms"],
+                    "completed_at": row["completed_at"],
+                }
+            )
+        return rows
+
+    # -- execution ----------------------------------------------------------
+
+    def _plan(self, paths: list[str]) -> list[tuple[str, list]]:
+        splits = parquet_splits(paths, self.target_rows_per_split)
+        batches = [
+            splits[i : i + self.splits_per_batch]
+            for i in range(0, len(splits), self.splits_per_batch)
+        ]
+        return [(_batch_key(b), b) for b in batches]
+
+    def run(self, spark, paths: list[str] | str) -> dict[str, Any]:
+        if isinstance(paths, str):
+            import glob
+            import os
+
+            p = paths
+            paths = (
+                sorted(glob.glob(os.path.join(p, "*.parquet")))
+                if os.path.isdir(p)
+                else [p]
+            )
+        plan = self._plan(paths)
+        done = self.completed()
+        todo = [(k, b) for k, b in plan if k not in done]
+
+        if todo:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            names, specs, sketch_map = self.names, self.specs, self.sketches
+            out_dir = str(self.dir)
+
+            from ..operators.scan import scan_partials_rdd
+
+            # one Spark partition per batch: the batch is the atomic unit of
+            # checkpointing, so task success == batch file durably written
+            def run_batch(batch: tuple[str, list]) -> dict:
+                key, splits = batch
+                t0 = time.perf_counter()
+                # reuse the scan kernel loop by inlining its per-split work
+                from ..operators.scan import _column_values_arrow
+
+                import pyarrow.parquet as _pq
+
+                sks = {n: specs[n].make() for n in names}
+                cols = sorted({c for c, _ in sketch_map.values()})
+                col_of = {n: c for n, (c, _) in sketch_map.items()}
+                rows = 0
+                values_seen = 0
+                lineage = []
+                for sp in splits:
+                    ts = time.perf_counter()
+                    tbl = _pq.ParquetFile(sp.path).read_row_groups(
+                        list(sp.row_groups), columns=cols
+                    )
+                    rows += tbl.num_rows
+                    cache = {c: _column_values_arrow(tbl.column(c)) for c in cols}
+                    values_seen += sum(v.shape[0] for v in cache.values())
+                    for n in names:
+                        vals = cache[col_of[n]]
+                        if vals.shape[0]:
+                            specs[n].update(sks[n], vals)
+                    lineage.append(
+                        {
+                            "path": sp.path,
+                            "row_groups": list(sp.row_groups),
+                            "rows": tbl.num_rows,
+                            "wall_ms": (time.perf_counter() - ts) * 1000.0,
+                        }
+                    )
+                row = {
+                    "batch_key": key,
+                    "rows": rows,
+                    "values_seen": values_seen,
+                    "wall_ms": (time.perf_counter() - t0) * 1000.0,
+                    "completed_at": time.time(),
+                    "lineage": json.dumps(lineage),
+                }
+                for n in names:
+                    row[f"state_{n}"] = sks[n].to_bytes()
+                # idempotent durable write: same batch -> same file name;
+                # write tmp then rename so readers never see torn files
+                target = Path(out_dir) / f"batch-{key}.parquet"
+                tmp = Path(out_dir) / f".batch-{key}.tmp.parquet"
+                pq.write_table(
+                    pa.Table.from_pylist([row]), tmp, compression="zstd"
+                )
+                tmp.replace(target)
+                return {k: v for k, v in row.items() if k != "lineage"}
+
+            sc = spark.sparkContext
+            sc.parallelize(todo, len(todo)).map(run_batch).count()
+
+        # merge only from what is durably on disk (the checkpoint is the
+        # source of truth; a re-read also validates the files round-trip)
+        all_rows = list(self.completed().values())
+        merged = merge_partials(all_rows, self.names, self.specs)
+        return {n: self.specs[n].from_bytes(merged[n]) for n in self.names}

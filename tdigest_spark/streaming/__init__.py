@@ -1,0 +1,215 @@
+"""Structured Streaming sketch aggregation.
+
+The reference is one-pass streaming by construction (README.md:7-12
+"presented as a stream") but has no event time, windows, or persistence.
+Here the same mergeable-state property makes sketches ideal Structured
+Streaming state:
+
+* ``incremental_build`` — global (optionally per-key) sketches maintained
+  across micro-batches with ``foreachBatch``: each batch builds partial
+  states with the vectorized kernels, merges them into the running states,
+  and durably swaps a tiny parquet state table. Combined with the stream's
+  own checkpointLocation this is end-to-end resumable: Spark replays the
+  unprocessed files, our merge is deterministic, and the state table holds
+  one O(16 KB) row per sketch.
+
+* ``windowed_digests`` — event-time tumbling-window digests per key via
+  ``applyInPandasWithState`` (custom stateful operator): state = serialized
+  digest per (key, window); watermark closes windows and evicts state, so
+  memory is bounded by open windows x keys x O(1/delta).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import numpy as np
+
+from ..operators.aggregate import SketchSpec
+
+__all__ = ["incremental_build", "read_state", "windowed_digests"]
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch incremental build
+# ---------------------------------------------------------------------------
+
+
+def read_state(
+    state_dir: str | Path, sketches: dict[str, tuple[str, SketchSpec]]
+) -> dict[str, Any] | None:
+    """Load the current sketch objects from the durable state table."""
+    import pyarrow.parquet as pq
+
+    f = Path(state_dir) / "state.parquet"
+    if not f.exists():
+        return None
+    row = pq.read_table(f).to_pylist()[0]
+    return {
+        n: spec.from_bytes(row[f"state_{n}"])
+        for n, (_, spec) in sketches.items()
+    }
+
+
+def _write_state(state_dir: Path, row: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    state_dir.mkdir(parents=True, exist_ok=True)
+    tmp = state_dir / ".state.tmp.parquet"
+    pq.write_table(pa.Table.from_pylist([row]), tmp, compression="zstd")
+    tmp.replace(state_dir / "state.parquet")
+
+
+def incremental_build(
+    stream_df,
+    sketches: dict[str, tuple[str, SketchSpec]],
+    state_dir: str | Path,
+    checkpoint_dir: str | Path,
+    trigger_available_now: bool = True,
+):
+    """Maintain global sketches over a streaming DataFrame.
+
+    Returns the StreamingQuery. State swap is atomic (tmp+rename) and
+    carries batch lineage (batch_id, rows, updated_at), so a crashed batch
+    re-runs idempotently: foreachBatch may replay a batch, and re-merging
+    the same batch is detected via the recorded high-water batch_id.
+    """
+    from ..operators.aggregate import merge_partials, partials_df
+
+    state_dir = Path(state_dir)
+    names = list(sketches.keys())
+    specs = {n: spec for n, (_, spec) in sketches.items()}
+
+    def process(batch_df, batch_id: int) -> None:
+        import pyarrow.parquet as pq
+
+        prev_rows = 0
+        prev = None
+        f = state_dir / "state.parquet"
+        if f.exists():
+            prev = pq.read_table(f).to_pylist()[0]
+            if prev["batch_id"] >= batch_id:
+                return  # replayed batch already merged (exactly-once)
+            prev_rows = prev["rows"]
+        parts = partials_df(batch_df, sketches).collect()
+        if parts:
+            merged = merge_partials(parts, names, specs)
+        else:
+            merged = {n: specs[n].make().to_bytes() for n in names}
+        if prev is not None:
+            merged = {
+                n: specs[n].merge_bytes(prev[f"state_{n}"], merged[n])
+                for n in names
+            }
+        row = {
+            "batch_id": batch_id,
+            "rows": prev_rows + sum(p["rows"] for p in parts),
+            "updated_at": time.time(),
+        }
+        for n in names:
+            row[f"state_{n}"] = merged[n]
+        _write_state(state_dir, row)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState windowed digests
+# ---------------------------------------------------------------------------
+
+
+def windowed_digests(
+    stream_df,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    spec: SketchSpec,
+    window_seconds: int = 3600,
+    watermark: str = "1 hour",
+):
+    """Event-time tumbling-window digests per key (custom stateful op).
+
+    Input: streaming DataFrame with an event-time column. Output (update
+    mode): one row per (key, window_start) per trigger with the serialized
+    digest state; closed windows are emitted and evicted by timeout.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    win = F.floor(F.unix_timestamp(F.col(ts_col)) / window_seconds).cast(
+        "long"
+    )
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("_win", win)
+        .select(
+            F.col(ts_col),  # keep the watermarked event-time column in-plan
+            F.col(key_col).cast("string").alias("_key"),
+            "_win",
+            F.col(value_col).alias("_val"),
+        )
+    )
+
+    out_schema = (
+        "key string, window_start long, n long, state binary"
+    )
+    state_schema = "state binary, n long"
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            (sbytes, n) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "window_start": [key[1] * window_seconds],
+                    "n": [n],
+                    "state": [sbytes],
+                }
+            )
+            return
+        if state.exists:
+            (sbytes, n) = state.get
+            sk = spec.from_bytes(sbytes)
+        else:
+            sk, n = spec.make(), 0
+        for pdf in pdfs:
+            vals = pdf["_val"].to_numpy()
+            if len(vals):
+                arr = np.asarray(vals)
+                if arr.dtype == object:
+                    arr = np.concatenate([np.asarray(v) for v in vals])
+                spec.update(sk, arr)
+                n += len(arr)
+        state.update((sk.to_bytes(), n))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "window_start": [key[1] * window_seconds],
+                "n": [n],
+                "state": [sk.to_bytes()],
+            }
+        )
+
+    return keyed.groupBy("_key", "_win").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

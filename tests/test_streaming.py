@@ -1,0 +1,130 @@
+"""Structured Streaming sketch aggregation (streaming/__init__.py)."""
+
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tdigest_spark.operators.aggregate import HLL_INTS, TDIGEST
+from tdigest_spark.sketch.tdigest import TDigest
+from tdigest_spark.streaming import (
+    incremental_build,
+    read_state,
+    windowed_digests,
+)
+
+SKETCHES = {
+    "td": ("value", TDIGEST(0.01)),
+    "hll": ("value", HLL_INTS(12)),
+}
+
+
+def _write_events(path, seed, n, t0=1_700_000_000):
+    rng = np.random.default_rng(seed)
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                ((t0 + rng.integers(0, 3 * 3600, n)) * 1_000_000).astype(
+                    "int64"
+                )
+            ).cast(pa.timestamp("us")),
+            "source": pa.array(
+                np.where(rng.random(n) < 0.7, "web", "code")
+            ),
+            "value": rng.normal(100, 15, n),
+        }
+    )
+    path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, path / f"events-{seed}.parquet")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "in": tmp_path / "in",
+        "state": tmp_path / "state",
+        "ckpt": tmp_path / "ckpt",
+    }
+    yield d
+    for p in d.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _run_stream(spark, dirs):
+    stream = (
+        spark.readStream.schema("ts timestamp, source string, value double")
+        .parquet(str(dirs["in"]))
+    )
+    q = incremental_build(stream, SKETCHES, dirs["state"], dirs["ckpt"])
+    q.awaitTermination(120)
+    return read_state(dirs["state"], SKETCHES)
+
+
+def test_incremental_build_and_restart(spark, dirs):
+    _write_events(dirs["in"], seed=1, n=4_000)
+    out = _run_stream(spark, dirs)
+    assert int(out["td"].n) == 4_000
+
+    # restart with new data: Spark's checkpoint skips the old file, our
+    # state table carries the old digest forward
+    _write_events(dirs["in"], seed=2, n=3_000)
+    out = _run_stream(spark, dirs)
+    assert int(out["td"].n) == 7_000
+
+    # restart with NO new data: state unchanged (no double-merge)
+    out2 = _run_stream(spark, dirs)
+    assert out2["td"].to_bytes() == out["td"].to_bytes()
+    assert out2["hll"].to_bytes() == out["hll"].to_bytes()
+
+    # accuracy vs the exact batch view of the same files
+    exact = (
+        spark.read.parquet(str(dirs["in"])).select("value").toPandas()["value"]
+    )
+    for p in [0.1, 0.5, 0.9]:
+        est = out["td"].quantile(p)
+        assert abs(est - np.quantile(exact, p)) < 0.05 * abs(
+            np.quantile(exact, p)
+        )
+
+
+def test_windowed_digests_per_key(spark, dirs):
+    _write_events(dirs["in"], seed=5, n=6_000)
+    stream = (
+        spark.readStream.schema("ts timestamp, source string, value double")
+        .parquet(str(dirs["in"]))
+    )
+    out = windowed_digests(
+        stream, "ts", "source", "value", TDIGEST(0.01), window_seconds=3600
+    )
+    qname = f"win_{int(time.time()*1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table(qname).toPandas()
+    # update mode re-emits a group on eviction (watermark timeout); the
+    # last emission per (key, window) is the final state
+    res = res.drop_duplicates(subset=["key", "window_start"], keep="last")
+    assert set(res["key"]) == {"web", "code"}
+    assert res.groupby("key")["window_start"].nunique().min() >= 3
+
+    # per-(key, window) counts and medians match the exact batch groupby
+    pdf = spark.read.parquet(str(dirs["in"])).toPandas()
+    pdf["window_start"] = (
+        pdf["ts"].astype("int64") // 10**9 // 3600 * 3600
+    )
+    for (k, w), grp in pdf.groupby(["source", "window_start"]):
+        row = res[(res["key"] == k) & (res["window_start"] == w)]
+        assert len(row) == 1, (k, w)
+        assert int(row["n"].iloc[0]) == len(grp)
+        d = TDigest.from_bytes(row["state"].iloc[0])
+        med = grp["value"].median()
+        assert abs(d.quantile(0.5) - med) < 0.05 * abs(med)
