@@ -184,6 +184,97 @@ def discrete_quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trimmed_mean(lo, hi) of the distributed digest: centroid mass
+    straddling the rank cuts is pro-rated (Dunning's reference Java
+    semantics; absent in welch/tdigest). On l_quantity centroids are exact
+    GROUP BY counts, so the SQL mirror is closed-form."""
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch
+
+    d = build_sketch(_t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST(0.01))
+    wins = [(0.0, 1.0), (0.05, 0.95), (0.1, 0.9), (0.25, 0.75)]
+    rows = [
+        (lo, hi, float(np.round(d.trimmed_mean(lo, hi), 6))) for lo, hi in wins
+    ]
+    return spark.createDataFrame(
+        rows, "lo double, hi double, tmean double"
+    ).orderBy("lo")
+
+
+def discrete_chars_by_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped discrete digests over documents.n_chars by source, PLUS the
+    '__all__' rollup obtained by MERGING the per-source digests (sketch
+    mergeability gives rollup/cube for free — no second scan). Exact map
+    state -> Nearest-Rank quantiles reproducible in SQL."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST_DISCRETE,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = TDIGEST_DISCRETE()
+    per = build_sketch_grouped(docs, ["source"], "n_chars", spec).collect()
+    out = []
+    glob = DiscreteDigest()
+    for r in sorted(per, key=lambda r: r["source"]):
+        d = DiscreteDigest.from_bytes(r["state"])
+        out.append(
+            (r["source"], int(d.n), float(d.quantile(0.5)), float(d.quantile(0.9)))
+        )
+        glob.merge(d)
+    out.append(
+        ("__all__", int(glob.n), float(glob.quantile(0.5)), float(glob.quantile(0.9)))
+    )
+    return spark.createDataFrame(
+        out, "source string, n long, p50 double, p90 double"
+    ).orderBy("source")
+
+
+def autodigest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-mode Digest semantics distributed (tdigest.js:372-388): stays
+    exact-discrete on low-cardinality l_quantity, auto-switches to t-digest
+    on high-cardinality l_extendedprice; centroid count stays within the
+    K/delta compression bound after the switch."""
+    from tdigest_spark.operators.aggregate import AUTODIGEST, build_sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = build_sketches(
+        li,
+        {
+            "l_extendedprice": ("l_extendedprice", AUTODIGEST("auto")),
+            "l_quantity": ("l_quantity", AUTODIGEST("auto")),
+        },
+    )
+    rows = []
+    for col in ["l_extendedprice", "l_quantity"]:
+        dg = out[col]
+        mode = "cont" if dg.is_continuous else "disc"
+        bounded = dg.inner.size <= (25 / dg.delta if mode == "cont" else 10**9)
+        rows.append((col, mode, bool(bounded)))
+    return spark.createDataFrame(
+        rows, "column_name string, mode string, size_bounded boolean"
+    )
+
+
+def kll_rank_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL(k=200) quantiles over l_extendedprice: the realized rank of each
+    estimate must be within the published ~1.33/k rank-error envelope
+    (3-sigma ~ 0.02 at k=200)."""
+    from tdigest_spark.operators.aggregate import KLL_SPEC, build_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = build_sketch(li, "l_extendedprice", KLL_SPEC(200))
+    n = li.count()
+    ps = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    rows = []
+    for p in ps:
+        est = float(sk.quantile(p))
+        rank = li.where(F.col("l_extendedprice") <= est).count() / n
+        rows.append((p, bool(abs(rank - p) <= 0.025)))
+    return spark.createDataFrame(rows, "p double, within_bound boolean")
+
+
 def discrete_quantile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String discrete digest (values ranked lexically, like the reference's
     string spec, specs/discrete.spec.js:133-142) over o_orderpriority."""
@@ -303,6 +394,149 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length / punctuation / stopword ratios) — all
+    whole-stage-codegen column expressions, no Python."""
+    from tdigest_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs, "text")
+    return q.select(
+        "doc_id",
+        "n_words",
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def doc_langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language-ID heuristic, aggregated to counts per
+    (predicted, labeled) language."""
+    from tdigest_spark.operators.text import langid_heuristic
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", langid_heuristic(F.col("text")))
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang", "lang")
+    )
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate per document."""
+    from tdigest_spark.operators.text import bpe_ish_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_count(F.col("text")).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signatures (JVM gram hashing +
+    one vectorized bit-vote kernel), pairs within Hamming distance 3 via
+    4-band exact-match blocking (pigeonhole: any pair with <=3 differing
+    bits shares at least one of 4 16-bit bands). No SQL oracle (xxhash64
+    banding); rows-only check."""
+    from tdigest_spark.operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        F.col("doc_id").alias("_id"), simhash64(F.col("text"), 2).alias("sh")
+    )
+    banded = sig.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "sh", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def events_hourly_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming flagship: event-time tumbling-window discrete
+    digests per event_type via applyInPandasWithState (availableNow over the
+    events table as a file stream). Exact-map state -> the per-window median
+    is Nearest-Rank-exact and fully reproducible in SQL."""
+    import time as _time
+
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+    from tdigest_spark.streaming import windowed_digests
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # parquet infers TIMESTAMP_NTZ; event-time needs TIMESTAMP_LTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_digests(
+        stream, "ts", "event_type", "value", TDIGEST_DISCRETE(), 3600
+    )
+    qname = f"ev_hourly_{int(_time.time() * 1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(qname).toPandas()
+    res = res.drop_duplicates(subset=["key", "window_start"], keep="last")
+    rows = [
+        (
+            int(r.window_start),
+            str(r.key),
+            int(r.n),
+            float(DiscreteDigest.from_bytes(r.state).quantile(0.5)),
+        )
+        for r in res.itertuples()
+    ]
+    return spark.createDataFrame(
+        rows, "window_start long, event_type string, n long, p50 double"
+    ).orderBy("window_start", "event_type")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates with exact-jaccard verification.
     No SQL oracle (banding uses Spark's xxhash64, not reproducible in
@@ -395,6 +629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
         "discrete_quantile_quantity": discrete_quantile_quantity,
         "discrete_quantile_priority": discrete_quantile_priority,
+        "tdigest_trimmed_mean": tdigest_trimmed_mean,
+        "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
+        "autodigest_modes": autodigest_modes,
+        "kll_rank_error_check": kll_rank_error_check,
         "hll_distinct_check": hll_distinct_check,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
@@ -403,6 +641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_counts": doc_lang_counts,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_dup_candidates": simhash_dup_candidates,
+        "doc_quality_scores": doc_quality_scores,
+        "doc_langid_counts": doc_langid_counts,
+        "doc_token_counts": doc_token_counts,
+        "events_hourly_stream_digest": events_hourly_stream_digest,
         "ann_topk_cosine": ann_topk_cosine,
     }
 
@@ -518,6 +761,67 @@ def oracle_sql() -> dict[str, str]:
             FROM ps JOIN cum ON c >= p * n
             GROUP BY p ORDER BY p
         """,
+        "tdigest_trimmed_mean": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT v, w,
+                     SUM(w) OVER (ORDER BY v) AS chi,
+                     SUM(w) OVER (ORDER BY v) - w AS clo,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), wins AS (
+              SELECT CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+              FROM (VALUES (0.0, 1.0), (0.05, 0.95), (0.1, 0.9),
+                           (0.25, 0.75)) t(lo, hi)
+            )
+            SELECT lo, hi,
+                   ROUND(
+                     SUM(v * GREATEST(LEAST(chi, hi * n)
+                                      - GREATEST(clo, lo * n), 0))
+                     / SUM(GREATEST(LEAST(chi, hi * n)
+                                    - GREATEST(clo, lo * n), 0)), 6
+                   ) AS tmean
+            FROM wins, cum
+            GROUP BY lo, hi ORDER BY lo
+        """,
+        "discrete_chars_by_source_rollup": """
+            WITH cum AS (
+              SELECT source, CAST(n_chars AS DOUBLE) AS v,
+                     SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars) AS c,
+                     SUM(COUNT(*)) OVER (PARTITION BY source) AS n
+              FROM documents GROUP BY source, n_chars
+            ), per AS (
+              SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+                     MIN(CASE WHEN c >= 0.5 * n THEN v END) AS p50,
+                     MIN(CASE WHEN c >= 0.9 * n THEN v END) AS p90
+              FROM cum GROUP BY source
+            ), g_cum AS (
+              SELECT CAST(n_chars AS DOUBLE) AS v,
+                     SUM(COUNT(*)) OVER (ORDER BY n_chars) AS c,
+                     SUM(COUNT(*)) OVER () AS n
+              FROM documents GROUP BY n_chars
+            ), g_all AS (
+              SELECT '__all__' AS source, CAST(MAX(n) AS BIGINT) AS n,
+                     MIN(CASE WHEN c >= 0.5 * n THEN v END) AS p50,
+                     MIN(CASE WHEN c >= 0.9 * n THEN v END) AS p90
+              FROM g_cum
+            )
+            SELECT * FROM per UNION ALL SELECT * FROM g_all
+            ORDER BY source
+        """,
+        "autodigest_modes": """
+            SELECT * FROM (VALUES
+              ('l_extendedprice', 'cont', TRUE),
+              ('l_quantity', 'disc', TRUE)
+            ) t(column_name, mode, size_bounded)
+        """,
+        "kll_rank_error_check": """
+            SELECT CAST(p AS DOUBLE) AS p, TRUE AS within_bound
+            FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+        """,
         "discrete_quantile_priority": """
             WITH cum AS (
               SELECT o_orderpriority AS v,
@@ -591,6 +895,99 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
             ORDER BY id_a, id_b
+        """,
+        "doc_quality_scores": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(TRIM(text), '\s+') AS words,
+                     LENGTH(text) AS nc
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     LEN(words) AS n_words, nc,
+                     nc - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS np,
+                     LEN(list_filter(words, w -> list_contains(
+                       ['the','and','of','to','a','in','is','that','for','it'],
+                       LOWER(w)))) AS stop_hits
+              FROM base
+            )
+            SELECT doc_id, n_words,
+                   ROUND(CASE WHEN n_words > 0
+                         THEN (nc - (n_words - 1)) * 1.0 / n_words
+                         ELSE 0.0 END, 6) AS avg_word_len,
+                   ROUND(CASE WHEN nc > 0 THEN np * 1.0 / nc
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words
+                         ELSE 0.0 END, 6) AS stopword_ratio
+            FROM feat ORDER BY doc_id
+        """,
+        "doc_langid_counts": r"""
+            WITH base AS (
+              SELECT lang,
+                     regexp_split_to_array(TRIM(text), '\s+') AS words
+              FROM documents
+            ), hits AS (
+              SELECT lang,
+                LEN(list_filter(words, w -> list_contains(
+                  ['the','and','of','to','a','in','is','that','for','it'],
+                  LOWER(w)))) AS h_en,
+                LEN(list_filter(words, w -> list_contains(
+                  ['el','la','de','que','y','en','un','los','por','con'],
+                  LOWER(w)))) AS h_es,
+                LEN(list_filter(words, w -> list_contains(
+                  ['der','die','und','das','ist','von','mit','den','ein','zu'],
+                  LOWER(w)))) AS h_de,
+                LEN(list_filter(words, w -> list_contains(
+                  ['le','la','de','et','les','des','un','une','est','dans'],
+                  LOWER(w)))) AS h_fr,
+                LEN(list_filter(words, w -> list_contains(
+                  ['的','是','了','在','我','有','和','就','不','人'],
+                  LOWER(w)))) AS h_zh
+              FROM base
+            ), pred AS (
+              SELECT lang,
+                CASE WHEN GREATEST(h_en,h_es,h_de,h_fr,h_zh) = 0 THEN 'und'
+                     -- tie-break mirrors array_max on struct(hits, lang):
+                     -- max hits, then lexicographically greatest lang
+                     WHEN h_zh = GREATEST(h_en,h_es,h_de,h_fr,h_zh) THEN 'zh'
+                     WHEN h_fr = GREATEST(h_en,h_es,h_de,h_fr,h_zh) THEN 'fr'
+                     WHEN h_es = GREATEST(h_en,h_es,h_de,h_fr,h_zh) THEN 'es'
+                     WHEN h_en = GREATEST(h_en,h_es,h_de,h_fr,h_zh) THEN 'en'
+                     ELSE 'de' END AS pred_lang
+              FROM hits
+            )
+            SELECT pred_lang, lang, COUNT(*) AS n_docs
+            FROM pred GROUP BY pred_lang, lang
+            ORDER BY pred_lang, lang
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+                   LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
+                     AS n_subwords
+            FROM documents ORDER BY doc_id
+        """,
+        "events_hourly_stream_digest": """
+            WITH cum AS (
+              SELECT event_type,
+                     CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+                     CAST(value AS DOUBLE) AS v,
+                     SUM(COUNT(*)) OVER (
+                       PARTITION BY event_type,
+                         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+                       ORDER BY value) AS c,
+                     SUM(COUNT(*)) OVER (
+                       PARTITION BY event_type,
+                         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+                     ) AS n
+              FROM events GROUP BY event_type, ws, value
+            )
+            SELECT ws AS window_start, event_type,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(CASE WHEN c >= 0.5 * n THEN v END) AS p50
+            FROM cum GROUP BY ws, event_type
+            ORDER BY window_start, event_type
         """,
         "ann_topk_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

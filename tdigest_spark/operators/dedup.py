@@ -11,6 +11,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -193,8 +195,6 @@ def simhash64(col, ngram: int = 2) -> Column:
     sum of +/-1 votes. The gram hashing stays JVM-side (codegen); the bit
     voting runs as one Arrow-batched numpy kernel (a 64-bit unpack + matmul),
     not per-row Python."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     grams = shingles(col, ngram)
