@@ -128,6 +128,67 @@ def events_top_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-flavor coverage: LEFT ANTI (customers with no orders) plus a
+    LEFT SEMI count check; broadcastable key-list at dimension scale."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    anti = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+    return anti.select("c_custkey", "c_name", "c_nationkey").orderBy(
+        "c_custkey"
+    )
+
+
+def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + conditional aggregation: per order-priority, how
+    many orders have at least one returned ('R') lineitem
+    (null-preserving)."""
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = orders.join(late, orders.o_orderkey == late.l_orderkey, "left")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct(late.l_orderkey).alias("n_late_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def part_supplier_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops: suppkeys supplying low-quantity items INTERSECT
+    high-quantity items, and EXCEPT, tagged and unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.where(F.col("l_quantity") <= 5).select("l_suppkey").distinct()
+    hi = li.where(F.col("l_quantity") >= 45).select("l_suppkey").distinct()
+    both = lo.intersect(hi).withColumn("tag", F.lit("both"))
+    only_lo = lo.exceptAll(hi).withColumn("tag", F.lit("lo_only"))
+    return both.unionByName(only_lo).select("tag", "l_suppkey").orderBy(
+        "tag", "l_suppkey"
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage (json/string/math/date): parse the props
+    JSON column, bucket by k-decile and event month."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            (F.floor(k / 10) * 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("month", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("month", "k_bucket")
+    )
+
+
 # --------------------------------------------------------------------------
 # sketch queries (exact-by-construction configurations for the oracle gate)
 # --------------------------------------------------------------------------
@@ -348,6 +409,33 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.heavy_hitters()[:10]
     rows = [(int(np.uint64(k).astype(np.int64)), int(v)) for k, v in top]
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
+
+
+def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-UDF-over-states surface: grouped t-digest states queried
+    in-DataFrame with digest_quantile / digest_cdf / digest_trimmed_mean
+    pandas UDFs (Arrow-batched — the Spark analogue of percentile/p_rank,
+    tdigest.js:272-310/216-255). l_quantity per returnflag is
+    centroid-exact, so every function has a closed-form SQL mirror."""
+    from tdigest_spark.functions import (
+        digest_cdf,
+        digest_count,
+        digest_quantile,
+        digest_trimmed_mean,
+    )
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketch_grouped(li, ["l_returnflag"], "l_quantity", TDIGEST(0.01))
+    return states.select(
+        "l_returnflag",
+        digest_count(F.col("state")).cast("long").alias("n"),
+        F.round(digest_quantile(F.col("state"), 0.5), 6).alias("p50"),
+        F.round(digest_cdf(F.col("state"), 25.0), 9).alias("cdf_25"),
+        F.round(digest_trimmed_mean(F.col("state"), 0.25, 0.75), 6).alias(
+            "iqm"
+        ),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -624,6 +712,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
+        "customers_without_orders": customers_without_orders,
+        "order_fill_left_join": order_fill_left_join,
+        "part_supplier_set_ops": part_supplier_set_ops,
+        "events_json_props": events_json_props,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
@@ -633,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
         "autodigest_modes": autodigest_modes,
         "kll_rank_error_check": kll_rank_error_check,
+        "grouped_digest_functions": grouped_digest_functions,
         "hll_distinct_check": hll_distinct_check,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
@@ -709,6 +802,46 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
             ORDER BY rnk LIMIT 20
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+            ORDER BY c_custkey
+        """,
+        "order_fill_left_join": """
+            SELECT o_orderpriority,
+                   COUNT(DISTINCT o_orderkey) AS n_orders,
+                   COUNT(DISTINCT l.l_orderkey) AS n_late_orders
+            FROM orders o
+            LEFT JOIN (
+              SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            ) l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "part_supplier_set_ops": """
+            WITH lo AS (
+              SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity <= 5
+            ), hi AS (
+              SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity >= 45
+            )
+            SELECT 'both' AS tag, l_suppkey
+            FROM (SELECT l_suppkey FROM lo INTERSECT SELECT l_suppkey FROM hi)
+            UNION ALL
+            SELECT 'lo_only' AS tag, l_suppkey
+            FROM (SELECT l_suppkey FROM lo EXCEPT SELECT l_suppkey FROM hi)
+            ORDER BY tag, l_suppkey
+        """,
+        "events_json_props": """
+            SELECT strftime(ts, '%Y-%m') AS month,
+                   CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        / 10) * 10 AS BIGINT) AS k_bucket,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            GROUP BY month, k_bucket ORDER BY month, k_bucket
         """,
         "tdigest_quantity_centroids": """
             SELECT CAST(l_quantity AS DOUBLE) AS mean,
@@ -821,6 +954,51 @@ def oracle_sql() -> dict[str, str]:
         "kll_rank_error_check": """
             SELECT CAST(p AS DOUBLE) AS p, TRUE AS within_bound
             FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+        """,
+        "grouped_digest_functions": """
+            WITH cent AS (
+              SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ), cum AS (
+              SELECT rf, v, w,
+                     SUM(w) OVER (PARTITION BY rf ORDER BY v) AS chi,
+                     SUM(w) OVER (PARTITION BY rf ORDER BY v) - w AS clo,
+                     SUM(w) OVER (PARTITION BY rf ORDER BY v) - w / 2 AS mc,
+                     SUM(w) OVER (PARTITION BY rf) AS n
+              FROM cent
+            ), p50 AS (
+              SELECT rf,
+                     MAX(CASE WHEN mc <= 0.5 * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  0.5 * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= 0.5 * n THEN v END) AS v_lo,
+                     MIN(CASE WHEN mc >  0.5 * n THEN v END) AS v_hi,
+                     ANY_VALUE(n) AS n
+              FROM cum GROUP BY rf
+            ), cdfx AS (
+              SELECT rf,
+                     (SUM(CASE WHEN v < 25.0 THEN w ELSE 0 END)
+                      + SUM(CASE WHEN v = 25.0 THEN w ELSE 0 END) / 2.0)
+                     / ANY_VALUE(n) AS cdf_25
+              FROM cum GROUP BY rf
+            ), tm AS (
+              SELECT rf,
+                     SUM(v * GREATEST(LEAST(chi, 0.75 * n)
+                                      - GREATEST(clo, 0.25 * n), 0))
+                     / SUM(GREATEST(LEAST(chi, 0.75 * n)
+                                    - GREATEST(clo, 0.25 * n), 0)) AS iqm
+              FROM cum GROUP BY rf
+            )
+            SELECT p50.rf AS l_returnflag,
+                   CAST(p50.n AS BIGINT) AS n,
+                   ROUND(v_lo + ((v_hi - v_lo) / (mc_hi - mc_lo))
+                              * (0.5 * p50.n - mc_lo), 6) AS p50,
+                   ROUND(cdf_25, 9) AS cdf_25,
+                   ROUND(iqm, 6) AS iqm
+            FROM p50
+            JOIN cdfx ON cdfx.rf = p50.rf
+            JOIN tm ON tm.rf = p50.rf
+            ORDER BY l_returnflag
         """,
         "discrete_quantile_priority": """
             WITH cum AS (
