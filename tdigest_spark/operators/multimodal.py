@@ -1,0 +1,195 @@
+"""Multimodal (image / audio / video) columns as opaque binary + metadata.
+
+Pattern for 100 TB training-data pipelines: media payloads travel as
+``binary`` columns with typed metadata (codec, dims, duration), and every
+transform is an Arrow-batched ``mapInPandas``/``mapInArrow`` stage —
+map-only, no shuffle, pipelined with the parquet scan. The actual codecs
+(PIL/ffmpeg/soundfile) are NOT in this container, so the decode kernels are
+STUBBED behind ``_HAVE_CODECS`` with a deterministic fake decoder
+(xxhash-seeded PRNG pixels/samples derived from the payload bytes); the
+Spark-side plumbing — schemas, batch iteration, output shapes,
+partition-preserving layout — is real and tested. Swap `_fake_decode_*`
+for the real library call and nothing else changes.
+
+Schema conventions:
+    media(doc_id string, kind string, payload binary, meta struct<...>)
+    image features -> array<float> embedding-ready vectors
+    audio features -> frame-level array<float>
+    video          -> sampled frames as array<binary>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "make_media_table",
+    "decode_image_stats",
+    "image_resize_features",
+    "audio_frame_energy",
+    "video_sample_frames",
+]
+
+MEDIA_SCHEMA = (
+    "doc_id string, kind string, payload binary, "
+    "width int, height int, sample_rate int, n_frames int"
+)
+
+# real codec libraries are absent in this environment by design
+_HAVE_CODECS = False
+
+
+def _seed_from(payload: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for PIL/turbojpeg decode: (H, W, 3) uint8
+    derived from the payload hash. Replace with the real decoder here."""
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire PIL.Image.open here")
+    rng = np.random.default_rng(_seed_from(payload))
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def _fake_decode_audio(payload: bytes, n: int) -> np.ndarray:
+    if _HAVE_CODECS:  # pragma: no cover
+        raise NotImplementedError("wire soundfile.read here")
+    rng = np.random.default_rng(_seed_from(payload))
+    return rng.normal(0.0, 0.25, n).astype(np.float32)
+
+
+def make_media_table(spark, n_rows: int = 256, seed: int = 0) -> DataFrame:
+    """Deterministic synthetic media table (payload = compressed-ish random
+    bytes) for tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"])[
+        rng.integers(0, 3, n_rows)
+    ]
+    rows = []
+    for i, kind in enumerate(kinds):
+        payload = rng.integers(0, 256, int(rng.integers(256, 2048)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                f"m-{i:08d}",
+                str(kind),
+                bytearray(payload),
+                int(rng.integers(32, 257)) if kind == "image" else 0,
+                int(rng.integers(32, 257)) if kind == "image" else 0,
+                16000 if kind == "audio" else 0,
+                int(rng.integers(8, 65)) if kind == "video" else 0,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image_stats(df: DataFrame) -> DataFrame:
+    """Decode images and emit per-channel mean/std (the canonical
+    pre-normalization pass). Arrow-batched; non-image rows are filtered
+    out JVM-side before Python sees them."""
+    sel = df.where(df.kind == "image").select(
+        "doc_id", "payload", "width", "height"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = {
+                "doc_id": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "std_gray": [],
+            }
+            for r in pdf.itertuples():
+                img = _fake_decode_image(bytes(r.payload), r.width, r.height)
+                m = img.reshape(-1, 3).mean(axis=0)
+                gray = img.mean(axis=2)
+                out["doc_id"].append(r.doc_id)
+                out["mean_r"].append(float(m[0]))
+                out["mean_g"].append(float(m[1]))
+                out["mean_b"].append(float(m[2]))
+                out["std_gray"].append(float(gray.std()))
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(
+        run,
+        "doc_id string, mean_r double, mean_g double, mean_b double, "
+        "std_gray double",
+    )
+
+
+def image_resize_features(df: DataFrame, side: int = 16) -> DataFrame:
+    """Decode -> center-crop-resize (nearest) -> flatten to a float feature
+    vector of fixed length side*side: the embedding-ready shape. Output is
+    array<float> so it plugs straight into the similarity operators."""
+    sel = df.where(df.kind == "image").select(
+        "doc_id", "payload", "width", "height"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, feats = [], []
+            for r in pdf.itertuples():
+                img = _fake_decode_image(bytes(r.payload), r.width, r.height)
+                ys = (np.arange(side) * img.shape[0] // side).astype(int)
+                xs = (np.arange(side) * img.shape[1] // side).astype(int)
+                small = img[np.ix_(ys, xs)].mean(axis=2) / 255.0
+                ids.append(r.doc_id)
+                feats.append(small.ravel().astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    return sel.mapInPandas(run, "doc_id string, feature array<float>")
+
+
+def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:
+    """Decode audio and emit per-frame RMS energy (VAD/quality primitive).
+    One output row per media row; frame energies as array<float>."""
+    sel = df.where(df.kind == "audio").select("doc_id", "payload", "sample_rate")
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, en = [], []
+            for r in pdf.itertuples():
+                wav = _fake_decode_audio(bytes(r.payload), r.sample_rate)
+                n = (len(wav) // frame) * frame
+                frames = wav[:n].reshape(-1, frame)
+                ids.append(r.doc_id)
+                en.append(
+                    np.sqrt((frames**2).mean(axis=1)).astype(np.float32).tolist()
+                )
+            yield pd.DataFrame({"doc_id": ids, "rms": en})
+
+    return sel.mapInPandas(run, "doc_id string, rms array<float>")
+
+
+def video_sample_frames(df: DataFrame, every: int = 8) -> DataFrame:
+    """Uniform frame sampling: emit one row per sampled frame index with a
+    deterministic per-frame payload slice (stub for the ffmpeg seek+decode;
+    shows the fan-out shape: input row -> ceil(n_frames/every) rows)."""
+    sel = df.where(df.kind == "video").select("doc_id", "payload", "n_frames")
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            ids, idxs, frames = [], [], []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                for fi in range(0, int(r.n_frames), every):
+                    ids.append(r.doc_id)
+                    idxs.append(fi)
+                    h = hashlib.blake2b(
+                        payload + fi.to_bytes(4, "little"), digest_size=32
+                    ).digest()
+                    frames.append(bytearray(h))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return sel.mapInPandas(
+        run, "doc_id string, frame_idx int, frame binary"
+    )

@@ -1,0 +1,82 @@
+"""Multimodal binary-column plumbing (operators/multimodal.py).
+
+Codecs are stubbed (deterministic payload-hash fakes); these tests verify
+the REAL parts: schemas, Arrow batch iteration, output shapes/cardinality,
+determinism across partitionings, and composition with the similarity
+operators.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.multimodal import (
+    audio_frame_energy,
+    decode_image_stats,
+    image_resize_features,
+    make_media_table,
+    video_sample_frames,
+)
+
+
+def test_image_stats_shape_and_determinism(spark):
+    media = make_media_table(spark, n_rows=96, seed=4)
+    n_img = media.where(F.col("kind") == "image").count()
+    out = decode_image_stats(media)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == n_img
+    for r in rows.values():
+        assert 0 <= r["mean_r"] <= 255 and 0 <= r["std_gray"] <= 128
+
+    # repartitioned input -> identical values (stub decode is payload-pure)
+    rows2 = {
+        r["doc_id"]: r
+        for r in decode_image_stats(media.repartition(7)).collect()
+    }
+    for k, r in rows.items():
+        assert abs(rows2[k]["mean_r"] - r["mean_r"]) < 1e-9
+
+
+def test_image_features_feed_similarity(spark):
+    media = make_media_table(spark, n_rows=64, seed=5)
+    feats = image_resize_features(media, side=8)
+    got = feats.collect()
+    assert all(len(r["feature"]) == 64 for r in got)
+
+    # embedding-ready: brute-force cosine against the first image works
+    from tdigest_spark.operators.similarity import topk_cosine
+
+    q = got[0]["feature"]
+    ids = feats.withColumn("vec_id", F.xxhash64("doc_id")).withColumnRenamed(
+        "feature", "embedding"
+    )
+    top = topk_cosine(ids, [float(x) for x in q], k=3).collect()
+    assert len(top) == 3
+
+
+def test_audio_energy_frames(spark):
+    media = make_media_table(spark, n_rows=64, seed=6)
+    n_audio = media.where(F.col("kind") == "audio").count()
+    out = audio_frame_energy(media, frame=1024).collect()
+    assert len(out) == n_audio
+    for r in out:
+        # 16000 samples -> 15 full 1024-frames
+        assert len(r["rms"]) == 15
+        assert all(0 < e < 1 for e in r["rms"])
+
+
+def test_video_frame_sampling_cardinality(spark):
+    media = make_media_table(spark, n_rows=64, seed=7)
+    vids = {
+        r["doc_id"]: r["n_frames"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    out = video_sample_frames(media, every=8)
+    counts = {
+        r["doc_id"]: r["cnt"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts == {
+        k: int(np.ceil(n / 8)) for k, n in vids.items()
+    }
+    one = out.first()
+    assert len(bytes(one["frame"])) == 32
