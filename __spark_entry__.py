@@ -641,6 +641,28 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path end-to-end (k-means coarse quantizer -> list assignment
+    -> probed exact rerank) run at full probe, which must equal brute-force
+    top-k exactly — so the DuckDB oracle is the same exact cosine ranking."""
+    from tdigest_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    qrow = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    query = [float(x) for x in qrow["embedding"]]
+    C = ivf_centroids(emb, n_lists=8, sample=4096, seed=1)
+    top = ivf_topk(emb, query, C, k=10, n_probe=8)
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id"
+    ).orderBy("rank")
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.operators.similarity import topk_cosine
 
@@ -740,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": doc_token_counts,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "ann_topk_cosine": ann_topk_cosine,
+        "ivf_topk_cosine": ivf_topk_cosine,
     }
 
 
@@ -1168,6 +1191,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY window_start, event_type
         """,
         "ann_topk_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT ROW_NUMBER() OVER (
+                     ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+                   ) AS rank,
+                   vec_id
+            FROM embeddings, q
+            WHERE vec_id <> 0
+            ORDER BY rank LIMIT 10
+        """,
+        "ivf_topk_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT ROW_NUMBER() OVER (
                      ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id

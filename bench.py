@@ -133,6 +133,10 @@ def run_headline(spark) -> dict[str, float]:
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    # warm the session (JVM JIT, parquet footers, python workers) so the
+    # first timed query doesn't absorb cold-start costs
+    for t in ["lineitem", "orders", "customer", "events", "documents"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     for name in headline:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)

@@ -18,7 +18,15 @@ import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_to_query", "topk_cosine", "hyperplane_buckets", "ann_lsh_topk"]
+__all__ = [
+    "cosine_to_query",
+    "topk_cosine",
+    "hyperplane_buckets",
+    "ann_lsh_topk",
+    "ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def cosine_to_query(vec_col, query: list[float]) -> Column:
@@ -119,4 +127,90 @@ def ann_lsh_topk(
         probes += [qsig ^ (1 << i) for i in range(n_planes)]
     bucketed = hyperplane_buckets(df, vec_col, n_planes, seed)
     cands = bucketed.where(F.col("bucket").isin(probes))
+    return topk_cosine(cands, query, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed-list search
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample: int = 8192,
+    iters: int = 8,
+    seed: int = 0,
+) -> np.ndarray:
+    """Train the coarse quantizer: driver-side spherical k-means on a
+    sample (the standard IVF recipe — training is O(sample), not O(N)).
+    Returns an L2-normalized (n_lists, dim) matrix to broadcast."""
+    rows = (
+        df.select(vec_col).limit(sample).toPandas()[vec_col].to_numpy()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append 'list_id' = nearest centroid by cosine; one numpy matmul per
+    Arrow batch (centroids ride in the task closure — broadcast-small). At
+    scale this column becomes the table's partition/bucket key, so probed
+    queries prune at the scan."""
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+
+    def assign(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            emb = tbl.column(vec_col).combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            V = flat.astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            lid = np.argmax(V @ C.T, axis=1)
+            out = tbl.append_column(
+                "list_id", pa.array(lid.astype(np.int32), pa.int32())
+            )
+            yield from out.to_batches()
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("list_id", IntegerType())]
+    )
+    return df.mapInArrow(assign, out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the n_probe lists whose centroids are closest to
+    the query, exact cosine within them. n_probe = n_lists degrades to
+    exact brute force (tested)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(C @ q))
+    probes = [int(x) for x in order[:n_probe]]
+    assigned = ivf_assign(df, C, vec_col)
+    cands = assigned.where(F.col("list_id").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)

@@ -283,6 +283,15 @@ class TDigest:
             return float("nan")
         return float(np.dot(self.means, cover) / tw)
 
+    def summary(self) -> str:
+        """Text summary: approx n points, centroid count, min/Q1/Q2/Q3/max
+        (reference summary(), tdigest.js:59-68)."""
+        qs = self.quantile([0.0, 0.25, 0.5, 0.75, 1.0])
+        head = f"approx. {int(self.n)} samples using {self.size} centroids"
+        return head + "\nmin = {}, Q1 = {}, Q2 = {}, Q3 = {}, max = {}".format(
+            *[float(q) for q in qs]
+        )
+
     def centroids(self) -> list[tuple[float, float]]:
         """Sorted [(mean, n)] export (reference toArray, tdigest.js:46-57)."""
         return list(zip(self.means.tolist(), self.weights.tolist()))
