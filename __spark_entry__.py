@@ -443,6 +443,27 @@ def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def digest_centroids_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface: a Python table function explodes grouped digest states
+    into centroid rows via SQL LATERAL join (the reference's toArray()
+    export as a relational operator). Centroid-exact config -> the rows ARE
+    the GROUP BY counts."""
+    from tdigest_spark.functions import register_digest_centroids_udtf
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketch_grouped(li, ["l_returnflag"], "l_quantity", TDIGEST(0.01))
+    register_digest_centroids_udtf(spark)
+    states.createOrReplaceTempView("rf_states")
+    return spark.sql(
+        """
+        SELECT s.l_returnflag, c.mean, c.weight
+        FROM rf_states s, LATERAL digest_centroids(s.state) c
+        ORDER BY s.l_returnflag, c.mean
+        """
+    )
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.operators.dedup import exact_dup_groups
 
@@ -748,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autodigest_modes": autodigest_modes,
         "kll_rank_error_check": kll_rank_error_check,
         "grouped_digest_functions": grouped_digest_functions,
+        "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
@@ -1051,6 +1073,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS est_count
             FROM lineitem GROUP BY l_quantity
             ORDER BY est_count DESC, l_quantity LIMIT 10
+        """,
+        "digest_centroids_udtf": """
+            SELECT l_returnflag,
+                   CAST(l_quantity AS DOUBLE) AS mean,
+                   CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM lineitem
+            GROUP BY l_returnflag, l_quantity
+            ORDER BY l_returnflag, mean
         """,
         "doc_exact_dedup": """
             SELECT doc_id,

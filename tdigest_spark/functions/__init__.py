@@ -22,6 +22,7 @@ __all__ = [
     "kll_quantile",
     "bloom_might_contain_int",
     "cms_estimate_int",
+    "register_digest_centroids_udtf",
 ]
 
 
@@ -127,3 +128,28 @@ def cms_estimate_int(state_col, value: int):
         )
 
     return e(state_col)
+
+
+def register_digest_centroids_udtf(spark, name: str = "digest_centroids"):
+    """Python UDTF (table function) exploding a serialized digest state
+    into centroid rows — the Spark analogue of the reference's
+    toArray() export (tdigest.js:46-57). Usable from SQL after
+    registration:
+
+        SELECT s.l_returnflag, c.mean, c.weight
+        FROM states s, LATERAL digest_centroids(s.state) c
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..sketch.tdigest import TDigest
+
+    @udtf(returnType="mean double, weight double")
+    class DigestCentroids:
+        def eval(self, state):
+            if state is None:
+                return
+            for m, w in TDigest.from_bytes(bytes(state)).centroids():
+                yield float(m), float(w)
+
+    spark.udtf.register(name, DigestCentroids)
+    return DigestCentroids

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the sketch cores.
+
+The reference's statistical specs use unseeded randoms and fixed inputs;
+here the merge laws and query-semantics invariants are checked over
+generated inputs. These are pure-numpy properties (no Spark session), so
+hundreds of examples run in seconds.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tdigest_spark.sketch.discrete import DiscreteDigest
+from tdigest_spark.sketch.hll import HLL
+from tdigest_spark.sketch.tdigest import TDigest
+
+floats = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+def _arr(xs):
+    return np.asarray(xs, dtype=np.float64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(floats, min_size=1, max_size=400),
+    st.lists(floats, min_size=1, max_size=400),
+)
+def test_merge_commutative_bitexact(a, b):
+    da, db = TDigest(0.01).push(_arr(a)), TDigest(0.01).push(_arr(b))
+    ab = TDigest.from_bytes(da.to_bytes()).merge(db)
+    ba = TDigest.from_bytes(db.to_bytes()).merge(da)
+    assert ab.to_bytes() == ba.to_bytes()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(floats, min_size=1, max_size=200),
+    st.lists(floats, min_size=1, max_size=200),
+    st.lists(floats, min_size=1, max_size=200),
+)
+def test_merge_associative_bitexact(a, b, c):
+    def d(x):
+        return TDigest(0.01).push(_arr(x))
+
+    left = d(a).merge(d(b)).merge(d(c))
+    right = d(a).merge(d(b).merge(d(c)))
+    assert left.to_bytes() == right.to_bytes()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=500))
+def test_quantile_monotone_and_bounded(xs):
+    d = TDigest(0.01).push(_arr(xs))
+    ps = np.linspace(0, 1, 21)
+    qs = d.quantile(ps)
+    assert np.all(np.diff(qs) >= -1e-9)  # monotone
+    assert qs[0] == min(xs) and qs[-1] == max(xs)  # exact extremes
+    cs = d.cdf(np.sort(_arr(xs)))
+    assert np.all(np.diff(cs) >= -1e-12)
+    assert np.all((cs >= 0) & (cs <= 1))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(floats, min_size=50, max_size=800))
+def test_rank_error_within_shape_bound(xs):
+    """At every DATA value x, |cdf(x) - mid_rank(x)| is within the capacity
+    rule's q(1-q) envelope (mid-rank = (count_lt + count_eq/2)/n — the
+    reference's boundary half-weight convention, tdigest.js:220-224).
+    Probing between data values is deliberately excluded: there the true
+    CDF is a step while both this engine and the reference interpolate
+    linearly, which is unbounded for duplicate-heavy data by design."""
+    v = np.sort(_arr(xs))
+    n = len(v)
+    d = TDigest(0.01).push(v)
+    probe = v[:: max(1, n // 20)]
+    mid = (
+        np.searchsorted(v, probe, "left")
+        + 0.5 * (np.searchsorted(v, probe, "right") - np.searchsorted(v, probe, "left"))
+    ) / n
+    est = np.atleast_1d(d.cdf(probe))
+    q = np.clip(mid, 1e-9, 1 - 1e-9)
+    bound = np.maximum(3 * 4 * 0.01 * q * (1 - q), 2.0 / n)
+    assert np.all(np.abs(est - mid) <= bound)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=500))
+def test_discrete_nearest_rank_exact(vals):
+    d = DiscreteDigest().push(np.asarray(vals, dtype=np.int64))
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    for p in [0.01, 0.25, 0.5, 0.75, 1.0]:
+        # Nearest Rank: smallest value whose cumulative count >= p*n
+        k = max(int(np.ceil(p * n)), 1)
+        assert d.quantile(p) == v[k - 1], p
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=300))
+def test_serde_roundtrip_bitexact(xs):
+    d = TDigest(0.01).push(_arr(xs))
+    r = TDigest.from_bytes(d.to_bytes())
+    assert r.to_bytes() == d.to_bytes()
+    assert r.n == d.n and r.vmin == d.vmin and r.vmax == d.vmax
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=2000),
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=2000),
+)
+def test_hll_union_is_register_max(a, b):
+    ha = HLL(12).update_ints(np.asarray(a, dtype=np.int64))
+    hb = HLL(12).update_ints(np.asarray(b, dtype=np.int64))
+    hu = HLL.from_bytes(ha.to_bytes()).merge(hb)
+    both = HLL(12).update_ints(np.asarray(a + b, dtype=np.int64))
+    np.testing.assert_array_equal(hu.registers, both.registers)
