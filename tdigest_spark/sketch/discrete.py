@@ -61,7 +61,8 @@ class DiscreteDigest:
         if self.is_string:
             v = np.asarray(values, dtype=object).ravel()
         else:
-            v = np.asarray(values, dtype=np.float64).ravel()
+            # +0.0 canonicalizes -0.0 (equal keys must serialize identically)
+            v = np.asarray(values, dtype=np.float64).ravel() + 0.0
         if v.shape[0] == 0:
             return self
         if counts is None:

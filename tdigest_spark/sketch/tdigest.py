@@ -139,6 +139,9 @@ class TDigest:
                 uv.astype(np.float64), uc.astype(np.float64)
             )
         v = raw.astype(np.float64, copy=False).ravel()
+        # canonicalize -0.0 -> +0.0: equal means must serialize identically
+        # or merge order would leak into state bytes (commutativity)
+        v = v + 0.0
         finite = np.isfinite(v)
         if weights is None:
             if not finite.all():
