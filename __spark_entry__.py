@@ -655,7 +655,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(
-        docs, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.5
+        docs, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.5,
+        persist_base=True,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

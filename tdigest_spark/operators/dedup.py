@@ -63,12 +63,15 @@ def shingles(col, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col, k: int = 32) -> Column:
-    """k-permutation MinHash signature as array<bigint>: min over the
-    shingle set of xxhash64(shingle, seed_i). Fully codegen'd."""
+    """k-permutation MinHash signature as array<bigint>. Each shingle
+    string is hashed ONCE (xxhash64); the k permutations are derived by
+    re-hashing that int64 with the permutation index — 1 string hash +
+    k int hashes per shingle instead of k string hashes. Fully codegen'd."""
+    base_hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(base_hashes, lambda h: F.xxhash64(F.lit(i), h))
             )
             for i in range(k)
         ]
@@ -83,23 +86,32 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
+    persist_base: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: (id_a, id_b, est_jaccard
     [, jaccard]). Pairs sharing >=1 of ``bands`` bands; est_jaccard =
     matching signature fraction; optional exact-verify on the shingle sets.
 
-    Scale: signature build is map-only; the only shuffle is the band
-    self-join keyed by (band, band_hash) — bucket sizes are the skew knob."""
+    Scale: signature build is map-only; the band self-join shuffles only
+    narrow (id, band, bhash) rows — signature/shingle payloads rejoin for
+    the candidate set alone. ``persist_base`` caches the computed
+    signatures (MEMORY_AND_DISK) so the candidate rejoin doesn't recompute
+    shingling; leave False when the corpus exceeds cluster storage and
+    recompute is cheaper than materialization."""
     rows = bands
     r = k // bands
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    if persist_base:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # band rows carry ONLY (id, band, bhash): the 8-way explode + self-join
+    # shuffles narrow fixed-width rows, never the signature/shingle payloads
     banded = base.select(
         "_id",
-        "_sig",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -119,10 +131,10 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_sig", "_sh", "_band.band", "_band.bhash")
+    ).select("_id", "_band.band", "_band.bhash")
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -132,13 +144,21 @@ def lsh_candidate_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # payloads rejoin only for the (much smaller) candidate set
+    pa_ = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sig").alias("sig_a"),
+        F.col("_sh").alias("sh_a"),
+    )
+    pb_ = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sig").alias("sig_b"),
+        F.col("_sh").alias("sh_b"),
+    )
+    pairs = cand.join(pa_, "id_a").join(pb_, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
