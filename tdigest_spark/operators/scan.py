@@ -32,7 +32,12 @@ import numpy as np
 
 from .aggregate import SketchSpec, merge_partials
 
-__all__ = ["parquet_splits", "scan_partials_rdd", "build_sketches_scan"]
+__all__ = [
+    "parquet_splits",
+    "scan_partials_rdd",
+    "build_sketches_scan",
+    "build_sketch_grouped_scan",
+]
 
 
 @dataclass(frozen=True)
@@ -203,3 +208,115 @@ def build_sketches_scan(
     ).collect()
     merged = merge_partials(rows, names, specs)
     return {n: specs[n].from_bytes(merged[n]) for n in names}
+
+
+def build_sketch_grouped_scan(
+    spark,
+    paths: list[str] | str,
+    group_col: str,
+    column: str,
+    spec: SketchSpec,
+    target_rows_per_split: int = 2_000_000,
+    partitions: int | None = None,
+) -> dict[str, Any]:
+    """Grouped sketch build on the scan-in-worker fast path: each task
+    reads its row-group splits with pyarrow, partitions rows by the group
+    key with one vectorized argsort per split, and keeps ONE sketch per
+    key for the whole partition. Only (key, state) pairs return to the
+    driver — #partitions x #keys x O(state) bytes, never rows. Intended
+    for low-cardinality keys (source, language, shard); high-cardinality
+    grouping belongs to aggregate.build_sketch_grouped's shuffle.
+
+    Returns {key: sketch object} (keys stringified)."""
+    if isinstance(paths, str):
+        import glob
+        import os
+
+        p = paths
+        paths = (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+    splits = parquet_splits(paths, target_rows_per_split)
+
+    def run_partition(it: Iterator[_Split]) -> Iterator[tuple[str, bytes]]:
+        import pyarrow.parquet as pq
+
+        sks: dict[str, Any] = {}
+        is_list = None
+        for sp in it:
+            tbl = pq.ParquetFile(sp.path).read_row_groups(
+                list(sp.row_groups), columns=[group_col, column]
+            )
+            keys = np.asarray(
+                tbl.column(group_col).combine_chunks().to_pylist(), dtype=object
+            )
+            col = tbl.column(column).combine_chunks()
+            import pyarrow as pa
+
+            if is_list is None:
+                is_list = pa.types.is_list(col.type) or pa.types.is_large_list(
+                    col.type
+                )
+            order = np.argsort(keys, kind="stable")
+            sorted_keys = keys[order]
+            bounds = np.flatnonzero(
+                np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+            )
+            bounds = np.r_[bounds, len(sorted_keys)]
+            if is_list:
+                offs = col.offsets.to_numpy(zero_copy_only=False)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+            else:
+                vals_all = col.to_numpy(zero_copy_only=False)
+            for i in range(len(bounds) - 1):
+                rows_idx = order[bounds[i] : bounds[i + 1]]
+                key = str(sorted_keys[bounds[i]])
+                if is_list:
+                    # gather each row's token slice (vectorized concat of
+                    # per-row ranges via repeat/cumsum arithmetic)
+                    starts = offs[rows_idx]
+                    lens = offs[rows_idx + 1] - starts
+                    total = int(lens.sum())
+                    if total == 0:
+                        vals = np.empty(0, dtype=flat.dtype)
+                    else:
+                        idx = np.repeat(starts + lens - lens.cumsum(), lens) + np.arange(
+                            total
+                        )
+                        vals = flat[idx]
+                else:
+                    vals = vals_all[rows_idx]
+                if key not in sks:
+                    sks[key] = spec.make()
+                if vals.shape[0]:
+                    spec.update(sks[key], vals)
+        for key, sk in sks.items():
+            yield (key, sk.to_bytes())
+
+    sc = spark.sparkContext
+    if partitions is None:
+        partitions = min(len(splits), sc.defaultParallelism * 4)
+    pairs = (
+        sc.parallelize(splits, max(partitions, 1))
+        .mapPartitions(run_partition)
+        .groupByKey()  # #keys x #partitions tiny state rows
+        .mapValues(
+            lambda states: _fold_states(sorted(states), spec)
+        )
+        .collect()
+    )
+    return {k: spec.from_bytes(v) for k, v in pairs}
+
+
+def _fold_states(states: list[bytes], spec: SketchSpec) -> bytes:
+    while len(states) > 1:
+        nxt = []
+        for i in range(0, len(states), 2):
+            if i + 1 < len(states):
+                nxt.append(spec.merge_bytes(states[i], states[i + 1]))
+            else:
+                nxt.append(states[i])
+        states = nxt
+    return states[0]

@@ -152,3 +152,43 @@ def test_scan_accuracy_vs_exact(spark, seq_path):
         # rank error bound: |rank(est) - p*n| small relative to q(1-q) shape
         rank = np.searchsorted(vals, est) / n
         assert abs(rank - p) < max(0.02, 3 * 4 * 0.01 * p * (1 - p))
+
+
+def test_grouped_scan_matches_grouped_dataframe_path(spark, seq_path):
+    """Per-source grouped build on the scan path vs the shuffle path:
+    identical totals per key; HLL states bit-equal (layout-invariant)."""
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.aggregate import build_sketch_grouped
+    from tdigest_spark.operators.scan import build_sketch_grouped_scan
+    from tdigest_spark.sketch.hll import HLL
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    df = spark.read.parquet(str(seq_path))
+    exact = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+
+    got = build_sketch_grouped_scan(
+        spark, str(seq_path), "source", "n_tok", TDIGEST(0.01),
+        target_rows_per_split=2_500,
+    )
+    assert {k: int(v.n) for k, v in got.items()} == exact
+
+    # tokens (list column) path: totals = sum(n_tok) per source
+    tok = build_sketch_grouped_scan(
+        spark, str(seq_path), "source", "tokens", TDIGEST(0.01),
+        target_rows_per_split=2_500,
+    )
+    exact_tok = {
+        r["source"]: r["s"]
+        for r in df.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    assert {k: int(v.n) for k, v in tok.items()} == exact_tok
+
+    # HLL bit-equality vs the DataFrame grouped path
+    hll_scan = build_sketch_grouped_scan(
+        spark, str(seq_path), "source", "n_tok", HLL_INTS(12),
+        target_rows_per_split=2_500,
+    )
+    hll_df = build_sketch_grouped(df, ["source"], "n_tok", HLL_INTS(12))
+    for r in hll_df.collect():
+        assert hll_scan[r["source"]].to_bytes() == bytes(r["state"])
