@@ -119,10 +119,13 @@ def events_top_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # top-k FIRST (TakeOrderedAndProject — no global shuffle), then the
+    # rank window runs over only k rows; a bare global row_number would
+    # drag every user into a single partition
+    top = per_user.orderBy(F.desc("total_value"), F.col("user_id")).limit(20)
     w = Window.orderBy(F.desc("total_value"), F.col("user_id"))
     return (
-        per_user.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", "user_id", "total_value", "n_events")
         .orderBy("rnk")
     )
