@@ -192,6 +192,46 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, built-in-absent in Spark): each
+    purchase joined to the user's most recent prior-or-simultaneous view's
+    value. Union + last-over-window plan: ONE shuffle on user_id, linear —
+    not the quadratic per-key inequality join."""
+    from tdigest_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(purchases, views, "ts", "user_id", ["view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("asof_view_value", 6).alias("asof_view_value"),
+    ).orderBy("event_id")
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user (lag + running sum
+    over the per-user window), aggregated to per-user session stats."""
+    from tdigest_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # sketch queries (exact-by-construction configurations for the oracle gate)
 # --------------------------------------------------------------------------
@@ -763,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_fill_left_join": order_fill_left_join,
         "part_supplier_set_ops": part_supplier_set_ops,
         "events_json_props": events_json_props,
+        "purchases_asof_view": purchases_asof_view,
+        "events_sessionized": events_sessionized,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
@@ -891,6 +933,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(value), 6) AS avg_value
             FROM events
             GROUP BY month, k_bucket ORDER BY month, k_bucket
+        """,
+        "purchases_asof_view": """
+            WITH p AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), v AS (
+              SELECT user_id, ts, value AS view_value FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT p.event_id, p.user_id,
+                   ROUND(p.value, 6) AS value,
+                   ROUND(v.view_value, 6) AS asof_view_value
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
+        """,
+        "events_sessionized": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)) > 1800
+                          OR LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM flagged GROUP BY user_id ORDER BY user_id
         """,
         "tdigest_quantity_centroids": """
             SELECT CAST(l_quantity AS DOUBLE) AS mean,

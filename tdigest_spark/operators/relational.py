@@ -1,0 +1,94 @@
+"""Relational operators Spark lacks as built-ins: as-of join and
+sessionization. Both are expressed as compositions of existing DataFrame
+ops (union + window), so Catalyst plans them with one shuffle on the key
+and no custom Python in the hot path.
+
+Absent in the reference (it has no relational layer at all, SURVEY.md §0);
+these are the time-series staples a training-data/eventlog pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    right.ts <= left.ts within the same ``by_col`` group (ties: the right
+    row wins, i.e. a quote at exactly the event time is visible).
+
+    Plan shape: tag-and-union both sides, one window scan ordered by
+    (ts, side) per key carrying the last seen right values forward — a
+    single shuffle on ``by_col``, linear in |left| + |right|. This beats
+    the naive inequality join (quadratic per key) and is the standard
+    large-scale formulation.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (ts_col, by_col) else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    both = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(by_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c2)
+            for c, c2 in zip(value_cols, [f"asof_{c}" for c in value_cols])
+        ],
+    )
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the user's
+    previous event exceeds ``gap_seconds``. One shuffle on the user key;
+    lag + running sum over the per-user ordered window."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "session_id",
+        F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_idx")),
+    )

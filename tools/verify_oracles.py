@@ -53,7 +53,7 @@ def main() -> int:
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             spark_vals = sorted(
-                tuple(norm(r[c]) for c in scols) for r in srows
+                (tuple(norm(r[c]) for c in scols) for r in srows), key=repr
             )
         except Exception as e:
             failures.append(name)
@@ -67,8 +67,11 @@ def main() -> int:
             ocols = sorted(orel.columns)
             orows = orel.fetchall()
             colidx = [orel.columns.index(c) for c in ocols]
+            # key=repr: None/mixed-type tuples aren't orderable in Python;
+            # repr gives a total order consistent across both engines after
+            # normalization (the driver's hash compare is order-insensitive)
             oracle_vals = sorted(
-                tuple(norm(r[i]) for i in colidx) for r in orows
+                (tuple(norm(r[i]) for i in colidx) for r in orows), key=repr
             )
         except Exception as e:
             failures.append(name)
