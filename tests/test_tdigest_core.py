@@ -201,3 +201,22 @@ def test_serde_empty():
     t = TDigest()
     t2 = TDigest.from_bytes(t.to_bytes())
     assert t2.size == 0 and t2.n == 0
+
+
+def test_weighted_push_equals_expanded():
+    """push(x, n) parity (reference tdigest.js:82-91 accepts arbitrary
+    weights): weighted ingest must equal ingesting each value repeated."""
+    import numpy as np
+
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    vals = np.array([3.0, 1.0, 4.0, 1.5, 9.0])
+    wts = np.array([5.0, 2.0, 1.0, 7.0, 3.0])
+    a = TDigest(0.01).push(vals, wts)
+    b = TDigest(0.01).push(np.repeat(vals, wts.astype(int)))
+    assert a.n == b.n == wts.sum()
+    for p in [0.0, 0.25, 0.5, 0.75, 1.0]:
+        assert a.quantile(p) == b.quantile(p), p
+    # fractional weights are accepted too (reference allows any n > 0)
+    c = TDigest(0.01).push(np.array([1.0, 2.0]), np.array([0.5, 1.5]))
+    assert c.n == 2.0 and c.quantile(1.0) == 2.0
