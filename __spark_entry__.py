@@ -428,7 +428,6 @@ def bloom_partkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom filter over lineitem.l_partkey probed with every
     key present: no false negatives, ever (bit-OR merge preserves this)."""
     from tdigest_spark.operators.aggregate import BLOOM_INTS, build_sketch
-    from tdigest_spark.functions import bloom_might_contain_int  # noqa: F401
 
     li = _t(spark, sf_dir, "lineitem")
     bf = build_sketch(li, "l_partkey", BLOOM_INTS(100_000, 0.01))

@@ -133,7 +133,6 @@ class CheckpointedBuild:
             names, specs, sketch_map = self.names, self.specs, self.sketches
             out_dir = str(self.dir)
 
-            from ..operators.scan import scan_partials_rdd
 
             # one Spark partition per batch: the batch is the atomic unit of
             # checkpointing, so task success == batch file durably written
