@@ -29,7 +29,13 @@ import numpy as np
 
 from ..operators.aggregate import SketchSpec
 
-__all__ = ["incremental_build", "read_state", "windowed_digests"]
+__all__ = [
+    "incremental_build",
+    "read_state",
+    "windowed_digests",
+    "incremental_build_grouped",
+    "read_state_grouped",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -213,3 +219,94 @@ def windowed_digests(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def read_state_grouped(
+    state_dir: str | Path, spec: SketchSpec
+) -> dict[str, Any] | None:
+    """Load per-key sketches from the grouped durable state table."""
+    import pyarrow.parquet as pq
+
+    f = Path(state_dir) / "state.parquet"
+    if not f.exists():
+        return None
+    rows = pq.read_table(f).to_pylist()
+    return {r["key"]: spec.from_bytes(r["state"]) for r in rows}
+
+
+def incremental_build_grouped(
+    stream_df,
+    group_col: str,
+    column: str,
+    spec: SketchSpec,
+    state_dir: str | Path,
+    checkpoint_dir: str | Path,
+    trigger_available_now: bool = True,
+):
+    """Maintain one sketch PER KEY across micro-batches (e.g. per-source
+    running token digests). Each batch builds grouped partials with the
+    vectorized kernels (only states shuffle), merges them into the prior
+    per-key states, and atomically swaps the state table — one row per key
+    plus the batch high-water mark for exactly-once replay handling.
+    Rollups stay free: merging the per-key states yields the global digest
+    (sketch mergeability)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.aggregate import build_sketch_grouped
+
+    state_dir = Path(state_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        f = state_dir / "state.parquet"
+        prev: dict[str, dict] = {}
+        prev_batch = -1
+        if f.exists():
+            for r in pq.read_table(f).to_pylist():
+                prev[r["key"]] = r
+                prev_batch = max(prev_batch, r["batch_id"])
+            if prev_batch >= batch_id:
+                return  # replayed batch already merged
+        parts = build_sketch_grouped(
+            batch_df, [group_col], column, spec
+        ).collect()
+        merged: dict[str, tuple[bytes, int]] = {}
+        for r in sorted(parts, key=lambda r: r[group_col]):
+            key = str(r[group_col])
+            state, rows = bytes(r["state"]), int(r["rows"])
+            if key in merged:
+                state = spec.merge_bytes(merged[key][0], state)
+                rows += merged[key][1]
+            merged[key] = (state, rows)
+        out_rows = []
+        keys = set(prev) | set(merged)
+        for key in sorted(keys):
+            if key in prev and key in merged:
+                state = spec.merge_bytes(
+                    bytes(prev[key]["state"]), merged[key][0]
+                )
+                rows = prev[key]["rows"] + merged[key][1]
+            elif key in merged:
+                state, rows = merged[key]
+            else:
+                state, rows = bytes(prev[key]["state"]), prev[key]["rows"]
+            out_rows.append(
+                {
+                    "key": key,
+                    "state": state,
+                    "rows": rows,
+                    "batch_id": batch_id,
+                    "updated_at": time.time(),
+                }
+            )
+        state_dir.mkdir(parents=True, exist_ok=True)
+        tmp = state_dir / ".state.tmp.parquet"
+        pq.write_table(pa.Table.from_pylist(out_rows), tmp, compression="zstd")
+        tmp.replace(state_dir / "state.parquet")
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

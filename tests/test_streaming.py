@@ -127,3 +127,61 @@ def test_windowed_digests_per_key(spark, dirs):
         d = TDigest.from_bytes(row["state"].iloc[0])
         med = grp["value"].median()
         assert abs(d.quantile(0.5) - med) < 0.05 * abs(med)
+
+
+def test_incremental_grouped_per_key(spark, dirs):
+    from tdigest_spark.streaming import (
+        incremental_build_grouped,
+        read_state_grouped,
+    )
+
+    spec = TDIGEST(0.01)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, source string, value double"
+            ).parquet(str(dirs["in"]))
+        )
+        q = incremental_build_grouped(
+            stream, "source", "value", spec, dirs["state"], dirs["ckpt"]
+        )
+        q.awaitTermination(120)
+        return read_state_grouped(dirs["state"], spec)
+
+    _write_events(dirs["in"], seed=11, n=3_000)
+    st = run()
+    exact = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(str(dirs["in"]))
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert {k: int(v.n) for k, v in st.items()} == exact
+
+    # restart with more data: per-key states carried forward and extended
+    _write_events(dirs["in"], seed=12, n=2_000)
+    st = run()
+    exact = {
+        r["source"]: r["count"]
+        for r in spark.read.parquet(str(dirs["in"]))
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert {k: int(v.n) for k, v in st.items()} == exact
+
+    # rollup-by-merge: global digest == sum of per-key ns, median sane
+    glob = TDigest(0.01)
+    for sk in st.values():
+        glob.merge(sk)
+    assert int(glob.n) == sum(exact.values())
+    vals = spark.read.parquet(str(dirs["in"])).toPandas()["value"]
+    assert abs(glob.quantile(0.5) - vals.median()) < 0.05 * abs(vals.median())
+
+    # replay safety: rerun with no new data changes nothing
+    st2 = run()
+    assert {k: v.to_bytes() for k, v in st2.items()} == {
+        k: v.to_bytes() for k, v in st.items()
+    }
