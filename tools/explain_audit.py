@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Physical-plan audit: print and sanity-check the executed plans of the
+relational headline queries — the ".explain and iterate" discipline as a
+repeatable tool.
+
+Checks per query:
+  * every parquet scan has a pruned ReadSchema (no full-width scans);
+  * filters that can push down appear in PushedFilters;
+  * dimension joins are BroadcastHashJoin (no SortMergeJoin on a side we
+    know is small at any SF);
+  * no CartesianProduct anywhere.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+AUDITS = {
+    # query -> (min broadcasts, forbid sortmerge, require pushed filters)
+    "q1_pricing_summary": (0, False, True),
+    "q3_shipping_priority": (2, True, True),
+    "q5_nation_revenue": (3, False, True),
+    "events_type_stats": (0, False, False),
+    "events_top_users_window": (0, False, False),
+    "customers_without_orders": (0, False, True),
+    "order_fill_left_join": (0, False, True),
+    "part_supplier_set_ops": (0, False, True),
+    "events_json_props": (0, False, False),
+    "purchases_asof_view": (0, False, True),
+    "events_sessionized": (0, False, False),
+}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from tdigest_spark.sources.tables import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(master="local[8]", app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    bad = []
+    for name, (min_bc, forbid_smj, want_push) in AUDITS.items():
+        df = qs[name](spark, sf_dir)
+        df.count()  # force AQE final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_bc = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        n_cart = plan.count("CartesianProduct")
+        pushed = [
+            p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p
+        ]
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        widths = [len(s.split(",")) for s in schemas]
+        ok = (
+            n_bc >= min_bc
+            and (not forbid_smj or n_smj == 0)
+            and n_cart == 0
+            and (not want_push or pushed)
+            and all(w <= 8 for w in widths)
+        )
+        status = "OK  " if ok else "BAD "
+        if not ok:
+            bad.append(name)
+        print(
+            f"{status}{name}: broadcast={n_bc} smj={n_smj} cart={n_cart} "
+            f"pushed={len(pushed)} scan_widths={widths}"
+        )
+    spark.stop()
+    if bad:
+        print("\nAUDIT FAILURES:", ", ".join(bad))
+        return 1
+    print("\nPLAN AUDIT PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
