@@ -17,7 +17,9 @@ _HEADER = struct.Struct("<4sII q I")  # magic, depth, width, total, n_heavy
 
 
 class CMS:
-    __slots__ = ("depth", "width", "table", "total", "heavy", "k_heavy")
+    __slots__ = (
+        "depth", "width", "table", "total", "heavy", "k_heavy", "_pending"
+    )
 
     def __init__(self, depth: int = 5, width: int = 2048, k_heavy: int = 64):
         self.depth = depth
@@ -26,6 +28,12 @@ class CMS:
         self.total = 0
         self.k_heavy = k_heavy
         self.heavy: dict[int, int] = {}  # raw uint64 key -> est count
+        # heavy-hitter candidates seen since the last refresh: refreshing
+        # per batch would re-estimate the whole candidate set every 64k
+        # values (measured 3x the entire update cost); instead candidates
+        # accumulate and one deterministic refresh runs on threshold,
+        # query, merge, or serialization
+        self._pending: list[np.ndarray] = []
 
     # ------------------------------------------------------------------ build
 
@@ -52,7 +60,10 @@ class CMS:
         for d in range(self.depth):
             np.add.at(self.table[d], cols[d], kcounts)
         self.total += int(kcounts.sum())
-        self._refresh_heavy(ukeys)
+        if self.k_heavy > 0:
+            self._pending.append(ukeys)
+            if sum(p.shape[0] for p in self._pending) > 512 * 1024:
+                self._flush_pending()
         return self
 
     def _estimate_keys(self, ukeys: np.ndarray) -> np.ndarray:
@@ -61,6 +72,13 @@ class CMS:
         for d in range(self.depth):
             ests[d] = self.table[d][cols[d]]
         return ests.min(axis=0)
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        cand = np.unique(np.concatenate(self._pending))
+        self._pending = []
+        self._refresh_heavy(cand)
 
     def _refresh_heavy(self, candidate_keys: np.ndarray) -> None:
         """Track top-k keys by estimated count (deterministic tie-break on
@@ -87,11 +105,14 @@ class CMS:
 
     def heavy_hitters(self) -> list[tuple[int, int]]:
         """[(raw key, est count)] sorted by count desc, key asc."""
+        self._flush_pending()
         return sorted(self.heavy.items(), key=lambda kv: (-kv[1], kv[0]))
 
     def merge(self, other: "CMS") -> "CMS":
         if (other.depth, other.width) != (self.depth, self.width):
             raise ValueError("shape mismatch")
+        self._flush_pending()
+        other._flush_pending()
         self.table += other.table
         self.total += other.total
         if other.heavy or self.heavy:
@@ -104,6 +125,7 @@ class CMS:
     # ------------------------------------------------------------------ serde
 
     def to_bytes(self) -> bytes:
+        self._flush_pending()
         head = _HEADER.pack(
             b"CMS1", self.depth, self.width, self.total, len(self.heavy)
         )
