@@ -38,7 +38,38 @@ class KLL:
         if v.shape[0] == 0:
             return self
         self.n += int(v.shape[0])
-        self.levels[0] = np.concatenate([self.levels[0], v])
+        if v.shape[0] > 4 * self.k:
+            # large batch: sort ONCE and pre-compact the batch by itself —
+            # every-other-element of a sorted array is still sorted, so
+            # each halving is a slice, not a re-sort (the level-cascade
+            # path would sort at every level). Leftovers of odd halvings
+            # stay at their weight level, keeping total weight exact.
+            buf = np.sort(v)
+            lvl = 0
+            while buf.shape[0] > self.k:
+                off = self.parity & 1
+                self.parity += 1
+                keep = buf[off::2]
+                if buf.shape[0] % 2 == 1:
+                    if off == 0:
+                        keep, leftover = keep[:-1], buf[-1:]
+                    else:
+                        leftover = buf[:1]
+                else:
+                    leftover = None
+                if leftover is not None:
+                    while lvl >= len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[lvl] = np.concatenate(
+                        [self.levels[lvl], leftover]
+                    )
+                buf = keep
+                lvl += 1
+            while lvl >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[lvl] = np.concatenate([self.levels[lvl], buf])
+        else:
+            self.levels[0] = np.concatenate([self.levels[0], v])
         self._compress()
         return self
 
