@@ -56,12 +56,18 @@ __all__ = [
 class SketchSpec:
     """A mergeable sketch kind: zero / vectorized batch update / merge /
     serde. ``update`` receives a numpy array of the column's (possibly
-    flattened) values."""
+    flattened) values. ``update_agg``, when set, ingests pre-aggregated
+    (unique_values, counts) — token columns are duplicate-heavy, and a
+    shared np.unique per column replaces one radix sort per sketch."""
 
     name: str
     make: Callable[[], Any]
     from_bytes: Callable[[bytes], Any]
     update: Callable[[Any, np.ndarray], Any]
+    update_agg: Callable[[Any, np.ndarray, np.ndarray], Any] | None = None
+    # sketches that need the full multiset but tolerate (benefit from)
+    # pre-sorted input — shares the column's single sort (KLL)
+    update_sorted: Callable[[Any, np.ndarray], Any] | None = None
 
     def merge_bytes(self, a: bytes | None, b: bytes | None) -> bytes | None:
         if a is None:
@@ -81,6 +87,7 @@ def _mk_tdigest(delta: float = 0.01):
         make=lambda: TDigest(delta=delta),
         from_bytes=lambda b: TDigest.from_bytes(b),
         update=lambda sk, v: sk.push(v),
+        update_agg=lambda sk, uv, uc: sk.push(uv, uc),
     )
 
 
@@ -103,6 +110,7 @@ def _mk_discrete():
         make=lambda: DiscreteDigest(),
         from_bytes=lambda b: DiscreteDigest.from_bytes(b),
         update=lambda sk, v: sk.push(v),
+        update_agg=lambda sk, uv, uc: sk.push(uv, uc),
     )
 
 
@@ -129,6 +137,11 @@ def _mk_hll(p: int = 14, strings: bool = False):
             if strings
             else (lambda sk, v: sk.update_ints(v))
         ),
+        update_agg=(
+            None
+            if strings
+            else (lambda sk, uv, uc: sk.update_ints(uv, assume_unique=True))
+        ),
     )
 
 
@@ -140,6 +153,7 @@ def _mk_cms(depth: int = 5, width: int = 8192, k_heavy: int = 64):
         make=lambda: CMS(depth=depth, width=width, k_heavy=k_heavy),
         from_bytes=lambda b: CMS.from_bytes(b),
         update=lambda sk, v: sk.update_ints(v),
+        update_agg=lambda sk, uv, uc: sk.update_ints(uv, counts=uc),
     )
 
 
@@ -155,6 +169,11 @@ def _mk_bloom(expected_items: int = 1_000_000, fpp: float = 0.01, strings=False)
             if strings
             else (lambda sk, v: sk.add_ints(v))
         ),
+        update_agg=(
+            None
+            if strings
+            else (lambda sk, uv, uc: sk.add_ints(uv, assume_unique=True))
+        ),
     )
 
 
@@ -166,6 +185,7 @@ def _mk_kll(k: int = 200):
         make=lambda: KLL(k=k),
         from_bytes=lambda b: KLL.from_bytes(b),
         update=lambda sk, v: sk.update(v),
+        update_sorted=lambda sk, sv: sk.update(sv, assume_sorted=True),
     )
 
 

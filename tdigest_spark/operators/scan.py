@@ -140,12 +140,47 @@ def scan_partials_rdd(
                 )
             sp_rows += tbl.num_rows
             cache: dict[str, np.ndarray] = {}
+            sort_cache: dict[str, np.ndarray] = {}
+            agg_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for c in cols:
                 cache[c] = _column_values_arrow(tbl.column(c))
                 values_seen += cache[c].shape[0]
+                # token columns are duplicate-heavy: ONE sort per column
+                # feeds everything — unique+counts fall out linearly for
+                # the agg-capable sketches, and sort-tolerant sketches
+                # (KLL) consume the sorted array directly. Without this,
+                # every sketch re-sorted the same values independently.
+                if cache[c].dtype.kind in "iub" and cache[c].shape[0]:
+                    wants_agg = any(
+                        specs[n].update_agg is not None
+                        for n in names
+                        if col_of[n] == c
+                    )
+                    wants_sorted = any(
+                        specs[n].update_sorted is not None
+                        for n in names
+                        if col_of[n] == c
+                    )
+                    if wants_agg or wants_sorted:
+                        sv = np.sort(cache[c])
+                        sort_cache[c] = sv
+                        if wants_agg:
+                            flags = np.r_[True, sv[1:] != sv[:-1]]
+                            idx = np.flatnonzero(flags)
+                            uv = sv[idx]
+                            uc = np.diff(np.r_[idx, sv.shape[0]])
+                            agg_cache[c] = (uv, uc)
             for n in names:
-                vals = cache[col_of[n]]
-                if vals.shape[0]:
+                c = col_of[n]
+                vals = cache[c]
+                if not vals.shape[0]:
+                    continue
+                if specs[n].update_agg is not None and c in agg_cache:
+                    uv, uc = agg_cache[c]
+                    specs[n].update_agg(sks[n], uv, uc)
+                elif specs[n].update_sorted is not None and c in sort_cache:
+                    specs[n].update_sorted(sks[n], sort_cache[c])
+                else:
                     specs[n].update(sks[n], vals)
             rows += sp_rows
             lineage.append(

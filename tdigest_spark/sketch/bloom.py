@@ -54,12 +54,16 @@ class BloomFilter:
         self.n_added += int(ukeys.shape[0])
         return self
 
-    def add_ints(self, values: np.ndarray) -> "BloomFilter":
+    def add_ints(
+        self, values: np.ndarray, assume_unique: bool = False
+    ) -> "BloomFilter":
         v = np.asarray(values)
         if v.shape[0] == 0:
             return self
-        # set semantics: dedup first (ufunc.at cost scales with inputs)
-        v = np.unique(v)
+        # set semantics: dedup first (ufunc.at cost scales with inputs);
+        # assume_unique lets pre-deduped callers skip the sort
+        if not assume_unique:
+            v = np.unique(v)
         return self._add_hashed(v.astype(np.int64).astype(np.uint64))
 
     def add_strings(self, values) -> "BloomFilter":

@@ -47,12 +47,18 @@ class HLL:
         np.maximum.at(self.registers, idx, rank)
         return self
 
-    def update_ints(self, values: np.ndarray) -> "HLL":
+    def update_ints(
+        self, values: np.ndarray, assume_unique: bool = False
+    ) -> "HLL":
         if len(values) == 0:
             return self
         # HLL is set-semantics: dedup first so the hash + register update
-        # touch each distinct value once (huge win on token data)
-        return self._update_hashes(hash64(np.unique(np.asarray(values))))
+        # touch each distinct value once (huge win on token data);
+        # assume_unique lets callers that already deduped skip the sort
+        v = np.asarray(values)
+        if not assume_unique:
+            v = np.unique(v)
+        return self._update_hashes(hash64(v))
 
     def update_strings(self, values) -> "HLL":
         if len(values) == 0:

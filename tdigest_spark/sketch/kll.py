@@ -32,9 +32,14 @@ class KLL:
 
     # ------------------------------------------------------------------ build
 
-    def update(self, values: np.ndarray) -> "KLL":
-        v = np.asarray(values, dtype=np.float64).ravel()
-        v = v[np.isfinite(v)]
+    def update(self, values: np.ndarray, assume_sorted: bool = False) -> "KLL":
+        v = np.asarray(values).ravel()
+        if v.dtype.kind not in "iub":
+            v = v.astype(np.float64, copy=False)
+            v = v[np.isfinite(v)]
+        # integer inputs: sort/compact in the input dtype (half the memory
+        # traffic of float64 for int32 tokens); only the compacted tails
+        # are lifted to float64 at deposit time
         if v.shape[0] == 0:
             return self
         self.n += int(v.shape[0])
@@ -44,7 +49,7 @@ class KLL:
             # each halving is a slice, not a re-sort (the level-cascade
             # path would sort at every level). Leftovers of odd halvings
             # stay at their weight level, keeping total weight exact.
-            buf = np.sort(v)
+            buf = v if assume_sorted else np.sort(v)
             lvl = 0
             while buf.shape[0] > self.k:
                 off = self.parity & 1
