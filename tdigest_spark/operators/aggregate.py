@@ -219,7 +219,9 @@ def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 def partials_df(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]]) -> DataFrame:
     """Phase 1: one row per input partition with a binary state per sketch
     plus lineage metrics (rows / values seen). Single pass over the data for
-    all sketches (shared scan + shared Arrow transfer)."""
+    all sketches (shared scan + shared Arrow transfer); integer columns are
+    sorted at most once per batch and shared across sketches (see
+    operators/scan.py for the same dispatch on the scan path)."""
     cols = sorted({c for c, _ in sketches.values()})
     names = list(sketches.keys())
     specs = {n: spec for n, (_, spec) in sketches.items()}
@@ -241,8 +243,42 @@ def partials_df(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]]) -> D
                 c = col_of[n]
                 if c not in cache:
                     cache[c] = _column_values(batch.column(batch.schema.get_field_index(c)))
+            sort_cache: dict[str, np.ndarray] = {}
+            agg_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for c, vals in cache.items():
+                if vals.dtype.kind not in "iub" or not vals.shape[0]:
+                    continue
+                wa = any(
+                    specs[n].update_agg is not None
+                    for n in names
+                    if col_of[n] == c
+                )
+                ws = any(
+                    specs[n].update_sorted is not None
+                    for n in names
+                    if col_of[n] == c
+                )
+                if wa or ws:
+                    sv = np.sort(vals)
+                    sort_cache[c] = sv
+                    if wa:
+                        flags = np.r_[True, sv[1:] != sv[:-1]]
+                        idx = np.flatnonzero(flags)
+                        agg_cache[c] = (
+                            sv[idx],
+                            np.diff(np.r_[idx, sv.shape[0]]),
+                        )
+            for n in names:
+                c = col_of[n]
                 vals = cache[c]
-                if vals.shape[0]:
+                if not vals.shape[0]:
+                    continue
+                if specs[n].update_agg is not None and c in agg_cache:
+                    uv, uc = agg_cache[c]
+                    specs[n].update_agg(sks[n], uv, uc)
+                elif specs[n].update_sorted is not None and c in sort_cache:
+                    specs[n].update_sorted(sks[n], sort_cache[c])
+                else:
                     specs[n].update(sks[n], vals)
             values_seen += sum(v.shape[0] for v in cache.values())
         arrays = [
