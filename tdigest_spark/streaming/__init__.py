@@ -140,8 +140,15 @@ def windowed_digests(
     spec: SketchSpec,
     window_seconds: int = 3600,
     watermark: str = "1 hour",
+    slide_seconds: int | None = None,
 ):
-    """Event-time tumbling-window digests per key (custom stateful op).
+    """Event-time window digests per key (custom stateful op).
+
+    Tumbling by default; pass ``slide_seconds`` (must divide
+    ``window_seconds``) for sliding windows — each event is assigned to
+    its window_seconds/slide_seconds overlapping windows (the standard
+    explode-assignment formulation, window state stays one digest per
+    (key, window_start)).
 
     Input: streaming DataFrame with an event-time column. Output (update
     mode): one row per (key, window_start) per trigger with the serialized
@@ -154,16 +161,30 @@ def windowed_digests(
         GroupStateTimeout,
     )
 
-    win = F.floor(F.unix_timestamp(F.col(ts_col)) / window_seconds).cast(
-        "long"
+    if slide_seconds is None:
+        slide_seconds = window_seconds
+    if window_seconds % slide_seconds:
+        raise ValueError("slide_seconds must divide window_seconds")
+    n_overlap = window_seconds // slide_seconds
+    epoch = F.unix_timestamp(F.col(ts_col))
+    # last slide-aligned window start covering the event, then the
+    # n_overlap-1 earlier ones
+    last_start = F.floor(epoch / slide_seconds) * slide_seconds
+    win = F.explode(
+        F.array(
+            *[
+                (last_start - F.lit(i * slide_seconds)).cast("long")
+                for i in range(n_overlap)
+            ]
+        )
     )
     keyed = (
         stream_df.withWatermark(ts_col, watermark)
-        .withColumn("_win", win)
+        .withColumn("_wstart", win)
         .select(
             F.col(ts_col),  # keep the watermarked event-time column in-plan
             F.col(key_col).cast("string").alias("_key"),
-            "_win",
+            F.col("_wstart"),
             F.col(value_col).alias("_val"),
         )
     )
@@ -182,7 +203,7 @@ def windowed_digests(
             yield pd.DataFrame(
                 {
                     "key": [key[0]],
-                    "window_start": [key[1] * window_seconds],
+                    "window_start": [key[1]],
                     "n": [n],
                     "state": [sbytes],
                 }
@@ -206,13 +227,13 @@ def windowed_digests(
         yield pd.DataFrame(
             {
                 "key": [key[0]],
-                "window_start": [key[1] * window_seconds],
+                "window_start": [key[1]],
                 "n": [n],
                 "state": [sk.to_bytes()],
             }
         )
 
-    return keyed.groupBy("_key", "_win").applyInPandasWithState(
+    return keyed.groupBy("_key", "_wstart").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -185,3 +185,40 @@ def test_incremental_grouped_per_key(spark, dirs):
     assert {k: v.to_bytes() for k, v in st2.items()} == {
         k: v.to_bytes() for k, v in st.items()
     }
+
+
+def test_sliding_windowed_digests(spark, dirs):
+    """slide = window/2: every event lands in exactly 2 windows; per-window
+    counts match the exact overlapping-window groupby."""
+    _write_events(dirs["in"], seed=9, n=4_000)
+    stream = (
+        spark.readStream.schema("ts timestamp, source string, value double")
+        .parquet(str(dirs["in"]))
+    )
+    out = windowed_digests(
+        stream, "ts", "source", "value", TDIGEST(0.01),
+        window_seconds=3600, slide_seconds=1800,
+    )
+    qname = f"slide_{int(time.time()*1000)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table(qname).toPandas()
+    res = res.drop_duplicates(subset=["key", "window_start"], keep="last")
+
+    pdf = spark.read.parquet(str(dirs["in"])).toPandas()
+    epoch = pdf["ts"].astype("int64") // 10**9
+    total_assignments = 0
+    for (k, w), row in res.set_index(["key", "window_start"]).iterrows():
+        mask = (
+            (pdf["source"] == k) & (epoch >= w) & (epoch < w + 3600)
+        )
+        assert int(row["n"]) == int(mask.sum()), (k, w)
+        total_assignments += int(row["n"])
+    # every event appears in exactly window/slide = 2 windows
+    assert total_assignments == 2 * len(pdf)
