@@ -204,11 +204,20 @@ KLL_SPEC = _mk_kll
 
 def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Arrow column -> flat numpy values. List columns are flattened through
-    the Arrow offsets buffer (vectorized; null rows contribute nothing)."""
+    the Arrow offsets buffer (vectorized; null rows contribute nothing);
+    full null-free list arrays take the zero-copy .values path."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-        col = col.flatten()
+        if (
+            col.offset == 0
+            and col.null_count == 0
+            and int(col.offsets[0].as_py()) == 0
+            and len(col.values) == int(col.offsets[-1].as_py())
+        ):
+            col = col.values
+        else:
+            col = col.flatten()
     if col.null_count:
         col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):

