@@ -118,3 +118,30 @@ def test_hll_union_is_register_max(a, b):
     hu = HLL.from_bytes(ha.to_bytes()).merge(hb)
     both = HLL(12).update_ints(np.asarray(a + b, dtype=np.int64))
     np.testing.assert_array_equal(hu.registers, both.registers)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(floats, min_size=0, max_size=300), min_size=1, max_size=6
+    )
+)
+def test_kll_weight_conservation_under_merge(batches):
+    """sum over levels of len(level) * 2^level == n after any sequence of
+    updates and merges (total weight is exact by construction)."""
+    from tdigest_spark.sketch.kll import KLL
+
+    sks = []
+    total = 0
+    for b in batches:
+        sk = KLL(64)
+        if b:
+            sk.update(_arr(b))
+        total += len(b)
+        sks.append(sk)
+    acc = sks[0]
+    for other in sks[1:]:
+        acc.merge(other)
+    assert acc.n == total
+    weight = sum(len(buf) * (1 << lvl) for lvl, buf in enumerate(acc.levels))
+    assert weight == total
