@@ -215,6 +215,26 @@ def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern as an explicit sketch: lineitems of
+    high-value orders via a Bloom pre-filter (prunes the big side before
+    the shuffle) + exact semi-join to drop false positives — result equals
+    the plain semi-join."""
+    from tdigest_spark.operators.relational import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    out = bloom_semi_join(li, "l_orderkey", big, "o_orderkey", 100_000, 0.01)
+    return (
+        out.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute-gap sessions per user (lag + running sum
     over the per-user window), aggregated to per-user session stats."""
@@ -804,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
+        "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
@@ -947,6 +968,16 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id
+        """,
+        "bloom_join_pruning": """
+            SELECT l_orderkey,
+                   COUNT(*) AS n_items,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+            )
+            GROUP BY l_orderkey ORDER BY l_orderkey
         """,
         "events_sessionized": """
             WITH flagged AS (

@@ -9,6 +9,8 @@ these are the time-series staples a training-data/eventlog pipeline needs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,4 +93,47 @@ def sessionize(
     ).withColumn(
         "session_id",
         F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_idx")),
+    )
+
+
+def bloom_semi_join(
+    left,
+    left_key: str,
+    right,
+    right_key: str,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+):
+    """Semi-join with a Bloom pre-filter: build a Bloom filter over the
+    right side's keys (two-phase mergeable build, O(KB) state), broadcast
+    it in a pandas UDF that prunes the left side BEFORE the shuffle, then
+    an exact semi-join removes the false positives.
+
+    At 100 TB this is the classic runtime-filter pattern: the big side's
+    shuffle input shrinks by (1 - selectivity - fpp) at the cost of one
+    tiny broadcast — the same job Spark's own InjectRuntimeFilter does for
+    eligible shapes, here available to ANY plan (and to streaming /
+    checkpointed builds) because the filter is an explicit mergeable
+    sketch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.aggregate import BLOOM_INTS, build_sketch
+    from ..sketch.bloom import BloomFilter
+
+    bf = build_sketch(right, right_key, BLOOM_INTS(expected_items, fpp))
+    blob = bf.to_bytes()
+
+    @pandas_udf("boolean")
+    def might(keys: pd.Series) -> pd.Series:
+        f = BloomFilter.from_bytes(blob)
+        return pd.Series(
+            f.might_contain_ints(keys.to_numpy(dtype=np.int64))
+        )
+
+    pruned = left.where(might(F.col(left_key)))
+    return pruned.join(
+        right.select(right_key).distinct(),
+        pruned[left_key] == F.col(right_key),
+        "left_semi",
     )

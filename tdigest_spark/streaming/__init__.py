@@ -223,7 +223,13 @@ def windowed_digests(
                 spec.update(sk, arr)
                 n += len(arr)
         state.update((sk.to_bytes(), n))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        # evict when the WATERMARK passes the window end — not at the next
+        # watermark tick: an open window's state must survive triggers and
+        # restarts until no on-time event can still reach it
+        end_ms = (int(key[1]) + window_seconds) * 1000
+        state.setTimeoutTimestamp(
+            max(end_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             {
                 "key": [key[0]],

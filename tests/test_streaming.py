@@ -222,3 +222,76 @@ def test_sliding_windowed_digests(spark, dirs):
         total_assignments += int(row["n"])
     # every event appears in exactly window/slide = 2 windows
     assert total_assignments == 2 * len(pdf)
+
+
+def test_late_data_dropped_by_watermark(spark, dirs):
+    """Events older than the watermark are excluded from window state (the
+    late-data rule): batch 1 advances the watermark to max(ts) - 1h; batch
+    2 mixes an on-time event with one far behind the watermark — only the
+    on-time event lands in the digests."""
+    t0 = 1_700_000_000
+    _write_events(dirs["in"], seed=21, n=2_000, t0=t0)
+
+    def run_batch():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, source string, value double"
+            ).parquet(str(dirs["in"]))
+        )
+        out = windowed_digests(
+            stream, "ts", "source", "value", TDIGEST(0.01),
+            window_seconds=3600, watermark="1 hour",
+        )
+        captured = []
+
+        def capture(batch_df, batch_id):
+            captured.append(batch_df.toPandas())
+
+        q = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", str(dirs["ckpt"]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import pandas as _pd
+
+        res = _pd.concat(captured, ignore_index=True)
+        return res.drop_duplicates(subset=["key", "window_start"], keep="last")
+
+    first = run_batch()
+    n_first = int(first["n"].sum())
+    assert n_first == 2_000
+
+    # batch 2: one event 10h before the watermark (late -> dropped) and
+    # one at the stream's max time (on time -> counted)
+    late_ts = t0 - 10 * 3600
+    ontime_ts = t0 + 3 * 3600 - 1
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [late_ts * 1_000_000, ontime_ts * 1_000_000], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "source": pa.array(["web", "web"]),
+            "value": pa.array([1.0, 2.0]),
+        }
+    )
+    pq.write_table(tbl, dirs["in"] / "late.parquet")
+    # count batch 1 put into the on-time event's window
+    ontime_win = (ontime_ts // 3600) * 3600
+    prev = first[
+        (first["key"] == "web") & (first["window_start"] == ontime_win)
+    ]
+    c_before = int(prev["n"].iloc[0]) if len(prev) else 0
+
+    second = run_batch()
+    # update-mode: only changed windows re-emit. The on-time event's
+    # window carries its batch-1 state forward (open-window state survives
+    # the restart) and gains exactly one; the late event creates NO window
+    row = second[
+        (second["key"] == "web") & (second["window_start"] == ontime_win)
+    ]
+    assert len(row) == 1
+    assert int(row["n"].iloc[0]) == c_before + 1
+    assert (second["window_start"] >= t0).all()  # no pre-t0 window created
