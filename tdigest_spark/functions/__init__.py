@@ -22,6 +22,8 @@ __all__ = [
     "bloom_might_contain_int",
     "cms_estimate_int",
     "register_digest_centroids_udtf",
+    "digest_quantiles",
+    "digest_cdfs",
 ]
 
 
@@ -152,3 +154,45 @@ def register_digest_centroids_udtf(spark, name: str = "digest_centroids"):
 
     spark.udtf.register(name, DigestCentroids)
     return DigestCentroids
+
+
+def digest_quantiles(state_col, ps: list[float]):
+    """Vectorized-argument form (reference percentile([p...]),
+    tdigest.js:272-290): array of quantiles per state row."""
+    from ..sketch.tdigest import TDigest
+
+    pvec = [float(p) for p in ps]
+
+    @pandas_udf("array<double>")
+    def q(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: [
+                float(x)
+                for x in np.atleast_1d(
+                    TDigest.from_bytes(bytes(b)).quantile(np.array(pvec))
+                )
+            ]
+        )
+
+    return q(state_col)
+
+
+def digest_cdfs(state_col, xs: list[float]):
+    """Vectorized-argument form (reference p_rank([x...]),
+    tdigest.js:216-231): array of percentile-ranks per state row."""
+    from ..sketch.tdigest import TDigest
+
+    xvec = [float(x) for x in xs]
+
+    @pandas_udf("array<double>")
+    def c(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: [
+                float(x)
+                for x in np.atleast_1d(
+                    TDigest.from_bytes(bytes(b)).cdf(np.array(xvec))
+                )
+            ]
+        )
+
+    return c(state_col)

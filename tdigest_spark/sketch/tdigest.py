@@ -107,7 +107,11 @@ class TDigest:
 
     __slots__ = ("means", "weights", "vmin", "vmax", "n", "delta", "K")
 
-    def __init__(self, delta: float = 0.01, K: float = 25.0):
+    def __init__(self, delta: float = 0.01, K: float = 25.0, CX: float = 1.1):
+        # CX is accepted for constructor parity with the reference
+        # (TDigest(delta, K, CX), tdigest.js:8-31) but has no effect: it
+        # gates the reference's lazy cumulate staleness (tdigest.js:102-121),
+        # which the batch model supersedes (SURVEY.md §4 row 1)
         self.delta = float(delta)
         self.K = float(K)
         self.means = np.empty(0, dtype=np.float64)

@@ -153,3 +153,28 @@ def test_partials_carry_lineage_metrics(spark, seq_table):
     assert sum(r["rows"] for r in rows) == seq_table.count()
     assert all(r["values_seen"] > 0 for r in rows)
     assert len(rows) == seq_table.rdd.getNumPartitions()
+
+
+def test_vectorized_arg_udfs(spark, seq_table):
+    """digest_quantiles / digest_cdfs (reference vectorized-arg forms)."""
+    from tdigest_spark.functions import digest_cdfs, digest_quantiles
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch_grouped
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    import pyspark.sql.functions as F
+
+    states = build_sketch_grouped(seq_table, ["source"], "n_tok", TDIGEST(0.01))
+    row = (
+        states.select(
+            "source",
+            "state",
+            digest_quantiles(F.col("state"), [0.25, 0.5, 0.75]).alias("qs"),
+            digest_cdfs(F.col("state"), [100.0, 300.0]).alias("cs"),
+        )
+        .orderBy("source")
+        .first()
+    )
+    d = TDigest.from_bytes(row["state"])
+    assert row["qs"] == [float(x) for x in d.quantile([0.25, 0.5, 0.75])]
+    assert row["cs"] == [float(x) for x in d.cdf([100.0, 300.0])]
+    assert all(a <= b for a, b in zip(row["qs"], row["qs"][1:]))
