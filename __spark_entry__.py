@@ -459,6 +459,29 @@ def bloom_partkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bottomk_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) priority sampling: the distributed sample must be a
+    subset of the column's values, deterministic, and its distinct
+    estimator within the ~1/sqrt(k) envelope of the exact count."""
+    from tdigest_spark.operators.aggregate import BOTTOMK_INTS, build_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for col in ["l_orderkey", "l_partkey"]:
+        sk = build_sketch(li, col, BOTTOMK_INTS(1024))
+        exact = li.select(col).distinct().count()
+        est_ok = abs(sk.distinct_estimate() - exact) / exact < 0.12
+        sample = [int(x) for x in sk.sample()]
+        present = (
+            li.select(col).where(F.col(col).isin(sample)).distinct().count()
+        )
+        sample_ok = present == len(set(sample))
+        rows.append((col, bool(est_ok), bool(sample_ok)))
+    return spark.createDataFrame(
+        rows, "column_name string, est_within_bound boolean, sample_valid boolean"
+    )
+
+
 def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over l_quantity: width >> distinct values, so
     estimates are exact and match GROUP BY counts (verified deterministic —
@@ -839,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_check": hll_distinct_check,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
+        "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_text_stats": doc_text_stats,
         "doc_lang_counts": doc_lang_counts,
@@ -1173,6 +1197,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_partkey_membership": """
             SELECT DISTINCT l_partkey, TRUE AS might_contain
             FROM lineitem ORDER BY l_partkey
+        """,
+        "bottomk_sample_check": """
+            SELECT * FROM (VALUES
+              ('l_orderkey', TRUE, TRUE), ('l_partkey', TRUE, TRUE)
+            ) t(column_name, est_within_bound, sample_valid)
         """,
         "cms_topk_quantity": """
             SELECT CAST(l_quantity AS BIGINT) AS l_quantity,

@@ -43,6 +43,8 @@ __all__ = [
     "BLOOM_INTS",
     "BLOOM_STRINGS",
     "KLL_SPEC",
+    "BOTTOMK_INTS",
+    "BOTTOMK_STRINGS",
     "build_sketches",
     "build_sketch",
     "build_sketch_grouped",
@@ -427,3 +429,22 @@ def build_sketch_grouped(
         return pd.DataFrame(out)
 
     return parts.groupBy(*group_cols).applyInPandas(final_merge, part_schema)
+
+
+def _mk_bottomk(k: int = 1024, strings: bool = False):
+    from ..sketch.bottomk import BottomK
+
+    return SketchSpec(
+        name=f"bottomk(k={k},{'str' if strings else 'int'})",
+        make=lambda: BottomK(k=k),
+        from_bytes=lambda b: BottomK.from_bytes(b),
+        update=(
+            (lambda sk, v: sk.update_strings(v))
+            if strings
+            else (lambda sk, v: sk.update_ints(v))
+        ),
+    )
+
+
+BOTTOMK_INTS = lambda k=1024: _mk_bottomk(k, strings=False)  # noqa: E731
+BOTTOMK_STRINGS = lambda k=1024: _mk_bottomk(k, strings=True)  # noqa: E731

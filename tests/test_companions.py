@@ -181,3 +181,76 @@ def test_kll_deterministic_and_serde():
     np.testing.assert_array_equal(
         c.quantile(np.linspace(0, 1, 11)), a.quantile(np.linspace(0, 1, 11))
     )
+
+
+# --------------------------------------------------------------------------
+# BottomK (KMV priority sampling)
+# --------------------------------------------------------------------------
+
+
+def test_bottomk_merge_is_partition_invariant():
+    import numpy as np
+
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1_000_000, 100_000)
+    whole = BottomK(512).update_ints(vals)
+    parts = [BottomK(512).update_ints(c) for c in np.array_split(vals, 7)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc.merge(p)
+    assert acc.to_bytes() == whole.to_bytes()  # bit-identical, no RNG
+    # reversed merge order too (commutativity)
+    parts = [BottomK(512).update_ints(c) for c in np.array_split(vals, 7)]
+    rev = parts[-1]
+    for p in parts[-2::-1]:
+        rev.merge(p)
+    assert rev.prios.tobytes() == whole.prios.tobytes()
+
+
+def test_bottomk_distinct_estimate_and_sample():
+    import numpy as np
+
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 50_000, 500_000)
+    exact = len(np.unique(vals))
+    sk = BottomK(1024).update_ints(vals)
+    est = sk.distinct_estimate()
+    assert abs(est - exact) / exact < 0.12  # ~1/sqrt(k) envelope, 3+ sigma
+    s = sk.sample()
+    assert len(s) == 1024 and len(np.unique(s)) == 1024
+    assert np.isin(s, vals).all()
+    # small-cardinality exactness
+    small = BottomK(1024).update_ints(np.arange(100))
+    assert small.distinct_estimate() == 100
+
+
+def test_bottomk_jaccard():
+    import numpy as np
+
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    a_vals = np.arange(0, 60_000)
+    b_vals = np.arange(30_000, 90_000)  # true J = 30000/90000 = 1/3
+    a = BottomK(2048).update_ints(a_vals)
+    b = BottomK(2048).update_ints(b_vals)
+    est = a.jaccard(b)
+    assert abs(est - 1 / 3) < 0.05
+
+
+def test_bottomk_distributed_build(spark, seq_table):
+    import numpy as np
+
+    from tdigest_spark.operators.aggregate import BOTTOMK_INTS, build_sketch
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    sk = build_sketch(seq_table, "tokens", BOTTOMK_INTS(512))
+    # serial oracle over the same rows
+    rows = seq_table.select("tokens").collect()
+    flat = np.concatenate([np.asarray(r[0]) for r in rows])
+    serial = BottomK(512).update_ints(flat)
+    assert sk.prios.tobytes() == serial.prios.tobytes()
+    assert sk.n_seen == serial.n_seen == len(flat)
