@@ -748,6 +748,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (block-pair replication:
+    O(N x n_blocks) movement, dense numpy gram per block-pair — never the
+    O(N^2) crossJoin)."""
+    from tdigest_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_dup_pairs(emb, 0.42, n_blocks=4)
+    # pair SET only: DuckDB computes float32 cosines, we compute float64 —
+    # the set is stable (no pair within 3e-5 of the threshold at any SF)
+    # but the 7th decimal of the value is not
+    return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN path end-to-end (k-means coarse quantizer -> list assignment
     -> probed exact rerank) run at full probe, which must equal brute-force
@@ -875,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
+        "embedding_dup_pairs": embedding_dup_pairs,
     }
 
 
@@ -1364,6 +1379,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY rank LIMIT 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])
+                  ) >= 0.42
+            ORDER BY id_a, id_b
         """,
         "ivf_topk_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

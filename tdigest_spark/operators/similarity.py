@@ -213,3 +213,75 @@ def ivf_topk(
     assigned = ivf_assign(df, C, vec_col)
     cands = assigned.where(F.col("list_id").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) via block-pair replication: each row is
+    replicated to the n_blocks block-pairs it participates in, every
+    (block_i, block_j) group computes its cross-similarities as ONE numpy
+    gram matrix inside applyInPandas.
+
+    Scale shape: replication factor is n_blocks (choose ~sqrt(#executors)),
+    so data moves O(N x n_blocks) instead of the O(N^2) crossJoin; each
+    task's matmul is (N/n_blocks)^2 x dim — the dense-compute sweet spot.
+    LSH/IVF (above) are the recall-tradeoff fast paths; this is the exact
+    baseline the round's dedup checklist calls for."""
+    import pandas as pd
+
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_b"),
+    )
+    rep = b.withColumn(
+        "_p", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
+    ).select(
+        "_id",
+        "_v",
+        "_b",
+        F.least("_b", "_p").alias("_k1"),
+        F.greatest("_b", "_p").alias("_k2"),
+    ).dropDuplicates(["_id", "_k1", "_k2"])
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        k1, k2 = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy()
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        blk = pdf["_b"].to_numpy()
+        if k1 == k2:
+            ii, jj = np.triu_indices(len(ids), 1)
+            vals = (V @ V.T)[ii, jj]
+        else:
+            a = np.flatnonzero(blk == k1)
+            c = np.flatnonzero(blk == k2)
+            S = V[a] @ V[c].T
+            ai, ci = np.meshgrid(
+                np.arange(len(a)), np.arange(len(c)), indexing="ij"
+            )
+            ii, jj = a[ai.ravel()], c[ci.ravel()]
+            vals = S.ravel()
+        keep = vals >= threshold
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": vals[keep],
+            }
+        )
+
+    return (
+        rep.groupBy("_k1", "_k2")
+        .applyInPandas(pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
