@@ -222,20 +222,32 @@ def simhash64(col, ngram: int = 2) -> Column:
 
     @pandas_udf("long")
     def vote(hash_lists: pd.Series) -> pd.Series:
-        out = np.zeros(len(hash_lists), dtype=np.int64)
-        for i, hl in enumerate(hash_lists):
-            if hl is None or len(hl) == 0:
-                continue
-            h = np.asarray(hl, dtype=np.int64).view(np.uint64)
-            # (n_grams, 64) bit matrix -> column sums -> sign
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = 2 * bits.astype(np.int64).sum(axis=0) - h.shape[0]
-            word = np.uint64(0)
-            setbits = votes > 0
-            word = np.bitwise_or.reduce(
-                (setbits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
-            )
-            out[i] = np.int64(word.astype(np.uint64).view(np.int64))
+        # fully vectorized across the batch: concatenate every row's gram
+        # hashes, expand to a (total, 64) bit matrix once, then per-row
+        # column sums via add.reduceat over the row offsets — no per-row
+        # Python loop
+        n = len(hash_lists)
+        lens = np.array(
+            [0 if hl is None else len(hl) for hl in hash_lists],
+            dtype=np.int64,
+        )
+        out = np.zeros(n, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.shape[0] == 0:
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(hash_lists.iloc[i], dtype=np.int64) for i in nz]
+        ).view(np.uint64)
+        bits = (
+            (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(lens[nz])[:-1]]
+        sums = np.add.reduceat(bits, offsets, axis=0)  # (len(nz), 64)
+        votes = 2 * sums - lens[nz][:, None]
+        words = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz] = words.view(np.int64)
         return pd.Series(out)
 
     return vote(hashes)

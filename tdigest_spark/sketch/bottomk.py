@@ -45,6 +45,8 @@ class BottomK:
     def _ingest(self, prios: np.ndarray, values: np.ndarray) -> "BottomK":
         prios = np.concatenate([self.prios, prios])
         values = np.concatenate([self.values, values])
+        if prios.shape[0] == 0:
+            return self  # e.g. merging two empty partition partials
         order = np.argsort(prios, kind="stable")
         prios, values = prios[order], values[order]
         # drop duplicate priorities (same item hashed twice / both sides

@@ -254,3 +254,15 @@ def test_bottomk_distributed_build(spark, seq_table):
     serial = BottomK(512).update_ints(flat)
     assert sk.prios.tobytes() == serial.prios.tobytes()
     assert sk.n_seen == serial.n_seen == len(flat)
+
+
+def test_bottomk_empty_merge():
+    import numpy as np
+
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    a, b = BottomK(64), BottomK(64)
+    a.merge(b)
+    assert a.size == 0 and a.distinct_estimate() == 0.0
+    a.merge(BottomK(64).update_ints(np.arange(10)))
+    assert a.size == 10
