@@ -145,3 +145,53 @@ def test_kll_weight_conservation_under_merge(batches):
     assert acc.n == total
     weight = sum(len(buf) * (1 << lvl) for lvl, buf in enumerate(acc.levels))
     assert weight == total
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=1000)
+)
+def test_cms_never_underestimates(vals):
+    """Count-min's one-sided guarantee: estimate >= true count, always."""
+    import collections
+
+    from tdigest_spark.sketch.cms import CMS
+
+    c = CMS(4, 512, 0).update_ints(np.asarray(vals, dtype=np.int64))
+    truth = collections.Counter(vals)
+    keys = np.array(sorted(truth), dtype=np.int64)
+    ests = c.estimate_ints(keys)
+    for k, e in zip(keys, ests):
+        assert e >= truth[int(k)]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=500)
+)
+def test_bloom_no_false_negatives(vals):
+    from tdigest_spark.sketch.bloom import BloomFilter
+
+    arr = np.asarray(vals, dtype=np.int64)
+    bf = BloomFilter(2048, 0.01).add_ints(arr)
+    assert bf.might_contain_ints(arr).all()
+    # merge preserves it
+    half = len(arr) // 2 or 1
+    a = BloomFilter(2048, 0.01).add_ints(arr[:half])
+    b = BloomFilter(2048, 0.01).add_ints(arr[half:]) if len(arr) > half else a
+    a.merge(b)
+    assert a.might_contain_ints(arr).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(floats, min_size=1, max_size=400))
+def test_trimmed_mean_identity_and_bounds(xs):
+    """trimmed_mean(0,1) == exact mean of the ingested points (centroid
+    means are weight-preserving); any window stays within [min, max]."""
+    d = TDigest(0.01).push(_arr(xs))
+    exact_mean = float(np.mean(_arr(xs)))
+    tm = d.trimmed_mean(0.0, 1.0)
+    scale = max(abs(exact_mean), 1.0)
+    assert abs(tm - exact_mean) <= 1e-9 * scale + 1e-12
+    inner = d.trimmed_mean(0.25, 0.75)
+    assert min(xs) - 1e-9 <= inner <= max(xs) + 1e-9
