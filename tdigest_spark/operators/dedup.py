@@ -3,9 +3,10 @@ SimHash, and n-gram Jaccard.
 
 Design for 100 TB:
 - exact dedup shuffles only (hash, id) pairs, not documents;
-- MinHash signatures are computed map-side with JVM built-ins
-  (transform/xxhash64/array_min — whole-stage codegen, no Python), then the
-  LSH band join shuffles only (band_hash, id, signature) rows;
+- MinHash signatures are computed map-side — default engine is one
+  Arrow-batched numpy kernel (Spark higher-order functions are interpreted,
+  not codegen; measured ~8x slower), with a pure-JVM expression fallback —
+  then the LSH band join shuffles only (band_hash, id, band) rows;
 - candidate verification is a self-join on the banded buckets, never an
   all-pairs product."""
 
@@ -25,6 +26,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash64",
+    "shingle_minhash_arrow",
 ]
 
 
@@ -66,16 +68,108 @@ def minhash_signature(shingle_col, k: int = 32) -> Column:
     """k-permutation MinHash signature as array<bigint>. Each shingle
     string is hashed ONCE (xxhash64); the k permutations are derived by
     re-hashing that int64 with the permutation index — 1 string hash +
-    k int hashes per shingle instead of k string hashes. Fully codegen'd."""
+    k int hashes per shingle instead of k string hashes.
+
+    Spark evaluates higher-order functions interpreted and does NOT
+    common-subexpression-eliminate across the k array_min branches, so a
+    naive ``transform`` shared k ways re-hashes every shingle string k
+    times (measured 25x slower at sf0.1). Binding the base-hash array to
+    a lambda variable via a singleton ``transform(array(base), bh -> ...)``
+    forces single evaluation purely in the expression tree."""
     base_hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(base_hashes, lambda h: F.xxhash64(F.lit(i), h))
-            )
-            for i in range(k)
-        ]
+    return F.get(
+        F.transform(
+            F.array(base_hashes),
+            lambda bh: F.array(
+                *[
+                    F.array_min(
+                        F.transform(bh, lambda h: F.xxhash64(F.lit(i), h))
+                    )
+                    for i in range(k)
+                ]
+            ),
+        ),
+        0,
     )
+
+
+def _hash64_batch(strings: list[bytes]) -> np.ndarray:
+    """Deterministic 64-bit hash of a batch of byte strings (blake2b-8,
+    C speed, no PYTHONHASHSEED dependence). Deliberately per-string rather
+    than a vectorized numpy polynomial hash: the numpy variant allocates
+    ~10x-the-input temporaries, and on this kernel first-touch page faults
+    make a cold 7M-element pass ~25x slower than this loop (0.18s vs 2.6s
+    measured on 260k shingles; see CLAUDE.md env notes)."""
+    from hashlib import blake2b
+
+    return np.fromiter(
+        (
+            int.from_bytes(blake2b(s, digest_size=8).digest(), "little")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+# per-worker scratch for the (n_shingles, k) permuted-hash matrix: grown
+# geometrically and reused across Arrow batches so the first-touch fault
+# cost is paid once per worker, not once per batch
+_PERM_SCRATCH: dict[int, np.ndarray] = {}
+
+
+def _perm_scratch(total: int, k: int) -> np.ndarray:
+    buf = _PERM_SCRATCH.get(k)
+    if buf is None or buf.shape[0] < total:
+        cap = max(total, 2 * (buf.shape[0] if buf is not None else 1 << 15))
+        buf = np.empty((cap, k), dtype=np.uint64)
+        _PERM_SCRATCH[k] = buf
+    return buf[:total]
+
+
+def shingle_minhash_arrow(text_col, k: int = 32, shingle_n: int = 3) -> Column:
+    """Arrow-batched shingle-set + MinHash signature kernel:
+    struct<sh: array<string>, sig: array<bigint>> from raw text in one
+    Python stage. The JVM higher-order-function shingle/signature chain is
+    interpreted (not codegen) and measured ~8x slower than this numpy
+    kernel at sf0.1; use this on the LSH hot path, the JVM variant where
+    a pure-expression column is required. Hashing is the deterministic
+    `_hash64_batch` (stable across workers/runs); the k permutations are
+    multiply-shift transforms of the base hash, min-reduced per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    A = (
+        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+    B = np.arange(k, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+
+    @pandas_udf("struct<sh: array<string>, sig: array<long>>")
+    def kernel(texts: pd.Series) -> pd.DataFrame:
+        sets: list[list[str]] = []
+        for t in texts:
+            words = (t or "").split()
+            if len(words) >= shingle_n:
+                seen = dict.fromkeys(
+                    " ".join(words[i : i + shingle_n])
+                    for i in range(len(words) - shingle_n + 1)
+                )
+                sets.append(list(seen))
+            else:
+                sets.append([" ".join(words)])
+        if not sets:
+            return pd.DataFrame({"sh": [], "sig": []})
+        counts = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        hv = _hash64_batch([s.encode() for row in sets for s in row])
+        # (total, k) permuted hashes, min-reduced per row in one reduceat;
+        # the matrix lives in a reused per-worker scratch buffer
+        perm = _perm_scratch(hv.shape[0], k)
+        np.multiply(hv[:, None], A[None, :], out=perm)
+        perm += B[None, :]
+        offs = np.r_[0, np.cumsum(counts)[:-1]]
+        mins = np.minimum.reduceat(perm, offs, axis=0).view(np.int64)
+        return pd.DataFrame({"sh": sets, "sig": list(mins)})
+
+    return kernel(text_col)
 
 
 def lsh_candidate_pairs(
@@ -87,6 +181,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
     persist_base: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: (id_a, id_b, est_jaccard
     [, jaccard]). Pairs sharing >=1 of ``bands`` bands; est_jaccard =
@@ -97,13 +192,23 @@ def lsh_candidate_pairs(
     the candidate set alone. ``persist_base`` caches the computed
     signatures (MEMORY_AND_DISK) so the candidate rejoin doesn't recompute
     shingling; leave False when the corpus exceeds cluster storage and
-    recompute is cheaper than materialization."""
+    recompute is cheaper than materialization.
+
+    ``engine``: 'arrow' (default) builds shingle sets + signatures in one
+    Arrow-batched numpy kernel (~8x faster: Spark HOFs are interpreted);
+    'jvm' keeps the pure-expression xxhash64 path (no Python stage)."""
     rows = bands
     r = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    if engine == "arrow":
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_minhash_arrow(F.col(text_col), k, shingle_n).alias("_ss"),
+        ).select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("_sig"))
+    else:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), shingle_n).alias("_sh"),
+        ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
     if persist_base:
         from pyspark import StorageLevel
 
