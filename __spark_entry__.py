@@ -24,6 +24,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scan_build(spark: SparkSession, sf_dir: str, table: str, sketches: dict):
+    """Full-scan sketch build on the scan-in-worker fast path (pyarrow reads
+    row-group splits inside each task; bit-identical to the DataFrame
+    partial path — tests/test_scan_path.py)."""
+    from tdigest_spark.operators.scan import build_sketches_scan
+
+    return build_sketches_scan(
+        spark, f"{sf_dir}/{table}.parquet", sketches,
+        target_rows_per_split=200_000,
+    )
+
+
 # --------------------------------------------------------------------------
 # relational queries (scan/filter/project/join/agg/window/sort/limit)
 # --------------------------------------------------------------------------
@@ -262,9 +274,9 @@ def tdigest_quantity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-duplicate absorption collapses every value to one centroid with no
     capacity merging, so centroids == exact GROUP BY counts. This gates the
     whole build->merge pipeline bit-exactly."""
-    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch
+    from tdigest_spark.operators.aggregate import TDIGEST
 
-    d = build_sketch(_t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST(0.01))
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
     rows = [(float(m), float(w)) for m, w in d.centroids()]
     return spark.createDataFrame(rows, "mean double, n double").orderBy("mean")
 
@@ -273,9 +285,9 @@ def tdigest_quantity_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cdf(x) of the distributed digest at the exact data values: equals the
     mid-CDF (count_lt + count_eq/2)/n — the reference's boundary half-weight
     rule (tdigest.js:220-224) — closed-form in SQL."""
-    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch
+    from tdigest_spark.operators.aggregate import TDIGEST
 
-    d = build_sketch(_t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST(0.01))
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
     xs = [1.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0, 35.0, 40.0, 45.0, 50.0]
     rows = [(x, float(d.cdf(x))) for x in xs]
     return spark.createDataFrame(rows, "x double, cdf double").orderBy("x")
@@ -284,9 +296,9 @@ def tdigest_quantity_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantile(p) of the distributed digest: linear interpolation between
     singleton-value centroids, mirrored exactly by the SQL oracle."""
-    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch
+    from tdigest_spark.operators.aggregate import TDIGEST
 
-    d = build_sketch(_t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST(0.01))
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
     ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
     rows = [(p, float(np.round(d.quantile(p), 6))) for p in ps]
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
@@ -295,14 +307,11 @@ def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def discrete_quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-mode digest (exact map, Nearest-Rank quantiles —
     tdigest.js:277-280) over l_quantity, built distributed."""
-    from tdigest_spark.operators.aggregate import (
-        TDIGEST_DISCRETE,
-        build_sketch,
-    )
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE
 
-    d = build_sketch(
-        _t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST_DISCRETE()
-    )
+    d = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST_DISCRETE())}
+    )["s"]
     ps = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
     rows = [(p, float(d.quantile(p))) for p in ps]
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
@@ -313,9 +322,9 @@ def tdigest_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddling the rank cuts is pro-rated (Dunning's reference Java
     semantics; absent in welch/tdigest). On l_quantity centroids are exact
     GROUP BY counts, so the SQL mirror is closed-form."""
-    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch
+    from tdigest_spark.operators.aggregate import TDIGEST
 
-    d = build_sketch(_t(spark, sf_dir, "lineitem"), "l_quantity", TDIGEST(0.01))
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
     wins = [(0.0, 1.0), (0.05, 0.95), (0.1, 0.9), (0.25, 0.75)]
     rows = [
         (lo, hi, float(np.round(d.trimmed_mean(lo, hi), 6))) for lo, hi in wins
@@ -360,11 +369,10 @@ def autodigest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-discrete on low-cardinality l_quantity, auto-switches to t-digest
     on high-cardinality l_extendedprice; centroid count stays within the
     K/delta compression bound after the switch."""
-    from tdigest_spark.operators.aggregate import AUTODIGEST, build_sketches
+    from tdigest_spark.operators.aggregate import AUTODIGEST
 
-    li = _t(spark, sf_dir, "lineitem")
-    out = build_sketches(
-        li,
+    out = _scan_build(
+        spark, sf_dir, "lineitem",
         {
             "l_extendedprice": ("l_extendedprice", AUTODIGEST("auto")),
             "l_quantity": ("l_quantity", AUTODIGEST("auto")),
@@ -385,10 +393,12 @@ def kll_rank_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL(k=200) quantiles over l_extendedprice: the realized rank of each
     estimate must be within the published ~1.33/k rank-error envelope
     (3-sigma ~ 0.02 at k=200)."""
-    from tdigest_spark.operators.aggregate import KLL_SPEC, build_sketch
+    from tdigest_spark.operators.aggregate import KLL_SPEC
 
     li = _t(spark, sf_dir, "lineitem")
-    sk = build_sketch(li, "l_extendedprice", KLL_SPEC(200))
+    sk = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_extendedprice", KLL_SPEC(200))}
+    )["s"]
     n = li.count()
     ps = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     rows = []
@@ -402,14 +412,11 @@ def kll_rank_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def discrete_quantile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String discrete digest (values ranked lexically, like the reference's
     string spec, specs/discrete.spec.js:133-142) over o_orderpriority."""
-    from tdigest_spark.operators.aggregate import (
-        TDIGEST_DISCRETE_STR,
-        build_sketch,
-    )
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE_STR
 
-    d = build_sketch(
-        _t(spark, sf_dir, "orders"), "o_orderpriority", TDIGEST_DISCRETE_STR()
-    )
+    d = _scan_build(
+        spark, sf_dir, "orders", {"s": ("o_orderpriority", TDIGEST_DISCRETE_STR())}
+    )["s"]
     ps = [0.1, 0.3, 0.5, 0.7, 0.9, 1.0]
     rows = [(p, str(d.quantile(p))) for p in ps]
     return spark.createDataFrame(rows, "p double, q string").orderBy("p")
@@ -418,11 +425,11 @@ def discrete_quantile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimates vs exact distinct counts: asserts the published
     1.04/sqrt(m) error envelope (within 3 sigma) per column."""
-    from tdigest_spark.operators.aggregate import HLL_INTS, build_sketches
+    from tdigest_spark.operators.aggregate import HLL_INTS
 
     li = _t(spark, sf_dir, "lineitem")
-    out = build_sketches(
-        li,
+    out = _scan_build(
+        spark, sf_dir, "lineitem",
         {
             "l_quantity": ("l_quantity", HLL_INTS(14)),
             "l_partkey": ("l_partkey", HLL_INTS(14)),
@@ -447,10 +454,12 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_partkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom filter over lineitem.l_partkey probed with every
     key present: no false negatives, ever (bit-OR merge preserves this)."""
-    from tdigest_spark.operators.aggregate import BLOOM_INTS, build_sketch
+    from tdigest_spark.operators.aggregate import BLOOM_INTS
 
     li = _t(spark, sf_dir, "lineitem")
-    bf = build_sketch(li, "l_partkey", BLOOM_INTS(100_000, 0.01))
+    bf = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_partkey", BLOOM_INTS(100_000, 0.01))}
+    )["s"]
     present = [r[0] for r in li.select("l_partkey").distinct().collect()]
     hits = bf.might_contain_ints(np.array(sorted(present)))
     rows = [(int(k), bool(h)) for k, h in zip(sorted(present), hits)]
@@ -463,12 +472,16 @@ def bottomk_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (KMV) priority sampling: the distributed sample must be a
     subset of the column's values, deterministic, and its distinct
     estimator within the ~1/sqrt(k) envelope of the exact count."""
-    from tdigest_spark.operators.aggregate import BOTTOMK_INTS, build_sketch
+    from tdigest_spark.operators.aggregate import BOTTOMK_INTS
 
     li = _t(spark, sf_dir, "lineitem")
+    sks = _scan_build(
+        spark, sf_dir, "lineitem",
+        {c: (c, BOTTOMK_INTS(1024)) for c in ["l_orderkey", "l_partkey"]},
+    )
     rows = []
     for col in ["l_orderkey", "l_partkey"]:
-        sk = build_sketch(li, col, BOTTOMK_INTS(1024))
+        sk = sks[col]
         exact = li.select(col).distinct().count()
         est_ok = abs(sk.distinct_estimate() - exact) / exact < 0.12
         sample = [int(x) for x in sk.sample()]
@@ -486,11 +499,11 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over l_quantity: width >> distinct values, so
     estimates are exact and match GROUP BY counts (verified deterministic —
     fixed hash seeds)."""
-    from tdigest_spark.operators.aggregate import CMS_INTS, build_sketch
+    from tdigest_spark.operators.aggregate import CMS_INTS
 
-    c = build_sketch(
-        _t(spark, sf_dir, "lineitem"), "l_quantity", CMS_INTS(5, 65536, 64)
-    )
+    c = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_quantity", CMS_INTS(5, 65536, 64))}
+    )["s"]
     top = c.heavy_hitters()[:10]
     rows = [(int(np.uint64(k).astype(np.int64)), int(v)) for k, v in top]
     return spark.createDataFrame(rows, "l_quantity long, est_count long")

