@@ -171,6 +171,55 @@ def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_balance_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join flavor: per-nation extreme-balance customer counts
+    vs negative-balance supplier counts — thresholds chosen so BOTH
+    one-sided null cases occur at sf0.01 (customer-only and supplier-only
+    nations). Both sides pre-aggregate to <=25 rows before the join."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9980)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < -500)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(cust.c_nationkey, supp.s_nationkey).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    ).orderBy("nationkey")
+
+
+def events_user_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar functions (map_from_entries / element_at /
+    map_keys): per-user event_type->count map, probed for two keys. The
+    oracle mirrors the VALUES with conditional counts."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("n_click"),
+            F.coalesce(F.element_at("m", F.lit("error")), F.lit(0)).alias("n_error"),
+            F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def part_supplier_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational set ops: suppkeys supplying low-quantity items INTERSECT
     high-quantity items, and EXCEPT, tagged and unioned."""
@@ -870,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
         "order_fill_left_join": order_fill_left_join,
+        "nation_balance_full_join": nation_balance_full_join,
+        "events_user_type_map": events_user_type_map,
         "part_supplier_set_ops": part_supplier_set_ops,
         "events_json_props": events_json_props,
         "purchases_asof_view": purchases_asof_view,
@@ -983,6 +1034,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
             ) l ON o.o_orderkey = l.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "nation_balance_full_join": """
+            SELECT COALESCE(c.nk, s.nk) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM (
+              SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+              FROM customer WHERE c_acctbal > 9980 GROUP BY 1
+            ) c
+            FULL OUTER JOIN (
+              SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+              FROM supplier WHERE s_acctbal < -500 GROUP BY 1
+            ) s ON c.nk = s.nk
+            ORDER BY nationkey
+        """,
+        "events_user_type_map": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "part_supplier_set_ops": """
             WITH lo AS (
