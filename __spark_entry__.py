@@ -171,6 +171,27 @@ def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: CUBE over (l_returnflag, l_linestatus) —
+    Spark computes all four grouping sets in one shuffle (Expand + single
+    hash aggregate), no per-set rescans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
 def nation_balance_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join flavor: per-nation extreme-balance customer counts
     vs negative-balance supplier counts — thresholds chosen so BOTH
@@ -919,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
         "order_fill_left_join": order_fill_left_join,
+        "lineitem_cube_counts": lineitem_cube_counts,
         "nation_balance_full_join": nation_balance_full_join,
         "events_user_type_map": events_user_type_map,
         "part_supplier_set_ops": part_supplier_set_ops,
@@ -1034,6 +1056,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
             ) l ON o.o_orderkey = l.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "lineitem_cube_counts": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
         """,
         "nation_balance_full_join": """
             SELECT COALESCE(c.nk, s.nk) AS nationkey,

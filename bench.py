@@ -231,12 +231,15 @@ def main() -> None:
         spark, str(path), "source", "tokens", TDIGEST(0.01),
         target_rows_per_split=8192,
     )
-    t0 = time.perf_counter()
-    build_sketch_grouped_scan(
-        spark, str(path), "source", "tokens", TDIGEST(0.01),
-        target_rows_per_split=8192,
-    )
-    grouped_s = time.perf_counter() - t0
+    grouped_s = None
+    for _ in range(2):  # best-of-2 (same contention policy as headline)
+        t0 = time.perf_counter()
+        build_sketch_grouped_scan(
+            spark, str(path), "source", "tokens", TDIGEST(0.01),
+            target_rows_per_split=8192,
+        )
+        dt = time.perf_counter() - t0
+        grouped_s = dt if grouped_s is None else min(grouped_s, dt)
 
     queries = run_headline(spark)
     queries["token_sketch_build"] = round(hi_s, 3)
