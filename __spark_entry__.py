@@ -171,6 +171,41 @@ def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-user wide table of summed value by event_type
+    (explicit pivot value list — one pass, no per-type rescans; the SQL
+    mirror is conditional aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in types],
+    ).orderBy("user_id")
+
+
+def embedding_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/explode coverage: posexplode of the embedding arrays for a
+    filtered id range (predicate pushed below the generator), mirrored by
+    UNNEST WITH ORDINALITY."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "component")
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.round(F.col("component").cast("double"), 6).alias("component"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
 def lineitem_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets coverage: CUBE over (l_returnflag, l_linestatus) —
     Spark computes all four grouping sets in one shuffle (Expand + single
@@ -940,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
         "order_fill_left_join": order_fill_left_join,
+        "events_type_pivot": events_type_pivot,
+        "embedding_posexplode": embedding_posexplode,
         "lineitem_cube_counts": lineitem_cube_counts,
         "nation_balance_full_join": nation_balance_full_join,
         "events_user_type_map": events_user_type_map,
@@ -1056,6 +1093,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
             ) l ON o.o_orderkey = l.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   COALESCE(ROUND(SUM(value) FILTER (WHERE event_type='click'), 2), 0) AS click,
+                   COALESCE(ROUND(SUM(value) FILTER (WHERE event_type='error'), 2), 0) AS error,
+                   COALESCE(ROUND(SUM(value) FILTER (WHERE event_type='purchase'), 2), 0) AS purchase,
+                   COALESCE(ROUND(SUM(value) FILTER (WHERE event_type='signup'), 2), 0) AS signup,
+                   COALESCE(ROUND(SUM(value) FILTER (WHERE event_type='view'), 2), 0) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "embedding_posexplode": """
+            -- DuckDB zips parallel UNNESTs in the SELECT list (no WITH
+            -- ORDINALITY in this build)
+            SELECT vec_id,
+                   CAST(UNNEST(generate_series(1, len(embedding))) AS BIGINT) AS pos,
+                   ROUND(CAST(UNNEST(embedding) AS DOUBLE), 6) AS component
+            FROM embeddings
+            WHERE vec_id < 10
+            ORDER BY vec_id, pos
         """,
         "lineitem_cube_counts": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,
