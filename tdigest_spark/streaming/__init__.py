@@ -35,7 +35,27 @@ __all__ = [
     "windowed_digests",
     "incremental_build_grouped",
     "read_state_grouped",
+    "dedup_stream",
 ]
+
+
+def dedup_stream(stream_df, id_cols: list[str], ts_col: str, delay: str = "1 hour"):
+    """Streaming exact deduplication within the watermark horizon — the
+    streaming twin of operators/dedup.exact_dup_groups for a training-data
+    ingest pipeline (absent in the reference, which has no event time).
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    distinct ``id_cols`` value first seen within the last ``delay`` of
+    event time, so duplicate re-deliveries inside the horizon are dropped
+    exactly once and state is evicted as the watermark advances — bounded
+    by (distinct ids per horizon), never by stream length. Unlike plain
+    ``dropDuplicates`` on a stream, state cannot grow without bound.
+
+    ``ts_col`` must be TIMESTAMP (cast TIMESTAMP_NTZ parquet columns
+    first — see CLAUDE.md)."""
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        id_cols
+    )
 
 
 # ---------------------------------------------------------------------------

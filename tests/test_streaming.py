@@ -295,3 +295,47 @@ def test_late_data_dropped_by_watermark(spark, dirs):
     assert len(row) == 1
     assert int(row["n"].iloc[0]) == c_before + 1
     assert (second["window_start"] >= t0).all()  # no pre-t0 window created
+
+
+def test_dedup_stream_within_watermark(spark, dirs, tmp_path):
+    """Duplicate event_ids re-delivered across files inside the watermark
+    horizon come out exactly once; state is watermark-bounded."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.streaming import dedup_stream
+
+    ind = tmp_path / "dedup_in"
+    ind.mkdir(parents=True, exist_ok=True)
+    t0 = 1_700_000_000
+    # file 1: ids 0..99; file 2: ids 50..149 (50..99 are duplicates)
+    for seed, lo in ((1, 0), (2, 50)):
+        ids = np.arange(lo, lo + 100, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "ts": pa.array(((t0 + ids % 600) * 1_000_000).astype("int64")).cast(
+                    pa.timestamp("us")
+                ),
+                "value": np.full(100, float(seed)),
+            }
+        )
+        pq.write_table(tbl, ind / f"ev-{seed}.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(ind))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = dedup_stream(stream, ["event_id"], "ts", "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_t").select("event_id").toPandas()["event_id"]
+    assert sorted(got) == list(range(150))  # 150 distinct, no dup rows

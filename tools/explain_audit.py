@@ -34,6 +34,14 @@ AUDITS = {
     "events_json_props": (0, False, False),
     "purchases_asof_view": (0, False, True),
     "events_sessionized": (0, False, False),
+    # both sides pre-aggregate to <=25 rows; the full-outer join itself may
+    # stay broadcast or SMJ depending on AQE stats — only forbid cartesian
+    "nation_balance_full_join": (0, False, True),
+    "events_user_type_map": (0, False, False),
+    "lineitem_cube_counts": (0, False, False),
+    "events_type_pivot": (0, False, False),
+    # filter must reach the scan BELOW the generator (posexplode)
+    "embedding_posexplode": (0, False, True),
 }
 
 
