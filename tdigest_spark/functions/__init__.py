@@ -22,9 +22,108 @@ __all__ = [
     "bloom_might_contain_int",
     "cms_estimate_int",
     "register_digest_centroids_udtf",
+    "register_sql_functions",
     "digest_quantiles",
     "digest_cdfs",
 ]
+
+
+def register_sql_functions(spark, prefix: str = "") -> list[str]:
+    """Register the sketch-query surface as SQL functions (two-arg forms:
+    the scalar parameter is a column, so they compose in `spark.sql`
+    strings, views, and thriftserver sessions). Returns the registered
+    names. All are Arrow-batched pandas UDFs over BinaryType state
+    columns; parameters vary per row, matching the reference's vectorized
+    percentile([..])/p_rank([..]) arg forms (tdigest.js:216-231,272-290)."""
+    from ..sketch.bloom import BloomFilter
+    from ..sketch.cms import CMS
+    from ..sketch.hll import HLL
+    from ..sketch.kll import KLL
+    from ..sketch.tdigest import TDigest
+
+    @pandas_udf("double")
+    def _dq(states: pd.Series, ps: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(TDigest.from_bytes(bytes(b)).quantile(float(p)))
+                for b, p in zip(states, ps)
+            ]
+        )
+
+    @pandas_udf("double")
+    def _dc(states: pd.Series, xs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(TDigest.from_bytes(bytes(b)).cdf(float(x)))
+                for b, x in zip(states, xs)
+            ]
+        )
+
+    @pandas_udf("double")
+    def _dt(states: pd.Series, los: pd.Series, his: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(
+                    TDigest.from_bytes(bytes(b)).trimmed_mean(
+                        float(lo), float(hi)
+                    )
+                )
+                for b, lo, hi in zip(states, los, his)
+            ]
+        )
+
+    @pandas_udf("double")
+    def _he(states: pd.Series) -> pd.Series:
+        return states.map(lambda b: HLL.from_bytes(bytes(b)).estimate())
+
+    @pandas_udf("double")
+    def _kq(states: pd.Series, ps: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(KLL.from_bytes(bytes(b)).quantile(float(p)))
+                for b, p in zip(states, ps)
+            ]
+        )
+
+    @pandas_udf("boolean")
+    def _bm(states: pd.Series, vs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bool(
+                    BloomFilter.from_bytes(bytes(b)).might_contain_ints(
+                        np.array([int(v)])
+                    )[0]
+                )
+                for b, v in zip(states, vs)
+            ]
+        )
+
+    @pandas_udf("long")
+    def _ce(states: pd.Series, vs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(CMS.from_bytes(bytes(b)).estimate_ints(np.array([int(v)]))[0])
+                for b, v in zip(states, vs)
+            ]
+        )
+
+    # SQL numeric literals type as DECIMAL -> decimal.Decimal in pandas;
+    # every parameter is coerced (float/int) above so the functions accept
+    # plain literals in SQL strings.
+    fns = {
+        "digest_quantile": _dq,
+        "digest_cdf": _dc,
+        "digest_trimmed_mean": _dt,
+        "hll_estimate": _he,
+        "kll_quantile": _kq,
+        "bloom_might_contain": _bm,
+        "cms_estimate": _ce,
+    }
+    names = []
+    for name, fn in fns.items():
+        spark.udf.register(prefix + name, fn)
+        names.append(prefix + name)
+    return names
 
 
 def digest_quantile(state_col, p: float):

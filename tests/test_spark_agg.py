@@ -178,3 +178,32 @@ def test_vectorized_arg_udfs(spark, seq_table):
     assert row["qs"] == [float(x) for x in d.quantile([0.25, 0.5, 0.75])]
     assert row["cs"] == [float(x) for x in d.cdf([100.0, 300.0])]
     assert all(a <= b for a, b in zip(row["qs"], row["qs"][1:]))
+
+
+def test_register_sql_functions(spark, seq_table):
+    """The SQL-registered sketch functions (two-arg column forms) answer
+    from plain spark.sql strings and match direct Python queries."""
+    from tdigest_spark.functions import register_sql_functions
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch_grouped
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    names = register_sql_functions(spark)
+    assert "digest_quantile" in names
+    states = build_sketch_grouped(seq_table, ["source"], "n_tok", TDIGEST(0.01))
+    states.createOrReplaceTempView("digest_states")
+    rows = spark.sql(
+        """
+        SELECT source,
+               digest_quantile(state, 0.5)  AS p50,
+               digest_cdf(state, 300.0)     AS c300,
+               digest_trimmed_mean(state, 0.1, 0.9) AS tmean,
+               state
+        FROM digest_states ORDER BY source
+        """
+    ).collect()
+    assert len(rows) > 1
+    for r in rows:
+        d = TDigest.from_bytes(r["state"])
+        assert r["p50"] == float(d.quantile(0.5))
+        assert r["c300"] == float(d.cdf(300.0))
+        assert r["tmean"] == float(d.trimmed_mean(0.1, 0.9))
