@@ -748,6 +748,34 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing end-to-end on driver data: document
+    text becomes an opaque binary payload with typed image metadata, then
+    the Arrow-batched mapInPandas decode stage emits per-channel stats.
+    The decode stub is a deterministic payload-seeded PRNG (the real codec
+    is not in this container — operators/multimodal.py), so results are
+    stable across runs/partitionings but not SQL-expressible: rows-only
+    driver check; the schema/batching/partition plumbing is what's under
+    test here (plus tests/test_multimodal.py)."""
+    from tdigest_spark.operators.multimodal import decode_image_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(16) + F.length("text") % 16).alias("width"),
+        (F.lit(16) + (F.length("text") / 7).cast("int") % 16).alias("height"),
+    )
+    out = decode_image_stats(media)
+    return out.select(
+        "doc_id",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("std_gray", 6).alias("std_gray"),
+    ).orderBy("doc_id")
+
+
 def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signatures (JVM gram hashing +
     one vectorized bit-vote kernel), pairs within Hamming distance 3 via
@@ -1006,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_dup_candidates": simhash_dup_candidates,
+        "media_decode_stats": media_decode_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
