@@ -409,6 +409,22 @@ def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WEIGHTED ingest — the reference's push(x, n) n!=1 form
+    (tdigest.js:82-91) — quantiles of l_quantity where each row carries
+    l_linenumber mass. Centroids stay singleton-per-value (exact-duplicate
+    absorption), so the weighted interpolation has a closed-form SQL
+    mirror with SUM(weight) in place of COUNT(*)."""
+    from tdigest_spark.operators.aggregate import build_weighted_digest
+
+    d = build_weighted_digest(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_linenumber", 0.01
+    )
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    rows = [(p, float(np.round(d.quantile(p), 6))) for p in ps]
+    return spark.createDataFrame(rows, "p double, q double").orderBy("p")
+
+
 def discrete_quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-mode digest (exact map, Nearest-Rank quantiles —
     tdigest.js:277-280) over l_quantity, built distributed."""
@@ -1016,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
+        "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
         "discrete_quantile_quantity": discrete_quantile_quantity,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
@@ -1251,6 +1268,31 @@ def oracle_sql() -> dict[str, str]:
             WITH cent AS (
               SELECT CAST(l_quantity AS DOUBLE) AS mean,
                      CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.95)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets ORDER BY p
+        """,
+        "tdigest_weighted_quantiles": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(SUM(l_linenumber) AS DOUBLE) AS w
               FROM lineitem GROUP BY l_quantity
             ), cum AS (
               SELECT mean, w,

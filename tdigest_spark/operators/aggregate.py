@@ -48,6 +48,8 @@ __all__ = [
     "build_sketches",
     "build_sketch",
     "build_sketch_grouped",
+    "build_weighted_digest",
+    "weighted_digest_partials",
     "partials_df",
     "merge_partials",
     "tree_merge_states",
@@ -343,6 +345,49 @@ def build_sketches(
 
 def build_sketch(df: DataFrame, column: str, spec: SketchSpec) -> Any:
     return build_sketches(df, {"s": (column, spec)})["s"]
+
+
+def weighted_digest_partials(
+    df: DataFrame, value_col: str, weight_col: str, delta: float = 0.01
+) -> DataFrame:
+    """Phase 1 of the weighted form of the reference's ingest —
+    ``push(x, n)`` with n != 1 (tdigest.js:82-91) — distributed: one
+    t-digest state per partition built from (value, weight) column pairs
+    in a single Arrow pass. Weighted and unweighted builds share the same
+    merge, so ``merge_partials`` finalizes both."""
+    from ..sketch.tdigest import TDigest
+
+    sel = df.select(value_col, weight_col)
+    out_schema = pa.schema(
+        [pa.field("rows", pa.int64()), pa.field("state_s", pa.binary())]
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        d = TDigest(delta)
+        rows = 0
+        for batch in batches:
+            v = _column_values(batch.column(0)).astype(np.float64, copy=False)
+            w = _column_values(batch.column(1)).astype(np.float64, copy=False)
+            if v.shape[0]:
+                d.push(v, w)
+                rows += v.shape[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([rows], pa.int64()), pa.array([d.to_bytes()], pa.binary())],
+            schema=out_schema,
+        )
+
+    return sel.mapInArrow(build, "rows long, state_s binary")
+
+
+def build_weighted_digest(
+    df: DataFrame, value_col: str, weight_col: str, delta: float = 0.01
+) -> Any:
+    """Distributed weighted t-digest: quantiles/CDF of the value column
+    where each row carries ``weight_col`` mass."""
+    spec = _mk_tdigest(delta)
+    rows = weighted_digest_partials(df, value_col, weight_col, delta).collect()
+    merged = merge_partials(rows, ["s"], {"s": spec})
+    return spec.from_bytes(merged["s"])
 
 
 def tree_merge_states(

@@ -207,3 +207,36 @@ def test_register_sql_functions(spark, seq_table):
         assert r["p50"] == float(d.quantile(0.5))
         assert r["c300"] == float(d.cdf(300.0))
         assert r["tmean"] == float(d.trimmed_mean(0.1, 0.9))
+
+
+def test_build_weighted_digest(spark, seq_table):
+    """Distributed weighted ingest (reference push(x, n) weighted form):
+    equals the serial weighted digest within merge tolerance, and weight k
+    is exactly value-repeated-k-times under singleton-centroid configs."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.operators.aggregate import build_weighted_digest
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    df = seq_table.select(
+        F.col("n_tok").cast("double").alias("v"),
+        (F.col("n_tok") % 5 + 1).cast("double").alias("w"),
+    )
+    d = build_weighted_digest(df, "v", "w", 0.01)
+    pdf = df.toPandas()
+    assert d.n == pytest.approx(pdf["w"].sum())
+    serial = TDigest(0.01).push(pdf["v"].to_numpy(), pdf["w"].to_numpy())
+    ps = [0.1, 0.5, 0.9, 0.99]
+    for p in ps:
+        assert float(d.quantile(p)) == pytest.approx(
+            float(serial.quantile(p)), rel=2e-3
+        )
+    # exact law on a duplicate-heavy column: weight k == k repeats
+    small = spark.createDataFrame(
+        [(float(v), float(1 + v % 3)) for v in range(50)] * 4, "v double, w double"
+    )
+    dw = build_weighted_digest(small, "v", "w", 0.01)
+    rep = TDigest(0.01)
+    sp = small.toPandas()
+    rep.push(np.repeat(sp["v"].to_numpy(), sp["w"].to_numpy().astype(int)))
+    assert [tuple(c) for c in dw.centroids()] == [tuple(c) for c in rep.centroids()]
