@@ -409,6 +409,25 @@ def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary() surface (tdigest.js:59-68): n, centroid count, and the
+    five-point min/Q1/median/Q3/max summary of the distributed digest.
+    percentile(0)/percentile(1) are the exact tracked min/max (boundary
+    centroids never merged, tdigest.js:179-182); the quartiles are
+    closed-form on singleton-value centroids."""
+    from tdigest_spark.operators.aggregate import TDIGEST
+
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
+    text = d.summary()
+    assert text.startswith("approx.") and "Q2" in text, text
+    qs = d.quantile([0.0, 0.25, 0.5, 0.75, 1.0])
+    rows = [
+        (p, float(np.round(q, 6)))
+        for p, q in zip([0.0, 0.25, 0.5, 0.75, 1.0], qs)
+    ]
+    return spark.createDataFrame(rows, "p double, q double").orderBy("p")
+
+
 def tdigest_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed WEIGHTED ingest — the reference's push(x, n) n!=1 form
     (tdigest.js:82-91) — quantiles of l_quantity where each row carries
@@ -1033,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
         "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
+        "tdigest_summary": tdigest_summary,
         "discrete_quantile_quantity": discrete_quantile_quantity,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
@@ -1288,6 +1308,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p AS DOUBLE) AS p,
                    ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
             FROM brackets ORDER BY p
+        """,
+        "tdigest_summary": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.25),(0.5),(0.75)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(0.0 AS DOUBLE) AS p, MIN(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            UNION ALL
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets
+            UNION ALL
+            SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            ORDER BY p
         """,
         "tdigest_weighted_quantiles": """
             WITH cent AS (
