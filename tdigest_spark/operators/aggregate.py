@@ -363,11 +363,19 @@ def weighted_digest_partials(
     )
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         d = TDigest(delta)
         rows = 0
         for batch in batches:
-            v = _column_values(batch.column(0)).astype(np.float64, copy=False)
-            w = _column_values(batch.column(1)).astype(np.float64, copy=False)
+            vc, wc = batch.column(0), batch.column(1)
+            # nulls must be dropped JOINTLY or the value/weight arrays
+            # misalign — a row contributes only if both sides are present
+            if vc.null_count or wc.null_count:
+                keep = pc.and_(vc.is_valid(), wc.is_valid())
+                vc, wc = vc.filter(keep), wc.filter(keep)
+            v = vc.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            w = wc.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             if v.shape[0]:
                 d.push(v, w)
                 rows += v.shape[0]

@@ -240,3 +240,21 @@ def test_build_weighted_digest(spark, seq_table):
     sp = small.toPandas()
     rep.push(np.repeat(sp["v"].to_numpy(), sp["w"].to_numpy().astype(int)))
     assert [tuple(c) for c in dw.centroids()] == [tuple(c) for c in rep.centroids()]
+
+
+def test_build_weighted_digest_null_alignment(spark):
+    """Nulls on either side must drop the whole row, never misalign the
+    value/weight arrays."""
+    from tdigest_spark.operators.aggregate import build_weighted_digest
+
+    rows = [
+        (1.0, 2.0),
+        (None, 5.0),   # dropped
+        (3.0, None),   # dropped
+        (3.0, 4.0),
+        (None, None),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "v double, w double").coalesce(1)
+    d = build_weighted_digest(df, "v", "w", 0.01)
+    assert d.n == 6.0  # 2 + 4
+    assert [tuple(c) for c in d.centroids()] == [(1.0, 2.0), (3.0, 4.0)]
