@@ -30,7 +30,7 @@ from typing import Any, Iterator
 
 import numpy as np
 
-from .aggregate import SketchSpec, merge_partials
+from .aggregate import SketchSpec, merge_partials, sorted_and_agg
 
 __all__ = [
     "parquet_splits",
@@ -144,10 +144,16 @@ def scan_partials_rdd(
                 frag = list(frag.get_fragments())[0].subset(
                     row_group_ids=list(sp.row_groups)
                 )
-                tbl = frag.to_table(columns=cols, filter=filter_expr)
+                tbl = frag.to_table(
+                    columns=cols, filter=filter_expr, use_threads=False
+                )
             else:
+                # use_threads=False: each of the ~cores concurrent worker
+                # processes gets a cores-sized Arrow CPU pool by default —
+                # cores^2 runnable threads; measured 4-14x slower than
+                # single-threaded decode per task at local[32]
                 tbl = pq.ParquetFile(sp.path).read_row_groups(
-                    list(sp.row_groups), columns=cols
+                    list(sp.row_groups), columns=cols, use_threads=False
                 )
             sp_rows += tbl.num_rows
             cache: dict[str, np.ndarray] = {}
@@ -172,15 +178,13 @@ def scan_partials_rdd(
                         for n in names
                         if col_of[n] == c
                     )
-                    if wants_agg or wants_sorted:
-                        sv = np.sort(cache[c])
+                    sv, agg = sorted_and_agg(
+                        cache[c], wants_agg, wants_sorted
+                    )
+                    if sv is not None:
                         sort_cache[c] = sv
-                        if wants_agg:
-                            flags = np.r_[True, sv[1:] != sv[:-1]]
-                            idx = np.flatnonzero(flags)
-                            uv = sv[idx]
-                            uc = np.diff(np.r_[idx, sv.shape[0]])
-                            agg_cache[c] = (uv, uc)
+                    if agg is not None:
+                        agg_cache[c] = agg
             for n in names:
                 c = col_of[n]
                 vals = cache[c]
@@ -293,7 +297,8 @@ def build_sketch_grouped_scan(
         is_list = None
         for sp in it:
             tbl = pq.ParquetFile(sp.path).read_row_groups(
-                list(sp.row_groups), columns=[group_col, column]
+                list(sp.row_groups), columns=[group_col, column],
+                use_threads=False,
             )
             keys = np.asarray(
                 tbl.column(group_col).combine_chunks().to_pylist(), dtype=object

@@ -153,7 +153,7 @@ class CheckpointedBuild:
                 for sp in splits:
                     ts = time.perf_counter()
                     tbl = _pq.ParquetFile(sp.path).read_row_groups(
-                        list(sp.row_groups), columns=cols
+                        list(sp.row_groups), columns=cols, use_threads=False
                     )
                     rows += tbl.num_rows
                     cache = {c: _column_values_arrow(tbl.column(c)) for c in cols}
