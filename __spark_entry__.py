@@ -649,6 +649,23 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def cms_lang_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-keyed count-min: per-language document counts estimated by a
+    CMS built over documents.lang (string hashing path). width=65536 with
+    ~100 distinct keys and fixed hash seeds ⇒ no counter collisions ⇒
+    estimates equal exact GROUP BY counts, closed-form in SQL."""
+    from tdigest_spark.operators.aggregate import CMS_STRINGS
+
+    docs = _t(spark, sf_dir, "documents")
+    c = _scan_build(
+        spark, sf_dir, "documents", {"s": ("lang", CMS_STRINGS(5, 65536, 0))}
+    )["s"]
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    est = c.estimate_strings(np.array(langs, dtype=object))
+    rows = [(l, int(e)) for l, e in zip(langs, est)]
+    return spark.createDataFrame(rows, "lang string, est_count long").orderBy("lang")
+
+
 def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-UDF-over-states surface: grouped t-digest states queried
     in-DataFrame with digest_quantile / digest_cdf / digest_trimmed_mean
@@ -1064,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_check": hll_distinct_check,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
+        "cms_lang_estimates": cms_lang_estimates,
         "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_text_stats": doc_text_stats,
@@ -1524,6 +1542,10 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_quantity
             ORDER BY l_returnflag, mean
+        """,
+        "cms_lang_estimates": """
+            SELECT lang, COUNT(*) AS est_count
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "doc_exact_dedup": """
             SELECT doc_id,

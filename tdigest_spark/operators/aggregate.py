@@ -40,6 +40,7 @@ __all__ = [
     "HLL_INTS",
     "HLL_STRINGS",
     "CMS_INTS",
+    "CMS_STRINGS",
     "BLOOM_INTS",
     "BLOOM_STRINGS",
     "KLL_SPEC",
@@ -162,6 +163,17 @@ def _mk_cms(depth: int = 5, width: int = 8192, k_heavy: int = 64):
     )
 
 
+def _mk_cms_strings(depth: int = 5, width: int = 8192, k_heavy: int = 0):
+    from ..sketch.cms import CMS
+
+    return SketchSpec(
+        name=f"cms_str({depth}x{width})",
+        make=lambda: CMS(depth=depth, width=width, k_heavy=k_heavy),
+        from_bytes=lambda b: CMS.from_bytes(b),
+        update=lambda sk, v: sk.update_strings(v),
+    )
+
+
 def _mk_bloom(expected_items: int = 1_000_000, fpp: float = 0.01, strings=False):
     from ..sketch.bloom import BloomFilter
 
@@ -202,6 +214,7 @@ AUTODIGEST = _mk_autodigest
 HLL_INTS = lambda p=14: _mk_hll(p, strings=False)  # noqa: E731
 HLL_STRINGS = lambda p=14: _mk_hll(p, strings=True)  # noqa: E731
 CMS_INTS = _mk_cms
+CMS_STRINGS = _mk_cms_strings
 BLOOM_INTS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, False)  # noqa: E731
 BLOOM_STRINGS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, True)  # noqa: E731
 KLL_SPEC = _mk_kll

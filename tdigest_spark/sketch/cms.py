@@ -66,6 +66,24 @@ class CMS:
                 self._flush_pending()
         return self
 
+    def update_strings(self, values) -> "CMS":
+        """Ingest string values: hashed once (hash_strings), then counted
+        under the same key-space ``estimate_strings`` probes."""
+        v = np.asarray(values, dtype=object)
+        if v.shape[0] == 0:
+            return self
+        hashed = hash_strings(v)
+        keys, kcounts = np.unique(hashed, return_counts=True)
+        cols = self._rows(keys)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], kcounts)
+        self.total += int(kcounts.sum())
+        if self.k_heavy > 0:
+            self._pending.append(keys)
+            if sum(p.shape[0] for p in self._pending) > 512 * 1024:
+                self._flush_pending()
+        return self
+
     def _estimate_keys(self, ukeys: np.ndarray) -> np.ndarray:
         cols = self._rows(ukeys)
         ests = np.empty((self.depth, ukeys.shape[0]), dtype=np.int64)

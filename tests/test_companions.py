@@ -266,3 +266,22 @@ def test_bottomk_empty_merge():
     assert a.size == 0 and a.distinct_estimate() == 0.0
     a.merge(BottomK(64).update_ints(np.arange(10)))
     assert a.size == 10
+
+
+def test_cms_string_updates_exact_when_wide():
+    """String-keyed CMS: width >> distinct keys + fixed seeds => exact
+    counts; merge = matrix add preserves them."""
+    import numpy as np
+
+    from tdigest_spark.sketch.cms import CMS
+
+    vals = np.array(
+        ["en"] * 50 + ["fr"] * 30 + ["zh"] * 20 + ["de"] * 7, dtype=object
+    )
+    a, b = CMS(5, 65536, 0), CMS(5, 65536, 0)
+    a.update_strings(vals[:60])
+    b.update_strings(vals[60:])
+    a.merge(b)
+    probes = np.array(["en", "fr", "zh", "de", "absent"], dtype=object)
+    assert a.estimate_strings(probes).tolist() == [50, 30, 20, 7, 0]
+    assert a.total == 107
