@@ -195,3 +195,53 @@ def test_trimmed_mean_identity_and_bounds(xs):
     assert abs(tm - exact_mean) <= 1e-9 * scale + 1e-12
     inner = d.trimmed_mean(0.25, 0.75)
     assert min(xs) - 1e-9 <= inner <= max(xs) + 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(floats, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_weighted_push_equals_repeats(pairs):
+    """push(values, weights) with integer weights is exactly push of the
+    value repeated weight times (reference push(x, n) semantics,
+    tdigest.js:82-91) — identical centroids, hence identical queries."""
+    vals = _arr([v for v, _ in pairs])
+    wts = _arr([w for _, w in pairs])
+    dw = TDigest(0.01).push(vals, wts)
+    dr = TDigest(0.01).push(np.repeat(vals, wts.astype(int)))
+    assert dw.n == dr.n
+    assert np.array_equal(dw.means, dr.means)
+    assert np.array_equal(dw.weights, dr.weights)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(floats, st.floats(min_value=0.25, max_value=16.0)),
+        min_size=2,
+        max_size=200,
+    )
+)
+def test_weighted_split_merge_consistent(pairs):
+    """Splitting a weighted stream and merging the halves conserves total
+    mass and keeps quantiles within the digest's interpolation envelope of
+    the single-digest build (fractional weights allowed)."""
+    vals = _arr([v for v, _ in pairs])
+    wts = _arr([w for _, w in pairs])
+    h = len(pairs) // 2
+    a = TDigest(0.01).push(vals[:h], wts[:h])
+    b = TDigest(0.01).push(vals[h:], wts[h:])
+    a.merge(b)
+    one = TDigest(0.01).push(vals, wts)
+    assert abs(a.n - one.n) <= 1e-9 * max(one.n, 1.0)
+    lo, hi = float(vals.min()), float(vals.max())
+    for p in (0.0, 0.5, 1.0):
+        qa, qo = float(a.quantile(p)), float(one.quantile(p))
+        assert lo - 1e-9 <= qa <= hi + 1e-9
+        # exact at the tracked extremes
+        if p in (0.0, 1.0):
+            assert qa == qo
