@@ -342,7 +342,14 @@ def build_sketch_grouped_scan(
                 if key not in sks:
                     sks[key] = spec.make()
                 if vals.shape[0]:
-                    spec.update(sks[key], vals)
+                    if spec.update_agg is not None and vals.dtype.kind in "iub":
+                        _, agg = sorted_and_agg(vals, True, False)
+                        if agg is not None:
+                            spec.update_agg(sks[key], *agg)
+                        else:
+                            spec.update(sks[key], vals)
+                    else:
+                        spec.update(sks[key], vals)
         for key, sk in sks.items():
             yield (key, sk.to_bytes())
 
