@@ -649,6 +649,27 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def skewed_source_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling in the contract: the hot-key aggregation done
+    as salted two-stage — salt = xxhash64(doc_id) % 16, partial counts per
+    (source, salt), final sum per source — so no single task ever holds a
+    whole hot key ('web' is ~70% of rows). Result is exactly the plain
+    GROUP BY (salting only changes placement, never values)."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("source", "_salt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_chars").alias("s")
+    )
+    return (
+        partial.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.sum("s").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def cms_lang_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-keyed count-min: per-language document counts estimated by a
     CMS built over documents.lang (string hashing path). width=65536 with
@@ -1082,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
+        "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_text_stats": doc_text_stats,
@@ -1546,6 +1568,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_lang_estimates": """
             SELECT lang, COUNT(*) AS est_count
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "skewed_source_salted_agg": """
+            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_exact_dedup": """
             SELECT doc_id,
