@@ -41,70 +41,96 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
     from ..sketch.kll import KLL
     from ..sketch.tdigest import TDigest
 
+    def _null(*args) -> bool:
+        # SQL semantics: NULL in -> NULL out (outer joins, nullable params)
+        return any(a is None or (isinstance(a, float) and a != a) for a in args)
+
     @pandas_udf("double")
     def _dq(states: pd.Series, ps: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float(TDigest.from_bytes(bytes(b)).quantile(float(p)))
+                None
+                if _null(b, p)
+                else float(TDigest.from_bytes(bytes(b)).quantile(float(p)))
                 for b, p in zip(states, ps)
-            ]
+            ],
+            dtype="float64",
         )
 
     @pandas_udf("double")
     def _dc(states: pd.Series, xs: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float(TDigest.from_bytes(bytes(b)).cdf(float(x)))
+                None
+                if _null(b, x)
+                else float(TDigest.from_bytes(bytes(b)).cdf(float(x)))
                 for b, x in zip(states, xs)
-            ]
+            ],
+            dtype="float64",
         )
 
     @pandas_udf("double")
     def _dt(states: pd.Series, los: pd.Series, his: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float(
+                None
+                if _null(b, lo, hi)
+                else float(
                     TDigest.from_bytes(bytes(b)).trimmed_mean(
                         float(lo), float(hi)
                     )
                 )
                 for b, lo, hi in zip(states, los, his)
-            ]
+            ],
+            dtype="float64",
         )
 
     @pandas_udf("double")
     def _he(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: HLL.from_bytes(bytes(b)).estimate())
+        return states.map(
+            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
+        )
 
     @pandas_udf("double")
     def _kq(states: pd.Series, ps: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float(KLL.from_bytes(bytes(b)).quantile(float(p)))
+                None
+                if _null(b, p)
+                else float(KLL.from_bytes(bytes(b)).quantile(float(p)))
                 for b, p in zip(states, ps)
-            ]
+            ],
+            dtype="float64",
         )
 
     @pandas_udf("boolean")
     def _bm(states: pd.Series, vs: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                bool(
+                None
+                if _null(b, v)
+                else bool(
                     BloomFilter.from_bytes(bytes(b)).might_contain_ints(
                         np.array([int(v)])
                     )[0]
                 )
                 for b, v in zip(states, vs)
-            ]
+            ],
+            dtype="object",
         )
 
     @pandas_udf("long")
     def _ce(states: pd.Series, vs: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                int(CMS.from_bytes(bytes(b)).estimate_ints(np.array([int(v)]))[0])
+                None
+                if _null(b, v)
+                else int(
+                    CMS.from_bytes(bytes(b)).estimate_ints(np.array([int(v)]))[0]
+                )
                 for b, v in zip(states, vs)
-            ]
+            ],
+            dtype="object",
         )
 
     # SQL numeric literals type as DECIMAL -> decimal.Decimal in pandas;

@@ -264,7 +264,10 @@ def sorted_and_agg(
     if vals.dtype.kind in "iu":
         lo, hi = int(vals.min()), int(vals.max())
         if 0 <= lo and hi < _BINCOUNT_MAX:
-            cnt = np.bincount(vals)
+            # bincount refuses the uint64->intp "safe" cast; the range
+            # check above makes an explicit int64 view lossless
+            cv = vals.astype(np.int64, copy=False) if vals.dtype.kind == "u" else vals
+            cnt = np.bincount(cv)
             nz = np.flatnonzero(cnt)
             uv = nz.astype(vals.dtype, copy=False)
             uc = cnt[nz]

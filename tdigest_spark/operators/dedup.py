@@ -143,11 +143,20 @@ def shingle_minhash_arrow(text_col, k: int = 32, shingle_n: int = 3) -> Column:
     ) | np.uint64(1)
     B = np.arange(k, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
 
+    import re
+
+    # mirror the JVM path exactly (shingles()/word_tokens()): F.trim strips
+    # 0x20 spaces only, and Java \s+ is ASCII whitespace — Python's
+    # str.split() (any Unicode whitespace, no empty tokens) would give the
+    # two engines different shingle sets on   or leading tabs
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @pandas_udf("struct<sh: array<string>, sig: array<long>>")
     def kernel(texts: pd.Series) -> pd.DataFrame:
         sets: list[list[str]] = []
         for t in texts:
-            words = (t or "").split()
+            t = (t or "").strip(" ")
+            words = ascii_ws.split(t) if t else []
             if len(words) >= shingle_n:
                 seen = dict.fromkeys(
                     " ".join(words[i : i + shingle_n])

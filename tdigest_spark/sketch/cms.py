@@ -13,7 +13,9 @@ from .hashing import hash64_with_seed, hash_strings
 
 __all__ = ["CMS"]
 
-_HEADER = struct.Struct("<4sII q I")  # magic, depth, width, total, n_heavy
+# magic, depth, width, total, n_heavy, k_heavy (CMS2 added k_heavy so serde
+# round-trips the heavy-hitter config; CMS1 blobs defaulted it to 64)
+_HEADER = struct.Struct("<4sII q I i")
 
 
 class CMS:
@@ -145,7 +147,8 @@ class CMS:
     def to_bytes(self) -> bytes:
         self._flush_pending()
         head = _HEADER.pack(
-            b"CMS1", self.depth, self.width, self.total, len(self.heavy)
+            b"CMS2", self.depth, self.width, self.total, len(self.heavy),
+            self.k_heavy,
         )
         hk = np.fromiter(self.heavy.keys(), dtype="<u8", count=len(self.heavy))
         hv = np.fromiter(self.heavy.values(), dtype="<i8", count=len(self.heavy))
@@ -158,10 +161,10 @@ class CMS:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CMS":
-        magic, depth, width, total, nh = _HEADER.unpack_from(data, 0)
-        if magic != b"CMS1":
+        magic, depth, width, total, nh, kh = _HEADER.unpack_from(data, 0)
+        if magic != b"CMS2":
             raise ValueError("not a CMS blob")
-        c = cls(depth=depth, width=width)
+        c = cls(depth=depth, width=width, k_heavy=kh)
         off = _HEADER.size
         c.table = (
             np.frombuffer(data, dtype="<i8", count=depth * width, offset=off)

@@ -285,3 +285,21 @@ def test_cms_string_updates_exact_when_wide():
     probes = np.array(["en", "fr", "zh", "de", "absent"], dtype=object)
     assert a.estimate_strings(probes).tolist() == [50, 30, 20, 7, 0]
     assert a.total == 107
+
+
+def test_cms_serde_roundtrips_k_heavy():
+    """k_heavy is part of the wire format: a heavy-hitter-disabled sketch
+    must stay disabled through serde (resumed/checkpointed builds)."""
+    import numpy as np
+
+    from tdigest_spark.sketch.cms import CMS
+
+    c = CMS(5, 1024, 0)
+    c.update_ints(np.arange(100))
+    r = CMS.from_bytes(c.to_bytes())
+    assert r.k_heavy == 0
+    r.update_ints(np.arange(100))
+    assert r._pending == []  # tracking stays off
+    c2 = CMS(3, 512, 16)
+    c2.update_ints(np.arange(50))
+    assert CMS.from_bytes(c2.to_bytes()).k_heavy == 16

@@ -28,6 +28,12 @@ DOCS = [
     ("d5", "short one"),
     ("d6", ""),
     ("d7", "the quick brown fox jumps over the lazy dog today"),
+    # whitespace-semantics parity: NBSP is NOT a separator (Java ASCII \s),
+    # leading tab survives F.trim (spaces only) and yields an empty token,
+    # multiple mixed ASCII whitespace collapses
+    ("d8", "alpha beta gamma delta epsilon"),
+    ("d9", "\tfoo bar baz qux quux"),
+    ("d10", "  spaced\t\nout   tokens here   "),
 ]
 
 

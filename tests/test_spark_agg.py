@@ -258,3 +258,20 @@ def test_build_weighted_digest_null_alignment(spark):
     d = build_weighted_digest(df, "v", "w", 0.01)
     assert d.n == 6.0  # 2 + 4
     assert [tuple(c) for c in d.centroids()] == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def test_sorted_and_agg_uint64_and_fallback():
+    """Counting-pass prep must accept unsigned dtypes (bincount rejects the
+    uint64->int64 'safe' cast) and fall back to sort outside the bound;
+    both paths return identical (sorted, unique, counts)."""
+    from tdigest_spark.operators.aggregate import sorted_and_agg
+
+    v = np.array([5, 2, 2, 1, 5, 5], dtype=np.uint64)
+    sv, (uv, uc) = sorted_and_agg(v, True, True)
+    assert sv.tolist() == [1, 2, 2, 5, 5, 5]
+    assert uv.tolist() == [1, 2, 5] and uv.dtype == v.dtype
+    assert uc.tolist() == [1, 2, 3]
+    big = np.array([1, 1 << 40, 7, 7], dtype=np.int64)  # beyond bincount bound
+    sv2, (uv2, uc2) = sorted_and_agg(big, True, True)
+    assert sv2.tolist() == sorted(big.tolist())
+    assert uv2.tolist() == [1, 7, 1 << 40] and uc2.tolist() == [1, 2, 1]
