@@ -62,7 +62,7 @@ def bench_table_path() -> Path:
         generate_sequence_table,
     )
 
-    # 256 files -> 8 task waves at local[32]: balanced under stragglers
+    # 256 uniform files; the build maps them onto one task per core
     return generate_sequence_table(
         default_cache_dir() / f"bench_n{BENCH_ROWS}",
         n_rows=BENCH_ROWS,
@@ -107,6 +107,11 @@ def token_sketch_build(
             "bloom_tokens": ("tokens", BLOOM_INTS(60000, 0.01)),
         },
         target_rows_per_split=8192,
+        # one task per core: the input files are uniform, so extra task
+        # waves only add scheduling + per-partial state serialize/collect/
+        # fold overhead (measured 1.6x wall-clock at local[32] with the
+        # default 4x waves)
+        partitions=spark.sparkContext.defaultParallelism,
     )
     dt = time.perf_counter() - t0
     total_tokens = int(sketches["td_tokens"].n)
@@ -164,12 +169,11 @@ def main() -> None:
         # Two-cluster-size proxy (north_rule: N vs 4N executors; no real
         # cluster in this sandbox): the same job on the same input at
         # local[1] vs local[4]. N=1 is chosen because this shared-host VM
-        # caps the job's aggregate memory bandwidth at ~120M tokens/s
-        # regardless of core count (a pure-compute probe also shows
-        # host-level throttling past ~8-16 runnable threads): after the
-        # kernel optimizations, 8+ workers sit AT that ceiling, so a
-        # higher-N ratio measures the hypervisor, not the engine. 1 -> 4
-        # keeps both levels below the ceiling and isolates engine scaling.
+        # stops scaling past ~8-16 runnable threads (a pure-compute probe
+        # shows 2->8 procs at 0.95 efficiency but 8->32 at 0.68 even for
+        # plain arithmetic): a higher-N ratio would measure the
+        # hypervisor's thread throttling, not the engine. 1 -> 4 keeps
+        # both levels in the linear region and isolates engine scaling.
         lo_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         hi_cpus = lo_cpus * 4
         # the sandbox host is shared and contention windows last minutes;
@@ -250,6 +254,7 @@ def main() -> None:
         build_sketch_grouped_scan(
             spark, str(path), "source", "tokens", TDIGEST(0.01),
             target_rows_per_split=8192,
+            partitions=spark.sparkContext.defaultParallelism,
         )
         dt = time.perf_counter() - t0
         grouped_s = dt if grouped_s is None else min(grouped_s, dt)
