@@ -47,17 +47,9 @@ class CMS:
                        np.uint64(self.width)).astype(np.int64)
         return cols
 
-    def update_ints(self, values: np.ndarray, counts=None) -> "CMS":
-        v = np.asarray(values)
-        if v.shape[0] == 0:
-            return self
-        if counts is not None:
-            # caller supplies pre-aggregated counts for unique keys
-            keys = v.astype(np.int64)
-            kcounts = np.asarray(counts, dtype=np.int64)
-        else:
-            keys, kcounts = np.unique(v.astype(np.int64), return_counts=True)
-        ukeys = keys.astype(np.uint64)
+    def _update_keys(self, ukeys: np.ndarray, kcounts: np.ndarray) -> "CMS":
+        """Shared ingest for unique uint64 keys with counts: table add,
+        total, heavy-hitter candidate tracking."""
         cols = self._rows(ukeys)
         for d in range(self.depth):
             np.add.at(self.table[d], cols[d], kcounts)
@@ -68,23 +60,26 @@ class CMS:
                 self._flush_pending()
         return self
 
+    def update_ints(self, values: np.ndarray, counts=None) -> "CMS":
+        v = np.asarray(values)
+        if v.shape[0] == 0:
+            return self
+        if counts is not None:
+            # caller supplies pre-aggregated counts for unique keys
+            keys = v.astype(np.int64)
+            kcounts = np.asarray(counts, dtype=np.int64)
+        else:
+            keys, kcounts = np.unique(v.astype(np.int64), return_counts=True)
+        return self._update_keys(keys.astype(np.uint64), kcounts)
+
     def update_strings(self, values) -> "CMS":
         """Ingest string values: hashed once (hash_strings), then counted
         under the same key-space ``estimate_strings`` probes."""
         v = np.asarray(values, dtype=object)
         if v.shape[0] == 0:
             return self
-        hashed = hash_strings(v)
-        keys, kcounts = np.unique(hashed, return_counts=True)
-        cols = self._rows(keys)
-        for d in range(self.depth):
-            np.add.at(self.table[d], cols[d], kcounts)
-        self.total += int(kcounts.sum())
-        if self.k_heavy > 0:
-            self._pending.append(keys)
-            if sum(p.shape[0] for p in self._pending) > 512 * 1024:
-                self._flush_pending()
-        return self
+        keys, kcounts = np.unique(hash_strings(v), return_counts=True)
+        return self._update_keys(keys, kcounts)
 
     def _estimate_keys(self, ukeys: np.ndarray) -> np.ndarray:
         cols = self._rows(ukeys)

@@ -214,9 +214,12 @@ class AutoDigest:
         delta: float = 0.01,
         ratio: float = 0.9,
         thresh: int = 1000,
+        is_string: bool = False,
     ):
         if mode not in ("auto", "disc", "cont"):
             raise ValueError(f"bad mode {mode!r}")
+        if is_string and mode == "cont":
+            raise ValueError("string values have no continuous mode")
         self.mode = mode
         self.delta = float(delta)
         self.ratio = float(ratio)
@@ -226,7 +229,11 @@ class AutoDigest:
             self.inner: TDigest | DiscreteDigest = TDigest(delta=delta)
             self.switched = True
         else:
-            self.inner = DiscreteDigest()
+            # string data stays an exact lexically-ranked map (reference
+            # Digest accepts strings in discrete mode,
+            # specs/discrete.spec.js:31-51; there is nothing continuous to
+            # switch to, so auto never converts a string digest)
+            self.inner = DiscreteDigest(is_string=is_string)
 
     @property
     def is_continuous(self) -> bool:
@@ -244,6 +251,8 @@ class AutoDigest:
     def _check_continuous(self) -> bool:
         if self.mode != "auto" or self.is_continuous:
             return False
+        if getattr(self.inner, "is_string", False):
+            return False
         dd = self.inner
         if dd.size >= self.thresh and dd.size and dd.n_unique / dd.size > self.ratio:
             self.inner = dd.to_tdigest(self.delta)
@@ -257,6 +266,13 @@ class AutoDigest:
         elif self.is_continuous:
             self.inner.merge(other.inner.to_tdigest(self.delta))
         elif other.is_continuous:
+            if self.mode == "disc":
+                # forced-discrete promises exact nearest-rank answers; a
+                # silent conversion to an approximate t-digest would break
+                # that contract — mixed-mode partials are a config error
+                raise ValueError(
+                    "cannot merge a continuous digest into mode='disc'"
+                )
             mine = self.inner.to_tdigest(self.delta)
             self.inner = mine.merge(other.inner)
             self.switched = True
@@ -297,7 +313,9 @@ class AutoDigest:
             thresh=thresh,
         )
         inner_blob = data[off:]
-        if inner_blob[:4] == b"TDG1":
+        from .tdigest import _MAGIC as _TD_MAGIC
+
+        if inner_blob[:4] == _TD_MAGIC:
             ad.inner = TDigest.from_bytes(inner_blob)
             ad.switched = True
         else:

@@ -36,30 +36,19 @@ def hash64_with_seed(x: np.ndarray, seed: int) -> np.ndarray:
 
 
 def hash_strings(values) -> np.ndarray:
-    """Deterministic uint64 hash of an iterable of strings.
+    """Deterministic uint64 hash of an iterable of strings: pandas' cython
+    siphash13 (fixed key, deterministic across processes/machines)
+    finalized with splitmix64.
 
-    Fast path: pandas' cython siphash13 (fixed key, deterministic across
-    processes/machines) finalized with splitmix64. Fallback: FNV-1a fold.
-    """
-    try:
-        import pandas as pd
+    Deliberately ONE hash family with no fallback: a silent per-host
+    fallback would let two executors hash the same string differently,
+    producing merged sketches that are internally inconsistent (Bloom
+    false negatives, wrong CMS/HLL string estimates) with no error ever
+    raised. pandas is a hard dependency of this package, so failure here
+    should fail loudly."""
+    import pandas as pd
 
-        h = pd.util.hash_pandas_object(
-            pd.Series(list(values), dtype=object), index=False
-        ).to_numpy(dtype=np.uint64)
-        return hash64(h)
-    except Exception:
-        pass
-    enc = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
-    out = np.empty(len(enc), dtype=np.uint64)
-    fnv_offset = 0xCBF29CE484222325
-    fnv_prime = 0x100000001B3
-    mask = 0xFFFFFFFFFFFFFFFF
-    for i, b in enumerate(enc):
-        h = fnv_offset
-        # fold 8 bytes at a time via int.from_bytes to keep Python work low
-        for j in range(0, len(b), 8):
-            h = (h ^ int.from_bytes(b[j : j + 8], "little")) * fnv_prime & mask
-        h = (h ^ len(b)) * fnv_prime & mask
-        out[i] = h
-    return hash64(out)
+    h = pd.util.hash_pandas_object(
+        pd.Series(list(values), dtype=object), index=False
+    ).to_numpy(dtype=np.uint64)
+    return hash64(h)

@@ -35,10 +35,11 @@ import numpy as np
 
 __all__ = ["TDigest"]
 
-_MAGIC = b"TDG1"
-# header: magic, mode(u1, 0=continuous), pad(3), delta f8, n f8, min f8,
-# max f8, ncentroids u4  -> then means f8[C], weights f8[C]
-_HEADER = struct.Struct("<4sB3xdddd I")
+_MAGIC = b"TDG2"
+# header: magic, mode(u1, 0=continuous), pad(3), delta f8, K f8, n f8,
+# min f8, max f8, ncentroids u4 -> then means <f8[C], weights <f8[C]
+# (TDG2 added K so a custom compression trigger survives serde/merge)
+_HEADER = struct.Struct("<4sB3xddddd I")
 
 
 def _capacity_merge(
@@ -307,19 +308,26 @@ class TDigest:
 
     def to_bytes(self) -> bytes:
         head = _HEADER.pack(
-            _MAGIC, 0, self.delta, self.n,
+            _MAGIC, 0, self.delta, float(self.K), self.n,
             self.vmin if self.size else np.nan,
             self.vmax if self.size else np.nan,
             self.size,
         )
-        return head + self.means.tobytes() + self.weights.tobytes()
+        # explicit little-endian payload: every other sketch serializer
+        # normalizes with astype('<'); native order would not round-trip
+        # on big-endian hosts or across mixed-endian clusters
+        return (
+            head
+            + self.means.astype("<f8", copy=False).tobytes()
+            + self.weights.astype("<f8", copy=False).tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
-        magic, mode, delta, n, vmin, vmax, c = _HEADER.unpack_from(data, 0)
+        magic, mode, delta, K, n, vmin, vmax, c = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or mode != 0:
             raise ValueError("not a TDigest blob")
-        td = cls(delta=delta)
+        td = cls(delta=delta, K=K)
         off = _HEADER.size
         td.means = np.frombuffer(data, dtype="<f8", count=c, offset=off).copy()
         off += 8 * c

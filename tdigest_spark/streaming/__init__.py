@@ -63,6 +63,32 @@ def dedup_stream(stream_df, id_cols: list[str], ts_col: str, delay: str = "1 hou
 # ---------------------------------------------------------------------------
 
 
+def _flat_values(series) -> "np.ndarray":
+    """pandas value column -> flat numpy values, matching the batch path's
+    ``_column_values`` semantics (operators/aggregate.py): null rows are
+    dropped, ``array<T>`` rows are flattened, strings stay an object
+    array. The naive ``np.concatenate`` over an object column crashes on
+    scalar strings / None rows (0-d arrays), and NaN from nullable
+    numerics must never reach int-keyed sketch hashes."""
+    import pandas as pd
+
+    vals = series.to_numpy()
+    if vals.dtype != object:
+        if vals.dtype.kind == "f":
+            return vals[~np.isnan(vals)]
+        return vals
+    items = [v for v in vals if v is not None and v is not pd.NA]
+    if not items:
+        return np.empty(0, dtype=np.float64)
+    first = items[0]
+    if isinstance(first, str):
+        return np.asarray(items, dtype=object)
+    if np.ndim(first) == 0:
+        arr = np.asarray(items, dtype=np.float64)
+        return arr[~np.isnan(arr)]
+    return np.concatenate([np.asarray(v) for v in items])
+
+
 def read_state(
     state_dir: str | Path, sketches: dict[str, tuple[str, SketchSpec]]
 ) -> dict[str, Any] | None:
@@ -235,14 +261,12 @@ def windowed_digests(
         else:
             sk, n = spec.make(), 0
         for pdf in pdfs:
-            vals = pdf["_val"].to_numpy()
-            if len(vals):
-                arr = np.asarray(vals)
-                if arr.dtype == object:
-                    arr = np.concatenate([np.asarray(v) for v in vals])
+            arr = _flat_values(pdf["_val"])
+            if arr.shape[0]:
                 spec.update(sk, arr)
-                n += len(arr)
-        state.update((sk.to_bytes(), n))
+                n += arr.shape[0]
+        sbytes = sk.to_bytes()
+        state.update((sbytes, n))
         # evict when the WATERMARK passes the window end — not at the next
         # watermark tick: an open window's state must survive triggers and
         # restarts until no on-time event can still reach it
@@ -255,7 +279,7 @@ def windowed_digests(
                 "key": [key[0]],
                 "window_start": [key[1]],
                 "n": [n],
-                "state": [sk.to_bytes()],
+                "state": [sbytes],
             }
         )
 

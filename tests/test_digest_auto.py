@@ -95,3 +95,38 @@ def test_auto_serde_roundtrip():
             np.asarray(d2.quantile([0.1, 0.5, 0.9]), dtype=np.float64),
             np.asarray(d.quantile([0.1, 0.5, 0.9]), dtype=np.float64),
         )
+
+
+def test_autodigest_string_discrete():
+    """Reference Digest accepts strings in discrete mode
+    (specs/discrete.spec.js:31-51); auto mode never converts a string
+    digest (nothing continuous to switch to)."""
+    from tdigest_spark.sketch.discrete import AutoDigest
+
+    a = AutoDigest(mode="disc", is_string=True)
+    a.push(["b", "a", "c", "a"])
+    assert a.quantile(0.5) == "a" and a.quantile(1.0) == "c"
+    r = AutoDigest.from_bytes(a.to_bytes())
+    assert r.quantile(0.5) == "a"
+    s = AutoDigest(mode="auto", is_string=True)
+    s.push([f"w{i}" for i in range(2000)])
+    assert not s.is_continuous
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AutoDigest(mode="cont", is_string=True)
+
+
+def test_autodigest_forced_disc_merge_guard():
+    """mode='disc' promises exact nearest-rank answers; merging in a
+    continuous digest must fail loudly, not silently approximate."""
+    import pytest as _pytest
+
+    from tdigest_spark.sketch.discrete import AutoDigest
+
+    cont = AutoDigest(mode="cont")
+    cont.push([1.0, 2.0, 3.0])
+    disc = AutoDigest(mode="disc")
+    disc.push([1.0, 1.0, 2.0])
+    with _pytest.raises(ValueError):
+        disc.merge(cont)

@@ -191,7 +191,10 @@ def test_trimmed_mean_identity_and_bounds(xs):
     d = TDigest(0.01).push(_arr(xs))
     exact_mean = float(np.mean(_arr(xs)))
     tm = d.trimmed_mean(0.0, 1.0)
-    scale = max(abs(exact_mean), 1.0)
+    # error scale is the magnitude of the summands, not of the mean:
+    # cancelling +/-1e9 values leave a tiny mean with ~1e-16*max|x|
+    # absolute fp error in BOTH the numpy mean and the digest sum
+    scale = max(float(np.max(np.abs(_arr(xs)))), 1.0)
     assert abs(tm - exact_mean) <= 1e-9 * scale + 1e-12
     inner = d.trimmed_mean(0.25, 0.75)
     assert min(xs) - 1e-9 <= inner <= max(xs) + 1e-9

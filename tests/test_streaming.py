@@ -339,3 +339,46 @@ def test_dedup_stream_within_watermark(spark, dirs, tmp_path):
     q.awaitTermination(300)
     got = spark.table("dedup_t").select("event_id").toPandas()["event_id"]
     assert sorted(got) == list(range(150))  # 150 distinct, no dup rows
+
+
+def test_windowed_digests_string_values_and_nulls(spark, tmp_path):
+    """The stateful update must flatten/drop like the batch path: string
+    value columns and null rows must not crash or be ingested."""
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE_STR
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+    from tdigest_spark.streaming import windowed_digests
+    import pyspark.sql.functions as F
+
+    ind = tmp_path / "str_in"
+    ind.mkdir(parents=True)
+    t0 = 1_700_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                ((t0 + np.arange(8) * 60) * 1_000_000).astype("int64")
+            ).cast(pa.timestamp("us")),
+            "k": pa.array(["a"] * 8),
+            "v": pa.array(["x", "y", None, "x", "z", None, "y", "x"]),
+        }
+    )
+    pq.write_table(tbl, ind / "f.parquet")
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v string")
+        .parquet(str(ind))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_digests(stream, "ts", "k", "v", TDIGEST_DISCRETE_STR(), 3600)
+    qn = "strwin_t"
+    q = (
+        out.writeStream.format("memory").queryName(qn)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(qn).toPandas().drop_duplicates(
+        subset=["key", "window_start"], keep="last"
+    )
+    assert len(rows) == 1
+    r = rows.iloc[0]
+    assert r["n"] == 6  # nulls dropped, not counted
+    d = DiscreteDigest.from_bytes(r["state"])
+    assert d.n == 6 and d.quantile(0.5) == "x"

@@ -220,3 +220,21 @@ def test_weighted_push_equals_expanded():
     # fractional weights are accepted too (reference allows any n > 0)
     c = TDigest(0.01).push(np.array([1.0, 2.0]), np.array([0.5, 1.5]))
     assert c.n == 2.0 and c.quantile(1.0) == 2.0
+
+
+def test_serde_roundtrips_K():
+    """A custom compression trigger (K) must survive serde — every merge
+    round-trips through from_bytes, so dropping K would silently restore
+    the default trigger."""
+    import numpy as np
+
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    t = TDigest(0.01, K=100.0)
+    t.push(np.arange(5000.0))
+    r = TDigest.from_bytes(t.to_bytes())
+    assert r.K == 100.0
+    assert r.to_bytes() == t.to_bytes()
+    t0 = TDigest(0.01, K=0)  # K=0 disables lazy compression
+    t0.push(np.arange(100.0))
+    assert TDigest.from_bytes(t0.to_bytes()).K == 0.0
