@@ -1683,9 +1683,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pred_lang, lang
         """,
         "doc_token_counts": r"""
+            -- blank text counts 0 words (a bare split yields [''] = 1)
             SELECT doc_id,
-                   LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
-                   LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   END AS n_tokens,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                   END
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id

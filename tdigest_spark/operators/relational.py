@@ -36,11 +36,19 @@ def asof_join(
     large-scale formulation.
     """
     lcols = left.columns
+    # right values travel in a per-right-row STRUCT: last(ignorenulls) must
+    # skip only the left rows' padding — a bare column would make a right
+    # row whose value IS null indistinguishable from padding and silently
+    # carry an older value forward
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        *[
+            F.lit(None)
+            .cast(f"struct<v: {right.schema[c].dataType.simpleString()}>")
+            .alias(f"_r_{c}")
+            for c in value_cols
+        ],
     )
     r_tag = right.select(
         *[
@@ -50,7 +58,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.struct(F.col(c).alias("v")).alias(f"_r_{c}") for c in value_cols],
     )
     both = l_tag.unionByName(r_tag)
     w = (
@@ -62,8 +70,8 @@ def asof_join(
         *lcols,
         "_side",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c2)
-            for c, c2 in zip(value_cols, [f"asof_{c}" for c in value_cols])
+            F.last(f"_r_{c}", ignorenulls=True).over(w)["v"].alias(f"asof_{c}")
+            for c in value_cols
         ],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
@@ -127,13 +135,21 @@ def bloom_semi_join(
     @pandas_udf("boolean")
     def might(keys: pd.Series) -> pd.Series:
         f = BloomFilter.from_bytes(blob)
-        return pd.Series(
-            f.might_contain_ints(keys.to_numpy(dtype=np.int64))
-        )
+        vals = keys.to_numpy()
+        if vals.dtype.kind == "f":  # nullable ints arrive as float64+NaN
+            mask = ~np.isnan(vals)
+            out = np.zeros(vals.shape[0], dtype=bool)
+            if mask.any():
+                out[mask] = f.might_contain_ints(
+                    vals[mask].astype(np.int64)
+                )
+            return pd.Series(out)
+        return pd.Series(f.might_contain_ints(vals.astype(np.int64)))
 
     pruned = left.where(might(F.col(left_key)))
+    # alias the right side: an unqualified right_key is AMBIGUOUS_REFERENCE
+    # whenever both sides use the same key name (the common case)
+    rkeys = right.select(F.col(right_key).alias("_bsj_rkey")).distinct()
     return pruned.join(
-        right.select(right_key).distinct(),
-        pruned[left_key] == F.col(right_key),
-        "left_semi",
+        rkeys, pruned[left_key] == rkeys["_bsj_rkey"], "left_semi"
     )

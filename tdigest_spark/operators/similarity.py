@@ -76,11 +76,22 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Append a 'bucket' int column = sign pattern of ``n_planes`` seeded
-    random hyperplanes. One numpy matmul per Arrow batch."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    random hyperplanes. One numpy matmul per Arrow batch.
+
+    Pass ``dim`` when known (ann_lsh_topk does): the fallback ``first()``
+    probe costs an extra Spark job over the upstream plan and fails on an
+    empty input."""
+    if dim is None:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            raise ValueError(
+                f"cannot infer {vec_col!r} dimension from an empty input; "
+                "pass dim= explicitly"
+            )
+        dim = int(dim_row["d"])
     planes = _plane_matrix(dim, n_planes, seed)
     cols = df.columns
 
@@ -118,13 +129,21 @@ def ann_lsh_topk(
     (multi-probe), then exact cosine on the candidates. At scale, bucket is a
     partition-pruning key (write bucketed parquet / Iceberg hidden
     partition): the scan itself prunes."""
+    from itertools import combinations
+
     q = np.asarray(query, dtype=np.float64)
     planes = _plane_matrix(q.shape[0], n_planes, seed)
     qsig = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
+    # all buckets within Hamming distance <= probe_hamming of the query's
+    # bucket (sum over r of C(n_planes, r) probes)
     probes = [qsig]
-    if probe_hamming >= 1:
-        probes += [qsig ^ (1 << i) for i in range(n_planes)]
-    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed)
+    for r in range(1, min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            probes.append(qsig ^ m)
+    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=q.shape[0])
     cands = bucketed.where(F.col("bucket").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)
 
@@ -248,7 +267,11 @@ def cosine_dup_pairs(
         "_b",
         F.least("_b", "_p").alias("_k1"),
         F.greatest("_b", "_p").alias("_k2"),
-    ).dropDuplicates(["_id", "_k1", "_k2"])
+        # no dedup needed: for fixed _b the sets {_b, _p} over distinct _p
+        # are already distinct — a dropDuplicates here would re-shuffle the
+        # replicated vector payloads (the heaviest data in the job) a
+        # second time for zero effect
+    )
 
     out_schema = "id_a long, id_b long, cosine double"
 

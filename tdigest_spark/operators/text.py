@@ -44,8 +44,10 @@ def token_count(col) -> Column:
 
 def bpe_ish_count(col) -> Column:
     """Rough subword count: words + digit runs + punctuation marks, the
-    cheap length heuristic pipelines use before real tokenization."""
-    words = F.size(F.split(F.trim(col), r"\s+"))
+    cheap length heuristic pipelines use before real tokenization.
+    Blank/empty text counts 0 words (same rule as ``word_tokens``; a bare
+    split would yield [''] = 1)."""
+    words = F.size(word_tokens(col))
     puncts = F.size(F.split(col, r"[^\w\s]")) - F.lit(1)
     return words + puncts
 

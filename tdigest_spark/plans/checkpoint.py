@@ -140,6 +140,7 @@ class CheckpointedBuild:
                 key, splits = batch
                 t0 = time.perf_counter()
                 # reuse the scan kernel loop by inlining its per-split work
+                from ..operators.aggregate import sorted_and_agg as _sorted_and_agg
                 from ..operators.scan import _column_values_arrow
 
                 import pyarrow.parquet as _pq
@@ -158,9 +159,34 @@ class CheckpointedBuild:
                     rows += tbl.num_rows
                     cache = {c: _column_values_arrow(tbl.column(c)) for c in cols}
                     values_seen += sum(v.shape[0] for v in cache.values())
+                    # same shared one-prep-per-column dispatch as the scan
+                    # kernel (sorted_and_agg: bincount or sort once, feed
+                    # every sketch on the column)
+                    prep: dict = {}
+                    for c, vals in cache.items():
+                        if vals.dtype.kind in "iub" and vals.shape[0]:
+                            wa = any(
+                                specs[n].update_agg is not None
+                                for n in names
+                                if col_of[n] == c
+                            )
+                            ws = any(
+                                specs[n].update_sorted is not None
+                                for n in names
+                                if col_of[n] == c
+                            )
+                            prep[c] = _sorted_and_agg(vals, wa, ws)
                     for n in names:
-                        vals = cache[col_of[n]]
-                        if vals.shape[0]:
+                        c = col_of[n]
+                        vals = cache[c]
+                        if not vals.shape[0]:
+                            continue
+                        sv, agg = prep.get(c, (None, None))
+                        if specs[n].update_agg is not None and agg is not None:
+                            specs[n].update_agg(sks[n], *agg)
+                        elif specs[n].update_sorted is not None and sv is not None:
+                            specs[n].update_sorted(sks[n], sv)
+                        else:
                             specs[n].update(sks[n], vals)
                     lineage.append(
                         {
@@ -188,13 +214,24 @@ class CheckpointedBuild:
                     pa.Table.from_pylist([row]), tmp, compression="zstd"
                 )
                 tmp.replace(target)
-                return {k: v for k, v in row.items() if k != "lineage"}
+                # the durable file is the result; don't pickle ~MB of state
+                # bytes back to the driver just to be discarded by count()
+                return row["batch_key"]
 
             sc = spark.sparkContext
             sc.parallelize(todo, len(todo)).map(run_batch).count()
 
         # merge only from what is durably on disk (the checkpoint is the
-        # source of truth; a re-read also validates the files round-trip)
-        all_rows = list(self.completed().values())
+        # source of truth; a re-read also validates the files round-trip) —
+        # and ONLY the current plan's batches: the dir may hold stale files
+        # from an earlier run with different paths/split params, and merging
+        # everything in the dir would double-count those rows silently
+        done = self.completed()
+        missing = [k for k, _ in plan if k not in done]
+        if missing:
+            raise RuntimeError(
+                f"checkpoint incomplete: {len(missing)} batches missing"
+            )
+        all_rows = [done[k] for k, _ in plan]
         merged = merge_partials(all_rows, self.names, self.specs)
         return {n: self.specs[n].from_bytes(merged[n]) for n in self.names}

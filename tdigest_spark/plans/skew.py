@@ -19,7 +19,7 @@ Skew shows up twice in sketch pipelines over source-skewed sequence tables
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["salted_repartition", "skew_report"]
@@ -40,15 +40,21 @@ def salted_repartition(
 def skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """Per-key share of rows + imbalance factor vs uniform — the
     observability half of skew handling. Returns
-    DataFrame[key, n_rows, share, imbalance]."""
-    total = df.count()
-    n_keys = df.select(key_col).distinct().count()
+    DataFrame[key, n_rows, share, imbalance].
+
+    One scan: total rows and key count come from window sums over the
+    per-key aggregate (#keys rows), not separate count()/distinct()
+    jobs that would rescan — and possibly recompute — ``df``."""
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
     return (
-        df.groupBy(F.col(key_col).alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.col("n_rows") / F.lit(float(total)))
+        per_key.withColumn(
+            "share", F.col("n_rows") / F.sum("n_rows").over(w)
+        )
         .withColumn(
-            "imbalance", F.col("share") * F.lit(float(n_keys))
+            "imbalance", F.col("share") * F.count(F.lit(1)).over(w)
         )
         .orderBy(F.desc("n_rows"))
     )

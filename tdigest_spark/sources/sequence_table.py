@@ -101,6 +101,14 @@ def generate_sequence_table(
                 return path
         except Exception:
             pass
+        # a stale marker must die BEFORE the data it vouches for: if this
+        # regeneration crashes midway, the next run must NOT find the old
+        # marker matching its params and return with wrong files on disk
+        marker.unlink()
+    if path.exists():
+        # crashed earlier runs may leave part files with no marker; a
+        # smaller regeneration would otherwise leave stale extra parts
+        # that spark.read.parquet happily includes
         for f in path.glob("*.parquet"):
             f.unlink()
     path.mkdir(parents=True, exist_ok=True)
