@@ -1317,7 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_quantity ORDER BY mean
         """,
         "tdigest_quantity_cdf": f"""
-            SELECT x,
+            SELECT CAST(x AS DOUBLE) AS x,
                    (SUM(CASE WHEN l_quantity < x THEN 1 ELSE 0 END)
                     + SUM(CASE WHEN l_quantity = x THEN 1 ELSE 0 END) / 2.0)
                    / COUNT(*) AS cdf

@@ -1,7 +1,8 @@
 """Scalar sketch-query functions over state columns.
 
 Arrow-batched pandas UDFs (never row-at-a-time Python UDFs) that evaluate
-sketch queries against serialized state BinaryType columns — the Spark
+sketch queries against serialized state BinaryType columns. All follow SQL
+NULL-in -> NULL-out semantics (outer joins produce null states) — the Spark
 analogue of the reference's query entry points percentile/p_rank
 (/root/reference/tdigest.js:272-310, 216-255)."""
 
@@ -158,7 +159,9 @@ def digest_quantile(state_col, p: float):
     @pandas_udf("double")
     def q(states: pd.Series) -> pd.Series:
         return states.map(
-            lambda b: float(TDigest.from_bytes(bytes(b)).quantile(p))
+            lambda b: None
+            if b is None
+            else float(TDigest.from_bytes(bytes(b)).quantile(p))
         )
 
     return q(state_col)
@@ -169,7 +172,11 @@ def digest_cdf(state_col, x: float):
 
     @pandas_udf("double")
     def c(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: float(TDigest.from_bytes(bytes(b)).cdf(x)))
+        return states.map(
+            lambda b: None
+            if b is None
+            else float(TDigest.from_bytes(bytes(b)).cdf(x))
+        )
 
     return c(state_col)
 
@@ -180,7 +187,9 @@ def digest_trimmed_mean(state_col, lo: float, hi: float):
     @pandas_udf("double")
     def t(states: pd.Series) -> pd.Series:
         return states.map(
-            lambda b: float(TDigest.from_bytes(bytes(b)).trimmed_mean(lo, hi))
+            lambda b: None
+            if b is None
+            else float(TDigest.from_bytes(bytes(b)).trimmed_mean(lo, hi))
         )
 
     return t(state_col)
@@ -191,7 +200,9 @@ def digest_count(state_col):
 
     @pandas_udf("double")
     def n(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: float(TDigest.from_bytes(bytes(b)).n))
+        return states.map(
+            lambda b: None if b is None else float(TDigest.from_bytes(bytes(b)).n)
+        )
 
     return n(state_col)
 
@@ -201,7 +212,9 @@ def digest_size(state_col):
 
     @pandas_udf("long")
     def s(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: TDigest.from_bytes(bytes(b)).size)
+        return states.map(
+            lambda b: None if b is None else TDigest.from_bytes(bytes(b)).size
+        )
 
     return s(state_col)
 
@@ -211,7 +224,9 @@ def hll_estimate(state_col):
 
     @pandas_udf("double")
     def e(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: HLL.from_bytes(bytes(b)).estimate())
+        return states.map(
+            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
+        )
 
     return e(state_col)
 
@@ -221,7 +236,11 @@ def kll_quantile(state_col, p: float):
 
     @pandas_udf("double")
     def q(states: pd.Series) -> pd.Series:
-        return states.map(lambda b: float(KLL.from_bytes(bytes(b)).quantile(p)))
+        return states.map(
+            lambda b: None
+            if b is None
+            else float(KLL.from_bytes(bytes(b)).quantile(p))
+        )
 
     return q(state_col)
 
@@ -232,7 +251,9 @@ def bloom_might_contain_int(state_col, value: int):
     @pandas_udf("boolean")
     def m(states: pd.Series) -> pd.Series:
         return states.map(
-            lambda b: bool(
+            lambda b: None
+            if b is None
+            else bool(
                 BloomFilter.from_bytes(bytes(b)).might_contain_ints(
                     np.array([value])
                 )[0]
@@ -248,7 +269,9 @@ def cms_estimate_int(state_col, value: int):
     @pandas_udf("long")
     def e(states: pd.Series) -> pd.Series:
         return states.map(
-            lambda b: int(
+            lambda b: None
+            if b is None
+            else int(
                 CMS.from_bytes(bytes(b)).estimate_ints(np.array([value]))[0]
             )
         )

@@ -24,7 +24,6 @@ fanout × state_size bytes.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Callable, Iterator
 
@@ -53,6 +52,7 @@ __all__ = [
     "weighted_digest_partials",
     "partials_df",
     "merge_partials",
+    "fold_states",
     "sorted_and_agg",
     "tree_merge_states",
 ]
@@ -356,27 +356,32 @@ def partials_df(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]]) -> D
     return sel.mapInArrow(build, schema_str)
 
 
+def fold_states(states: list[bytes], spec: SketchSpec) -> bytes:
+    """Deterministic balanced binary-tree fold of serialized states: sort
+    by bytes first (result independent of collection order), then a fixed
+    pairing tree (merge is associative-after-sort). The one fold used by
+    every merge path — driver-side, scan-path groupByKey, tree rounds."""
+    states = sorted(states)
+    while len(states) > 1:
+        nxt = []
+        for i in range(0, len(states), 2):
+            if i + 1 < len(states):
+                nxt.append(spec.merge_bytes(states[i], states[i + 1]))
+            else:
+                nxt.append(states[i])
+        states = nxt
+    return states[0] if states else spec.make().to_bytes()
+
+
 def merge_partials(
     pdf_rows: list, names: list[str], specs: dict[str, SketchSpec]
 ) -> dict[str, bytes]:
-    """Deterministic driver-side binary-tree fold of collected partial rows.
-
-    Rows are sorted by their serialized bytes first so the result is
-    independent of collection order (commutativity), then folded as a fixed
-    balanced tree (determinism; merge is associative-after-sort)."""
-    out: dict[str, bytes] = {}
-    for n in names:
-        states = sorted(r[f"state_{n}"] for r in pdf_rows)
-        while len(states) > 1:
-            nxt = []
-            for i in range(0, len(states), 2):
-                if i + 1 < len(states):
-                    nxt.append(specs[n].merge_bytes(states[i], states[i + 1]))
-                else:
-                    nxt.append(states[i])
-            states = nxt
-        out[n] = states[0] if states else specs[n].make().to_bytes()
-    return out
+    """Deterministic driver-side fold of collected partial rows (see
+    ``fold_states``)."""
+    return {
+        n: fold_states([r[f"state_{n}"] for r in pdf_rows], specs[n])
+        for n in names
+    }
 
 
 def build_sketches(
@@ -451,19 +456,34 @@ def tree_merge_states(
     states_df: DataFrame,
     spec: SketchSpec,
     state_col: str = "state",
-    depth: int | None = None,
+    fanout: int = 16,
 ) -> bytes:
-    """Scale path for very large partial counts: RDD ``treeAggregate`` over
-    serialized states (per BASELINE.json north_star) — executors combine
-    locally, then log-depth intermediate combiner stages, so the driver only
-    ever receives O(1) states. Safe because merge is commutative (sort-based)
-    and associative within the sketch's error envelope."""
+    """Scale path for very large partial counts: log-depth distributed
+    rounds over serialized states (treeAggregate-style, per BASELINE.json
+    north_star) — each round groups ~``fanout`` states per task and folds
+    them, so the driver only ever receives O(1) states.
+
+    Deterministic by construction, unlike a raw ``treeAggregate`` whose
+    combiner order is scheduling-dependent: every round sorts states by
+    bytes, assigns contiguous rank groups, and folds each group with the
+    shared deterministic ``fold_states`` — t-digest/KLL merges are only
+    associative within the error bound, so merge ORDER must be pinned for
+    run-to-run reproducibility (states are O(16 KB)-O(1 MB); the extra
+    sortBy shuffles touch only state bytes, never data rows)."""
     rdd = states_df.select(state_col).rdd.map(lambda r: bytes(r[0]))
-    nparts = max(rdd.getNumPartitions(), 2)
-    if depth is None:
-        depth = max(2, int(math.ceil(math.log(nparts, 4))))
-    out = rdd.treeAggregate(None, spec.merge_bytes, spec.merge_bytes, depth=depth)
-    return out if out is not None else spec.make().to_bytes()
+    n = rdd.count()
+    if n == 0:
+        return spec.make().to_bytes()
+    while n > fanout:
+        rdd = (
+            rdd.sortBy(lambda b: b)
+            .zipWithIndex()
+            .map(lambda bi: (bi[1] // fanout, bi[0]))
+            .groupByKey(numPartitions=max(1, n // fanout))
+            .map(lambda kv: fold_states(list(kv[1]), spec))
+        )
+        n = rdd.count()
+    return fold_states(rdd.collect(), spec)
 
 
 def build_sketch_grouped(
@@ -492,16 +512,27 @@ def build_sketch_grouped(
         acc: dict[tuple, Any] = {}
         counts: dict[tuple, int] = {}
         for pdf in pdfs:
-            for kr, sub in pdf.groupby(group_cols, sort=False):
+            # dropna=False: a NULL group key is a real group (Spark's own
+            # groupBy keeps it; pandas' default silently drops the rows)
+            for kr, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(kr, tuple):
                     kr = (kr,)
                 if is_list:
-                    arrs = sub[column].to_numpy()
-                    vals = (
-                        np.concatenate(arrs) if arrs.shape[0] else np.empty(0)
-                    )
+                    arrs = [
+                        a for a in sub[column].to_numpy() if a is not None
+                    ]
+                    vals = np.concatenate(arrs) if arrs else np.empty(0)
                 else:
                     vals = sub[column].to_numpy()
+                    if vals.dtype.kind == "f":
+                        # nullable numerics arrive as float64 + NaN; the
+                        # batch path drops nulls (_column_values) — the
+                        # grouped path must match or results diverge
+                        vals = vals[~np.isnan(vals)]
+                    elif vals.dtype == object:
+                        vals = np.asarray(
+                            [v for v in vals if v is not None], dtype=object
+                        )
                 if kr not in acc:
                     acc[kr] = spec.make()
                     counts[kr] = 0
@@ -511,7 +542,14 @@ def build_sketch_grouped(
         if acc:
             ks = list(acc.keys())
             out = {
-                c: [str(k[i]) for k in ks] for i, c in enumerate(group_cols)
+                # null group keys (None, or NaN from pandas' null coding)
+                # stay NULL in the output — Spark's groupBy keeps the null
+                # group in the merge phase, same as its own aggregations
+                c: [
+                    None if (k[i] is None or k[i] != k[i]) else str(k[i])
+                    for k in ks
+                ]
+                for i, c in enumerate(group_cols)
             }
             out["state"] = [acc[k].to_bytes() for k in ks]
             out["rows"] = [counts[k] for k in ks]

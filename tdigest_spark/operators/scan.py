@@ -30,7 +30,13 @@ from typing import Any, Iterator
 
 import numpy as np
 
-from .aggregate import SketchSpec, merge_partials, sorted_and_agg
+from .aggregate import (
+    SketchSpec,
+    _column_values,
+    fold_states,
+    merge_partials,
+    sorted_and_agg,
+)
 
 __all__ = [
     "parquet_splits",
@@ -45,6 +51,20 @@ class _Split:
     path: str
     row_groups: tuple[int, ...]
     rows: int
+
+
+def _normalize_paths(paths: list[str] | str) -> list[str]:
+    import glob
+    import os
+
+    if isinstance(paths, str):
+        p = paths
+        return (
+            sorted(glob.glob(os.path.join(p, "*.parquet")))
+            if os.path.isdir(p)
+            else [p]
+        )
+    return list(paths)
 
 
 def parquet_splits(
@@ -75,29 +95,9 @@ def parquet_splits(
     return splits
 
 
-def _column_values_arrow(col) -> np.ndarray:
-    import pyarrow as pa
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-        # fast path: a full (non-sliced, null-free) list array's child
-        # buffer IS the flattened data — .values is zero-copy, while
-        # .flatten() materializes a copy (measured 360x slower)
-        if (
-            col.offset == 0
-            and col.null_count == 0
-            and int(col.offsets[0].as_py()) == 0
-            and len(col.values) == int(col.offsets[-1].as_py())
-        ):
-            col = col.values
-        else:
-            col = col.flatten()
-    if col.null_count:
-        col = col.drop_null()
-    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        return np.asarray(col.to_pylist(), dtype=object)
-    return col.to_numpy(zero_copy_only=False)
+# one extractor for both build paths: the list-flatten fast-path guard
+# must never diverge between them (they are asserted bit-identical)
+_column_values_arrow = _column_values
 
 
 def scan_partials_rdd(
@@ -241,16 +241,7 @@ def build_sketches_scan(
     to ``aggregate.build_sketches`` over the same rows (deterministic
     sort-based merge; verified in tests/test_scan_path.py).
     """
-    if isinstance(paths, str):
-        import glob
-        import os
-
-        p = paths
-        paths = (
-            sorted(glob.glob(os.path.join(p, "*.parquet")))
-            if os.path.isdir(p)
-            else [p]
-        )
+    paths = _normalize_paths(paths)
     names = list(sketches.keys())
     specs = {n: spec for n, (_, spec) in sketches.items()}
     rows = scan_partials_rdd(
@@ -278,16 +269,7 @@ def build_sketch_grouped_scan(
     grouping belongs to aggregate.build_sketch_grouped's shuffle.
 
     Returns {key: sketch object} (keys stringified)."""
-    if isinstance(paths, str):
-        import glob
-        import os
-
-        p = paths
-        paths = (
-            sorted(glob.glob(os.path.join(p, "*.parquet")))
-            if os.path.isdir(p)
-            else [p]
-        )
+    paths = _normalize_paths(paths)
     splits = parquet_splits(paths, target_rows_per_split)
 
     def run_partition(it: Iterator[_Split]) -> Iterator[tuple[str, bytes]]:
@@ -300,6 +282,8 @@ def build_sketch_grouped_scan(
                 list(sp.row_groups), columns=[group_col, column],
                 use_threads=False,
             )
+            if tbl.num_rows == 0:
+                continue  # empty part file -> empty split (valid input)
             keys = np.asarray(
                 tbl.column(group_col).combine_chunks().to_pylist(), dtype=object
             )
@@ -361,20 +345,10 @@ def build_sketch_grouped_scan(
         .mapPartitions(run_partition)
         .groupByKey()  # #keys x #partitions tiny state rows
         .mapValues(
-            lambda states: _fold_states(sorted(states), spec)
+            lambda states: fold_states(sorted(states), spec)
         )
         .collect()
     )
     return {k: spec.from_bytes(v) for k, v in pairs}
 
 
-def _fold_states(states: list[bytes], spec: SketchSpec) -> bytes:
-    while len(states) > 1:
-        nxt = []
-        for i in range(0, len(states), 2):
-            if i + 1 < len(states):
-                nxt.append(spec.merge_bytes(states[i], states[i + 1]))
-            else:
-                nxt.append(states[i])
-        states = nxt
-    return states[0]

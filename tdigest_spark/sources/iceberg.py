@@ -27,7 +27,13 @@ def has_iceberg(spark: SparkSession) -> bool:
     except Exception:
         return False
     confs = spark.sparkContext.getConf().getAll()
-    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+    # require a catalog whose implementation IS Iceberg: any non-Iceberg
+    # spark.sql.catalog.* entry (e.g. Delta's) with Iceberg jars merely on
+    # the classpath must not reroute plain table names to the iceberg reader
+    return any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
+        for k, v in confs
+    )
 
 
 def read_sequences(spark: SparkSession, source: str) -> DataFrame:

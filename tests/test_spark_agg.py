@@ -275,3 +275,42 @@ def test_sorted_and_agg_uint64_and_fallback():
     sv2, (uv2, uc2) = sorted_and_agg(big, True, True)
     assert sv2.tolist() == sorted(big.tolist())
     assert uv2.tolist() == [1, 7, 1 << 40] and uc2.tolist() == [1, 2, 1]
+
+
+def test_tree_merge_states_deterministic(spark, seq_table):
+    """The distributed fan-in must be run-to-run reproducible: t-digest
+    merges are only associative within the error bound, so merge order is
+    pinned (sorted rank groups + shared deterministic fold)."""
+    from tdigest_spark.operators.aggregate import TDIGEST, partials_df, tree_merge_states
+
+    parts = partials_df(
+        seq_table.repartition(13), {"d": ("n_tok", TDIGEST(0.01))}
+    )
+    parts = parts.cache()
+    a = tree_merge_states(parts, TDIGEST(0.01), state_col="state_d", fanout=4)
+    b = tree_merge_states(parts, TDIGEST(0.01), state_col="state_d", fanout=4)
+    parts.unpersist()
+    assert a == b  # bit-identical across runs
+
+
+def test_build_sketch_grouped_nulls(spark):
+    """Null group keys form a real group; null values are dropped (same
+    rule as the ungrouped path) instead of corrupting digests."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST_DISCRETE,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0), (None, 3.0), (None, None)],
+        "k string, v double",
+    ).coalesce(2)
+    rows = {
+        r["k"]: r for r in build_sketch_grouped(df, ["k"], "v", TDIGEST_DISCRETE()).collect()
+    }
+    assert set(rows) == {"a", None}
+    da = DiscreteDigest.from_bytes(rows["a"]["state"])
+    assert da.n == 2 and rows["a"]["rows"] == 3  # rows counts all, digest drops nulls
+    dn = DiscreteDigest.from_bytes(rows[None]["state"])
+    assert dn.n == 1 and float(dn.quantile(1.0)) == 3.0
