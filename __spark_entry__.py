@@ -409,6 +409,29 @@ def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_tree_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-2 scale path end-to-end: per-partition partial states merged
+    by the DETERMINISTIC distributed tree rounds (tree_merge_states —
+    sorted rank groups, log-depth fan-in; the treeAggregate analogue per
+    the north_star) instead of the driver-side fold. Singleton-value
+    centroids make the result exact, so the oracle equals the plain
+    quantile interpolation SQL."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST,
+        partials_df,
+        tree_merge_states,
+    )
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    li = _t(spark, sf_dir, "lineitem").repartition(8)
+    parts = partials_df(li, {"d": ("l_quantity", TDIGEST(0.01))})
+    blob = tree_merge_states(parts, TDIGEST(0.01), state_col="state_d", fanout=4)
+    d = TDigest.from_bytes(blob)
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    rows = [(p, float(np.round(d.quantile(p), 6))) for p in ps]
+    return spark.createDataFrame(rows, "p double, q double").orderBy("p")
+
+
 def tdigest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """summary() surface (tdigest.js:59-68): n, centroid count, and the
     five-point min/Q1/median/Q3/max summary of the distributed digest.
@@ -1091,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
         "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
         "tdigest_summary": tdigest_summary,
+        "tdigest_tree_merged_quantiles": tdigest_tree_merged_quantiles,
         "discrete_quantile_quantity": discrete_quantile_quantity,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
@@ -1378,6 +1402,86 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
             ORDER BY p
+        """,
+        "tdigest_tree_merged_quantiles": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.95)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets ORDER BY p
+        """,
+        "tdigest_summary": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.25),(0.5),(0.75)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(0.0 AS DOUBLE) AS p, MIN(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            UNION ALL
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets
+            UNION ALL
+            SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            ORDER BY p
+        """,
+        "tdigest_weighted_quantiles": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(SUM(l_linenumber) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.95)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets ORDER BY p
         """,
         "tdigest_weighted_quantiles": """
             WITH cent AS (
