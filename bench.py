@@ -42,17 +42,15 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1440000"))
 
 
 def make_spark(cpus: int):
-    from pyspark.sql import SparkSession
+    # the engine's own tuned session (AQE, Arrow, coalescePartitions): the
+    # benchmark must measure the same configs every other harness runs under
+    from tdigest_spark.sources.tables import get_spark
 
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"tdigest-spark-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    return get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"tdigest-spark-bench-{cpus}",
+        shuffle_partitions=max(cpus, 8),
     )
 
 
@@ -155,7 +153,7 @@ def run_headline(spark) -> dict[str, float]:
             df = qs[name](spark, SF_DIR)
             n = df.count()
             dt = time.perf_counter() - t0
-            assert n >= 0
+            assert n > 0, name + " returned no rows"
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
     return out

@@ -6,13 +6,14 @@ transform is an Arrow-batched ``mapInPandas``/``mapInArrow`` stage —
 map-only, no shuffle, pipelined with the parquet scan. The actual codecs
 (PIL/ffmpeg/soundfile) are NOT in this container, so the decode kernels are
 STUBBED behind ``_HAVE_CODECS`` with a deterministic fake decoder
-(xxhash-seeded PRNG pixels/samples derived from the payload bytes); the
+(blake2b-payload-seeded PRNG pixels/samples); the
 Spark-side plumbing — schemas, batch iteration, output shapes,
 partition-preserving layout — is real and tested. Swap `_fake_decode_*`
 for the real library call and nothing else changes.
 
-Schema conventions:
-    media(doc_id string, kind string, payload binary, meta struct<...>)
+Schema conventions (see MEDIA_SCHEMA below — flat typed metadata columns,
+not a nested struct, so parquet stats/pruning apply per field):
+    media(doc_id, kind, payload binary, width, height, sample_rate, n_frames)
     image features -> array<float> embedding-ready vectors
     audio features -> frame-level array<float>
     video          -> sampled frames as array<binary>
@@ -125,7 +126,8 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
 
 
 def image_resize_features(df: DataFrame, side: int = 16) -> DataFrame:
-    """Decode -> center-crop-resize (nearest) -> flatten to a float feature
+    """Decode -> grid-subsample resize (nearest, top-left aligned) ->
+    flatten to a float feature
     vector of fixed length side*side: the embedding-ready shape. Output is
     array<float> so it plugs straight into the similarity operators."""
     sel = df.where(df.kind == "image").select(

@@ -51,7 +51,12 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        local_n = master.split("[")[-1].rstrip("]") if "[" in master else cpus
+        # local[N] or local[N,maxFailures]; '*' means all cores
+        local_n = (
+            master.split("[")[-1].rstrip("]").split(",")[0]
+            if "[" in master
+            else cpus
+        )
         shuffle_partitions = 32 if local_n == "*" else max(int(local_n), 8)
     return (
         SparkSession.builder.master(master)

@@ -56,7 +56,10 @@ def main() -> int:
     bad = []
     for name, (min_bc, forbid_smj, want_push) in AUDITS.items():
         df = qs[name](spark, sf_dir)
-        df.count()  # force AQE final plan
+        # collect() executes THIS df's QueryExecution so the adaptive plan
+        # finalizes (a count() runs a derived plan and leaves this one at
+        # isFinalPlan=false, hiding AQE's SMJ->BHJ / skew-split decisions)
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         n_bc = plan.count("BroadcastHashJoin")
         n_smj = plan.count("SortMergeJoin")
@@ -65,7 +68,21 @@ def main() -> int:
             p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p
         ]
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        widths = [len(s.split(",")) for s in schemas]
+        # count only TOP-LEVEL fields: commas inside nested types
+        # (map<string,int>, struct<...>) must not inflate the width
+
+        def _width(s: str) -> int:
+            depth, n = 0, 1
+            for ch in s:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    n += 1
+            return n
+
+        widths = [_width(s) for s in schemas]
         ok = (
             n_bc >= min_bc
             and (not forbid_smj or n_smj == 0)

@@ -5,13 +5,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-TABLE="${1:-.cache/seqtable/bench_n1440000}"
-if [ ! -d "$TABLE" ]; then
-    echo "generating bench table..." >&2
-    python - <<'EOF'
-from bench import bench_table_path
-bench_table_path()
-EOF
+# default to the same table bench.py uses (honors SPARK_GRAFT_BENCH_ROWS)
+if [ $# -ge 1 ]; then
+    TABLE="$1"
+    if [ ! -d "$TABLE" ]; then
+        echo "ERROR: table dir not found: $TABLE" >&2
+        exit 1
+    fi
+else
+    echo "resolving bench table (generates on first run)..." >&2
+    TABLE="$(python -c 'from bench import bench_table_path; print(bench_table_path())')"
 fi
 
 ZIP=.cache/tdigest_spark.zip
@@ -26,11 +29,18 @@ z.close()
 EOF
 )
 
+LOG=.cache/spark-submit.log
 for CORES in 2 8; do
     echo "== spark-submit --master local[$CORES] ==" >&2
-    spark-submit --master "local[$CORES]" \
+    # stderr goes to a log, not /dev/null: on failure the driver traceback
+    # is the only diagnostic there is
+    if ! spark-submit --master "local[$CORES]" \
         --conf spark.ui.enabled=false \
         --conf spark.driver.memory=16g \
         --py-files "$ZIP" \
-        tools/submit_job.py "$TABLE" 2>/dev/null
+        tools/submit_job.py "$TABLE" 2>"$LOG"; then
+        echo "spark-submit failed; last stderr lines:" >&2
+        tail -30 "$LOG" >&2
+        exit 1
+    fi
 done

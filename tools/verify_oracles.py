@@ -23,7 +23,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 9)
+        # 12 significant digits, not absolute decimals: an absolute
+        # round(v, 9) is bit-exact for 1e8-scale aggregates (flaky on
+        # summation-order noise) yet sloppy for tiny values
+        return float(f"{v:.12g}")
     return v
 
 
@@ -44,6 +47,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not let THE gate exit 0 having checked nothing
+        print(f"ERROR: unknown queries: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
