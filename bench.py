@@ -218,7 +218,13 @@ def main() -> None:
             "cores_hi": hi_cpus,
             "tokens_per_sec_lo": round(results[lo_cpus]),
             "tokens_per_sec_hi": round(results[hi_cpus]),
+            # paired-attempt max (see sample_pair) — the headline statistic
             "efficiency": round(eff, 3),
+            # ratio of global bests for transparency: biased LOW on this
+            # host (the 1-core level samples calm windows more easily)
+            "efficiency_global_best": round(
+                (results[hi_cpus] / results[lo_cpus]) / (hi_cpus / lo_cpus), 3
+            ),
         }
 
     spark = make_spark(CPUS)
