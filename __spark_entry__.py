@@ -111,6 +111,25 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry surface: TPC-H Q6 written as a plain ``spark.sql`` string
+    over a registered view (same text runs on DuckDB). Catalyst pushes the
+    three predicates into the scan; aggregation is a single partial+final
+    pass with no shuffle of rows."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -1095,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue_sql": q6_forecast_revenue_sql,
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
@@ -1187,6 +1207,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        "q6_forecast_revenue_sql": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "events_type_stats": """
             SELECT event_type,
