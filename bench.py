@@ -140,22 +140,23 @@ def run_headline(spark) -> dict[str, float]:
     # first timed query doesn't absorb cold-start costs
     for t in ["lineitem", "orders", "customer", "events", "documents"]:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    # best-of-2 per query: the shared host has multi-minute contention
-    # windows (BASELINE.md §D) that can inflate a single run 3-6x with no
-    # local load. clearCache() before each timed run keeps the second run
-    # honest (queries that persist intermediates rebuild them — we measure
-    # warm-plan, cold-cache latency, not a cache hit).
-    for name in headline:
-        best = None
-        for _ in range(2):
+    # best-of-2 per query, taken as two full passes over the WHOLE list:
+    # the shared host has multi-minute contention windows (BASELINE.md §D)
+    # that can inflate a run 3-6x with no local load, and back-to-back
+    # repeats of one query sit inside the same window — separating a
+    # query's two reps by the rest of the suite (minutes) samples two
+    # windows for the same total cost. clearCache() before each timed run
+    # keeps every rep honest (queries that persist intermediates rebuild
+    # them — we measure warm-plan, cold-cache latency, not a cache hit).
+    for _ in range(2):
+        for name in headline:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
             dt = time.perf_counter() - t0
             assert n > 0, name + " returned no rows"
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+            out[name] = round(min(out.get(name, dt), dt), 3)
     return out
 
 
