@@ -633,6 +633,40 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, within_bound boolean")
 
 
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: union = register-max merge (the sketch's native
+    set op), intersection via inclusion-exclusion. Each estimate must sit
+    within the published 1.04/sqrt(m) envelope (3 sigma; the I-E
+    difference compounds all three) of the exact count. Estimates are
+    deterministic (fixed hash seeds), so the booleans are stable."""
+    from tdigest_spark.operators.aggregate import HLL_INTS, build_sketch
+    from tdigest_spark.sketch.hll import HLL
+
+    li = _t(spark, sf_dir, "lineitem")
+    a_df = li.where(F.col("l_quantity") < 10)
+    b_df = li.where(F.col("l_quantity") > 40)
+    ha = build_sketch(a_df, "l_orderkey", HLL_INTS(14))
+    hb = build_sketch(b_df, "l_orderkey", HLL_INTS(14))
+    hu = HLL.from_bytes(ha.to_bytes())
+    hu.merge(hb)
+    ea, eb, eu = ha.estimate(), hb.estimate(), hu.estimate()
+    ei = ea + eb - eu
+    xa = a_df.select("l_orderkey").distinct().count()
+    xb = b_df.select("l_orderkey").distinct().count()
+    xu = a_df.select("l_orderkey").union(b_df.select("l_orderkey")).distinct().count()
+    xi = xa + xb - xu
+    sigma = 3 * 1.04 / (2**14) ** 0.5
+    rows = [
+        ("a", bool(abs(ea - xa) <= sigma * xa)),
+        ("b", bool(abs(eb - xb) <= sigma * xb)),
+        ("union", bool(abs(eu - xu) <= sigma * xu)),
+        ("intersect", bool(abs(ei - xi) <= sigma * (xa + xb + xu))),
+    ]
+    return spark.createDataFrame(
+        rows, "set_op string, within_bound boolean"
+    ).orderBy("set_op")
+
+
 def bloom_partkey_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Bloom filter over lineitem.l_partkey probed with every
     key present: no false negatives, ever (bit-OR merge preserves this)."""
@@ -1144,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_digest_functions": grouped_digest_functions,
         "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
+        "hll_set_algebra": hll_set_algebra,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
@@ -1674,6 +1709,13 @@ def oracle_sql() -> dict[str, str]:
               ('l_orderkey', TRUE), ('l_partkey', TRUE),
               ('l_quantity', TRUE), ('l_suppkey', TRUE)
             ) t(column_name, within_bound)
+        """,
+        "hll_set_algebra": """
+            SELECT 'a' AS set_op, TRUE AS within_bound
+            UNION ALL SELECT 'b', TRUE
+            UNION ALL SELECT 'intersect', TRUE
+            UNION ALL SELECT 'union', TRUE
+            ORDER BY set_op
         """,
         "bloom_partkey_membership": """
             SELECT DISTINCT l_partkey, TRUE AS might_contain
