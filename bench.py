@@ -29,6 +29,10 @@ import sys
 import time
 from pathlib import Path
 
+# module-level for pandas_udf type-hint resolution (PEP 563 strings are
+# resolved in the module namespace)
+import pandas as pd
+
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
@@ -144,12 +148,11 @@ def run_headline(spark) -> dict[str, float]:
     # ~10s worker/Arrow ramp that survives clearCache — absorb it here so
     # the first UDF-bearing query measures steady state, as on a
     # long-running cluster
-    import pandas as _pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
+    def _warm(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(32 * 8192, numPartitions=32).select(
