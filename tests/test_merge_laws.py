@@ -106,3 +106,34 @@ def test_min_max_exact_through_merges():
     assert m.quantile(0.0) == xs.min()
     assert m.quantile(1.0) == xs.max()
     assert m.n == xs.size
+
+
+def test_wide_fanin_fold_deterministic_and_exact():
+    """A 500-way fold of single-batch partials equals the serial digest
+    built from all rows (exact below the compression trigger), independent
+    of input order — the driver-side fan-in at realistic partition counts."""
+    import numpy as np
+
+    from tdigest_spark.operators.aggregate import TDIGEST, fold_states
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    batches = [rng.integers(0, 500, 40) for _ in range(500)]
+    states = [
+        TDigest(0.01).push(b.astype(np.float64)).to_bytes() for b in batches
+    ]
+    spec = TDIGEST(0.01)
+    folded = fold_states(states, spec)
+    # order independence: fold of a shuffled copy is bit-identical
+    perm = list(states)
+    rng.shuffle(perm)
+    assert fold_states(perm, spec) == folded
+    serial = TDigest(0.01).push(
+        np.concatenate(batches).astype(np.float64)
+    )
+    got = TDigest.from_bytes(folded)
+    assert got.n == serial.n
+    # exact multiset: 500 distinct values, all singleton centroids
+    assert [tuple(c) for c in got.centroids()] == [
+        tuple(c) for c in serial.centroids()
+    ]
