@@ -451,6 +451,32 @@ def tdigest_tree_merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable checkpointed build end-to-end (north_rule: 'resumable
+    from checkpoint with per-partition lineage + metrics'): a first build
+    writes durable batch states + lineage; a second independent
+    CheckpointedBuild over the same dir returns the identical digest with
+    ZERO batches re-scanned (verified via its metrics), and the quantiles
+    carry the same closed-form oracle as the direct build."""
+    import tempfile
+
+    from tdigest_spark.operators.aggregate import TDIGEST
+    from tdigest_spark.plans.checkpoint import CheckpointedBuild
+
+    path = f"{sf_dir}/lineitem.parquet"
+    with tempfile.TemporaryDirectory() as ckpt:
+        cb1 = CheckpointedBuild(ckpt, {"d": ("l_quantity", TDIGEST(0.01))})
+        first = cb1.run(spark, path)["d"]
+        cb2 = CheckpointedBuild(ckpt, {"d": ("l_quantity", TDIGEST(0.01))})
+        resumed = cb2.run(spark, path)["d"]
+        metrics = cb2.metrics()
+    assert resumed.to_bytes() == first.to_bytes()
+    assert len(metrics) >= 1 and all(m["rows"] > 0 for m in metrics)
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    rows = [(p, float(np.round(resumed.quantile(p), 6))) for p in ps]
+    return spark.createDataFrame(rows, "p double, q double").orderBy("p")
+
+
 def tdigest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """summary() surface (tdigest.js:59-68): n, centroid count, and the
     five-point min/Q1/median/Q3/max summary of the distributed digest.
@@ -1169,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
         "tdigest_summary": tdigest_summary,
         "tdigest_tree_merged_quantiles": tdigest_tree_merged_quantiles,
+        "tdigest_checkpoint_resume": tdigest_checkpoint_resume,
         "discrete_quantile_quantity": discrete_quantile_quantity,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
@@ -1413,6 +1440,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY x ORDER BY x
         """,
         "tdigest_quantity_quantiles": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.95)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets ORDER BY p
+        """,
+        "tdigest_summary": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT mean, w,
+                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.25),(0.5),(0.75)) t(p)
+            ), brackets AS (
+              SELECT p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY p
+            )
+            SELECT CAST(0.0 AS DOUBLE) AS p, MIN(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            UNION ALL
+            SELECT CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
+            FROM brackets
+            UNION ALL
+            SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+            ORDER BY p
+        """,
+        "tdigest_checkpoint_resume": """
             WITH cent AS (
               SELECT CAST(l_quantity AS DOUBLE) AS mean,
                      CAST(COUNT(*) AS DOUBLE) AS w
