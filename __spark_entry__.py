@@ -1519,95 +1519,10 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
             FROM brackets ORDER BY p
         """,
-        "tdigest_summary": """
-            WITH cent AS (
-              SELECT CAST(l_quantity AS DOUBLE) AS mean,
-                     CAST(COUNT(*) AS DOUBLE) AS w
-              FROM lineitem GROUP BY l_quantity
-            ), cum AS (
-              SELECT mean, w,
-                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
-                     SUM(w) OVER () AS n
-              FROM cent
-            ), ps AS (
-              SELECT * FROM (VALUES (0.25),(0.5),(0.75)) t(p)
-            ), brackets AS (
-              SELECT p,
-                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
-                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
-                     ANY_VALUE(n) AS n
-              FROM ps, cum GROUP BY p
-            )
-            SELECT CAST(0.0 AS DOUBLE) AS p, MIN(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
-            UNION ALL
-            SELECT CAST(p AS DOUBLE) AS p,
-                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
-            FROM brackets
-            UNION ALL
-            SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
-            ORDER BY p
-        """,
         "tdigest_tree_merged_quantiles": """
             WITH cent AS (
               SELECT CAST(l_quantity AS DOUBLE) AS mean,
                      CAST(COUNT(*) AS DOUBLE) AS w
-              FROM lineitem GROUP BY l_quantity
-            ), cum AS (
-              SELECT mean, w,
-                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
-                     SUM(w) OVER () AS n
-              FROM cent
-            ), ps AS (
-              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.95)) t(p)
-            ), brackets AS (
-              SELECT p,
-                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
-                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
-                     ANY_VALUE(n) AS n
-              FROM ps, cum GROUP BY p
-            )
-            SELECT CAST(p AS DOUBLE) AS p,
-                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
-            FROM brackets ORDER BY p
-        """,
-        "tdigest_summary": """
-            WITH cent AS (
-              SELECT CAST(l_quantity AS DOUBLE) AS mean,
-                     CAST(COUNT(*) AS DOUBLE) AS w
-              FROM lineitem GROUP BY l_quantity
-            ), cum AS (
-              SELECT mean, w,
-                     SUM(w) OVER (ORDER BY mean) - w / 2 AS mc,
-                     SUM(w) OVER () AS n
-              FROM cent
-            ), ps AS (
-              SELECT * FROM (VALUES (0.25),(0.5),(0.75)) t(p)
-            ), brackets AS (
-              SELECT p,
-                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
-                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
-                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
-                     ANY_VALUE(n) AS n
-              FROM ps, cum GROUP BY p
-            )
-            SELECT CAST(0.0 AS DOUBLE) AS p, MIN(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
-            UNION ALL
-            SELECT CAST(p AS DOUBLE) AS p,
-                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
-            FROM brackets
-            UNION ALL
-            SELECT CAST(1.0 AS DOUBLE) AS p, MAX(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
-            ORDER BY p
-        """,
-        "tdigest_weighted_quantiles": """
-            WITH cent AS (
-              SELECT CAST(l_quantity AS DOUBLE) AS mean,
-                     CAST(SUM(l_linenumber) AS DOUBLE) AS w
               FROM lineitem GROUP BY l_quantity
             ), cum AS (
               SELECT mean, w,
@@ -1827,7 +1742,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "skewed_source_salted_agg": """
-            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source ORDER BY source
         """,
         "doc_exact_dedup": """
@@ -1845,7 +1761,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_lang_counts": """
-            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "ngram_jaccard_dup_pairs": r"""

@@ -35,9 +35,14 @@ def canon_duck(t) -> str:
     t = str(t).upper()
     if t.startswith("DECIMAL"):
         return "decimal"  # always a mismatch: oracles must CAST to DOUBLE
+    if t == "HUGEINT":
+        # DuckDB SUM(BIGINT/INT) widens to int128; Spark has no int128, and
+        # the driver hashes values type-sensitively — oracles must CAST to
+        # BIGINT (or DOUBLE). Treat like DECIMAL: always a mismatch.
+        return "hugeint"
     return {
         "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int",
-        "TINYINT": "int", "HUGEINT": "int", "DOUBLE": "float",
+        "TINYINT": "int", "DOUBLE": "float",
         "FLOAT": "float", "REAL": "float", "VARCHAR": "str",
         "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
     }.get(t, t.lower())
