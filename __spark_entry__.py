@@ -927,11 +927,12 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing end-to-end on driver data: document
     text becomes an opaque binary payload with typed image metadata, then
     the Arrow-batched mapInPandas decode stage emits per-channel stats.
-    The decode stub is a deterministic payload-seeded PRNG (the real codec
-    is not in this container — operators/multimodal.py), so results are
-    stable across runs/partitionings but not SQL-expressible: rows-only
-    driver check; the schema/batching/partition plumbing is what's under
-    test here (plus tests/test_multimodal.py)."""
+    The decode stub (the real codec is not in this container —
+    operators/multimodal.py) generates pixel i = splitmix64(md5_seed XOR i)
+    & 255, which is exactly reproducible in DuckDB SQL
+    (_media_stats_oracle_sql) — so even the stubbed multimodal path gets a
+    full hash-match oracle at any scale factor, and the Spark-side
+    schema/batching/partition plumbing is tested end-to-end."""
     from tdigest_spark.operators.multimodal import decode_image_stats
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
@@ -952,11 +953,12 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signatures (JVM gram hashing +
-    one vectorized bit-vote kernel), pairs within Hamming distance 3 via
+    """SimHash near-dup candidates: 64-bit signatures (one vectorized
+    md5-hash + bit-vote kernel), pairs within Hamming distance 3 via
     4-band exact-match blocking (pigeonhole: any pair with <=3 differing
-    bits shares at least one of 4 16-bit bands). No SQL oracle (xxhash64
-    banding); rows-only check."""
+    bits shares at least one of 4 16-bit bands). Fully oracled: md5-lower-64
+    gram hashes and the majority vote are reproduced in SQL
+    (_simhash_oracle_sql)."""
     from tdigest_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents")
@@ -1054,9 +1056,10 @@ def events_hourly_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates with exact-jaccard verification.
-    No SQL oracle (banding uses Spark's xxhash64, not reproducible in
-    DuckDB): the driver records the rows-only check; exact-jaccard coverage
-    is oracled by ngram_jaccard_dup_pairs on the same table."""
+    Fully oracled: base hashing is md5-lower-64 (DuckDB md5_number_lower)
+    and banding joins on raw signature slots, so the exact candidate set —
+    not just the verified jaccards — is reproduced in SQL
+    (_minhash_oracle_sql)."""
     from tdigest_spark.operators.dedup import lsh_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1226,6 +1229,164 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
+
+
+# --- generated oracle SQL for the hash-pipeline queries ------------------
+#
+# The dedup/multimodal operators hash with md5-lower-64 (DuckDB
+# ``md5_number_lower``) and splitmix64 / multiply-add permutations over
+# uint64 — all reproducible in DuckDB via UHUGEINT mod-2^64 arithmetic
+# (xor()/>>/& stay in UBIGINT). These builders inline the permutation
+# constants so the SQL is self-contained for the driver.
+
+_U64_MOD = "18446744073709551616"
+_GRAMS_CTE = r"""
+        words AS (
+          SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 {gram_expr} AS g
+          FROM words, UNNEST(range(1, {i_bound})) AS t(i)
+          WHERE len(w) >= {n}
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM words WHERE len(w) < {n}
+        )"""
+
+
+def _grams_cte(n: int) -> str:
+    gram_expr = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    # w is 1-based and range() is end-exclusive: i runs 1 .. len(w)-n+1,
+    # one gram per window -> exclusive bound len(w) - n + 2
+    i_bound = f"len(w) - {n - 2}" if n > 2 else "len(w)"
+    return _GRAMS_CTE.format(gram_expr=gram_expr, n=n, i_bound=i_bound)
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Exact SQL twin of lsh_candidate_pairs(engine='arrow'): same shingle
+    sets, same md5-lower-64 base hash, same multiply-add permutations mod
+    2^64, same per-band raw-slot-equality candidate set, same exact-Jaccard
+    filter (tdigest_spark/operators/dedup.py)."""
+    from tdigest_spark.operators.dedup import MINHASH_A, MINHASH_B
+
+    r = k // bands
+    A, B = MINHASH_A(k), MINHASH_B(k)
+    perm_vals = ",".join(f"({j},{int(A[j])},{int(B[j])})" for j in range(k))
+    return f"""
+        WITH {_grams_cte(3)}, hv AS (
+          SELECT doc_id, CAST(md5_number_lower(g) AS UHUGEINT) AS h FROM grams
+        ), perm AS (
+          SELECT j, CAST(a AS UHUGEINT) AS a, CAST(b AS UHUGEINT) AS b
+          FROM (VALUES {perm_vals}) t(j, a, b)
+        ), sig AS (
+          SELECT doc_id, j, MIN(CAST((h * a + b) % {_U64_MOD} AS UBIGINT)) AS s
+          FROM hv, perm GROUP BY doc_id, j
+        ), bandkey AS (
+          SELECT doc_id, j // {r} AS band, LIST(s ORDER BY j) AS key
+          FROM sig GROUP BY doc_id, band
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bandkey x JOIN bandkey y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+        ), inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.id_a
+          JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql(ngram: int = 2, max_hamming: int = 3) -> str:
+    """Exact SQL twin of simhash_dup_candidates: md5-lower-64 gram hashes,
+    per-bit majority vote, 4x16-bit band blocking, Hamming filter
+    (tdigest_spark/operators/dedup.py simhash64)."""
+    pow2 = ",".join(f"({j},{1 << j})" for j in range(64))
+    return f"""
+        WITH {_grams_cte(ngram)}, hv AS (
+          SELECT doc_id, md5_number_lower(g) AS h FROM grams
+        ), bitsidx AS (
+          SELECT j, CAST(p AS HUGEINT) AS p FROM (VALUES {pow2}) t(j, p)
+        ), votes AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                 COUNT(*) AS n, ANY_VALUE(p) AS p
+          FROM hv, bitsidx GROUP BY doc_id, j
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN 2 * ones > n THEN p ELSE 0 END) AS UBIGINT) AS s
+          FROM votes GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, s, bb AS band, (s >> (16 * bb)) & 65535 AS bh
+          FROM sh, UNNEST([0, 1, 2, 3]) AS u(bb)
+        ), pairs AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.s AS sa, y.s AS sb
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+def _media_stats_oracle_sql() -> str:
+    """Exact SQL twin of media_decode_stats: the stub decoder's pixel i is
+    splitmix64(md5_seed XOR i) & 255 (operators/multimodal.py
+    _fake_decode_image), regenerated here per (doc, pixel) row. Channel
+    c = i % 3 (C-order RGB); gray = per-pixel channel mean; std is the
+    two-pass population form matching numpy's .std()."""
+    golden, c1, c2 = 11400714819323198485, 13787848793156543929, 10723151780598845931
+    return f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 16 + LENGTH(text) % 16 AS w,
+                 16 + (LENGTH(text) // 7) % 16 AS h,
+                 CAST(md5_number_lower(text) AS UBIGINT) AS seed
+          FROM documents WHERE doc_id < 100
+        ), px AS (
+          SELECT doc_id, i,
+                 (CAST(xor(seed, CAST(i AS UBIGINT)) AS UHUGEINT) + {golden})
+                   % {_U64_MOD} AS z0,
+                 CAST((CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30)
+                   AS UHUGEINT) * {c1}) % {_U64_MOD} AS UBIGINT) AS z1,
+                 CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * {c2})
+                   % {_U64_MOD} AS UBIGINT) AS z2,
+                 CAST(xor(z2, z2 >> 31) & 255 AS DOUBLE) AS v
+          FROM base, UNNEST(range(w * h * 3)) AS t(i)
+        ), gray AS (
+          SELECT doc_id, i // 3 AS p, AVG(v) AS gv
+          FROM px GROUP BY doc_id, p
+        ), gstat AS (
+          SELECT g.doc_id, SQRT(AVG((g.gv - m.mu) * (g.gv - m.mu))) AS std_gray
+          FROM gray g
+          JOIN (SELECT doc_id, AVG(gv) AS mu FROM gray GROUP BY doc_id) m
+            ON m.doc_id = g.doc_id
+          GROUP BY g.doc_id
+        ), chan AS (
+          SELECT doc_id,
+                 AVG(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+                 AVG(CASE WHEN i % 3 = 1 THEN v END) AS mean_g
+          FROM px GROUP BY doc_id
+        )
+        SELECT c.doc_id, ROUND(c.mean_r, 6) AS mean_r,
+               ROUND(c.mean_g, 6) AS mean_g,
+               ROUND(s.std_gray, 6) AS std_gray
+        FROM chan c JOIN gstat s ON s.doc_id = c.doc_id
+        ORDER BY c.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1792,6 +1953,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
             ORDER BY id_a, id_b
         """,
+        "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
+        "simhash_dup_candidates": _simhash_oracle_sql(ngram=2, max_hamming=3),
+        "media_decode_stats": _media_stats_oracle_sql(),
         "doc_quality_scores": r"""
             WITH base AS (
               SELECT doc_id, text,

@@ -4,7 +4,12 @@ Arrow-batched pandas UDFs (never row-at-a-time Python UDFs) that evaluate
 sketch queries against serialized state BinaryType columns. All follow SQL
 NULL-in -> NULL-out semantics (outer joins produce null states) — the Spark
 analogue of the reference's query entry points percentile/p_rank
-(/root/reference/tdigest.js:272-310, 216-255)."""
+(/root/reference/tdigest.js:272-310, 216-255).
+
+Deserialization is memoized per Arrow batch: probing ONE broadcast state
+against millions of rows parses the state bytes once per batch, not once
+per row (a fresh dict per batch, so grouped-digest workloads with millions
+of distinct states can't accumulate an unbounded cache across batches)."""
 
 from __future__ import annotations
 
@@ -29,6 +34,23 @@ __all__ = [
 ]
 
 
+def _batch_loader(cls):
+    """Per-batch memoized `cls.from_bytes`: one deserialization per
+    distinct state value per Arrow batch. Call INSIDE the UDF body so the
+    cache dies with the batch."""
+    cache: dict[bytes, object] = {}
+
+    def load(b):
+        key = bytes(b)
+        obj = cache.get(key)
+        if obj is None:
+            obj = cls.from_bytes(key)
+            cache[key] = obj
+        return obj
+
+    return load
+
+
 def register_sql_functions(spark, prefix: str = "") -> list[str]:
     """Register the sketch-query surface as SQL functions (two-arg forms:
     the scalar parameter is a column, so they compose in `spark.sql`
@@ -48,11 +70,10 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("double")
     def _dq(states: pd.Series, ps: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return pd.Series(
             [
-                None
-                if _null(b, p)
-                else float(TDigest.from_bytes(bytes(b)).quantile(float(p)))
+                None if _null(b, p) else float(load(b).quantile(float(p)))
                 for b, p in zip(states, ps)
             ],
             dtype="float64",
@@ -60,11 +81,10 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("double")
     def _dc(states: pd.Series, xs: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return pd.Series(
             [
-                None
-                if _null(b, x)
-                else float(TDigest.from_bytes(bytes(b)).cdf(float(x)))
+                None if _null(b, x) else float(load(b).cdf(float(x)))
                 for b, x in zip(states, xs)
             ],
             dtype="float64",
@@ -72,15 +92,12 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("double")
     def _dt(states: pd.Series, los: pd.Series, his: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return pd.Series(
             [
                 None
                 if _null(b, lo, hi)
-                else float(
-                    TDigest.from_bytes(bytes(b)).trimmed_mean(
-                        float(lo), float(hi)
-                    )
-                )
+                else float(load(b).trimmed_mean(float(lo), float(hi)))
                 for b, lo, hi in zip(states, los, his)
             ],
             dtype="float64",
@@ -88,17 +105,15 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("double")
     def _he(states: pd.Series) -> pd.Series:
-        return states.map(
-            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
-        )
+        load = _batch_loader(HLL)
+        return states.map(lambda b: None if b is None else load(b).estimate())
 
     @pandas_udf("double")
     def _kq(states: pd.Series, ps: pd.Series) -> pd.Series:
+        load = _batch_loader(KLL)
         return pd.Series(
             [
-                None
-                if _null(b, p)
-                else float(KLL.from_bytes(bytes(b)).quantile(float(p)))
+                None if _null(b, p) else float(load(b).quantile(float(p)))
                 for b, p in zip(states, ps)
             ],
             dtype="float64",
@@ -106,15 +121,12 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("boolean")
     def _bm(states: pd.Series, vs: pd.Series) -> pd.Series:
+        load = _batch_loader(BloomFilter)
         return pd.Series(
             [
                 None
                 if _null(b, v)
-                else bool(
-                    BloomFilter.from_bytes(bytes(b)).might_contain_ints(
-                        np.array([int(v)])
-                    )[0]
-                )
+                else bool(load(b).might_contain_ints(np.array([int(v)]))[0])
                 for b, v in zip(states, vs)
             ],
             dtype="object",
@@ -122,13 +134,12 @@ def register_sql_functions(spark, prefix: str = "") -> list[str]:
 
     @pandas_udf("long")
     def _ce(states: pd.Series, vs: pd.Series) -> pd.Series:
+        load = _batch_loader(CMS)
         return pd.Series(
             [
                 None
                 if _null(b, v)
-                else int(
-                    CMS.from_bytes(bytes(b)).estimate_ints(np.array([int(v)]))[0]
-                )
+                else int(load(b).estimate_ints(np.array([int(v)]))[0])
                 for b, v in zip(states, vs)
             ],
             dtype="object",
@@ -158,10 +169,9 @@ def digest_quantile(state_col, p: float):
 
     @pandas_udf("double")
     def q(states: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return states.map(
-            lambda b: None
-            if b is None
-            else float(TDigest.from_bytes(bytes(b)).quantile(p))
+            lambda b: None if b is None else float(load(b).quantile(p))
         )
 
     return q(state_col)
@@ -172,11 +182,8 @@ def digest_cdf(state_col, x: float):
 
     @pandas_udf("double")
     def c(states: pd.Series) -> pd.Series:
-        return states.map(
-            lambda b: None
-            if b is None
-            else float(TDigest.from_bytes(bytes(b)).cdf(x))
-        )
+        load = _batch_loader(TDigest)
+        return states.map(lambda b: None if b is None else float(load(b).cdf(x)))
 
     return c(state_col)
 
@@ -186,10 +193,9 @@ def digest_trimmed_mean(state_col, lo: float, hi: float):
 
     @pandas_udf("double")
     def t(states: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return states.map(
-            lambda b: None
-            if b is None
-            else float(TDigest.from_bytes(bytes(b)).trimmed_mean(lo, hi))
+            lambda b: None if b is None else float(load(b).trimmed_mean(lo, hi))
         )
 
     return t(state_col)
@@ -200,9 +206,8 @@ def digest_count(state_col):
 
     @pandas_udf("double")
     def n(states: pd.Series) -> pd.Series:
-        return states.map(
-            lambda b: None if b is None else float(TDigest.from_bytes(bytes(b)).n)
-        )
+        load = _batch_loader(TDigest)
+        return states.map(lambda b: None if b is None else float(load(b).n))
 
     return n(state_col)
 
@@ -212,9 +217,8 @@ def digest_size(state_col):
 
     @pandas_udf("long")
     def s(states: pd.Series) -> pd.Series:
-        return states.map(
-            lambda b: None if b is None else TDigest.from_bytes(bytes(b)).size
-        )
+        load = _batch_loader(TDigest)
+        return states.map(lambda b: None if b is None else load(b).size)
 
     return s(state_col)
 
@@ -224,9 +228,8 @@ def hll_estimate(state_col):
 
     @pandas_udf("double")
     def e(states: pd.Series) -> pd.Series:
-        return states.map(
-            lambda b: None if b is None else HLL.from_bytes(bytes(b)).estimate()
-        )
+        load = _batch_loader(HLL)
+        return states.map(lambda b: None if b is None else load(b).estimate())
 
     return e(state_col)
 
@@ -236,10 +239,9 @@ def kll_quantile(state_col, p: float):
 
     @pandas_udf("double")
     def q(states: pd.Series) -> pd.Series:
+        load = _batch_loader(KLL)
         return states.map(
-            lambda b: None
-            if b is None
-            else float(KLL.from_bytes(bytes(b)).quantile(p))
+            lambda b: None if b is None else float(load(b).quantile(p))
         )
 
     return q(state_col)
@@ -250,14 +252,11 @@ def bloom_might_contain_int(state_col, value: int):
 
     @pandas_udf("boolean")
     def m(states: pd.Series) -> pd.Series:
+        load = _batch_loader(BloomFilter)
         return states.map(
             lambda b: None
             if b is None
-            else bool(
-                BloomFilter.from_bytes(bytes(b)).might_contain_ints(
-                    np.array([value])
-                )[0]
-            )
+            else bool(load(b).might_contain_ints(np.array([value]))[0])
         )
 
     return m(state_col)
@@ -268,12 +267,11 @@ def cms_estimate_int(state_col, value: int):
 
     @pandas_udf("long")
     def e(states: pd.Series) -> pd.Series:
+        load = _batch_loader(CMS)
         return states.map(
             lambda b: None
             if b is None
-            else int(
-                CMS.from_bytes(bytes(b)).estimate_ints(np.array([value]))[0]
-            )
+            else int(load(b).estimate_ints(np.array([value]))[0])
         )
 
     return e(state_col)
@@ -313,12 +311,11 @@ def digest_quantiles(state_col, ps: list[float]):
 
     @pandas_udf("array<double>")
     def q(states: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return states.map(
             lambda b: [
                 float(x)
-                for x in np.atleast_1d(
-                    TDigest.from_bytes(bytes(b)).quantile(np.array(pvec))
-                )
+                for x in np.atleast_1d(load(b).quantile(np.array(pvec)))
             ]
         )
 
@@ -334,12 +331,10 @@ def digest_cdfs(state_col, xs: list[float]):
 
     @pandas_udf("array<double>")
     def c(states: pd.Series) -> pd.Series:
+        load = _batch_loader(TDigest)
         return states.map(
             lambda b: [
-                float(x)
-                for x in np.atleast_1d(
-                    TDigest.from_bytes(bytes(b)).cdf(np.array(xvec))
-                )
+                float(x) for x in np.atleast_1d(load(b).cdf(np.array(xvec)))
             ]
         )
 

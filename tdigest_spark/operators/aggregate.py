@@ -470,20 +470,33 @@ def tree_merge_states(
     associative within the error bound, so merge ORDER must be pinned for
     run-to-run reproducibility (states are O(16 KB)-O(1 MB); the extra
     sortBy shuffles touch only state bytes, never data rows)."""
+    from pyspark import StorageLevel
+
+    # persist the input states and each round's fold: sortBy (sampling
+    # job) + zipWithIndex + count() + the final collect() each re-execute
+    # their lineage otherwise, so the upstream partials build — including
+    # its data scan — would run ~3x per round
     rdd = states_df.select(state_col).rdd.map(lambda r: bytes(r[0]))
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
     n = rdd.count()
     if n == 0:
+        rdd.unpersist(blocking=False)
         return spec.make().to_bytes()
     while n > fanout:
-        rdd = (
+        folded = (
             rdd.sortBy(lambda b: b)
             .zipWithIndex()
             .map(lambda bi: (bi[1] // fanout, bi[0]))
             .groupByKey(numPartitions=max(1, n // fanout))
             .map(lambda kv: fold_states(list(kv[1]), spec))
         )
-        n = rdd.count()
-    return fold_states(rdd.collect(), spec)
+        folded.persist(StorageLevel.MEMORY_AND_DISK)
+        n = folded.count()
+        rdd.unpersist(blocking=False)
+        rdd = folded
+    out = fold_states(rdd.collect(), spec)
+    rdd.unpersist(blocking=False)
+    return out
 
 
 def build_sketch_grouped(
@@ -497,12 +510,17 @@ def build_sketch_grouped(
     (``groupBy(keys).applyInPandas``). Raw rows never shuffle — at 100 TB the
     exchange moves #partitions × #keys × O(16 KB), not the data.
 
-    Returns DataFrame[group_cols..., state binary, rows long]."""
+    Returns DataFrame[group_cols..., state binary, rows long] — group keys
+    keep their NATIVE Spark types (round 1 stringified them, losing key
+    types on output)."""
     import pandas as pd
 
     sel = df.select(*group_cols, column)
     part_schema = (
-        ", ".join(f"{c} string" for c in group_cols) + ", state binary, rows long"
+        ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+        )
+        + ", state binary, rows long"
     )
     is_list = df.schema[column].dataType.typeName() == "array"
 
@@ -544,9 +562,10 @@ def build_sketch_grouped(
             out = {
                 # null group keys (None, or NaN from pandas' null coding)
                 # stay NULL in the output — Spark's groupBy keeps the null
-                # group in the merge phase, same as its own aggregations
+                # group in the merge phase, same as its own aggregations;
+                # non-null keys pass through with their native values
                 c: [
-                    None if (k[i] is None or k[i] != k[i]) else str(k[i])
+                    None if (k[i] is None or k[i] != k[i]) else k[i]
                     for k in ks
                 ]
                 for i, c in enumerate(group_cols)
@@ -558,13 +577,11 @@ def build_sketch_grouped(
     parts = sel.mapInPandas(partial, part_schema)
 
     def final_merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        order = np.argsort(pdf["state"].map(bytes).to_numpy())
-        states = pdf["state"].to_numpy()[order]
-        acc = bytes(states[0])
-        for s in states[1:]:
-            acc = spec.merge_bytes(acc, bytes(s))
+        # shared deterministic balanced fold: O(log P) recompression depth
+        # per key (a linear left fold recompresses O(P) times sequentially)
+        merged = fold_states([bytes(b) for b in pdf["state"]], spec)
         out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out["state"] = [acc]
+        out["state"] = [merged]
         out["rows"] = [int(pdf["rows"].sum())]
         return pd.DataFrame(out)
 

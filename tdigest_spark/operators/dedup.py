@@ -94,19 +94,19 @@ def minhash_signature(shingle_col, k: int = 32) -> Column:
 
 
 def _hash64_batch(strings: list[bytes]) -> np.ndarray:
-    """Deterministic 64-bit hash of a batch of byte strings (blake2b-8,
-    C speed, no PYTHONHASHSEED dependence). Deliberately per-string rather
-    than a vectorized numpy polynomial hash: the numpy variant allocates
+    """Deterministic 64-bit hash of a batch of byte strings: bytes 8..16 of
+    MD5, little-endian — exactly DuckDB's ``md5_number_lower``, so every
+    downstream banding/blocking decision is reproducible in the SQL oracle
+    (the round-1 xxhash64/blake2b choices were not). C speed, no
+    PYTHONHASHSEED dependence. Deliberately per-string rather than a
+    vectorized numpy polynomial hash: the numpy variant allocates
     ~10x-the-input temporaries, and on this kernel first-touch page faults
     make a cold 7M-element pass ~25x slower than this loop (0.18s vs 2.6s
     measured on 260k shingles; see CLAUDE.md env notes)."""
-    from hashlib import blake2b
+    from hashlib import md5
 
     return np.fromiter(
-        (
-            int.from_bytes(blake2b(s, digest_size=8).digest(), "little")
-            for s in strings
-        ),
+        (int.from_bytes(md5(s).digest()[8:16], "little") for s in strings),
         dtype=np.uint64,
         count=len(strings),
     )
@@ -127,58 +127,85 @@ def _perm_scratch(total: int, k: int) -> np.ndarray:
     return buf[:total]
 
 
-def shingle_minhash_arrow(text_col, k: int = 32, shingle_n: int = 3) -> Column:
-    """Arrow-batched shingle-set + MinHash signature kernel:
-    struct<sh: array<string>, sig: array<bigint>> from raw text in one
-    Python stage. The JVM higher-order-function shingle/signature chain is
-    interpreted (not codegen) and measured ~8x slower than this numpy
-    kernel at sf0.1; use this on the LSH hot path, the JVM variant where
-    a pure-expression column is required. Hashing is the deterministic
-    `_hash64_batch` (stable across workers/runs); the k permutations are
-    multiply-shift transforms of the base hash, min-reduced per row."""
-    from pyspark.sql.functions import pandas_udf
+MINHASH_A = lambda k: (  # noqa: E731 -- shared with the SQL oracle generator
+    np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+) | np.uint64(1)
+MINHASH_B = lambda k: np.arange(k, dtype=np.uint64) * np.uint64(  # noqa: E731
+    0xC2B2AE3D27D4EB4F
+)
 
-    A = (
-        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    ) | np.uint64(1)
-    B = np.arange(k, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
 
+def _shingle_sets(texts, shingle_n: int) -> list[list[str]]:
+    """Distinct word n-gram shingle sets, mirroring the JVM path exactly
+    (shingles()/word_tokens()): F.trim strips 0x20 spaces only, and Java
+    \\s+ is ASCII whitespace -- Python's str.split() (any Unicode
+    whitespace, no empty tokens) would give the two engines different
+    shingle sets on NBSP or leading tabs."""
     import re
 
-    # mirror the JVM path exactly (shingles()/word_tokens()): F.trim strips
-    # 0x20 spaces only, and Java \s+ is ASCII whitespace — Python's
-    # str.split() (any Unicode whitespace, no empty tokens) would give the
-    # two engines different shingle sets on   or leading tabs
     ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sets: list[list[str]] = []
+    for t in texts:
+        t = (t or "").strip(" ")
+        words = ascii_ws.split(t) if t else []
+        if len(words) >= shingle_n:
+            seen = dict.fromkeys(
+                " ".join(words[i : i + shingle_n])
+                for i in range(len(words) - shingle_n + 1)
+            )
+            sets.append(list(seen))
+        else:
+            sets.append([" ".join(words)])
+    return sets
 
-    @pandas_udf("struct<sh: array<string>, sig: array<long>>")
-    def kernel(texts: pd.Series) -> pd.DataFrame:
-        sets: list[list[str]] = []
-        for t in texts:
-            t = (t or "").strip(" ")
-            words = ascii_ws.split(t) if t else []
-            if len(words) >= shingle_n:
-                seen = dict.fromkeys(
-                    " ".join(words[i : i + shingle_n])
-                    for i in range(len(words) - shingle_n + 1)
-                )
-                sets.append(list(seen))
-            else:
-                sets.append([" ".join(words)])
+
+def _minhash_mins(sets: list[list[str]], k: int) -> np.ndarray:
+    """(n_rows, k) signature matrix: md5-lower-64 base hash per shingle,
+    k multiply-add permutations, per-row uint64 min (one reduceat); the
+    permuted-hash matrix lives in a reused per-worker scratch buffer."""
+    counts = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+    hv = _hash64_batch([s.encode() for row in sets for s in row])
+    perm = _perm_scratch(hv.shape[0], k)
+    np.multiply(hv[:, None], MINHASH_A(k)[None, :], out=perm)
+    perm += MINHASH_B(k)[None, :]
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    return np.minimum.reduceat(perm, offs, axis=0).view(np.int64)
+
+
+def shingle_minhash_arrow(
+    text_col, k: int = 32, shingle_n: int = 3, include_shingles: bool = True
+) -> Column:
+    """Arrow-batched shingle-set + MinHash signature kernel:
+    struct<sh: array<string>, sig: array<bigint>> from raw text in one
+    Python stage (``include_shingles=False`` emits sig only -- the LSH hot
+    path never materializes the shingle strings, which dominate the Arrow
+    transfer + persist bytes). The JVM higher-order-function chain is
+    interpreted (not codegen) and measured ~8x slower than this numpy
+    kernel at sf0.1. Hashing is `_hash64_batch` (md5 lower 64 -- DuckDB
+    ``md5_number_lower``-reproducible, so LSH banding has an exact SQL
+    oracle); the k permutations are multiply-add transforms of the base
+    hash, min-reduced per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    if include_shingles:
+
+        @pandas_udf("struct<sh: array<string>, sig: array<long>>")
+        def kernel(texts: pd.Series) -> pd.DataFrame:
+            sets = _shingle_sets(texts, shingle_n)
+            if not sets:
+                return pd.DataFrame({"sh": [], "sig": []})
+            return pd.DataFrame({"sh": sets, "sig": list(_minhash_mins(sets, k))})
+
+        return kernel(text_col)
+
+    @pandas_udf("array<long>")
+    def sig_kernel(texts: pd.Series) -> pd.Series:
+        sets = _shingle_sets(texts, shingle_n)
         if not sets:
-            return pd.DataFrame({"sh": [], "sig": []})
-        counts = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
-        hv = _hash64_batch([s.encode() for row in sets for s in row])
-        # (total, k) permuted hashes, min-reduced per row in one reduceat;
-        # the matrix lives in a reused per-worker scratch buffer
-        perm = _perm_scratch(hv.shape[0], k)
-        np.multiply(hv[:, None], A[None, :], out=perm)
-        perm += B[None, :]
-        offs = np.r_[0, np.cumsum(counts)[:-1]]
-        mins = np.minimum.reduceat(perm, offs, axis=0).view(np.int64)
-        return pd.DataFrame({"sh": sets, "sig": list(mins)})
+            return pd.Series([], dtype=object)
+        return pd.Series(list(_minhash_mins(sets, k)))
 
-    return kernel(text_col)
+    return sig_kernel(text_col)
 
 
 def lsh_candidate_pairs(
@@ -192,67 +219,68 @@ def lsh_candidate_pairs(
     persist_base: bool = False,
     engine: str = "arrow",
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates: (id_a, id_b, est_jaccard
-    [, jaccard]). Pairs sharing >=1 of ``bands`` bands; est_jaccard =
-    matching signature fraction; optional exact-verify on the shingle sets.
+    """MinHash-LSH near-duplicate candidates: (id_a, id_b, est_jaccard,
+    jaccard). Pairs sharing >=1 of ``bands`` bands (all r=k/bands signature
+    slots equal); est_jaccard = matching signature fraction; jaccard =
+    exact shingle-set Jaccard, recomputed for the candidate rows only.
 
-    Scale: signature build is map-only; the band self-join shuffles only
-    narrow (id, band, bhash) rows — signature/shingle payloads rejoin for
-    the candidate set alone. ``persist_base`` caches the computed
-    signatures (MEMORY_AND_DISK) so the candidate rejoin doesn't recompute
-    shingling; leave False when the corpus exceeds cluster storage and
-    recompute is cheaper than materialization.
+    Scale: the signature build is map-only and emits ONLY (id, sig) --
+    never the shingle strings, which dominate the corpus bytes. The band
+    self-join shuffles narrow (id, band, r-slot key) rows; the exact
+    verification re-scans the source table pruned to (id, text) with a
+    semi-join on the candidate ids (small by construction, broadcast under
+    AQE), so nothing corpus-sized is ever persisted or re-shuffled.
+    ``persist_base`` caches the (id, sig) frame (MEMORY_AND_DISK) so the
+    est_jaccard rejoin doesn't recompute signatures; at ~(k*8+id) bytes a
+    row it fits cluster storage at any realistic corpus size.
 
-    ``engine``: 'arrow' (default) builds shingle sets + signatures in one
-    Arrow-batched numpy kernel (~8x faster: Spark HOFs are interpreted);
-    'jvm' keeps the pure-expression xxhash64 path (no Python stage)."""
-    rows = bands
+    ``engine``: 'arrow' (default) builds signatures in one Arrow-batched
+    numpy kernel (~8x faster: Spark HOFs are interpreted) with md5-lower-64
+    base hashing -- every banding decision is reproducible in DuckDB SQL
+    (md5_number_lower + UHUGEINT multiply-add mod 2^64), giving the full
+    pipeline an exact oracle. 'jvm' keeps a pure-expression xxhash64 path
+    (no Python stage, not SQL-reproducible)."""
     r = k // bands
     if engine == "arrow":
-        base = df.select(
+        sig_df = df.select(
             F.col(id_col).alias("_id"),
-            shingle_minhash_arrow(F.col(text_col), k, shingle_n).alias("_ss"),
-        ).select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("_sig"))
+            shingle_minhash_arrow(
+                F.col(text_col), k, shingle_n, include_shingles=False
+            ).alias("_sig"),
+        )
     else:
-        base = df.select(
+        sig_df = df.select(
             F.col(id_col).alias("_id"),
-            shingles(F.col(text_col), shingle_n).alias("_sh"),
-        ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+            minhash_signature(shingles(F.col(text_col), shingle_n), k).alias("_sig"),
+        )
     if persist_base:
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    # band rows carry ONLY (id, band, bhash): the 8-way explode + self-join
-    # shuffles narrow fixed-width rows, never the signature/shingle payloads
-    banded = base.select(
+        sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)
+    # band rows carry (id, band, key=r raw slots): joining on the raw slot
+    # values (not a hash of them) keeps the candidate set exactly
+    # reproducible by the SQL oracle; at r=4 the key is 32 bytes a row
+    banded = sig_df.select(
         "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bhash"),
+                        F.slice("_sig", b * r + 1, r).alias("key"),
                     )
-                    for b in range(rows)
+                    for b in range(bands)
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_band.band", "_band.bhash")
+    ).select("_id", "_band.band", "_band.key")
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(
@@ -261,30 +289,42 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # payloads rejoin only for the (much smaller) candidate set
-    pa_ = base.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sig").alias("sig_a"),
-        F.col("_sh").alias("sh_a"),
-    )
-    pb_ = base.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sig").alias("sig_b"),
-        F.col("_sh").alias("sh_b"),
-    )
-    pairs = cand.join(pa_, "id_a").join(pb_, "id_b")
+    # signatures rejoin only for the (much smaller) candidate set
+    sa = sig_df.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sb = sig_df.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.lit(float(k))
-    out = pairs.withColumn("est_jaccard", est)
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .drop("sig_a", "sig_b")
+    )
+    # exact-Jaccard verification: shingle sets built ONLY for candidate ids
+    # (pruned (id, text) re-scan + semi-join; candidates are small, so AQE
+    # broadcasts the id list), never materialized corpus-wide
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh_cand = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", shingles(F.col(text_col), shingle_n).alias("_sh"))
+    )
+    ja = sh_cand.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    jb = sh_cand.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    pairs = pairs.join(ja, "id_a").join(jb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    out = out.withColumn(
-        "jaccard", (inter / union).cast("double")
-    ).select("id_a", "id_b", "est_jaccard", "jaccard")
+    out = pairs.withColumn("jaccard", (inter / union).cast("double")).select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
     if jaccard_threshold is not None:
         out = out.where(F.col("jaccard") >= jaccard_threshold)
     return out
@@ -325,33 +365,30 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(col, ngram: int = 2) -> Column:
-    """64-bit SimHash over word n-gram xxhash64 values: per bit, sign of the
-    sum of +/-1 votes. The gram hashing stays JVM-side (codegen); the bit
-    voting runs as one Arrow-batched numpy kernel (a 64-bit unpack + matmul),
-    not per-row Python."""
+    """64-bit SimHash over word n-gram md5-lower-64 values: per bit, sign
+    of the sum of +/-1 votes. One Arrow-batched numpy kernel does
+    shingling + per-string md5 + a 64-bit unpack + reduceat vote straight
+    from raw text — transferring text once beats shipping the (words x n)
+    gram arrays out of the interpreted JVM HOF chain (measured ~5x at
+    sf0.1). md5-lower-64 is DuckDB ``md5_number_lower``, so the signature
+    — and the banding / Hamming blocking built on it — is exactly
+    reproducible in SQL."""
     from pyspark.sql.functions import pandas_udf
 
-    grams = shingles(col, ngram)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-
     @pandas_udf("long")
-    def vote(hash_lists: pd.Series) -> pd.Series:
-        # fully vectorized across the batch: concatenate every row's gram
-        # hashes, expand to a (total, 64) bit matrix once, then per-row
-        # column sums via add.reduceat over the row offsets — no per-row
-        # Python loop
-        n = len(hash_lists)
-        lens = np.array(
-            [0 if hl is None else len(hl) for hl in hash_lists],
-            dtype=np.int64,
-        )
+    def vote(texts: pd.Series) -> pd.Series:
+        # fully vectorized across the batch: shingle every row (same
+        # semantics as the JVM shingles(), tested for parity), concatenate
+        # every row's gram strings, md5-hash once each, expand to a
+        # (total, 64) bit matrix, then per-row column sums via add.reduceat
+        sets = _shingle_sets(texts, ngram)
+        n = len(sets)
+        lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=n)
         out = np.zeros(n, dtype=np.int64)
         nz = np.flatnonzero(lens)
         if nz.shape[0] == 0:
             return pd.Series(out)
-        flat = np.concatenate(
-            [np.asarray(hash_lists.iloc[i], dtype=np.int64) for i in nz]
-        ).view(np.uint64)
+        flat = _hash64_batch([s.encode() for i in nz for s in sets[i]])
         bits = (
             (flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         ).astype(np.int64)
@@ -364,4 +401,4 @@ def simhash64(col, ngram: int = 2) -> Column:
         out[nz] = words.view(np.int64)
         return pd.Series(out)
 
-    return vote(hashes)
+    return vote(col)

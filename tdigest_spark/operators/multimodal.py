@@ -47,16 +47,27 @@ _HAVE_CODECS = False
 
 
 def _seed_from(payload: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    """md5 lower 64 bits, little-endian — DuckDB ``md5_number_lower`` of the
+    same bytes, so stub-decoded outputs are SQL-reproducible."""
+    return int.from_bytes(hashlib.md5(payload).digest()[8:16], "little")
 
 
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for PIL/turbojpeg decode: (H, W, 3) uint8
-    derived from the payload hash. Replace with the real decoder here."""
+    derived from the payload hash. Replace with the real decoder here.
+
+    Pixel i (C-order) = splitmix64(md5_seed XOR i) & 255 — both halves
+    (md5_number_lower, splitmix64 via UHUGEINT mod-2^64 arithmetic) are
+    expressible in DuckDB SQL, which is what gives media_decode_stats an
+    exact VALUES-free oracle at any scale factor."""
     if _HAVE_CODECS:  # pragma: no cover
         raise NotImplementedError("wire PIL.Image.open here")
-    rng = np.random.default_rng(_seed_from(payload))
-    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    from ..sketch.hashing import hash64
+
+    seed = np.uint64(_seed_from(payload))
+    idx = np.arange(int(width) * int(height) * 3, dtype=np.uint64)
+    v = hash64(seed ^ idx) & np.uint64(255)
+    return v.astype(np.uint8).reshape(int(height), int(width), 3)
 
 
 def _fake_decode_audio(payload: bytes, n: int) -> np.ndarray:

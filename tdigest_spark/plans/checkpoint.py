@@ -26,15 +26,16 @@ from __future__ import annotations
 
 import hashlib
 import json
+import posixpath
 import time
 from pathlib import Path
 from typing import Any
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..operators.aggregate import SketchSpec, merge_partials
 from ..operators.scan import parquet_splits
+from . import fsio
 
 __all__ = ["CheckpointedBuild"]
 
@@ -63,7 +64,10 @@ class CheckpointedBuild:
         target_rows_per_split: int = 2_000_000,
         splits_per_batch: int = 8,
     ) -> None:
-        self.dir = Path(checkpoint_dir)
+        # path-or-URI: plain paths use the local filesystem (single node /
+        # shared mount); hdfs:// s3:// gs:// URIs resolve via pyarrow.fs so
+        # executors on a real cluster write to shared durable storage
+        self.dir = str(checkpoint_dir)
         self.sketches = sketches
         self.names = list(sketches.keys())
         self.specs = {n: spec for n, (_, spec) in sketches.items()}
@@ -75,11 +79,13 @@ class CheckpointedBuild:
     def completed(self) -> dict[str, dict]:
         """batch_key -> stored row (states + lineage) for finished batches."""
         out: dict[str, dict] = {}
-        if not self.dir.exists():
-            return out
-        for f in sorted(self.dir.glob("batch-*.parquet")):
+        fs, root = fsio.fs_and_path(self.dir)
+        for f in fsio.list_files(fs, root):
+            name = posixpath.basename(f)
+            if not (name.startswith("batch-") and name.endswith(".parquet")):
+                continue
             try:
-                tbl = pq.read_table(f)
+                tbl = fsio.read_table(fs, f)
             except Exception:
                 continue  # torn write of an in-flight batch: redo it
             for row in tbl.to_pylist():
@@ -129,9 +135,10 @@ class CheckpointedBuild:
         todo = [(k, b) for k, b in plan if k not in done]
 
         if todo:
-            self.dir.mkdir(parents=True, exist_ok=True)
+            fs0, root0 = fsio.fs_and_path(self.dir)
+            fsio.mkdirs(fs0, root0)
             names, specs, sketch_map = self.names, self.specs, self.sketches
-            out_dir = str(self.dir)
+            out_dir = self.dir
 
 
             # one Spark partition per batch: the batch is the atomic unit of
@@ -207,13 +214,13 @@ class CheckpointedBuild:
                 for n in names:
                     row[f"state_{n}"] = sks[n].to_bytes()
                 # idempotent durable write: same batch -> same file name;
-                # write tmp then rename so readers never see torn files
-                target = Path(out_dir) / f"batch-{key}.parquet"
-                tmp = Path(out_dir) / f".batch-{key}.tmp.parquet"
-                pq.write_table(
-                    pa.Table.from_pylist([row]), tmp, compression="zstd"
+                # tmp + move so list-based readers never see torn files
+                # (resolved per task: executor-side fs, works for URIs too)
+                wfs, wroot = fsio.fs_and_path(out_dir)
+                fsio.write_table_atomic(
+                    pa.Table.from_pylist([row]), wfs, wroot,
+                    f"batch-{key}.parquet",
                 )
-                tmp.replace(target)
                 # the durable file is the result; don't pickle ~MB of state
                 # bytes back to the driver just to be discarded by count()
                 return row["batch_key"]

@@ -19,7 +19,7 @@ Skew shows up twice in sketch pipelines over source-skewed sequence tables
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["salted_repartition", "skew_report"]
@@ -42,19 +42,21 @@ def skew_report(df: DataFrame, key_col: str) -> DataFrame:
     observability half of skew handling. Returns
     DataFrame[key, n_rows, share, imbalance].
 
-    One scan: total rows and key count come from window sums over the
-    per-key aggregate (#keys rows), not separate count()/distinct()
-    jobs that would rescan — and possibly recompute — ``df``."""
+    One scan: total rows and key count come from a one-row aggregate over
+    the per-key counts, broadcast-joined back — not separate
+    count()/distinct() jobs that would rescan ``df``, and not an empty
+    Window.partitionBy(), which would collapse every per-key row into a
+    single task at high key cardinality."""
     per_key = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    w = Window.partitionBy()
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
     return (
-        per_key.withColumn(
-            "share", F.col("n_rows") / F.sum("n_rows").over(w)
-        )
-        .withColumn(
-            "imbalance", F.col("share") * F.count(F.lit(1)).over(w)
-        )
+        per_key.crossJoin(F.broadcast(totals))
+        .withColumn("share", F.col("n_rows") / F.col("_total"))
+        .withColumn("imbalance", F.col("share") * F.col("_n_keys"))
+        .drop("_total", "_n_keys")
         .orderBy(F.desc("n_rows"))
     )

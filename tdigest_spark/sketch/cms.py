@@ -158,6 +158,15 @@ class CMS:
     def from_bytes(cls, data: bytes) -> "CMS":
         magic, depth, width, total, nh, kh = _HEADER.unpack_from(data, 0)
         if magic != b"CMS2":
+            if magic == b"CMS1":
+                # durable artifacts (checkpoint batches, streaming state
+                # dirs) written before the CMS2 header change: name the
+                # cause so operators rebuild state instead of suspecting
+                # corruption
+                raise ValueError(
+                    "stale CMS1 state format (pre-k_heavy header); rebuild "
+                    "the sketch/checkpoint with this version"
+                )
             raise ValueError("not a CMS blob")
         c = cls(depth=depth, width=width, k_heavy=kh)
         off = _HEADER.size

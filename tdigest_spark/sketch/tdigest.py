@@ -325,6 +325,13 @@ class TDigest:
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         magic, mode, delta, K, n, vmin, vmax, c = _HEADER.unpack_from(data, 0)
+        if magic == b"TDG1":
+            # durable artifacts written before the TDG2 header (which added
+            # K) fail loudly with the cause, not a generic parse error
+            raise ValueError(
+                "stale TDG1 state format (pre-K header); rebuild the "
+                "sketch/checkpoint with this version"
+            )
         if magic != _MAGIC or mode != 0:
             raise ValueError("not a TDigest blob")
         td = cls(delta=delta, K=K)

@@ -89,30 +89,45 @@ def _flat_values(series) -> "np.ndarray":
     return np.concatenate([np.asarray(v) for v in items])
 
 
+def _read_state_rows(state_dir) -> list[dict] | None:
+    """Rows of the durable state table, or None if absent. Path-or-URI:
+    routed through pyarrow.fs (plans/fsio) so state dirs work on object
+    stores / HDFS, not just a shared POSIX mount."""
+    from ..plans import fsio
+
+    fs, root = fsio.fs_and_path(state_dir)
+    f = fsio.join(root, "state.parquet")
+    if not fsio.exists(fs, f):
+        return None
+    return fsio.read_table(fs, f).to_pylist()
+
+
 def read_state(
     state_dir: str | Path, sketches: dict[str, tuple[str, SketchSpec]]
 ) -> dict[str, Any] | None:
     """Load the current sketch objects from the durable state table."""
-    import pyarrow.parquet as pq
-
-    f = Path(state_dir) / "state.parquet"
-    if not f.exists():
+    rows = _read_state_rows(state_dir)
+    if rows is None:
         return None
-    row = pq.read_table(f).to_pylist()[0]
+    row = rows[0]
     return {
         n: spec.from_bytes(row[f"state_{n}"])
         for n, (_, spec) in sketches.items()
     }
 
 
-def _write_state(state_dir: Path, row: dict) -> None:
+def _write_state(state_dir, rows: dict | list[dict]) -> None:
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    state_dir.mkdir(parents=True, exist_ok=True)
-    tmp = state_dir / ".state.tmp.parquet"
-    pq.write_table(pa.Table.from_pylist([row]), tmp, compression="zstd")
-    tmp.replace(state_dir / "state.parquet")
+    from ..plans import fsio
+
+    if isinstance(rows, dict):
+        rows = [rows]
+    fs, root = fsio.fs_and_path(state_dir)
+    fsio.mkdirs(fs, root)
+    fsio.write_table_atomic(
+        pa.Table.from_pylist(rows), fs, root, "state.parquet"
+    )
 
 
 def incremental_build(
@@ -131,18 +146,16 @@ def incremental_build(
     """
     from ..operators.aggregate import merge_partials, partials_df
 
-    state_dir = Path(state_dir)
+    state_dir = str(state_dir)
     names = list(sketches.keys())
     specs = {n: spec for n, (_, spec) in sketches.items()}
 
     def process(batch_df, batch_id: int) -> None:
-        import pyarrow.parquet as pq
-
         prev_rows = 0
         prev = None
-        f = state_dir / "state.parquet"
-        if f.exists():
-            prev = pq.read_table(f).to_pylist()[0]
+        rows0 = _read_state_rows(state_dir)
+        if rows0 is not None:
+            prev = rows0[0]
             if prev["batch_id"] >= batch_id:
                 return  # replayed batch already merged (exactly-once)
             prev_rows = prev["rows"]
@@ -296,12 +309,9 @@ def read_state_grouped(
     state_dir: str | Path, spec: SketchSpec
 ) -> dict[str, Any] | None:
     """Load per-key sketches from the grouped durable state table."""
-    import pyarrow.parquet as pq
-
-    f = Path(state_dir) / "state.parquet"
-    if not f.exists():
+    rows = _read_state_rows(state_dir)
+    if rows is None:
         return None
-    rows = pq.read_table(f).to_pylist()
     return {r["key"]: spec.from_bytes(r["state"]) for r in rows}
 
 
@@ -322,18 +332,16 @@ def incremental_build_grouped(
     Rollups stay free: merging the per-key states yields the global digest
     (sketch mergeability)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from ..operators.aggregate import build_sketch_grouped
 
-    state_dir = Path(state_dir)
+    state_dir = str(state_dir)
 
     def process(batch_df, batch_id: int) -> None:
-        f = state_dir / "state.parquet"
         prev: dict[str, dict] = {}
         prev_batch = -1
-        if f.exists():
-            for r in pq.read_table(f).to_pylist():
+        prev_rows = _read_state_rows(state_dir)
+        if prev_rows is not None:
+            for r in prev_rows:
                 prev[r["key"]] = r
                 prev_batch = max(prev_batch, r["batch_id"])
             if prev_batch >= batch_id:
@@ -370,10 +378,7 @@ def incremental_build_grouped(
                     "updated_at": time.time(),
                 }
             )
-        state_dir.mkdir(parents=True, exist_ok=True)
-        tmp = state_dir / ".state.tmp.parquet"
-        pq.write_table(pa.Table.from_pylist(out_rows), tmp, compression="zstd")
-        tmp.replace(state_dir / "state.parquet")
+        _write_state(state_dir, out_rows)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", str(checkpoint_dir)

@@ -314,3 +314,28 @@ def test_build_sketch_grouped_nulls(spark):
     assert da.n == 2 and rows["a"]["rows"] == 3  # rows counts all, digest drops nulls
     dn = DiscreteDigest.from_bytes(rows[None]["state"])
     assert dn.n == 1 and float(dn.quantile(1.0)) == 3.0
+
+
+def test_grouped_keys_keep_native_types(spark):
+    """Group keys must round-trip with their NATIVE Spark types (round 1
+    stringified them): int keys stay long, null keys stay null, and the
+    per-key digests match exact per-key data."""
+    from pyspark.sql.types import LongType, StringType
+
+    rows = [(i % 3 if i % 7 else None, "s%d" % (i % 2), float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "bucket long, tag string, v double")
+    out = build_sketch_grouped(df, ["bucket", "tag"], "v", TDIGEST(0.01))
+    schema = {f.name: type(f.dataType) for f in out.schema.fields}
+    assert schema["bucket"] is LongType
+    assert schema["tag"] is StringType
+    got = out.collect()
+    keys = {(r["bucket"], r["tag"]) for r in got}
+    expect = {(i % 3 if i % 7 else None, "s%d" % (i % 2)) for i in range(200)}
+    assert keys == expect
+    for r in got:
+        exact = [
+            v for b, t, v in rows if b == r["bucket"] and t == r["tag"]
+        ]
+        d = TDigest.from_bytes(r["state"])
+        assert r["rows"] == len(exact)
+        assert d.n == len(exact)
