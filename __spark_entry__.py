@@ -1072,6 +1072,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment from MinHash-LSH verified pairs: candidate
+    pairs are edges, the unit a pipeline deletes is the connected
+    component (A~B, B~C => one group of 3 even if A~C was never emitted).
+    Distributed min-label propagation (operators/graph.py); the DuckDB
+    oracle computes the same unique fixpoint via a recursive transitive
+    closure over the identical md5-reproduced pair set."""
+    from tdigest_spark.operators.dedup import lsh_candidate_pairs
+    from tdigest_spark.operators.graph import dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.5,
+        persist_base=True,
+    )
+    return dup_groups(pairs).orderBy("doc_id")
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (block-pair replication:
     O(N x n_blocks) movement, dense numpy gram per block-pair — never the
@@ -1219,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_counts": doc_lang_counts,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "dedup_group_resolution": dedup_group_resolution,
         "simhash_dup_candidates": simhash_dup_candidates,
         "media_decode_stats": media_decode_stats,
         "doc_quality_scores": doc_quality_scores,
@@ -1263,18 +1282,19 @@ def _grams_cte(n: int) -> str:
     return _GRAMS_CTE.format(gram_expr=gram_expr, n=n, i_bound=i_bound)
 
 
-def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
-    """Exact SQL twin of lsh_candidate_pairs(engine='arrow'): same shingle
-    sets, same md5-lower-64 base hash, same multiply-add permutations mod
-    2^64, same per-band raw-slot-equality candidate set, same exact-Jaccard
-    filter (tdigest_spark/operators/dedup.py)."""
+def _minhash_cte_chain(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """CTE chain reproducing lsh_candidate_pairs(engine='arrow') exactly —
+    same shingle sets, same md5-lower-64 base hash, same multiply-add
+    permutations mod 2^64, same per-band raw-slot-equality candidate set,
+    same exact-Jaccard filter (tdigest_spark/operators/dedup.py). Ends in
+    a ``dup_pairs(id_a, id_b, jaccard)`` CTE shared by the pairs oracle
+    and the dedup-group-resolution oracle."""
     from tdigest_spark.operators.dedup import MINHASH_A, MINHASH_B
 
     r = k // bands
     A, B = MINHASH_A(k), MINHASH_B(k)
     perm_vals = ",".join(f"({j},{int(A[j])},{int(B[j])})" for j in range(k))
-    return f"""
-        WITH {_grams_cte(3)}, hv AS (
+    return f"""{_grams_cte(3)}, hv AS (
           SELECT doc_id, CAST(md5_number_lower(g) AS UHUGEINT) AS h FROM grams
         ), perm AS (
           SELECT j, CAST(a AS UHUGEINT) AS a, CAST(b AS UHUGEINT) AS b
@@ -1297,14 +1317,53 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> 
           JOIN grams ga ON ga.doc_id = c.id_a
           JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
           GROUP BY c.id_a, c.id_b
+        ), dup_pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
+        )"""
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_minhash_cte_chain(k, bands, threshold)}
+        SELECT id_a, id_b, jaccard FROM dup_pairs ORDER BY id_a, id_b
+    """
+
+
+def _dedup_groups_oracle_sql(
+    k: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Exact SQL twin of dedup_group_resolution: the minhash dup_pairs CTE
+    chain feeds a recursive transitive closure; each node's component is
+    the min reachable id (operators/graph.py connected_components has the
+    same unique fixpoint)."""
+    return f"""
+        WITH RECURSIVE {_minhash_cte_chain(k, bands, threshold)},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM dup_pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM dup_pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id
+          FROM reach GROUP BY u
+        ),
+        csizes AS (
+          SELECT canonical_id, COUNT(*) AS group_size
+          FROM comp GROUP BY canonical_id
         )
-        SELECT id_a, id_b,
-               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
-        ORDER BY id_a, id_b
+        SELECT c.doc_id, c.canonical_id, s.group_size
+        FROM comp c JOIN csizes s USING (canonical_id)
+        ORDER BY c.doc_id
     """
 
 
@@ -1954,6 +2013,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
+        "dedup_group_resolution": _dedup_groups_oracle_sql(
+            k=32, bands=8, threshold=0.5
+        ),
         "simhash_dup_candidates": _simhash_oracle_sql(ngram=2, max_hamming=3),
         "media_decode_stats": _media_stats_oracle_sql(),
         "doc_quality_scores": r"""

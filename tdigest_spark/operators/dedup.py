@@ -336,15 +336,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index:
     explode shingles -> join on shingle -> count common -> Jaccard.
-    Avoids the all-pairs product; shuffles (shingle, id) postings."""
+    Avoids the all-pairs product; shuffles (shingle, id) postings.
+
+    ``max_df`` guards the postings self-join against hot shingles: a
+    shingle present in d documents contributes d^2 join rows, so one
+    stopword-like trigram in 1% of a 10^9-doc corpus is a 10^14-row
+    blowup. Shingles with document frequency > max_df are dropped from
+    the index (standard IR trick — they carry no near-dup signal);
+    intersection counts then exclude them while set sizes keep them, so
+    reported jaccard becomes a slight underestimate for pairs sharing
+    capped shingles. None (default) disables the cap — exact semantics,
+    fine for bounded corpora; SET IT at web scale."""
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).withColumn("_len", F.size("_sh"))
     posts = base.select("_id", "_len", F.explode("_sh").alias("_g"))
+    if max_df is not None:
+        # shingle sets are distinct per doc, so COUNT(*) per gram == DF;
+        # left-semi keeps the postings schema and prunes before the join
+        keep = (
+            posts.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("_g")
+        )
+        posts = posts.join(keep, "_g", "left_semi")
     common = (
         posts.alias("a")
         .join(posts.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))

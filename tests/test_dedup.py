@@ -114,3 +114,31 @@ def test_ngram_jaccard_exact(docs):
     # d1 (7 shingles) vs d7 (8 shingles): 7 common -> 7/8
     assert got[("d1", "d7")] == pytest.approx(7 / 8)
     assert ("d1", "d4") not in got
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """Hot-shingle DF cap: with the cap above the corpus max DF the output
+    is unchanged; with a tight cap the stopword-shared pseudo-pairs drop
+    while true near-dups (sharing rare shingles) survive."""
+    hot = "the cat sat on the mat"  # shared 3-gram windows across all docs
+    docs = [("n%02d" % i, f"{hot} filler{i} words{i} here{i}") for i in range(10)]
+    docs += [
+        ("dup1", "alpha beta gamma delta epsilon zeta"),
+        ("dup2", "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.3, **kw).collect()
+        }
+
+    uncapped = pairs()
+    assert pairs(max_df=len(docs)) == uncapped  # cap above max DF: identical
+    capped = pairs(max_df=5)
+    assert ("dup1", "dup2") in capped  # rare-shingle pair survives
+    # hot-shingle-only pairs never reach the threshold either way, and the
+    # capped true-pair jaccard matches (its shingles are all rare)
+    assert capped[("dup1", "dup2")] == uncapped[("dup1", "dup2")]
+    assert all(a.startswith("dup") for a, b in capped)
