@@ -226,13 +226,15 @@ def lsh_candidate_pairs(
 
     Scale: the signature build is map-only and emits ONLY (id, sig) --
     never the shingle strings, which dominate the corpus bytes. The band
-    self-join shuffles narrow (id, band, r-slot key) rows; the exact
-    verification re-scans the source table pruned to (id, text) with a
-    semi-join on the candidate ids (small by construction, broadcast under
-    AQE), so nothing corpus-sized is ever persisted or re-shuffled.
-    ``persist_base`` caches the (id, sig) frame (MEMORY_AND_DISK) so the
-    est_jaccard rejoin doesn't recompute signatures; at ~(k*8+id) bytes a
-    row it fits cluster storage at any realistic corpus size.
+    self-join shuffles narrow (id, band, r-slot key) rows. Both scoring
+    inputs (signatures for est_jaccard, shingle sets for exact jaccard)
+    come from a SINGLE re-scan of the source table pruned to (id, text) by
+    a semi-join on the candidate ids (small by construction, broadcast
+    under AQE) -- the kernel is deterministic, so recomputed candidate
+    signatures are bit-identical to the banding pass's. Nothing
+    corpus-sized beyond the narrow (id, sig) frame is persisted or
+    re-shuffled; ``persist_base`` caches that frame plus the two
+    candidate-bounded intermediates (pair ids, verification structs).
 
     ``engine``: 'arrow' (default) builds signatures in one Arrow-batched
     numpy kernel (~8x faster: Spark HOFs are interpreted) with md5-lower-64
@@ -256,6 +258,12 @@ def lsh_candidate_pairs(
     if persist_base:
         from pyspark import StorageLevel
 
+        # the band self-join consumes sig_df twice (left/right), and the
+        # candidate subtree is evaluated by multiple downstream consumers
+        # whose stages run concurrently (a mid-plan cache does NOT
+        # serialize them); caching the narrow (id, k*8-byte sig) frame --
+        # the root of all of them -- is what keeps every re-evaluation
+        # cheap. ~260 bytes/row fits cluster storage at any corpus size.
         sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)
     # band rows carry (id, band, key=r raw slots): joining on the raw slot
     # values (not a hash of them) keeps the candidate set exactly
@@ -289,41 +297,61 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # signatures rejoin only for the (much smaller) candidate set
-    sa = sig_df.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    sb = sig_df.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    if persist_base:
+        # cand is consumed twice (the id-list semi-join, the final scoring
+        # join); caching the two-id rows (bounded by the candidate count)
+        # keeps each consumer to a cached-signature band join at worst.
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    # one verification frame for the (much smaller) candidate set: the
+    # pruned (id, text) re-scan + semi-join (candidates are small, so AQE
+    # broadcasts the id list) recomputes struct(shingles, signature) in a
+    # single kernel pass -- deterministic, so the signatures match the
+    # banding pass bit-for-bit. Persisting it is candidate-bounded.
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    )
+    texts_cand = df.select(F.col(id_col).alias("_id"), F.col(text_col)).join(
+        cand_ids, "_id", "left_semi"
+    )
+    if engine == "arrow":
+        ver = texts_cand.select(
+            "_id",
+            shingle_minhash_arrow(
+                F.col(text_col), k, shingle_n, include_shingles=True
+            ).alias("_v"),
+        ).select("_id", F.col("_v.sh").alias("_sh"), F.col("_v.sig").alias("_sig"))
+    else:
+        # two selects so the interpreted shingle HOF evaluates once (no CSE
+        # across sibling expressions -- CLAUDE.md)
+        ver = texts_cand.select(
+            "_id", shingles(F.col(text_col), shingle_n).alias("_sh")
+        ).select("_id", "_sh", minhash_signature(F.col("_sh"), k).alias("_sig"))
+    if persist_base:
+        ver = ver.persist(StorageLevel.MEMORY_AND_DISK)
+    va = ver.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_sig").alias("sig_a"),
+    )
+    vb = ver.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_sig").alias("sig_b"),
+    )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
     ) / F.lit(float(k))
-    pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("est_jaccard", est)
-        .drop("sig_a", "sig_b")
-    )
-    # exact-Jaccard verification: shingle sets built ONLY for candidate ids
-    # (pruned (id, text) re-scan + semi-join; candidates are small, so AQE
-    # broadcasts the id list), never materialized corpus-wide
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .union(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sh_cand = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col))
-        .join(cand_ids, "_id", "left_semi")
-        .select("_id", shingles(F.col(text_col), shingle_n).alias("_sh"))
-    )
-    ja = sh_cand.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    jb = sh_cand.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    pairs = pairs.join(ja, "id_a").join(jb, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    out = pairs.withColumn("jaccard", (inter / union).cast("double")).select(
-        "id_a", "id_b", "est_jaccard", "jaccard"
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("est_jaccard", est)
+        .withColumn("jaccard", (inter / union).cast("double"))
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
     )
     if jaccard_threshold is not None:
         out = out.where(F.col("jaccard") >= jaccard_threshold)
