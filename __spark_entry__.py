@@ -849,6 +849,44 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(docs, "text", "doc_id").orderBy("doc_id")
 
 
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% content-hash sample of documents: row kept iff
+    md5_lower64(doc_id) < 0.1 * 2^64 (operators/sample.py). Partition-
+    layout- and engine-independent, so the oracle reproduces the EXACT
+    row set via DuckDB md5_number_lower — unlike df.sample(), whose rows
+    depend on partitioning. Codegen filter, no shuffle."""
+    from tdigest_spark.operators.sample import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, "doc_id", 0.1)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling (src0 75%, src1 50%, src2 10%,
+    others dropped) — the 'mix training data by source at fixed rates'
+    pipeline step. Thresholds ride a broadcast dim; decisions are
+    content-hash, so the per-source counts and char sums are exactly
+    reproducible in SQL."""
+    from tdigest_spark.operators.sample import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    samp = stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 0.75, "src1": 0.5, "src2": 0.1}
+    )
+    return (
+        samp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1233,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
+        "doc_hash_sample": doc_hash_sample,
+        "doc_stratified_sample": doc_stratified_sample,
         "doc_text_stats": doc_text_stats,
         "doc_lang_counts": doc_lang_counts,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
@@ -1972,6 +2012,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY text) AS group_size,
                    doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate
             FROM documents ORDER BY doc_id
+        """,
+        # sampling thresholds use the SAME python float expression as
+        # operators/sample.py (int(f * 2^64)) so the literals are
+        # bit-identical to the engine's
+        "doc_hash_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {int(0.1 * (1 << 64))}
+            ORDER BY doc_id
+        """,
+        "doc_stratified_sample": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) <
+                  CASE source
+                    WHEN 'src0' THEN {int(0.75 * (1 << 64))}
+                    WHEN 'src1' THEN {int(0.5 * (1 << 64))}
+                    WHEN 'src2' THEN {int(0.1 * (1 << 64))}
+                    ELSE 0 END
+            GROUP BY source ORDER BY source
         """,
         "doc_text_stats": r"""
             SELECT doc_id,

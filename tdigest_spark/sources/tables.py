@@ -66,7 +66,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # this heap is the ENTIRE engine's memory: at 8g the 32 tasks of a
+        # join-heavy suite share ~150MB of execution memory each and GC
+        # pressure doubled the many-stage LSH query's latency (measured
+        # 4.6s at 48g vs 9.2s at 8g in suite context). The sandbox has
+        # 128 GiB; on a real cluster executor memory is set per-node.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
