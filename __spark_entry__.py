@@ -388,6 +388,49 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_prior_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator; mandate example alongside as-of join):
+    each purchase event joined to the SAME user's events in the preceding
+    30 minutes (attribution lookback). Bucket-expansion plan: time cut
+    into interval-width buckets, left side exploded to its <=2 covered
+    buckets, plain shuffled equi-join on (user_id, bucket) + integer-µs
+    residual filter — NOT the BroadcastNestedLoopJoin Spark would plan
+    for a bare inequality join. Scale: movement is O(2|L| + |R|)."""
+    from tdigest_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = ev.select(
+        F.col("event_id").alias("prior_id"),
+        "user_id",
+        F.col("ts").alias("prior_ts"),
+        F.col("event_type").alias("prior_type"),
+    )
+    pairs = range_join(
+        purchases, others, "ts", "prior_ts", -1800.0, 0.0, on=["user_id"]
+    ).where(F.col("prior_id") != F.col("event_id"))
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_prior"),
+        F.sum(
+            F.when(F.col("prior_type") == "view", 1).otherwise(0)
+        ).cast("long").alias("n_prior_views"),
+    )
+    return (
+        purchases.select("event_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_prior", F.lit(0).cast("long")).alias("n_prior"),
+            F.coalesce("n_prior_views", F.lit(0).cast("long")).alias(
+                "n_prior_views"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # sketch queries (exact-by-construction configurations for the oracle gate)
 # --------------------------------------------------------------------------
@@ -1247,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events_json_props,
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
+        "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
@@ -1685,6 +1729,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
+        # range join: plain inequality join in the oracle; the engine's
+        # bucket-expansion equi-join must produce identical pairs.
+        # epoch_us == Spark unix_micros (integer µs, no fp boundary flips).
+        "purchase_prior_events_range_join": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id,
+                   COUNT(e.event_id) AS n_prior,
+                   CAST(COALESCE(SUM(CASE WHEN e.event_type = 'view'
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_prior_views
+            FROM p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND epoch_us(e.ts) >= epoch_us(p.ts) - 1800000000
+             AND epoch_us(e.ts) <= epoch_us(p.ts)
+             AND e.event_id <> p.event_id
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         "tdigest_quantity_centroids": """
             SELECT CAST(l_quantity AS DOUBLE) AS mean,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "range_join"]
 
 
 def asof_join(
@@ -102,6 +102,73 @@ def sessionize(
         "session_id",
         F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_idx")),
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    on: list[str] | tuple[str, ...] = (),
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Interval/range join: pairs every left row with the right rows whose
+    ``right_ts`` falls in ``[left_ts + lower_seconds, left_ts +
+    upper_seconds]`` (inclusive both ends), optionally also matching the
+    equi-keys in ``on``.
+
+    Plan shape — the scalable bucket-expansion formulation: a naive
+    inequality join has no equi-condition, so Spark plans it as a
+    BroadcastNestedLoopJoin (all-pairs per key — quadratic, a 100-TB
+    killer). Instead, time is cut into fixed buckets of width
+    ``bucket_seconds`` (default: the interval span, so each left row
+    expands to at most 2 buckets): the left side explodes to the bucket
+    range its interval covers, the right side maps to its single bucket,
+    and the join becomes a plain shuffled equi-join on (on..., bucket)
+    with a residual range filter. Each right row lives in exactly one
+    bucket, so no pair is emitted twice and no dedup pass is needed.
+    Movement is O(|L|·buckets_per_row + |R|), never all-pairs.
+
+    Arithmetic is integer microseconds (``unix_micros`` both here and in
+    the DuckDB ``epoch_us`` oracle) — no floating-point boundary flips on
+    exact-boundary pairs.
+
+    Absent in the reference (no relational layer, SURVEY.md §0); listed in
+    the build mandate's custom-operator examples alongside as-of join.
+    """
+    span = upper_seconds - lower_seconds
+    if span < 0:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    w_us = int((bucket_seconds if bucket_seconds is not None else max(span, 1e-6)) * 1_000_000)
+    lo_us = int(lower_seconds * 1_000_000)
+    hi_us = int(upper_seconds * 1_000_000)
+    overlap = set(left.columns) & set(right.columns) - set(on)
+    if overlap:
+        raise ValueError(
+            f"non-key column names must be disjoint (alias first): {sorted(overlap)}"
+        )
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    # floor(double division) is safe as the bucketing function: division by
+    # a positive constant is monotone under correct rounding, so a right ts
+    # inside [l+lo, l+hi] always lands in a bucket inside the exploded
+    # range — bucketing is internal, only pair membership must be exact
+    # (and that is decided by the integer-µs residual below)
+    bucket = lambda us: F.floor(us / F.lit(w_us)).cast("long")
+    l = left.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(bucket(l_us + F.lit(lo_us)), bucket(l_us + F.lit(hi_us)))
+        ),
+    )
+    r = right.withColumn("_rj_bucket", bucket(r_us))
+    joined = l.join(r, on=["_rj_bucket", *on], how="inner")
+    resid = (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) + F.lit(lo_us)) & (
+        F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + F.lit(hi_us)
+    )
+    return joined.where(resid).drop("_rj_bucket")
 
 
 def bloom_semi_join(

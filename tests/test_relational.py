@@ -1,9 +1,17 @@
 """Relational custom-operator unit tests: as-of join null semantics,
-Bloom semi-join with same-named keys and nullable keys."""
+Bloom semi-join with same-named keys and nullable keys, range join
+boundary/bucket semantics."""
+
+import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
-from tdigest_spark.operators.relational import asof_join, bloom_semi_join
+from tdigest_spark.operators.relational import (
+    asof_join,
+    bloom_semi_join,
+    range_join,
+)
 
 
 def test_asof_join_carries_null_right_values(spark):
@@ -42,3 +50,56 @@ def test_bloom_semi_join_same_key_name(spark):
         for r in bloom_semi_join(left, "k", right, "k", 1000, 0.01).collect()
     )
     assert got == ["a", "c"]
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_range_join_inclusive_bounds_and_keys(spark):
+    """Both interval endpoints are inclusive (integer-µs compare); the
+    equi-key restricts matches; out-of-window rows are dropped."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(1000))], "lid long, uid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, _ts(700)),    # exactly lts - 300 -> included
+            (11, 100, _ts(1000)),   # exactly lts -> included
+            (12, 100, _ts(699)),    # 1s before the window -> out
+            (13, 100, _ts(1001)),   # 1s after -> out
+            (14, 999, _ts(900)),    # wrong key -> out
+        ],
+        "rid long, uid long, rts timestamp",
+    )
+    got = sorted(
+        r.rid
+        for r in range_join(
+            left, right, "lts", "rts", -300.0, 0.0, on=["uid"]
+        ).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_range_join_multi_bucket_no_duplicate_pairs(spark):
+    """With bucket_seconds far smaller than the span the left row explodes
+    to many buckets — each qualifying pair must still appear exactly once
+    (a right row lives in one bucket)."""
+    left = spark.createDataFrame([(1, _ts(500))], "lid long, lts timestamp")
+    right = spark.createDataFrame(
+        [(i, _ts(400 + i)) for i in range(0, 200, 7)],
+        "rid long, rts timestamp",
+    )
+    out = range_join(
+        left, right, "lts", "rts", -100.0, 100.0, bucket_seconds=10.0
+    ).collect()
+    rids = [r.rid for r in out]
+    assert len(rids) == len(set(rids))
+    assert sorted(rids) == [i for i in range(0, 200, 7)]  # all within ±100s
+
+
+def test_range_join_rejects_overlapping_payload_names(spark):
+    left = spark.createDataFrame([(1, _ts(0))], "v long, lts timestamp")
+    right = spark.createDataFrame([(2, _ts(0))], "v long, rts timestamp")
+    with pytest.raises(ValueError, match="disjoint"):
+        range_join(left, right, "lts", "rts", 0.0, 1.0)
