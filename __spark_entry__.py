@@ -1004,6 +1004,26 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash analogue): per doc the min
+    md5-lower-64 over word 5-grams — a 1-permutation minhash, entirely
+    JVM-side codegen (operators/text.py). Docs sharing a fingerprint are
+    near-dup cluster candidates; cluster_size is the fingerprint's doc
+    count. Map-only + one shuffle on the 16-byte fingerprint — at 100 TB
+    this is the cheapest near-dup blocking pass available."""
+    from tdigest_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint(F.col("text"), 5).alias("fp"))
+    from pyspark.sql.window import Window
+
+    return fp.select(
+        "doc_id",
+        "fp",
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("cluster_size"),
+    ).orderBy("doc_id")
+
+
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing end-to-end on driver data: document
     text becomes an opaque binary payload with typed image metadata, then
@@ -1327,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
+        "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -2219,6 +2240,22 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        # fingerprint = min md5-lower-64 over word 5-grams, spelled as the
+        # 16-hex-char little-endian string (byte-reversed lower half of the
+        # md5 hex) — identical on both engines, min-lexicographic == min-
+        # numeric on fixed-width lowercase hex.
+        "doc_fingerprint_clusters": f"""
+            WITH {_grams_cte(5)}, hv AS (
+              SELECT doc_id, md5(g) AS h FROM grams
+            ), fp AS (
+              SELECT doc_id,
+                     MIN({" || ".join(f"substr(h, {31 - 2 * i}, 2)" for i in range(8))}) AS fp
+              FROM hv GROUP BY doc_id
+            )
+            SELECT doc_id, fp,
+                   COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+            FROM fp ORDER BY doc_id
         """,
         "events_hourly_stream_digest": """
             WITH cum AS (

@@ -100,17 +100,30 @@ def langid_heuristic(col) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _md5_lower64_hex(col) -> Column:
+    """Lower 8 bytes of md5 as a 16-char little-endian hex string — the
+    hex spelling of DuckDB ``md5_number_lower`` (see dedup._hash64_batch),
+    so fingerprints have exact SQL oracles. Fixed-width lowercase hex
+    compares lexicographically == numerically, so MIN/array_min over these
+    strings is the numeric min of the uint64 hashes. Pure codegen'd
+    substring/concat — no Python."""
+    h = F.md5(col.cast("binary"))
+    return F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+
+
 def fingerprint(col, ngram: int = 5) -> Column:
-    """Deterministic document fingerprint: min over xxhash64 of word
+    """Deterministic document fingerprint: min over md5-lower-64 of word
     ``ngram``-grams (a 1-permutation minhash / rolling-hash analogue),
-    entirely JVM-side."""
+    entirely JVM-side. Texts shorter than ``ngram`` words hash the whole
+    token string. Returns the 16-hex-char hash (little-endian uint64 ==
+    DuckDB ``md5_number_lower`` of the same gram)."""
     words = word_tokens(col)
     n = F.size(words)
     grams = F.when(
         n >= ngram,
         F.transform(
             F.sequence(F.lit(1), n - F.lit(ngram - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, ngram))),
+            lambda i: _md5_lower64_hex(F.concat_ws(" ", F.slice(words, i, ngram))),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+    ).otherwise(F.array(_md5_lower64_hex(F.concat_ws(" ", words))))
     return F.array_min(grams)
