@@ -42,6 +42,11 @@ AUDITS = {
     "events_type_pivot": (0, False, False),
     # filter must reach the scan BELOW the generator (posexplode)
     "embedding_posexplode": (0, False, True),
+    # bucket-expansion range join: the pair join must be a hash/merge
+    # EQUI join (no CartesianProduct / nested loop; cartesian check below)
+    "purchase_prior_events_range_join": (0, False, True),
+    # fingerprint blocking: map-only + one window shuffle, pruned scan
+    "doc_fingerprint_clusters": (0, False, False),
 }
 
 
