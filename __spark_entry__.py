@@ -1060,10 +1060,10 @@ def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits shares at least one of 4 16-bit bands). Fully oracled: md5-lower-64
     gram hashes and the majority vote are reproduced in SQL
     (_simhash_oracle_sql)."""
-    from tdigest_spark.operators.dedup import simhash64
+    from tdigest_spark.operators.dedup import simhash64, spread_small_input
 
     docs = _t(spark, sf_dir, "documents")
-    sig = docs.select(
+    sig = spread_small_input(docs.select("doc_id", "text")).select(
         F.col("doc_id").alias("_id"), simhash64(F.col("text"), 2).alias("sh")
     )
     banded = sig.select(
@@ -1153,6 +1153,48 @@ def events_hourly_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "window_start long, event_type string, n long, p50 double"
     ).orderBy("window_start", "event_type")
+
+
+def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon: the events file
+    stream unioned with ITSELF (every event delivered twice — the at-least-
+    once redelivery case) through dropDuplicatesWithinWatermark keyed on
+    event_id, then per-type counts over the deduped append stream. State
+    is bounded by (distinct ids per horizon), never stream length. Exact
+    oracle: dedup of a doubled stream == the original table, so counts
+    equal plain per-type GROUP BY counts."""
+    import time as _time
+
+    from tdigest_spark.streaming import dedup_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    doubled = _stream().unionByName(_stream())
+    deduped = dedup_stream(doubled, ["event_id"], "ts", "1 hour")
+    qname = f"ev_dedup_{int(_time.time() * 1000)}"
+    q = (
+        deduped.select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1349,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
+        "events_stream_dedup_counts": events_stream_dedup_counts,
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -2256,6 +2299,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fp,
                    COUNT(*) OVER (PARTITION BY fp) AS cluster_size
             FROM fp ORDER BY doc_id
+        """,
+        # dedup of the doubled stream == the original table
+        "events_stream_dedup_counts": """
+            SELECT event_type, COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_hourly_stream_digest": """
             WITH cum AS (
