@@ -460,6 +460,42 @@ def tdigest_quantity_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "x double, cdf double").orderBy("x")
 
 
+def lineitem_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucket classification — the PROBE side of the sketch
+    surface at table scale: every row gets its quartile from the digest's
+    mid-CDF at the row's value. The (distinct value -> bucket) dimension
+    is computed from the O(KB) digest state driver-side and
+    broadcast-joined; classification and the rollup are pure codegen (no
+    per-row Python, no second shuffle beyond the rollup's). Exact oracle:
+    cdf(v) == (count_lt + count_eq/2)/n, whose numerator/denominator are
+    exact in double, so bucket thresholds compare bit-identically in SQL
+    (same guarantee tdigest_quantity_cdf gates)."""
+    from tdigest_spark.operators.aggregate import TDIGEST
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
+    vals = sorted(
+        r.v
+        for r in li.select(F.col("l_quantity").cast("double").alias("v"))
+        .distinct()
+        .collect()
+    )
+    dim = [
+        (float(v), 1 + sum(float(d.cdf(v)) > t for t in (0.25, 0.5, 0.75)))
+        for v in vals
+    ]
+    dim_df = spark.createDataFrame(dim, "v double, bucket int")
+    return (
+        li.join(F.broadcast(dim_df), li.l_quantity.cast("double") == dim_df.v)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def tdigest_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quantile(p) of the distributed digest: linear interpolation between
     singleton-value centroids, mirrored exactly by the SQL oracle."""
@@ -1357,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
         "tdigest_quantity_cdf": tdigest_quantity_cdf,
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
+        "lineitem_quantile_buckets": lineitem_quantile_buckets,
         "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
         "tdigest_summary": tdigest_summary,
         "tdigest_tree_merged_quantiles": tdigest_tree_merged_quantiles,
@@ -1826,6 +1863,31 @@ def oracle_sql() -> dict[str, str]:
                    / COUNT(*) AS cdf
             FROM lineitem, {qty_cdf_xs}
             GROUP BY x ORDER BY x
+        """,
+        # probe surface: bucket thresholds are digest mid-CDF values —
+        # numerator/denominator exact in double, so > compares bit-safely
+        "lineitem_quantile_buckets": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS DOUBLE) AS c
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT v,
+                     (SUM(c) OVER (ORDER BY v) - c + c / 2)
+                       / (SUM(c) OVER ()) AS r
+              FROM cent
+            ), dim AS (
+              SELECT v,
+                     CAST(1 + CASE WHEN r > 0.25 THEN 1 ELSE 0 END
+                            + CASE WHEN r > 0.5  THEN 1 ELSE 0 END
+                            + CASE WHEN r > 0.75 THEN 1 ELSE 0 END
+                          AS INTEGER) AS bucket
+              FROM cum
+            )
+            SELECT bucket, COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem l JOIN dim ON CAST(l.l_quantity AS DOUBLE) = dim.v
+            GROUP BY bucket ORDER BY bucket
         """,
         "tdigest_quantity_quantiles": """
             WITH cent AS (
