@@ -998,6 +998,25 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build (the wordcount at the root of every tokenizer
+    pipeline): lowercase whitespace words -> explode -> count -> top 50 by
+    (count desc, word) with deterministic tie-break. Pure codegen explode
+    + two-phase hash aggregate (map-side partials, one shuffle on word)
+    + TakeOrderedAndProject — the exact shape that holds at 100 TB."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (length / punctuation / stopword ratios) — all
     whole-stage-codegen column expressions, no Python."""
@@ -1424,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_candidates": simhash_dup_candidates,
         "media_decode_stats": media_decode_stats,
         "doc_quality_scores": doc_quality_scores,
+        "doc_vocab_topk": doc_vocab_topk,
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
@@ -2345,6 +2365,15 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        "doc_vocab_topk": r"""
+            SELECT word, COUNT(*) AS n
+            FROM (
+              SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            )
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
         """,
         # fingerprint = min md5-lower-64 over word 5-grams, spelled as the
         # 16-hex-char little-endian string (byte-reversed lower half of the
