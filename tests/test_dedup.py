@@ -142,3 +142,21 @@ def test_ngram_jaccard_max_df_cap(spark):
     # capped true-pair jaccard matches (its shingles are all rare)
     assert capped[("dup1", "dup2")] == uncapped[("dup1", "dup2")]
     assert all(a.startswith("dup") for a, b in capped)
+
+
+def test_spread_small_input_partitioning(spark):
+    """A low-partition frame spreads to session parallelism; an
+    already-wide frame is untouched (no shuffle inserted); row content
+    is preserved either way."""
+    from tdigest_spark.operators.dedup import spread_small_input
+
+    par = min(spark.sparkContext.defaultParallelism, 32)
+    narrow = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "id long, text string"
+    ).coalesce(1)
+    spread = spread_small_input(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert sorted(r.id for r in spread.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert spread_small_input(wide) is wide
