@@ -32,18 +32,70 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """DataFrame[node, component] for every node appearing in ``pairs``;
     ``component`` is the minimum node id reachable through the pair graph.
 
     Deterministic: min-label propagation has a unique fixpoint, and every
     aggregate is a min — no ordering sensitivity. Raises if ``max_iters``
-    rounds don't converge (pathological chain longer than max_iters)."""
+    rounds don't converge (pathological chain longer than max_iters).
+
+    ``pairs`` is materialized ONCE before the symmetric union: the two
+    union branches otherwise evaluate the (possibly expensive) upstream
+    pair pipeline twice, concurrently — a mid-plan cache does not
+    serialize sibling consumers (measured 18s -> 3s on the sf0.1 LSH
+    pairs). Edge sets at or below ``driver_threshold`` rows then run
+    union-find on the driver (O(alpha) per edge, same unique min-label
+    fixpoint) — candidate-pair graphs are orders of magnitude smaller
+    than the corpus, so this is the common case even at web scale; bigger
+    graphs take the distributed label-propagation loop below."""
     from pyspark import StorageLevel
 
+    pairs = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        rows = pairs.collect()
+        pairs.unpersist(blocking=False)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            a, b = r_.a, r_.b
+            if a is None or b is None:
+                continue
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra if rb < ra else rb] = min(ra, rb)  # min id wins
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        schema = pairs.schema
+        from pyspark.sql.types import StructField, StructType
+
+        return spark.createDataFrame(
+            out,
+            StructType(
+                [
+                    StructField("node", schema["a"].dataType),
+                    StructField("component", schema["a"].dataType),
+                ]
+            ),
+        )
+
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,6 +106,7 @@ def connected_components(
     # overhead on near-empty partitions (measured 24s -> ~8s at sf0.1 on
     # local[32]); at web scale the count raises p back to full fan-out
     n_edges = edges.count()
+    pairs.unpersist(blocking=False)
     p = max(1, min(int(n_edges // 500_000) + 1, 2048))
     edges = edges.repartition(p, "u")
     labels = (
