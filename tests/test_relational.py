@@ -98,6 +98,43 @@ def test_range_join_multi_bucket_no_duplicate_pairs(spark):
     assert sorted(rids) == [i for i in range(0, 200, 7)]  # all within ±100s
 
 
+def test_range_join_matches_bruteforce_on_random_data(spark):
+    """Randomized (fixed-seed) cross-check: bucket-expansion pairs ==
+    brute-force O(n^2) inequality pairs, across asymmetric windows that
+    don't align with bucket boundaries."""
+    import random
+
+    rng = random.Random(42)
+    left = [(i, rng.randrange(0, 5), _ts(rng.uniform(0, 2000))) for i in range(40)]
+    right = [
+        (100 + i, rng.randrange(0, 5), _ts(rng.uniform(0, 2000)))
+        for i in range(120)
+    ]
+    ldf = spark.createDataFrame(left, "lid long, uid long, lts timestamp")
+    rdf = spark.createDataFrame(right, "rid long, uid long, rts timestamp")
+    for lo, hi, bucket in [(-137.5, 61.25, None), (12.0, 500.0, 33.0), (-50.0, -10.0, None)]:
+        got = sorted(
+            (r.lid, r.rid)
+            for r in range_join(
+                ldf, rdf, "lts", "rts", lo, hi, on=["uid"], bucket_seconds=bucket
+            ).collect()
+        )
+        lo_us, hi_us = int(lo * 1e6), int(hi * 1e6)
+
+        def us(t):
+            # exact integer µs (float .timestamp() can be off by 1 µs)
+            d = t - dt.datetime(1970, 1, 1)
+            return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+        want = sorted(
+            (lid, rid)
+            for (lid, luid, lt) in left
+            for (rid, ruid, rt) in right
+            if luid == ruid and us(lt) + lo_us <= us(rt) <= us(lt) + hi_us
+        )
+        assert got == want, (lo, hi, bucket)
+
+
 def test_range_join_rejects_overlapping_payload_names(spark):
     left = spark.createDataFrame([(1, _ts(0))], "v long, lts timestamp")
     right = spark.createDataFrame([(2, _ts(0))], "v long, rts timestamp")

@@ -47,6 +47,10 @@ AUDITS = {
     "purchase_prior_events_range_join": (0, False, True),
     # fingerprint blocking: map-only + one window shuffle, pruned scan
     "doc_fingerprint_clusters": (0, False, False),
+    # the (value -> bucket) digest-probe dim must BROADCAST
+    "lineitem_quantile_buckets": (1, True, False),
+    # wordcount: map-side partial agg + TakeOrderedAndProject, 2-col scan
+    "doc_vocab_topk": (0, False, False),
 }
 
 
