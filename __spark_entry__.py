@@ -868,6 +868,36 @@ def cms_lang_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "lang string, est_count long").orderBy("lang")
 
 
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-cardinality statistic (the optimizer use case):
+    |lineitem JOIN high-value-orders| estimated from the two key CMSes'
+    inner product — O(KB) mergeable state, NO scan of either table at
+    estimation time. Cormode-Muthukrishnan guarantees: the estimate never
+    under-counts, and over-counts by at most (e/width)*|A|*|B| per depth
+    row at >= 1-(1/e)^depth confidence; both checks are emitted as
+    booleans next to the exact join size, so the oracle is closed-form
+    (exact count + TRUE + TRUE)."""
+    import math
+
+    from tdigest_spark.operators.aggregate import CMS_INTS
+
+    li = _t(spark, sf_dir, "lineitem")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    a = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_orderkey", CMS_INTS(5, 16384, 0))}
+    )["s"]
+    from tdigest_spark.operators.aggregate import build_sketch
+
+    b = build_sketch(big, "o_orderkey", CMS_INTS(5, 16384, 0))
+    est = a.inner_product(b)
+    exact = li.join(big, li.l_orderkey == big.o_orderkey).count()
+    slack = math.e / 16384 * a.total * b.total
+    rows = [(exact, bool(est >= exact), bool(est <= exact + slack))]
+    return spark.createDataFrame(
+        rows, "exact_pairs long, est_ge_exact boolean, est_within_eps boolean"
+    )
+
+
 def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-UDF-over-states surface: grouped t-digest states queried
     in-DataFrame with digest_quantile / digest_cdf / digest_trimmed_mean
@@ -1430,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
+        "cms_join_size_estimate": cms_join_size_estimate,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2210,6 +2241,15 @@ def oracle_sql() -> dict[str, str]:
         "cms_lang_estimates": """
             SELECT lang, COUNT(*) AS est_count
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # CMS inner product never under-counts and meets its eps bound by
+        # construction on this data; the exact join size anchors the row
+        "cms_join_size_estimate": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+                   TRUE AS est_ge_exact,
+                   TRUE AS est_within_eps
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_totalprice > 400000
         """,
         "skewed_source_salted_agg": """
             SELECT source, COUNT(*) AS n_docs,

@@ -118,6 +118,22 @@ class CMS:
     def estimate_strings(self, values) -> np.ndarray:
         return self._estimate_keys(hash_strings(values))
 
+    def inner_product(self, other: "CMS") -> int:
+        """Join-size estimate |A JOIN B| from the two key sketches alone:
+        min over depth rows of sum_j a[d,j]*b[d,j] (Cormode &
+        Muthukrishnan's a*b estimator). Guarantees: never under-estimates;
+        over-estimates by at most (e/width)*|A|*|B| per row with
+        probability >= 1 - (1/e)^depth. This is the optimizer-statistics
+        use: join cardinality from O(KB) mergeable state, no scan of
+        either table. Exact integer arithmetic (object dtype) — int64
+        row-dot products overflow once totals pass ~3e9."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("shape mismatch")
+        return min(
+            int(np.dot(self.table[d].astype(object), other.table[d]))
+            for d in range(self.depth)
+        )
+
     def heavy_hitters(self) -> list[tuple[int, int]]:
         """[(raw key, est count)] sorted by count desc, key asc."""
         self._flush_pending()

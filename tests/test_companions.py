@@ -303,3 +303,30 @@ def test_cms_serde_roundtrips_k_heavy():
     c2 = CMS(3, 512, 16)
     c2.update_ints(np.arange(50))
     assert CMS.from_bytes(c2.to_bytes()).k_heavy == 16
+
+
+def test_cms_inner_product_join_size():
+    """Inner-product join-size estimate: >= exact always; within the
+    (e/width)*|A|*|B| C&M bound; exact when width leaves no collisions."""
+    import math
+
+    import numpy as np
+
+    from tdigest_spark.sketch.cms import CMS
+
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 500, size=20_000)
+    b_keys = rng.integers(0, 500, size=3_000)
+    a = CMS(5, 8192, 0).update_ints(a_keys)
+    b = CMS(5, 8192, 0).update_ints(b_keys)
+    ca = np.bincount(a_keys, minlength=500)
+    cb = np.bincount(b_keys, minlength=500)
+    exact = int((ca * cb).sum())
+    est = a.inner_product(b)
+    assert est >= exact
+    assert est <= exact + math.e / 8192 * a.total * b.total
+    # mismatched shapes refuse
+    import pytest
+
+    with pytest.raises(ValueError):
+        a.inner_product(CMS(5, 4096, 0))
