@@ -868,6 +868,31 @@ def cms_lang_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "lang string, est_count long").orderBy("lang")
 
 
+def sql_digest_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-`spark.sql` consumption path end-to-end through the gate:
+    grouped digest states registered as a temp view and probed with the
+    REGISTERED SQL functions (digest_quantile / digest_cdf) inside a SQL
+    string — how a thriftserver / BI-tool session uses the engine. Same
+    centroid-exact config as grouped_digest_functions, so every value has
+    a closed-form mirror."""
+    from tdigest_spark.functions import register_sql_functions
+    from tdigest_spark.operators.aggregate import TDIGEST, build_sketch_grouped
+
+    register_sql_functions(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketch_grouped(li, ["l_returnflag"], "l_quantity", TDIGEST(0.01))
+    states.createOrReplaceTempView("flag_digests")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(digest_quantile(state, 0.25), 6) AS p25,
+               ROUND(digest_quantile(state, 0.75), 6) AS p75,
+               ROUND(digest_cdf(state, 30.0), 9) AS cdf_30
+        FROM flag_digests ORDER BY l_returnflag
+        """
+    )
+
+
 def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven join-cardinality statistic (the optimizer use case):
     |lineitem JOIN high-value-orders| estimated from the two key CMSes'
@@ -1461,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
         "cms_join_size_estimate": cms_join_size_estimate,
+        "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2143,6 +2169,45 @@ def oracle_sql() -> dict[str, str]:
         "kll_rank_error_check": """
             SELECT CAST(p AS DOUBLE) AS p, TRUE AS within_bound
             FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+        """,
+        "sql_digest_surface": """
+            WITH cent AS (
+              SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ), cum AS (
+              SELECT rf, v, w,
+                     SUM(w) OVER (PARTITION BY rf ORDER BY v) - w / 2 AS mc,
+                     SUM(w) OVER (PARTITION BY rf) AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.25),(0.75)) t(p)
+            ), brackets AS (
+              SELECT rf, p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN v END) AS v_lo,
+                     MIN(CASE WHEN mc >  p * n THEN v END) AS v_hi,
+                     ANY_VALUE(n) AS n
+              FROM cum, ps GROUP BY rf, p
+            ), q AS (
+              SELECT rf, p,
+                     ROUND(v_lo + ((v_hi - v_lo) / (mc_hi - mc_lo))
+                                * (p * n - mc_lo), 6) AS qv
+              FROM brackets
+            ), cdfx AS (
+              SELECT rf,
+                     ROUND((SUM(CASE WHEN v < 30.0 THEN w ELSE 0 END)
+                            + SUM(CASE WHEN v = 30.0 THEN w ELSE 0 END) / 2.0)
+                           / ANY_VALUE(n), 9) AS cdf_30
+              FROM cum GROUP BY rf
+            )
+            SELECT q.rf AS l_returnflag,
+                   MAX(CASE WHEN p = 0.25 THEN qv END) AS p25,
+                   MAX(CASE WHEN p = 0.75 THEN qv END) AS p75,
+                   ANY_VALUE(cdf_30) AS cdf_30
+            FROM q JOIN cdfx ON cdfx.rf = q.rf
+            GROUP BY q.rf ORDER BY l_returnflag
         """,
         "grouped_digest_functions": """
             WITH cent AS (
