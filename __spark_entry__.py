@@ -738,6 +738,35 @@ def hll_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, within_bound boolean")
 
 
+def hll_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED approximate-distinct: one HLL per event_type over user_id
+    via the grouped two-phase aggregate (raw rows never shuffle — only
+    #partitions x #keys x O(16KB) states move). Emits the exact count and
+    the published-error-envelope check per group, so the oracle is
+    closed-form (exact + TRUE)."""
+    from tdigest_spark.operators.aggregate import HLL_INTS, build_sketch_grouped
+    from tdigest_spark.sketch.hll import HLL
+
+    ev = _t(spark, sf_dir, "events")
+    states = build_sketch_grouped(ev, ["event_type"], "user_id", HLL_INTS(14))
+    exact = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    rows = []
+    for r in states.collect():
+        est = HLL.from_bytes(bytes(r.state)).estimate()
+        ex = int(exact[r.event_type])
+        rows.append(
+            (r.event_type, ex, bool(abs(est - ex) / max(ex, 1) < 0.025))
+        )
+    return spark.createDataFrame(
+        sorted(rows), "event_type string, exact_users long, within_bound boolean"
+    ).orderBy("event_type")
+
+
 def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra: union = register-max merge (the sketch's native
     set op), intersection via inclusion-exclusion. Each estimate must sit
@@ -1482,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
         "hll_set_algebra": hll_set_algebra,
+        "hll_users_by_event_type": hll_users_by_event_type,
         "bloom_partkey_membership": bloom_partkey_membership,
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
@@ -2309,6 +2339,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CMS inner product never under-counts and meets its eps bound by
         # construction on this data; the exact join size anchors the row
+        "hll_users_by_event_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "cms_join_size_estimate": """
             SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
                    TRUE AS est_ge_exact,
