@@ -1101,6 +1101,51 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_pipeline_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal paths end-to-end (image resize-to-features,
+    audio frame-energy, video frame-sampling) over a deterministic media
+    table: one row per (doc, kind) with the op's OUTPUT CARDINALITY —
+    feature length / frame count / sampled-frame count. The fan-out
+    shapes are pure arithmetic on the metadata, so the contract is
+    closed-form even where float audio math isn't SQL-reproducible.
+    Plumbing (Arrow mapInPandas batches, schemas, JVM-side kind filters)
+    is the real 100-TB path; decoders are the documented stubs."""
+    from tdigest_spark.operators.multimodal import (
+        audio_frame_energy,
+        image_resize_features,
+        video_sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.lit(16) + F.col("n_chars") % 16).cast("int").alias("width"),
+        F.lit(16).cast("int").alias("height"),
+        (F.lit(4096) + (F.col("n_chars") % 7) * 1024)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.lit(24) + F.col("n_chars") % 50).cast("int").alias("n_frames"),
+    )
+    img = image_resize_features(media, side=16).select(
+        "doc_id", F.lit("image").alias("kind"), F.size("feature").alias("n_out")
+    )
+    aud = audio_frame_energy(media, frame=1024).select(
+        "doc_id", F.lit("audio").alias("kind"), F.size("rms").alias("n_out")
+    )
+    vid = (
+        video_sample_frames(media, every=8)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_out"))
+        .select("doc_id", F.lit("video").alias("kind"), "n_out")
+    )
+    return img.unionByName(aud).unionByName(vid).orderBy("doc_id")
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (length / punctuation / stopword ratios) — all
     whole-stage-codegen column expressions, no Python."""
@@ -1529,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_resolution": dedup_group_resolution,
         "simhash_dup_candidates": simhash_dup_candidates,
         "media_decode_stats": media_decode_stats,
+        "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_langid_counts": doc_langid_counts,
@@ -2430,6 +2476,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_dup_candidates": _simhash_oracle_sql(ngram=2, max_hamming=3),
         "media_decode_stats": _media_stats_oracle_sql(),
+        # fan-out shapes are metadata arithmetic: image 16x16 grid = 256,
+        # audio floor(sample_rate/1024) frames, video ceil(n_frames/8)
+        "media_pipeline_shapes": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 256
+                        WHEN 1 THEN (4096 + (n_chars % 7) * 1024) // 1024
+                        ELSE CAST(CEIL((24 + n_chars % 50) / 8.0) AS BIGINT)
+                        END AS INTEGER) AS n_out
+            FROM documents WHERE doc_id < 300
+            ORDER BY doc_id
+        """,
         "doc_quality_scores": r"""
             WITH base AS (
               SELECT doc_id, text,
