@@ -2455,11 +2455,13 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
               FROM words WHERE len(w) < 3
+            ), hv AS (
+              SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
             ), sizes AS (
-              SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+              SELECT doc_id, COUNT(*) AS sz FROM hv GROUP BY doc_id
             ), inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,

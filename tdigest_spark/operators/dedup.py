@@ -27,6 +27,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash64",
     "shingle_minhash_arrow",
+    "shingle_hash_sets_arrow",
     "spread_small_input",
 ]
 
@@ -238,6 +239,30 @@ def shingle_sets_arrow(text_col, shingle_n: int = 3) -> Column:
     return kernel(text_col)
 
 
+def shingle_hash_sets_arrow(text_col, shingle_n: int = 3) -> Column:
+    """Distinct md5-lower-64 hashes of each row's shingle set
+    (array<long>): the postings-index currency for exact-Jaccard joins —
+    8-byte longs shuffle and compare far cheaper than the shingle strings
+    they stand for, and DuckDB ``md5_number_lower`` reproduces every value
+    so the join stays exactly oracled (both engines dedup per-doc on the
+    hash, so even a collision — ~2^-64 per pair — is mirrored)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        sets = _shingle_sets(texts, shingle_n)
+        return pd.Series(
+            [
+                np.unique(
+                    _hash64_batch([g.encode() for g in s])
+                ).view(np.int64).tolist()
+                for s in sets
+            ]
+        )
+
+    return kernel(text_col)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -398,8 +423,10 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index:
-    explode shingles -> join on shingle -> count common -> Jaccard.
-    Avoids the all-pairs product; shuffles (shingle, id) postings.
+    explode md5-lower-64 shingle hashes -> join on hash -> count common ->
+    Jaccard. Avoids the all-pairs product; shuffles (hash, id) postings —
+    8-byte longs, not the strings they stand for (DuckDB md5_number_lower
+    mirrors every hash, so the join stays exactly oracled).
 
     ``max_df`` guards the postings self-join against hot shingles: a
     shingle present in d documents contributes d^2 join rows, so one
@@ -421,7 +448,7 @@ def ngram_jaccard_pairs(
     base = spread_small_input(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     ).select(
-        "_id", shingle_sets_arrow(F.col("_text"), shingle_n).alias("_sh")
+        "_id", shingle_hash_sets_arrow(F.col("_text"), shingle_n).alias("_sh")
     ).withColumn("_len", F.size("_sh"))
     posts = base.select("_id", "_len", F.explode("_sh").alias("_g"))
     if max_df is not None:
