@@ -328,6 +328,31 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: NTILE(4) by total price within each order
+    priority (deterministic total order via the (price, key) tie-break),
+    rolled up to per-(priority, quartile) counts and price sums."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
 def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator, built-in-absent in Spark): each
     purchase joined to the user's most recent prior-or-simultaneous view's
@@ -1534,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_type_map": events_user_type_map,
         "part_supplier_set_ops": part_supplier_set_ops,
         "events_json_props": events_json_props,
+        "orders_ntile_quartiles": orders_ntile_quartiles,
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
@@ -1943,6 +1969,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(value), 6) AS avg_value
             FROM events
             GROUP BY month, k_bucket ORDER BY month, k_bucket
+        """,
+        "orders_ntile_quartiles": """
+            WITH t AS (
+              SELECT o_orderpriority, o_totalprice,
+                     NTILE(4) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey)
+                       AS quartile
+              FROM orders
+            )
+            SELECT o_orderpriority, quartile, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM t GROUP BY o_orderpriority, quartile
+            ORDER BY o_orderpriority, quartile
         """,
         "purchases_asof_view": """
             WITH p AS (
