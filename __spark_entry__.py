@@ -1107,6 +1107,45 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_decontamination_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination (benchmark-overlap removal), the standard
+    pre-training hygiene pass: corpus documents sharing ANY word-3-gram
+    with the probe set (here: doc_id < 10, standing in for an eval
+    benchmark) are dropped via LEFT ANTI join. The probe's shingle-hash
+    set is tiny by construction, so it BROADCASTS and the corpus is
+    filtered map-side — no corpus shuffle at any scale. Hashes are
+    md5-lower-64, so the whole decision is exactly oracled."""
+    from tdigest_spark.operators.dedup import (
+        shingle_hash_sets_arrow,
+        spread_small_input,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", shingle_hash_sets_arrow(F.col("text"), 3).alias("_sh")
+    )
+    base = base.persist()
+    probe = (
+        base.where(F.col("doc_id") < 10)
+        .select(F.explode("_sh").alias("_g"))
+        .distinct()
+    )
+    corpus = base.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode("_sh").alias("_g")
+    )
+    contaminated = (
+        corpus.join(F.broadcast(probe), "_g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.where(F.col("doc_id") >= 10)
+        .select("doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
 def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build (the wordcount at the root of every tokenizer
     pipeline): lowercase whitespace words -> explode -> count -> top 50 by
@@ -1603,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
+        "doc_decontamination_anti": doc_decontamination_anti,
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
@@ -2608,6 +2648,19 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        "doc_decontamination_anti": rf"""
+            WITH {_grams_cte(3)}, hv AS (
+              SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+            ), probe AS (
+              SELECT DISTINCT h FROM hv WHERE doc_id < 10
+            ), bad AS (
+              SELECT DISTINCT doc_id FROM hv
+              WHERE doc_id >= 10 AND h IN (SELECT h FROM probe)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
         """,
         "doc_vocab_topk": r"""
             SELECT word, COUNT(*) AS n
