@@ -1146,6 +1146,95 @@ def doc_decontamination_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the looping/boilerplate screen
+    every pre-training pipeline runs): distinct-word ratio and
+    top-word-frequency fraction per document, plus the keep/drop
+    decision. Entirely map-side — the max word frequency is a run-length
+    pass over the per-row sorted word array (operators/text.py
+    repetition_features), so there is no explode/groupBy shuffle at any
+    corpus size."""
+    from tdigest_spark.operators.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(docs.select("doc_id", "text"))
+    keep = (F.col("distinct_ratio") >= 0.45) & (F.col("top_word_ratio") <= 0.12)
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_word_ratio", 6).alias("top_word_ratio"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def token_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: per-source whitespace-token totals and the
+    sampling weight that equalizes every source's token contribution
+    (weight = min(1, target_share / actual_share)) — how a training
+    pipeline turns 'we want a uniform source mix' into per-row sample
+    rates. One partial-aggregated groupBy plus a broadcast one-row
+    cross-join for the total; no global window, no second scan."""
+    from tdigest_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    weight = F.least(
+        F.lit(1.0), (F.col("_tot") / F.col("_k")) / F.col("n_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("source", "n_tokens", F.round(weight, 6).alias("weight"))
+        .orderBy("source")
+    )
+
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: fan each document out into ceil(n/32)
+    fixed-capacity token windows (operators/pack.py chunk_fixed) —
+    sequence+explode inside codegen, a map-only stage with no shuffle
+    at any scale."""
+    from tdigest_spark.operators.pack import chunk_fixed
+    from tdigest_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_fixed(docs, "doc_id", token_count(F.col("text")), 32).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def token_shards_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy training-shard assignment: within each source, documents
+    (ordered by doc_id) are packed into ~2000-token shards by prefix
+    sum (operators/pack.py shard_by_cumsum — the window is PARTITIONED
+    by source, so each group sorts independently; no global
+    single-partition window). Reports per-shard doc counts and token
+    mass."""
+    from tdigest_spark.operators.pack import shard_by_cumsum
+    from tdigest_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    sharded = shard_by_cumsum(tok, "source", "doc_id", F.col("n_tokens"), 2000)
+    return (
+        sharded.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
 def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build (the wordcount at the root of every tokenizer
     pipeline): lowercase whitespace words -> explode -> count -> top 50 by
@@ -1643,6 +1732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_decontamination_anti": doc_decontamination_anti,
+        "doc_repetition_filter": doc_repetition_filter,
+        "token_mix_rebalance": token_mix_rebalance,
+        "doc_pack_chunks": doc_pack_chunks,
+        "token_shards_by_source": token_shards_by_source,
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
@@ -1663,6 +1756,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # constants so the SQL is self-contained for the driver.
 
 _U64_MOD = "18446744073709551616"
+
+# whitespace token count (blank text = 0 words; a bare split yields [''] = 1)
+# — the SQL twin of operators/text.py token_count
+_TOKENS_SQL = (
+    r"CASE WHEN TRIM(text) = '' THEN 0 "
+    r"ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END"
+)
 _GRAMS_CTE = r"""
         words AS (
           SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
@@ -2661,6 +2761,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
             ORDER BY doc_id
+        """,
+        "doc_repetition_filter": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+              FROM documents WHERE trim(text) <> ''
+            ), f AS (
+              SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+            ), a AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dr,
+                     CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS tr
+              FROM f GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   ROUND(COALESCE(a.dr, CAST(0 AS DOUBLE)), 6) AS distinct_ratio,
+                   ROUND(COALESCE(a.tr, CAST(0 AS DOUBLE)), 6) AS top_word_ratio,
+                   COALESCE(a.dr >= 0.45 AND a.tr <= 0.12, FALSE) AS keep
+            FROM documents d LEFT JOIN a USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "token_mix_rebalance": rf"""
+            WITH per AS (
+              SELECT source, CAST(SUM({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, COUNT(*) AS k FROM per
+            )
+            SELECT source, n_tokens,
+                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                               (CAST(t AS DOUBLE) / k) / n_tokens), 6) AS weight
+            FROM per, tot ORDER BY source
+        """,
+        "doc_pack_chunks": rf"""
+            WITH t AS (
+              SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n FROM documents
+            )
+            , e AS (
+              SELECT doc_id, n,
+                     unnest(range(0, (n + 31) // 32)) AS chunk_id
+              FROM t WHERE n > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(LEAST(32, n - 32 * chunk_id) AS BIGINT) AS chunk_tokens
+            FROM e ORDER BY doc_id, chunk_id
+        """,
+        "token_shards_by_source": rf"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT source, n_tokens,
+                     (SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) - n_tokens) // 2000 AS shard
+              FROM t
+            )
+            SELECT source, CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM s GROUP BY source, shard ORDER BY source, shard
         """,
         "doc_vocab_topk": r"""
             SELECT word, COUNT(*) AS n

@@ -1,0 +1,92 @@
+"""Sequence-packing operators for training-data pipelines.
+
+Before a corpus feeds a trainer it is cut into fixed-capacity token
+windows ("context-length chunking") and grouped into contiguous token
+shards of roughly equal size. Both are expressed here as pure
+DataFrame transformations:
+
+- ``chunk_fixed``: per-document ceil(n/C) chunk fan-out via
+  ``sequence`` + ``explode`` — a map-only stage, no shuffle, scales
+  linearly at any corpus size.
+- ``shard_by_cumsum``: greedy shard assignment by running token count
+  within a partition column (e.g. source). A window cumulative sum
+  partitioned by that column keeps the sort local per group — no
+  global single-partition window, so at 100 TB the parallelism is
+  bounded by the number of groups, not 1. Documents are never split:
+  a document lands in the shard its *preceding* cumulative mass maps
+  to (next-fit with overflow tolerated), the classic deterministic
+  rule that needs only a prefix sum.
+
+Both are exactly reproducible in ANSI SQL (generate_series / window
+SUM), so every query built on them carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["chunk_fixed", "shard_by_cumsum"]
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column,
+    capacity: int,
+) -> DataFrame:
+    """Fan each row out into ``ceil(tokens / capacity)`` fixed-capacity
+    chunks. Rows with zero tokens produce no chunks. Output columns:
+    ``id_col``, ``chunk_id`` (0-based), ``chunk_tokens`` (== capacity
+    except possibly the last chunk). Map-only: sequence+explode inside
+    whole-stage codegen, no shuffle."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    n = token_count.cast("bigint")
+    n_chunks = F.ceil(n / F.lit(capacity)).cast("bigint")
+    return (
+        df.select(id_col, n.alias("_n"), n_chunks.alias("_k"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_k") - 1)).alias(
+                "chunk_id"
+            ),
+            F.col("_n"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.least(
+                F.lit(capacity).cast("bigint"),
+                F.col("_n") - F.col("chunk_id") * F.lit(capacity),
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def shard_by_cumsum(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    token_count: Column,
+    capacity: int,
+) -> DataFrame:
+    """Assign each row to a token shard within ``part_col`` groups:
+    shard = floor(cumulative_tokens_before_this_row / capacity), rows
+    ordered by ``order_col``. Deterministic, never splits a row, and
+    the window is partitioned so each group sorts independently —
+    parallel across groups at scale. Returns the input plus a
+    ``shard`` column."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = token_count.cast("bigint")
+    cum_incl = F.sum(n).over(w)
+    return df.withColumn(
+        "shard", F.floor((cum_incl - n) / F.lit(capacity)).cast("bigint")
+    )

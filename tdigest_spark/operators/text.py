@@ -15,6 +15,7 @@ __all__ = [
     "word_tokens",
     "token_count",
     "quality_features",
+    "repetition_features",
     "langid_heuristic",
     "fingerprint",
 ]
@@ -81,6 +82,45 @@ def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
             "stopword_ratio",
             F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def repetition_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Repetition-based quality signals: distinct-word ratio and the
+    fraction of the document taken by its single most frequent word
+    (the standard filters for looping/boilerplate text). Computed
+    entirely map-side — the word array is sorted per row and the max
+    run length found with one aggregate() pass, so there is NO
+    explode/groupBy shuffle; at 100 TB this stays a map-only stage.
+    The arrays are tiny (per-document words), so the interpreted HOF
+    cost is negligible. Blank documents get ratio 0 / 0."""
+    words = word_tokens(F.col(col))
+    n = F.size(words)
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(words)) / n).otherwise(
+        F.lit(0.0)
+    )
+    # max run length over the sorted array == max word frequency
+    state = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_word_ratio = F.when(n > 0, state["best"] / n).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_words", n.cast("bigint"))
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("top_word_ratio", top_word_ratio)
     )
 
 
