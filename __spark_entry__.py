@@ -721,6 +721,31 @@ def kll_rank_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, within_bound boolean")
 
 
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch(alpha=0.01) quantiles over l_extendedprice. The sketch is a
+    pure bucket-count structure (idx = ceil(ln(x)/ln(gamma))), so the oracle
+    reproduces the EXACT estimate in SQL: group by the bucket expression,
+    running sum, first bucket past rank floor(p*(n-1)). tests/test_ddsketch.py
+    asserts the data sits >=4e-7 quotient-units from every bucket boundary,
+    so numpy-vs-DuckDB libm ulp differences cannot flip an index."""
+    from tdigest_spark.operators.aggregate import DDSKETCH_SPEC
+
+    sk = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_extendedprice", DDSKETCH_SPEC(0.01))}
+    )["s"]
+    ps = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sk.quantile(np.array(ps))
+    # bucket index back from the estimate's position (emit as the exact
+    # integer check; est as the rounded human-readable value)
+    idx = np.rint(np.log(est * (sk.gamma + 1.0) / 2.0) / sk.log_gamma).astype(int)
+    rows = [
+        (p, int(i), float(np.round(e, 6))) for p, i, e in zip(ps, idx, est)
+    ]
+    return spark.createDataFrame(
+        rows, "p double, bucket_idx long, est double"
+    ).orderBy("p")
+
+
 def discrete_quantile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String discrete digest (values ranked lexically, like the reference's
     string spec, specs/discrete.spec.js:133-142) over o_orderpriority."""
@@ -1706,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
         "autodigest_modes": autodigest_modes,
         "kll_rank_error_check": kll_rank_error_check,
+        "ddsketch_price_quantiles": ddsketch_price_quantiles,
         "grouped_digest_functions": grouped_digest_functions,
         "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
@@ -2424,6 +2450,36 @@ def oracle_sql() -> dict[str, str]:
         "kll_rank_error_check": """
             SELECT CAST(p AS DOUBLE) AS p, TRUE AS within_bound
             FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+        """,
+        # DDSketch is exact-in-SQL by construction: bucket counts over
+        # idx = ceil(ln(x)/ln(gamma)), quantile = first bucket whose
+        # running count exceeds floor(p*(n-1)), est = 2*gamma^idx/(gamma+1)
+        "ddsketch_price_quantiles": """
+            WITH b AS (
+              SELECT CAST(ceil(ln(l_extendedprice)
+                              / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+                          AS BIGINT) AS idx,
+                     COUNT(*) AS c
+              FROM lineitem GROUP BY 1
+            ), cum AS (
+              SELECT idx, SUM(c) OVER (ORDER BY idx) AS cum,
+                     SUM(c) OVER () AS n
+              FROM b
+            ), ps AS (
+              SELECT CAST(p AS DOUBLE) AS p
+              FROM (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+            ), sel AS (
+              SELECT ps.p, MIN(cum.idx) AS bucket_idx
+              FROM ps JOIN cum
+                ON CAST(cum.cum AS DOUBLE) > floor(ps.p * (CAST(cum.n AS DOUBLE) - 1))
+              GROUP BY ps.p
+            )
+            SELECT p, bucket_idx,
+                   ROUND(2 * power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE),
+                                   bucket_idx)
+                         / (CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE) + 1),
+                         6) AS est
+            FROM sel ORDER BY p
         """,
         "sql_digest_surface": """
             WITH cent AS (

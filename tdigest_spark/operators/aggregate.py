@@ -42,6 +42,7 @@ __all__ = [
     "CMS_STRINGS",
     "BLOOM_INTS",
     "BLOOM_STRINGS",
+    "DDSKETCH_SPEC",
     "KLL_SPEC",
     "BOTTOMK_INTS",
     "BOTTOMK_STRINGS",
@@ -194,6 +195,18 @@ def _mk_bloom(expected_items: int = 1_000_000, fpp: float = 0.01, strings=False)
     )
 
 
+def _mk_ddsketch(alpha: float = 0.01):
+    from ..sketch.ddsketch import DDSketch
+
+    return SketchSpec(
+        name=f"ddsketch(alpha={alpha})",
+        make=lambda: DDSketch(alpha=alpha),
+        from_bytes=lambda b: DDSketch.from_bytes(b),
+        update=lambda sk, v: sk.update(v),
+        update_agg=lambda sk, uv, uc: sk.update(uv, counts=uc),
+    )
+
+
 def _mk_kll(k: int = 200):
     from ..sketch.kll import KLL
 
@@ -218,6 +231,7 @@ CMS_STRINGS = _mk_cms_strings
 BLOOM_INTS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, False)  # noqa: E731
 BLOOM_STRINGS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, True)  # noqa: E731
 KLL_SPEC = _mk_kll
+DDSKETCH_SPEC = _mk_ddsketch
 
 
 def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
