@@ -1279,6 +1279,31 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent items, two-pass exact heavy hitters: MG(k=64)
+    over the exploded word stream yields a candidate set GUARANTEED to
+    contain every word with freq > n/65; a second scan restricted to the
+    candidates (broadcast isin) recounts exactly and keeps cnt*51 > n.
+    Integer-exact end to end, so the oracle is plain GROUP BY + HAVING —
+    at 100 TB this is one full scan + one candidate-pruned scan instead
+    of a full-vocabulary shuffle."""
+    from tdigest_spark.operators.aggregate import MG_SPEC, build_sketch
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("word")
+    ).where(F.col("word") != "")
+    mg = build_sketch(words, "word", MG_SPEC(64))
+    return (
+        words.where(F.col("word").isin(mg.candidates()))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 51 > F.lit(mg.n))
+        .orderBy("word")
+    )
+
+
 def media_pipeline_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three multimodal paths end-to-end (image resize-to-features,
     audio frame-energy, video frame-sampling) over a deterministic media
@@ -1757,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
+        "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_repetition_filter": doc_repetition_filter,
         "token_mix_rebalance": token_mix_rebalance,
@@ -2891,6 +2917,21 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        # MG candidates are a guaranteed superset of {f > n/51} (k=64 >= 50),
+        # and the second pass recounts exactly, so the result IS the plain
+        # GROUP BY / HAVING answer
+        "mg_heavy_words": r"""
+            WITH w2 AS (
+              SELECT word FROM (
+                SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS word
+                FROM documents WHERE TRIM(text) <> ''
+              ) WHERE word <> ''
+            ), tot AS (SELECT COUNT(*) AS n FROM w2)
+            SELECT word, COUNT(*) AS cnt
+            FROM w2 GROUP BY word
+            HAVING COUNT(*) * 51 > (SELECT n FROM tot)
+            ORDER BY word
         """,
         # fingerprint = min md5-lower-64 over word 5-grams, spelled as the
         # 16-hex-char little-endian string (byte-reversed lower half of the

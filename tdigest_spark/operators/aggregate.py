@@ -44,6 +44,7 @@ __all__ = [
     "BLOOM_STRINGS",
     "DDSKETCH_SPEC",
     "KLL_SPEC",
+    "MG_SPEC",
     "BOTTOMK_INTS",
     "BOTTOMK_STRINGS",
     "build_sketches",
@@ -207,6 +208,18 @@ def _mk_ddsketch(alpha: float = 0.01):
     )
 
 
+def _mk_mg(k: int = 64):
+    from ..sketch.mg import MisraGries
+
+    return SketchSpec(
+        name=f"mg(k={k})",
+        make=lambda: MisraGries(k=k),
+        from_bytes=lambda b: MisraGries.from_bytes(b),
+        update=lambda sk, v: sk.update(v),
+        update_agg=lambda sk, uv, uc: sk.update_agg(uv, uc),
+    )
+
+
 def _mk_kll(k: int = 200):
     from ..sketch.kll import KLL
 
@@ -232,6 +245,7 @@ BLOOM_INTS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, False)  # noqa: E73
 BLOOM_STRINGS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, True)  # noqa: E731
 KLL_SPEC = _mk_kll
 DDSKETCH_SPEC = _mk_ddsketch
+MG_SPEC = _mk_mg
 
 
 def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -1,0 +1,158 @@
+"""Misra-Gries frequent-items summary (Misra & Gries 1982), in the
+mergeable form of Agarwal et al., "Mergeable Summaries" (PODS 2012):
+merge = add counters, then subtract the (k+1)-th largest counter value
+from every counter and drop the non-positive — error bounds ADD, giving
+``f(x) - n/(k+1) <= est(x) <= f(x)`` for the combined stream no matter
+how it was partitioned. Companion sketch per BASELINE.json north_rule
+(frequent tokens / heavy-hitter vocabulary over 10^12-token streams);
+absent in the reference.
+
+Two usage modes:
+
+* guarantee mode — any item with true frequency > n/(k+1) is present in
+  the summary, so a cheap exact second pass over just the candidate set
+  (broadcast ``isin`` filter + HAVING cnt*(k+1) > n) yields the EXACT
+  heavy-hitter set of a 100 TB stream with one full scan + one tiny scan;
+* exact mode — when the true cardinality never exceeds k no decrement
+  ever fires and the counters are exact counts (the configuration the
+  driver oracle uses; tests exercise the decrement path on Zipf data).
+
+State is O(k); the summary is NOT bit-identical across partition layouts
+(decrement amounts depend on batching) but its guarantee is — tests
+assert the bounds, not byte equality (same policy as t-digest/KLL).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["MisraGries"]
+
+_HEADER = struct.Struct("<4sIqqcI")  # magic, k, n, err, kind, n_counters
+
+
+class MisraGries:
+    __slots__ = ("k", "n", "err", "counters", "kind")
+
+    def __init__(self, k: int = 64):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.n = 0  # total stream length (with duplicates)
+        self.err = 0  # total decrement applied = max undercount of any est
+        self.counters: dict = {}
+        self.kind: str | None = None  # 's' (str) or 'i' (int), set on first use
+
+    # ------------------------------------------------------------------ build
+
+    def _check_kind(self, kind: str) -> None:
+        if self.kind is None:
+            self.kind = kind
+        elif self.kind != kind:
+            raise TypeError(f"sketch holds {self.kind!r} keys, got {kind!r}")
+
+    def _ingest(self, uniques, counts) -> None:
+        c = self.counters
+        for v, cnt in zip(uniques, counts):
+            c[v] = c.get(v, 0) + int(cnt)
+        if len(c) > self.k:
+            # batched reduction: subtract the (k+1)-th largest counter from
+            # all — at most k survive (everything <= the pivot drops)
+            vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            pivot = int(np.partition(vals, len(vals) - (self.k + 1))[len(vals) - (self.k + 1)])
+            self.counters = {v: r for v, cv in c.items() if (r := cv - pivot) > 0}
+            self.err += pivot
+
+    def update(self, values: np.ndarray) -> "MisraGries":
+        v = np.asarray(values).ravel()
+        if v.shape[0] == 0:
+            return self
+        self._check_kind("i" if v.dtype.kind in "iu" else "s")
+        uv, uc = np.unique(v, return_counts=True)
+        self.n += int(v.shape[0])
+        if self.kind == "i":
+            self._ingest(uv.astype(np.int64).tolist(), uc)
+        else:
+            self._ingest([str(x) for x in uv], uc)
+        return self
+
+    def update_agg(self, uniques: np.ndarray, counts: np.ndarray) -> "MisraGries":
+        u = np.asarray(uniques).ravel()
+        c = np.asarray(counts, dtype=np.int64).ravel()
+        if u.shape[0] == 0:
+            return self
+        self._check_kind("i" if u.dtype.kind in "iu" else "s")
+        self.n += int(c.sum())
+        if self.kind == "i":
+            self._ingest(u.astype(np.int64).tolist(), c)
+        else:
+            self._ingest([str(x) for x in u], c)
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if other.k != self.k:
+            raise ValueError("k mismatch")
+        if other.kind is not None:
+            self._check_kind(other.kind)
+        self.n += other.n
+        self.err += other.err
+        if other.counters:
+            items = list(other.counters.items())
+            self._ingest([v for v, _ in items], [c for _, c in items])
+        return self
+
+    # ------------------------------------------------------------------ query
+
+    def estimate(self, item) -> tuple[int, int]:
+        """(lower, upper) bound on the item's true count:
+        est <= f <= est + err."""
+        est = int(self.counters.get(item, 0))
+        return est, est + self.err
+
+    def candidates(self) -> list:
+        """Every item that COULD have f > n/(k+1) — guaranteed superset of
+        the true heavy hitters."""
+        return sorted(self.counters)
+
+    def heavy_hitters(self, threshold_denom: int | None = None) -> list[tuple]:
+        """(item, est) for items whose estimate alone clears
+        n/threshold_denom (default k+1). When no decrement ever fired
+        (err == 0) these estimates are exact counts."""
+        d = (self.k + 1) if threshold_denom is None else int(threshold_denom)
+        return sorted(
+            (v, c) for v, c in self.counters.items() if c * d > self.n
+        )
+
+    # ------------------------------------------------------------------ serde
+
+    def to_bytes(self) -> bytes:
+        kind = (self.kind or "?").encode()
+        head = _HEADER.pack(b"MGS1", self.k, self.n, self.err, kind,
+                            len(self.counters))
+        parts = [head]
+        for v, c in sorted(self.counters.items()):
+            key = struct.pack("<q", v) if self.kind == "i" else str(v).encode()
+            parts.append(struct.pack("<Iq", len(key), c))
+            parts.append(key)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MisraGries":
+        magic, k, n, err, kind, nc = _HEADER.unpack_from(data, 0)
+        if magic != b"MGS1":
+            raise ValueError("not a MisraGries blob")
+        sk = cls(k=k)
+        sk.n = n
+        sk.err = err
+        sk.kind = None if kind == b"?" else kind.decode()
+        off = _HEADER.size
+        for _ in range(nc):
+            klen, c = struct.unpack_from("<Iq", data, off)
+            off += 12
+            raw = data[off: off + klen]
+            off += klen
+            key = struct.unpack("<q", raw)[0] if sk.kind == "i" else raw.decode()
+            sk.counters[key] = c
+        return sk
