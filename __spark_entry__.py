@@ -895,6 +895,55 @@ def bottomk_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bottomk_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity between audiences: one bottom-k (KMV) sketch of the
+    user set per event_type (single grouped pass — only O(k) states
+    shuffle), then pairwise Jaccard from the sketches alone. Priorities
+    are md5-lower-64 of the decimal user id, so every bottom-k membership
+    decision — hence the exact estimate value — is reproduced verbatim by
+    the DuckDB oracle; the exact Jaccard rides along via one distinct
+    self-join for the error column."""
+    from tdigest_spark.operators.aggregate import BOTTOMK_MD5, build_sketch_grouped
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    ev = _t(spark, sf_dir, "events")
+    states = build_sketch_grouped(ev, ["event_type"], "user_id", BOTTOMK_MD5(256))
+    sks = {r.event_type: BottomK.from_bytes(bytes(r.state)) for r in states.collect()}
+    types = sorted(sks)
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = {
+        r.event_type: r.n
+        for r in du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    inter = {
+        (r.ta, r.tb): r.i
+        for r in du.alias("a")
+        .join(du.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .collect()
+    }
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            it = inter.get((a, b), 0)
+            un = sizes[a] + sizes[b] - it
+            rows.append(
+                (
+                    a,
+                    b,
+                    float(np.round(sks[a].jaccard(sks[b]), 6)),
+                    float(np.round(it / un, 6)),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, est_jaccard double, exact_jaccard double"
+    ).orderBy("type_a", "type_b")
+
+
 def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over l_quantity: width >> distinct values, so
     estimates are exact and match GROUP BY counts (verified deterministic —
@@ -1769,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
+        "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_hash_sample": doc_hash_sample,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2625,6 +2675,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               ('l_orderkey', TRUE, TRUE), ('l_partkey', TRUE, TRUE)
             ) t(column_name, est_within_bound, sample_valid)
+        """,
+        # KMV Jaccard is exact-in-SQL: priorities are md5_number_lower of
+        # the decimal user id, bottom-k = ROW_NUMBER <= k over the distinct
+        # hashes, estimate = |union-bottom-k present in both sketches| / |it|
+        "bottomk_jaccard_event_types": """
+            WITH hu AS (
+              SELECT DISTINCT event_type,
+                     CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UBIGINT) AS h
+              FROM events
+            ), bk AS (
+              SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM hu
+              ) WHERE rn <= 256
+            ), types AS (SELECT DISTINCT event_type FROM events),
+            pairs AS (
+              SELECT a.event_type AS ta, b.event_type AS tb
+              FROM types a JOIN types b ON a.event_type < b.event_type
+            ), uh AS (
+              SELECT p.ta, p.tb, k.h
+              FROM pairs p JOIN bk k ON k.event_type IN (p.ta, p.tb)
+              GROUP BY 1, 2, 3
+            ), unionk AS (
+              SELECT ta, tb, h FROM (
+                SELECT ta, tb, h,
+                       ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+                FROM uh
+              ) WHERE rn <= 256
+            ), flag AS (
+              SELECT u.ta, u.tb, u.h,
+                     MAX(CASE WHEN k.event_type = u.ta THEN 1 ELSE 0 END) AS in_a,
+                     MAX(CASE WHEN k.event_type = u.tb THEN 1 ELSE 0 END) AS in_b
+              FROM unionk u
+              JOIN bk k ON k.h = u.h AND k.event_type IN (u.ta, u.tb)
+              GROUP BY 1, 2, 3
+            ), est AS (
+              SELECT ta, tb,
+                     ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS est_jaccard
+              FROM flag GROUP BY 1, 2
+            ), du AS (SELECT DISTINCT event_type, user_id FROM events),
+            exflag AS (
+              SELECT p.ta, p.tb, d.user_id,
+                     MAX(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS a,
+                     MAX(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS b
+              FROM pairs p JOIN du d ON d.event_type IN (p.ta, p.tb)
+              GROUP BY 1, 2, 3
+            ), ex AS (
+              SELECT ta, tb,
+                     ROUND(CAST(SUM(a * b) AS DOUBLE) / COUNT(*), 6) AS exact_jaccard
+              FROM exflag GROUP BY 1, 2
+            )
+            SELECT e.ta AS type_a, e.tb AS type_b, e.est_jaccard, x.exact_jaccard
+            FROM est e JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
+            ORDER BY type_a, type_b
         """,
         "cms_topk_quantity": """
             SELECT CAST(l_quantity AS BIGINT) AS l_quantity,

@@ -46,6 +46,7 @@ __all__ = [
     "KLL_SPEC",
     "MG_SPEC",
     "BOTTOMK_INTS",
+    "BOTTOMK_MD5",
     "BOTTOMK_STRINGS",
     "build_sketches",
     "build_sketch",
@@ -631,5 +632,18 @@ def _mk_bottomk(k: int = 1024, strings: bool = False):
     )
 
 
+def _mk_bottomk_md5(k: int = 256):
+    from ..sketch.bottomk import BottomK
+
+    return SketchSpec(
+        name=f"bottomk_md5(k={k})",
+        make=lambda: BottomK(k=k),
+        from_bytes=lambda b: BottomK.from_bytes(b),
+        update=lambda sk, v: sk.update_md5_ints(v),
+        update_agg=lambda sk, uv, uc: sk.update_md5_ints(uv, counts=uc),
+    )
+
+
 BOTTOMK_INTS = lambda k=1024: _mk_bottomk(k, strings=False)  # noqa: E731
 BOTTOMK_STRINGS = lambda k=1024: _mk_bottomk(k, strings=True)  # noqa: E731
+BOTTOMK_MD5 = _mk_bottomk_md5

@@ -65,6 +65,25 @@ class BottomK:
         uv = np.unique(v.astype(np.int64))
         return self._ingest(hash64(uv), uv)
 
+    def update_md5_ints(
+        self, values: np.ndarray, counts: np.ndarray | None = None
+    ) -> "BottomK":
+        """Distinct ints under md5-lower-64 priorities (DuckDB
+        ``md5_number_lower(CAST(x AS VARCHAR))``), so bottom-k membership —
+        and therefore the KMV Jaccard estimate — is reproducible verbatim
+        in the SQL oracle. ``counts`` (pre-aggregated path) only feeds
+        n_seen; priorities are per-distinct-value either way."""
+        from .hashing import md5_lower64_ints
+
+        v = np.asarray(values)
+        if v.shape[0] == 0:
+            return self
+        self.n_seen += int(
+            v.shape[0] if counts is None else np.asarray(counts).sum()
+        )
+        uv = np.unique(v.astype(np.int64))
+        return self._ingest(md5_lower64_ints(uv), uv)
+
     def update_strings(self, values) -> "BottomK":
         if len(values) == 0:
             return self

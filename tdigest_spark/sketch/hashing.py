@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hash64", "hash64_with_seed", "hash_strings"]
+__all__ = ["hash64", "hash64_with_seed", "hash_strings", "md5_lower64_ints"]
 
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
 _C2 = np.uint64(0x94D049BB133111EB)
@@ -52,3 +52,20 @@ def hash_strings(values) -> np.ndarray:
         pd.Series(list(values), dtype=object), index=False
     ).to_numpy(dtype=np.uint64)
     return hash64(h)
+
+
+def md5_lower64_ints(values) -> np.ndarray:
+    """md5(decimal-string)[8:16] little-endian per integer — exactly DuckDB's
+    ``md5_number_lower(CAST(x AS VARCHAR))``, so sketches keyed on these
+    priorities (bottom-k Jaccard) have value-level SQL oracles. Per-item C
+    hashing on purpose, same rationale as operators/dedup._hash64_batch."""
+    from hashlib import md5
+
+    return np.fromiter(
+        (
+            int.from_bytes(md5(b"%d" % int(x)).digest()[8:16], "little")
+            for x in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )

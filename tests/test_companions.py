@@ -330,3 +330,42 @@ def test_cms_inner_product_join_size():
 
     with pytest.raises(ValueError):
         a.inner_product(CMS(5, 4096, 0))
+
+
+def test_bottomk_md5_priorities_match_duckdb():
+    import duckdb
+
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    v = np.array([0, 1, 42, 987654321, 2**61], dtype=np.int64)
+    sk = BottomK(k=16).update_md5_ints(v)
+    con = duckdb.connect()
+    expected = sorted(
+        con.execute(
+            f"SELECT CAST(md5_number_lower(CAST({int(x)} AS VARCHAR)) AS UBIGINT)"
+        ).fetchone()[0]
+        for x in v
+    )
+    assert sk.prios.tolist() == expected
+
+
+def test_bottomk_md5_jaccard_estimate_and_layout_invariance():
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    a_items = np.arange(0, 3000)
+    b_items = np.arange(1500, 4500)  # true J = 1500/4500 = 1/3
+    k = 256
+    a = BottomK(k).update_md5_ints(a_items)
+    b = BottomK(k).update_md5_ints(b_items)
+    est = a.jaccard(b)
+    assert abs(est - 1 / 3) < 4 / np.sqrt(k)  # KMV error envelope
+    # content-hash priorities + dedupe => bit-identical over any layout
+    whole = a.to_bytes()
+    for nparts, order in [(7, 1), (13, -1)]:
+        acc = BottomK(k)
+        for p in np.array_split(a_items, nparts)[::order]:
+            acc.merge(BottomK(k).update_md5_ints(p))
+        assert acc.prios.tolist() == BottomK.from_bytes(whole).prios.tolist()
+    # pre-aggregated path: counts feed n_seen only
+    c = BottomK(k).update_md5_ints(np.array([5, 6]), counts=np.array([3, 4]))
+    assert c.n_seen == 7 and c.size == 2
