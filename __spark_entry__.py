@@ -1591,6 +1591,40 @@ def events_hourly_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def events_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequent items: a Misra-Gries(k=127) summary of user_id
+    maintained across micro-batches (foreachBatch + durable atomic state
+    table, exactly-once via the batch high-water mark). After the
+    availableNow drain the candidate set — a guaranteed superset of every
+    user with f > n/128 NO MATTER how the stream was batched — is
+    recounted exactly and filtered cnt*128 > n, so the result is the plain
+    GROUP BY / HAVING answer over the whole stream."""
+    import tempfile
+
+    from tdigest_spark.operators.aggregate import MG_SPEC
+    from tdigest_spark.streaming import incremental_build, read_state
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    tmp = tempfile.mkdtemp(prefix="mg_stream_")
+    sketches = {"mg": ("user_id", MG_SPEC(127))}
+    q = incremental_build(stream, sketches, f"{tmp}/state", f"{tmp}/ckpt")
+    q.awaitTermination(300)
+    mg = read_state(f"{tmp}/state", sketches)["mg"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("user_id").isin(mg.candidates()))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 128 > F.lit(mg.n))
+        .orderBy("user_id")
+    )
+
+
 def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon: the events file
     stream unioned with ITSELF (every event delivered twice — the at-least-
@@ -1843,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_dedup_counts": events_stream_dedup_counts,
+        "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -3055,6 +3090,15 @@ def oracle_sql() -> dict[str, str]:
             FROM fp ORDER BY doc_id
         """,
         # dedup of the doubled stream == the original table
+        # MG candidates ⊇ {f > n/128} independent of micro-batch layout and
+        # the second pass recounts exactly — plain GROUP BY / HAVING
+        "events_stream_heavy_users": """
+            WITH tot AS (SELECT COUNT(user_id) AS n FROM events)
+            SELECT user_id, COUNT(*) AS cnt
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) * 128 > (SELECT n FROM tot)
+            ORDER BY user_id
+        """,
         "events_stream_dedup_counts": """
             SELECT event_type, COUNT(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type

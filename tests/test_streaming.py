@@ -382,3 +382,54 @@ def test_windowed_digests_string_values_and_nulls(spark, tmp_path):
     assert r["n"] == 6  # nulls dropped, not counted
     d = DiscreteDigest.from_bytes(r["state"])
     assert d.n == 6 and d.quantile(0.5) == "x"
+
+
+def test_incremental_mg_across_batches(spark, dirs):
+    """Misra-Gries state carried across separate stream runs: the final
+    candidate set must obey the heavy-hitter superset guarantee for the
+    CONCATENATED stream, whatever the batch boundaries were."""
+    from tdigest_spark.operators.aggregate import MG_SPEC
+    from tdigest_spark.sketch.mg import MisraGries
+
+    sketches = {"mg": ("value", MG_SPEC(8))}
+
+    def _write_zipf(seed, n):
+        rng = np.random.default_rng(seed)
+        vals = (rng.zipf(1.5, n) % 50).astype(np.float64)
+        tbl = pa.table(
+            {
+                "ts": pa.array([1_700_000_000_000_000] * n).cast(
+                    pa.timestamp("us")
+                ),
+                "source": pa.array(["web"] * n),
+                "value": vals,
+            }
+        )
+        dirs["in"].mkdir(parents=True, exist_ok=True)
+        pq.write_table(tbl, dirs["in"] / f"z{seed}.parquet")
+        return vals
+
+    all_vals = []
+    for seed in (21, 22):
+        all_vals.append(_write_zipf(seed, 3_000))
+        stream = (
+            spark.readStream.schema("ts timestamp, source string, value double")
+            .parquet(str(dirs["in"]))
+        )
+        q = incremental_build(stream, sketches, dirs["state"], dirs["ckpt"])
+        q.awaitTermination(120)
+
+    mg = read_state(dirs["state"], sketches)["mg"]
+    assert isinstance(mg, MisraGries)
+    v = np.concatenate(all_vals)
+    assert mg.n == v.shape[0]
+    assert mg.err * 9 <= mg.n
+    uv, uc = np.unique(v, return_counts=True)
+    # value column is float -> MG string-keyed; keys are str(float)
+    heavy_true = {
+        str(x) for x, f in zip(uv.tolist(), uc.tolist()) if f * 9 > mg.n
+    }
+    assert heavy_true <= set(mg.candidates())
+    for x, f in zip(uv.tolist(), uc.tolist()):
+        lo, hi = mg.estimate(str(x))
+        assert lo <= f <= hi
