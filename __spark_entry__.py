@@ -726,8 +726,9 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure bucket-count structure (idx = ceil(ln(x)/ln(gamma))), so the oracle
     reproduces the EXACT estimate in SQL: group by the bucket expression,
     running sum, first bucket past rank floor(p*(n-1)). tests/test_ddsketch.py
-    asserts the data sits >=4e-7 quotient-units from every bucket boundary,
-    so numpy-vs-DuckDB libm ulp differences cannot flip an index."""
+    asserts the data sits >1e-8 quotient-units (>=1e4 ulps; measured >=4e-7)
+    from every bucket boundary at every gated sf_dir, so numpy-vs-DuckDB
+    libm ulp differences cannot flip an index."""
     from tdigest_spark.operators.aggregate import DDSKETCH_SPEC
 
     sk = _scan_build(
@@ -909,8 +910,11 @@ def bottomk_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     states = build_sketch_grouped(ev, ["event_type"], "user_id", BOTTOMK_MD5(256))
     sks = {r.event_type: BottomK.from_bytes(bytes(r.state)) for r in states.collect()}
-    types = sorted(sks)
-    du = ev.select("event_type", "user_id").distinct()
+    # a NULL group key is a real group in the grouped build, but NULL joins
+    # nothing under the oracle's `a.event_type < b.event_type` — exclude it
+    # from the pairing the same way
+    types = sorted(t for t in sks if t is not None)
+    du = ev.select("event_type", "user_id").distinct().persist()
     sizes = {
         r.event_type: r.n
         for r in du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -939,6 +943,7 @@ def bottomk_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                     float(np.round(it / un, 6)),
                 )
             )
+    du.unpersist()
     return spark.createDataFrame(
         rows, "type_a string, type_b string, est_jaccard double, exact_jaccard double"
     ).orderBy("type_a", "type_b")
@@ -1599,6 +1604,7 @@ def events_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     user with f > n/128 NO MATTER how the stream was batched — is
     recounted exactly and filtered cnt*128 > n, so the result is the plain
     GROUP BY / HAVING answer over the whole stream."""
+    import shutil
     import tempfile
 
     from tdigest_spark.operators.aggregate import MG_SPEC
@@ -1611,10 +1617,18 @@ def events_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     tmp = tempfile.mkdtemp(prefix="mg_stream_")
-    sketches = {"mg": ("user_id", MG_SPEC(127))}
-    q = incremental_build(stream, sketches, f"{tmp}/state", f"{tmp}/ckpt")
-    q.awaitTermination(300)
-    mg = read_state(f"{tmp}/state", sketches)["mg"]
+    try:
+        sketches = {"mg": ("user_id", MG_SPEC(127))}
+        q = incremental_build(stream, sketches, f"{tmp}/state", f"{tmp}/ckpt")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not drain within 300s")
+        state = read_state(f"{tmp}/state", sketches)
+        if state is None:
+            raise RuntimeError("stream drained but no state batch committed")
+        mg = state["mg"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.where(F.col("user_id").isin(mg.candidates()))

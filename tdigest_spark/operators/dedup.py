@@ -96,22 +96,14 @@ def minhash_signature(shingle_col, k: int = 32) -> Column:
 
 
 def _hash64_batch(strings: list[bytes]) -> np.ndarray:
-    """Deterministic 64-bit hash of a batch of byte strings: bytes 8..16 of
-    MD5, little-endian — exactly DuckDB's ``md5_number_lower``, so every
-    downstream banding/blocking decision is reproducible in the SQL oracle
-    (the round-1 xxhash64/blake2b choices were not). C speed, no
-    PYTHONHASHSEED dependence. Deliberately per-string rather than a
-    vectorized numpy polynomial hash: the numpy variant allocates
-    ~10x-the-input temporaries, and on this kernel first-touch page faults
-    make a cold 7M-element pass ~25x slower than this loop (0.18s vs 2.6s
-    measured on 260k shingles; see CLAUDE.md env notes)."""
-    from hashlib import md5
+    """Deterministic 64-bit hash of a batch of byte strings — the canonical
+    md5-lower-64 (``sketch.hashing.md5_lower64``; exactly DuckDB's
+    ``md5_number_lower``, unlike the round-1 xxhash64/blake2b choices). C
+    speed, no PYTHONHASHSEED dependence; see that helper for why it is a
+    per-string loop rather than a numpy polynomial hash."""
+    from ..sketch.hashing import md5_lower64
 
-    return np.fromiter(
-        (int.from_bytes(md5(s).digest()[8:16], "little") for s in strings),
-        dtype=np.uint64,
-        count=len(strings),
-    )
+    return md5_lower64(strings)
 
 
 # per-worker scratch for the (n_shingles, k) permuted-hash matrix: grown

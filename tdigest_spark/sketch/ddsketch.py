@@ -61,6 +61,8 @@ class DDSketch:
 
     def _deposit(self, store_attr: str, off_attr: str,
                  idx: np.ndarray, counts: np.ndarray) -> None:
+        if idx.shape[0] == 0:  # e.g. merging a store whose counts are all 0
+            return
         lo = int(idx.min())
         hi = int(idx.max())
         store = getattr(self, store_attr)

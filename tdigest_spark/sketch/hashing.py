@@ -8,7 +8,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hash64", "hash64_with_seed", "hash_strings", "md5_lower64_ints"]
+__all__ = [
+    "hash64",
+    "hash64_with_seed",
+    "hash_strings",
+    "md5_lower64",
+    "md5_lower64_ints",
+]
 
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
 _C2 = np.uint64(0x94D049BB133111EB)
@@ -54,18 +60,26 @@ def hash_strings(values) -> np.ndarray:
     return hash64(h)
 
 
-def md5_lower64_ints(values) -> np.ndarray:
-    """md5(decimal-string)[8:16] little-endian per integer — exactly DuckDB's
-    ``md5_number_lower(CAST(x AS VARCHAR))``, so sketches keyed on these
-    priorities (bottom-k Jaccard) have value-level SQL oracles. Per-item C
-    hashing on purpose, same rationale as operators/dedup._hash64_batch."""
+def md5_lower64(strings) -> np.ndarray:
+    """THE canonical md5-lower-64: bytes 8..16 of MD5, little-endian, per
+    byte string — exactly DuckDB's ``md5_number_lower``, so every banding /
+    blocking / bottom-k decision keyed on it is reproducible in the SQL
+    oracles. One definition on purpose: a second copy could drift (digest
+    slice, endianness) and silently break oracle parity for its consumers.
+    Deliberately per-string C hashing rather than a vectorized numpy
+    polynomial hash: the numpy variant allocates ~10x-the-input
+    temporaries, and cold first-touch page faults make it ~25x slower here
+    (0.18s vs 2.6s on 260k shingles; see CLAUDE.md env notes)."""
     from hashlib import md5
 
     return np.fromiter(
-        (
-            int.from_bytes(md5(b"%d" % int(x)).digest()[8:16], "little")
-            for x in values
-        ),
+        (int.from_bytes(md5(s).digest()[8:16], "little") for s in strings),
         dtype=np.uint64,
-        count=len(values),
+        count=len(strings),
     )
+
+
+def md5_lower64_ints(values) -> np.ndarray:
+    """md5-lower-64 of each integer's decimal spelling — DuckDB's
+    ``md5_number_lower(CAST(x AS VARCHAR))`` (bottom-k Jaccard priorities)."""
+    return md5_lower64([b"%d" % int(x) for x in values])

@@ -54,16 +54,43 @@ class MisraGries:
             raise TypeError(f"sketch holds {self.kind!r} keys, got {kind!r}")
 
     def _ingest(self, uniques, counts) -> None:
-        c = self.counters
-        for v, cnt in zip(uniques, counts):
-            c[v] = c.get(v, 0) + int(cnt)
-        if len(c) > self.k:
+        # vectorized combine: existing counters ++ batch, one unique-based
+        # reduction — no per-item Python dict ops on the partials hot path
+        batch_c = np.asarray(counts, dtype=np.int64)
+        if self.counters:
+            keys = list(self.counters.keys())
+            keys.extend(uniques)
+            vals = np.concatenate(
+                [
+                    np.fromiter(
+                        self.counters.values(),
+                        dtype=np.int64,
+                        count=len(self.counters),
+                    ),
+                    batch_c,
+                ]
+            )
+        else:
+            keys = list(uniques)
+            vals = batch_c
+        arr = (
+            np.asarray(keys, dtype=np.int64)
+            if self.kind == "i"
+            else np.asarray(keys, dtype=object)
+        )
+        uk, inv = np.unique(arr, return_inverse=True)
+        agg = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(agg, inv, vals)
+        if uk.shape[0] > self.k:
             # batched reduction: subtract the (k+1)-th largest counter from
             # all — at most k survive (everything <= the pivot drops)
-            vals = np.fromiter(c.values(), dtype=np.int64, count=len(c))
-            pivot = int(np.partition(vals, len(vals) - (self.k + 1))[len(vals) - (self.k + 1)])
-            self.counters = {v: r for v, cv in c.items() if (r := cv - pivot) > 0}
+            cut = uk.shape[0] - (self.k + 1)
+            pivot = int(np.partition(agg, cut)[cut])
+            agg = agg - pivot
+            keep = agg > 0
+            uk, agg = uk[keep], agg[keep]
             self.err += pivot
+        self.counters = dict(zip(uk.tolist(), agg.tolist()))
 
     def update(self, values: np.ndarray) -> "MisraGries":
         v = np.asarray(values).ravel()
@@ -72,10 +99,7 @@ class MisraGries:
         self._check_kind("i" if v.dtype.kind in "iu" else "s")
         uv, uc = np.unique(v, return_counts=True)
         self.n += int(v.shape[0])
-        if self.kind == "i":
-            self._ingest(uv.astype(np.int64).tolist(), uc)
-        else:
-            self._ingest([str(x) for x in uv], uc)
+        self._ingest(uv.astype(np.int64) if self.kind == "i" else uv, uc)
         return self
 
     def update_agg(self, uniques: np.ndarray, counts: np.ndarray) -> "MisraGries":
@@ -85,10 +109,9 @@ class MisraGries:
             return self
         self._check_kind("i" if u.dtype.kind in "iu" else "s")
         self.n += int(c.sum())
-        if self.kind == "i":
-            self._ingest(u.astype(np.int64).tolist(), c)
-        else:
-            self._ingest([str(x) for x in u], c)
+        # pre-aggregated uniques may still repeat across batches of one
+        # partition; _ingest's unique-combine re-aggregates them
+        self._ingest(u.astype(np.int64) if self.kind == "i" else u, c)
         return self
 
     def merge(self, other: "MisraGries") -> "MisraGries":

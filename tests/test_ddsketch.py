@@ -90,15 +90,17 @@ def test_hypothesis_relative_error_and_merge(xs):
     assert m.to_bytes() == sk.to_bytes()
 
 
-def test_oracle_boundary_margin_sf0001():
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_oracle_boundary_margin(sf):
     """The SQL oracle computes ceil(ln(x)/ln(gamma)) in DuckDB's libm while
     the sketch uses numpy's — exactness needs every data point to sit far
-    (>=1e-8 quotient-units, ~1e4 ulps) from an integer boundary."""
+    (>=1e-8 quotient-units, ~1e4 ulps) from an integer boundary, at every
+    scale factor the oracle gate runs."""
     import pyarrow.parquet as pq
 
     v = (
         pq.read_table(
-            "/root/testdata/sf0.001/lineitem.parquet", columns=["l_extendedprice"]
+            f"/root/testdata/{sf}/lineitem.parquet", columns=["l_extendedprice"]
         )["l_extendedprice"]
         .to_numpy(zero_copy_only=False)
         .astype(np.float64)
