@@ -12,8 +12,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from tdigest_spark.operators.aggregate import (
+    DDSKETCH_SPEC,
     HLL_INTS,
     KLL_SPEC,
+    MG_SPEC,
     TDIGEST,
     build_sketches,
 )
@@ -43,6 +45,8 @@ SKETCHES = {
     "td_ntok": ("n_tok", TDIGEST(0.01)),
     "hll": ("tokens", HLL_INTS(14)),
     "kll": ("n_tok", KLL_SPEC(200)),
+    "dds": ("n_tok", DDSKETCH_SPEC(0.01)),
+    "mg": ("n_tok", MG_SPEC(32)),
 }
 
 
@@ -55,8 +59,15 @@ def test_scan_matches_dataframe_path(spark, seq_path):
         spark, str(seq_path), SKETCHES, target_rows_per_split=2_500
     )
     assert a["hll"].to_bytes() == b["hll"].to_bytes()
+    # DDSketch merge is exact integer addition: layout/batching-invariant,
+    # so the two paths must agree bit-for-bit like HLL
+    assert a["dds"].to_bytes() == b["dds"].to_bytes()
     assert a["td_tokens"].n == b["td_tokens"].n
     assert a["td_ntok"].n == b["td_ntok"].n
+    # MG state depends on batching, but its guarantee does not
+    assert a["mg"].n == b["mg"].n
+    for sk in (a["mg"], b["mg"]):
+        assert sk.err * 33 <= sk.n
     vals = np.sort(
         np.array(
             [
@@ -88,6 +99,7 @@ def test_scan_partition_coalescing_invariant(spark, seq_path):
         spark, str(seq_path), SKETCHES, target_rows_per_split=2_500, partitions=8
     )
     assert few["hll"].to_bytes() == many["hll"].to_bytes()
+    assert few["dds"].to_bytes() == many["dds"].to_bytes()
     assert few["td_tokens"].n == many["td_tokens"].n
     again = build_sketches_scan(
         spark, str(seq_path), SKETCHES, target_rows_per_split=2_500, partitions=8
