@@ -747,6 +747,36 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p")
 
 
+def ddsketch_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED DDSketch: one relative-error quantile sketch per
+    l_returnflag over l_extendedprice via the grouped two-phase aggregate
+    (raw rows never shuffle — only #partitions x #keys x O(#buckets)
+    integer states move). Same exact-in-SQL bucket math as the global
+    query, per group."""
+    from tdigest_spark.operators.aggregate import DDSKETCH_SPEC, build_sketch_grouped
+    from tdigest_spark.sketch.ddsketch import DDSketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    states = build_sketch_grouped(
+        li, ["l_returnflag"], "l_extendedprice", DDSKETCH_SPEC(0.01)
+    )
+    rows = []
+    for r in states.collect():
+        sk = DDSketch.from_bytes(bytes(r.state))
+        p50, p99 = sk.quantile(np.array([0.5, 0.99]))
+        rows.append(
+            (
+                r.l_returnflag,
+                int(sk.n),
+                float(np.round(p50, 6)),
+                float(np.round(p99, 6)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n long, p50 double, p99 double"
+    ).orderBy("l_returnflag")
+
+
 def discrete_quantile_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String discrete digest (values ranked lexically, like the reference's
     string spec, specs/discrete.spec.js:133-142) over o_orderpriority."""
@@ -1245,6 +1275,35 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top_word_ratio", 6).alias("top_word_ratio"),
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training cleaning pipeline composed from the text
+    operators: quality gate (n_words >= 5, punct_ratio <= 0.25) ->
+    repetition gate (distinct_ratio >= 0.45, top_word_ratio <= 0.12) ->
+    exact dedup (min doc_id per identical text, one window shuffle) ->
+    per-(source, lang) corpus stats. Gates are map-side codegen column
+    expressions; the only shuffles are the dedup window and the final
+    aggregate — the shape that survives a 100 TB corpus."""
+    from tdigest_spark.operators.text import quality_features, repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    q = quality_features(docs).where(
+        (F.col("n_words") >= 5) & (F.col("punct_ratio") <= 0.25)
+    )
+    r = repetition_features(q.select("doc_id", "source", "lang", "text")).where(
+        (F.col("distinct_ratio") >= 0.45) & (F.col("top_word_ratio") <= 0.12)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = r.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        kept.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+        )
+        .orderBy("source", "lang")
+    )
 
 
 def token_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autodigest_modes": autodigest_modes,
         "kll_rank_error_check": kll_rank_error_check,
         "ddsketch_price_quantiles": ddsketch_price_quantiles,
+        "ddsketch_price_by_flag": ddsketch_price_by_flag,
         "grouped_digest_functions": grouped_digest_functions,
         "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
@@ -1883,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_repetition_filter": doc_repetition_filter,
+        "doc_clean_pipeline": doc_clean_pipeline,
         "token_mix_rebalance": token_mix_rebalance,
         "doc_pack_chunks": doc_pack_chunks,
         "token_shards_by_source": token_shards_by_source,
@@ -2606,6 +2667,39 @@ def oracle_sql() -> dict[str, str]:
                          6) AS est
             FROM sel ORDER BY p
         """,
+        "ddsketch_price_by_flag": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(ceil(ln(l_extendedprice)
+                              / ln(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE)))
+                          AS BIGINT) AS idx,
+                     COUNT(*) AS c
+              FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+              SELECT l_returnflag, idx,
+                     SUM(c) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+                     SUM(c) OVER (PARTITION BY l_returnflag) AS n
+              FROM b
+            ), ps AS (
+              SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5),(0.99)) t(p)
+            ), sel AS (
+              SELECT cum.l_returnflag, ps.p, ANY_VALUE(cum.n) AS n,
+                     MIN(cum.idx) AS qidx
+              FROM ps JOIN cum
+                ON CAST(cum.cum AS DOUBLE) > floor(ps.p * (CAST(cum.n AS DOUBLE) - 1))
+              GROUP BY 1, 2
+            )
+            SELECT l_returnflag, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN p = 0.5 THEN
+                     ROUND(2 * power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE), qidx)
+                           / (CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE) + 1), 6)
+                   END) AS p50,
+                   MAX(CASE WHEN p = 0.99 THEN
+                     ROUND(2 * power(CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE), qidx)
+                           / (CAST(1.01 AS DOUBLE) / CAST(0.99 AS DOUBLE) + 1), 6)
+                   END) AS p99
+            FROM sel GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "sql_digest_surface": """
             WITH cent AS (
               SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS v,
@@ -3019,6 +3113,42 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.dr >= 0.45 AND a.tr <= 0.12, FALSE) AS keep
             FROM documents d LEFT JOIN a USING (doc_id)
             ORDER BY doc_id
+        """,
+        "doc_clean_pipeline": r"""
+            WITH base AS (
+              SELECT doc_id, source, lang, text,
+                     regexp_split_to_array(TRIM(text), '\s+') AS words,
+                     LENGTH(text) AS nc,
+                     LENGTH(text)
+                       - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+              FROM documents
+            ), q AS (
+              SELECT doc_id, source, lang, text, LEN(words) AS n_words
+              FROM base
+              WHERE LEN(words) >= 5
+                AND (CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END) <= 0.25
+            ), f AS (
+              SELECT doc_id, word, COUNT(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                FROM q
+              ) GROUP BY 1, 2
+            ), rep AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dr,
+                     CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS tr
+              FROM f GROUP BY 1
+            ), r AS (
+              SELECT q.* FROM q JOIN rep USING (doc_id)
+              WHERE rep.dr >= 0.45 AND rep.tr <= 0.12
+            ), keep AS (
+              SELECT MIN(doc_id) AS doc_id FROM r GROUP BY text
+            )
+            SELECT r.source, r.lang, COUNT(*) AS n_docs,
+                   CAST(SUM(r.n_words) AS BIGINT) AS sum_words
+            FROM r JOIN keep USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "token_mix_rebalance": rf"""
             WITH per AS (
