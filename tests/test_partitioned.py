@@ -1,0 +1,86 @@
+"""Hive-style partitioned layout (plans/partitioned.py): directory-level
+partition pruning visible in the physical plan, and dynamic-partition
+overwrite replacing only the partitions present in the incoming frame."""
+
+from pyspark.sql import functions as F
+
+from tdigest_spark.plans.partitioned import (
+    overwrite_partitions,
+    pruned_scan_info,
+    write_partitioned,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "docs_by_source")
+    write_partitioned(docs, path, ["source"])
+
+    src = docs.select("source").orderBy("source").first().source
+    pruned = spark.read.parquet(path).where(F.col("source") == src)
+    plan = pruned_scan_info(pruned)
+    assert "PartitionFilters" in plan and f"= {src})" in plan
+
+    # directory-level pruning: the scan metric counts files actually
+    # selected after partition pruning (inputFiles() lists the unpruned
+    # index, so it cannot prove this)
+    n_sources = docs.select("source").distinct().count()
+
+    def files_read(df):
+        df.count()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        scan = leaves.apply(0)
+        return int(scan.metrics().apply("numFiles").value())
+
+    assert files_read(pruned) * n_sources <= files_read(
+        spark.read.parquet(path)
+    )
+
+    # values survive the layout round-trip
+    exact = docs.where(F.col("source") == src).count()
+    assert pruned.count() == exact
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars", "source"
+    )
+    path = str(tmp_path / "docs_dyn")
+    write_partitioned(docs, path, ["source"])
+    before = {
+        r.source: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # backfill ONE source with halved rows; every other partition intact
+    src = docs.select("source").orderBy("source").first().source
+    ids = [
+        r.doc_id
+        for r in docs.where(F.col("source") == src)
+        .select("doc_id").orderBy("doc_id").limit(12).collect()
+    ]
+    web_half = docs.where((F.col("source") == src) & F.col("doc_id").isin(ids))
+    n_web_half = web_half.count()
+    assert 0 < n_web_half < before[src]
+    overwrite_partitions(web_half, path, ["source"])
+
+    after = {
+        r.source: r.n
+        for r in spark.read.parquet(path)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after[src] == n_web_half != before[src]
+    for other in before:
+        if other != src:
+            assert after[other] == before[other], other
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+    )
