@@ -51,6 +51,11 @@ AUDITS = {
     "lineitem_quantile_buckets": (1, True, False),
     # wordcount: map-side partial agg + TakeOrderedAndProject, 2-col scan
     "doc_vocab_topk": (0, False, False),
+    # MG second pass: 1-col scan, INSET candidate filter before the agg
+    "mg_heavy_words": (0, False, False),
+    # cleaning pipeline: map-side gates, window dedup, final agg — no
+    # joins at all, so any cartesian/SMJ is a regression
+    "doc_clean_pipeline": (0, True, False),
 }
 
 
