@@ -15,9 +15,16 @@ idempotent re-run of one day's pipeline never clobbers its neighbors
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_partitioned", "overwrite_partitions", "pruned_scan_info"]
+__all__ = [
+    "write_partitioned",
+    "overwrite_partitions",
+    "pruned_scan_info",
+    "compact_partitions",
+]
 
 
 def write_partitioned(
@@ -38,6 +45,58 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction — the table-maintenance pass every streaming /
+    incremental-backfill pipeline needs: micro-batches and per-partition
+    overwrites leave thousands of tiny files per partition, and at 100 TB
+    the task-per-file scheduling + open/footer overhead dominates scan
+    time. Partition sizes come from one FILESYSTEM METADATA pass (no data
+    read); each oversplit partition directory is rewritten alone —
+    read-dir -> coalesce(ceil(bytes/target)) -> write to a sibling tmp dir
+    -> swap (delete + move, atomic rename on POSIX/HDFS; copy+delete on
+    S3-style stores, where the brief window is the documented fsio
+    trade-off). Untouched partitions are never opened, so compacting one
+    hot ingest partition of a 1000-partition table costs only that
+    partition's bytes. Returns {partition_dir: (files_before,
+    files_after)} for the partitions it rewrote."""
+    import math
+
+    from . import fsio
+
+    fs, root = fsio.fs_and_path(str(path))
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+    parts: dict[str, tuple[int, int]] = {}
+    for fi in infos:
+        if fi.type == pafs.FileType.File and fi.base_name.endswith(".parquet"):
+            d = posixpath.dirname(fi.path)
+            b, n = parts.get(d, (0, 0))
+            parts[d] = (b + (fi.size or 0), n + 1)
+
+    base = str(path).rstrip("/")
+    rewritten: dict[str, tuple[int, int]] = {}
+    for d, (nbytes, nfiles) in sorted(parts.items()):
+        n_target = max(1, math.ceil(nbytes / target_bytes))
+        if nfiles <= n_target:
+            continue
+        rel = d[len(root):].strip("/")
+        src_url = f"{base}/{rel}" if rel else base
+        tmp = d + "__compacting"
+        tmp_url = src_url + "__compacting"
+        spark.read.parquet(src_url).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(tmp_url)
+        fs.delete_dir(d)
+        fs.move(tmp, d)
+        rewritten[rel or "."] = (nfiles, n_target)
+    return rewritten
 
 
 def pruned_scan_info(df: DataFrame) -> str:

@@ -84,3 +84,44 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
     )
+
+
+def test_compact_partitions(spark, tmp_path):
+    from tdigest_spark.plans.partitioned import compact_partitions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars", "source"
+    )
+    path = str(tmp_path / "docs_frag")
+    # simulate micro-batch fragmentation: many tiny files per partition
+    docs.repartition(8).write.partitionBy("source").parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(
+        (r.doc_id, r.n_chars, r.source) for r in before.collect()
+    )
+    src = docs.select("source").orderBy("source").first().source
+    files_before = [
+        f for f in (tmp_path / "docs_frag" / f"source={src}").iterdir()
+        if f.name.endswith(".parquet")
+    ]
+    assert len(files_before) > 1
+
+    rewritten = compact_partitions(spark, path, target_bytes=1 << 30)
+    assert f"source={src}" in rewritten
+    nb, na = rewritten[f"source={src}"]
+    assert nb == len(files_before) and na == 1
+
+    files_after = [
+        f for f in (tmp_path / "docs_frag" / f"source={src}").iterdir()
+        if f.name.endswith(".parquet")
+    ]
+    assert len(files_after) == 1
+    # data identical after the rewrite (partition col rides the dir name)
+    after = spark.read.parquet(path)
+    rows_after = sorted(
+        (r.doc_id, r.n_chars, r.source) for r in after.collect()
+    )
+    assert rows_after == rows_before
+
+    # idempotent: already-compact partitions are not rewritten (no reads)
+    assert compact_partitions(spark, path, target_bytes=1 << 30) == {}
