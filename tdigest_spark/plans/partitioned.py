@@ -37,14 +37,16 @@ def write_partitioned(
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """Dynamic-partition overwrite: replace exactly the partitions present
     in ``df``, leave every other partition untouched (safe idempotent
-    backfill of one day / one source)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    backfill of one day / one source). Uses the WRITE-SCOPED
+    ``partitionOverwriteMode`` option (takes precedence over the session
+    conf), so concurrent writers in the same shared session are never
+    flipped to dynamic semantics behind their backs."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def compact_partitions(
@@ -58,23 +60,34 @@ def compact_partitions(
     the task-per-file scheduling + open/footer overhead dominates scan
     time. Partition sizes come from one FILESYSTEM METADATA pass (no data
     read); each oversplit partition directory is rewritten alone —
-    read-dir -> coalesce(ceil(bytes/target)) -> write to a sibling tmp dir
-    -> swap (delete + move, atomic rename on POSIX/HDFS; copy+delete on
-    S3-style stores, where the brief window is the documented fsio
-    trade-off). Untouched partitions are never opened, so compacting one
-    hot ingest partition of a 1000-partition table costs only that
-    partition's bytes. Returns {partition_dir: (files_before,
-    files_after)} for the partitions it rewrote."""
+    read-dir -> coalesce(ceil(bytes/target)) -> write to a DOT-prefixed
+    sibling tmp dir (hidden from Spark partition discovery and from this
+    function's own metadata pass — the fsio convention) -> swap. Swap =
+    rename old aside (dot-prefixed), rename tmp into place, delete aside:
+    the no-partition window is a single rename on POSIX/HDFS (copy+delete
+    on S3-style stores — fsio's documented trade-off), and a crash at any
+    point leaves either the old or the new COMPLETE partition on disk,
+    never a mixed read. Untouched partitions are never opened, so
+    compacting one hot ingest partition of a 1000-partition table costs
+    only that partition's bytes. Returns {partition_dir: (files_before,
+    files_after)} for the partitions it rewrote, files_after counted from
+    the directory (coalesce may pack into fewer files than the target
+    when the read yields fewer input partitions)."""
     import math
+
+    from pyarrow import fs as pafs
 
     from . import fsio
 
     fs, root = fsio.fs_and_path(str(path))
-    from pyarrow import fs as pafs
 
     infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
     parts: dict[str, tuple[int, int]] = {}
     for fi in infos:
+        rel_path = fi.path[len(root):]
+        # skip hidden/system segments: our tmp/aside dirs, _SUCCESS, etc.
+        if any(seg.startswith((".", "_")) for seg in rel_path.split("/") if seg):
+            continue
         if fi.type == pafs.FileType.File and fi.base_name.endswith(".parquet"):
             d = posixpath.dirname(fi.path)
             b, n = parts.get(d, (0, 0))
@@ -88,14 +101,25 @@ def compact_partitions(
             continue
         rel = d[len(root):].strip("/")
         src_url = f"{base}/{rel}" if rel else base
-        tmp = d + "__compacting"
-        tmp_url = src_url + "__compacting"
+        parent, leaf = posixpath.dirname(d), posixpath.basename(d)
+        tmp = posixpath.join(parent, f".{leaf}__compacting")
+        tmp_url = posixpath.join(
+            posixpath.dirname(src_url), f".{leaf}__compacting"
+        )
+        aside = posixpath.join(parent, f".{leaf}__replaced")
         spark.read.parquet(src_url).coalesce(n_target).write.mode(
             "overwrite"
         ).parquet(tmp_url)
-        fs.delete_dir(d)
+        fs.move(d, aside)
         fs.move(tmp, d)
-        rewritten[rel or "."] = (nfiles, n_target)
+        fs.delete_dir(aside)
+        n_after = sum(
+            1
+            for fi in fs.get_file_info(pafs.FileSelector(d))
+            if fi.type == pafs.FileType.File
+            and fi.base_name.endswith(".parquet")
+        )
+        rewritten[rel or "."] = (nfiles, n_after)
     return rewritten
 
 

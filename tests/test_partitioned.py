@@ -29,14 +29,21 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     n_sources = docs.select("source").distinct().count()
 
     def files_read(df):
-        df.count()
+        # collect() executes THIS df's QueryExecution; count() runs a
+        # derived plan and leaves these metrics at zero
+        df.collect()
         leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
         scan = leaves.apply(0)
         return int(scan.metrics().apply("numFiles").value())
 
-    assert files_read(pruned) * n_sources <= files_read(
-        spark.read.parquet(path)
+    n_part_files = sum(
+        1
+        for f in (tmp_path / "docs_by_source" / f"source={src}").iterdir()
+        if f.name.endswith(".parquet")
     )
+    assert files_read(pruned) == n_part_files
+    assert files_read(pruned) < files_read(spark.read.parquet(path))
+    assert n_sources > 1  # the control actually covers multiple partitions
 
     # values survive the layout round-trip
     exact = docs.where(F.col("source") == src).count()
