@@ -24,6 +24,7 @@ __all__ = [
     "overwrite_partitions",
     "pruned_scan_info",
     "compact_partitions",
+    "write_sorted",
 ]
 
 
@@ -121,6 +122,36 @@ def compact_partitions(
         )
         rewritten[rel or "."] = (nfiles, n_after)
     return rewritten
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Sorted (clustered) layout — the third data-skipping leg next to
+    directory partitioning and bucketing: range-partition then
+    sortWithinPartitions on the filter columns before writing, so each
+    parquet row group's min/max statistics cover a narrow, disjoint value
+    range. A range predicate then prunes row groups from FOOTER METADATA
+    alone — both Spark's parquet reader and our scan-in-worker path
+    (operators/scan.py pushes dataset filters into row-group selection)
+    skip the data without any index structure. On a randomly-laid-out
+    table every row group spans the full value range and nothing can be
+    skipped; sorting is what makes min/max stats sharp.
+
+    ``n_files`` pins the range-partition count (an explicit count opts the
+    shuffle out of AQE partition coalescing, which would otherwise pack a
+    small table into one file and leave nothing to skip); None lets Spark
+    size the output from its shuffle stats."""
+    ranged = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    (
+        ranged.sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def pruned_scan_info(df: DataFrame) -> str:

@@ -132,3 +132,60 @@ def test_compact_partitions(spark, tmp_path):
 
     # idempotent: already-compact partitions are not rewritten (no reads)
     assert compact_partitions(spark, path, target_bytes=1 << 30) == {}
+
+
+def test_write_sorted_enables_row_group_skipping(spark, tmp_path):
+    """Sorted layout -> tight disjoint row-group min/max -> a range filter
+    prunes row groups from footer stats alone; the same filter on a
+    random layout can skip nothing."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.plans.partitioned import write_sorted
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sorted_path = str(tmp_path / "li_sorted")
+    random_path = str(tmp_path / "li_random")
+    write_sorted(li, sorted_path, ["l_extendedprice"], n_files=8)
+    li.repartition(4).write.parquet(random_path)
+
+    def row_groups(path, flt=None):
+        ds = pads.dataset(path, format="parquet")
+        total = kept = 0
+        for frag in ds.get_fragments():
+            total += frag.metadata.num_row_groups
+            if flt is not None:
+                kept += len(list(frag.split_by_row_group(flt)))
+        return total, kept
+
+    flt = pads.field("l_extendedprice") < 2000.0
+    n_match = li.where(F.col("l_extendedprice") < 2000.0).count()
+    assert n_match > 0
+
+    tot_s, kept_s = row_groups(sorted_path, flt)
+    tot_r, kept_r = row_groups(random_path, flt)
+    assert tot_s > 1 and tot_r > 1
+    # random layout: every row group spans the range -> nothing skipped
+    assert kept_r == tot_r
+    # sorted layout: only the low-value row group(s) survive footer pruning
+    assert kept_s < tot_s
+
+    # min/max stats are monotone and disjoint across the sorted output
+    # (equal endpoints allowed where a duplicate value straddles a split)
+    spans = []
+    for f in sorted((tmp_path / "li_sorted").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_extendedprice")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    assert all(a_max <= b_min for (_, a_max), (b_min, _) in zip(spans, spans[1:]))
+    # correctness: pruned read returns the same rows
+    pruned_rows = (
+        pads.dataset(sorted_path, format="parquet")
+        .to_table(filter=flt)
+        .num_rows
+    )
+    assert pruned_rows == n_match
