@@ -66,9 +66,14 @@ def compact_partitions(
     function's own metadata pass — the fsio convention) -> swap. Swap =
     rename old aside (dot-prefixed), rename tmp into place, delete aside:
     the no-partition window is a single rename on POSIX/HDFS (copy+delete
-    on S3-style stores — fsio's documented trade-off), and a crash at any
-    point leaves either the old or the new COMPLETE partition on disk,
-    never a mixed read. Untouched partitions are never opened, so
+    on S3-style stores — fsio's documented trade-off). A crash at any
+    point leaves a COMPLETE copy of the partition in either its final dir
+    or a hidden dir, never a mixed read, and the repair pass at the start
+    of the NEXT run restores it automatically: a stale aside with its
+    data dir missing is renamed back, a stale aside next to a live data
+    dir (crash after the move-in) is deleted, and stale tmp dirs
+    (incomplete writes) are always deleted. Untouched partitions are
+    never opened, so
     compacting one hot ingest partition of a 1000-partition table costs
     only that partition's bytes. Returns {partition_dir: (files_before,
     files_after)} for the partitions it rewrote, files_after counted from
@@ -81,6 +86,22 @@ def compact_partitions(
     from . import fsio
 
     fs, root = fsio.fs_and_path(str(path))
+
+    # repair pass: recover from a previous run's crash before measuring
+    for fi in fs.get_file_info(pafs.FileSelector(root, recursive=True)):
+        if fi.type != pafs.FileType.Directory:
+            continue
+        name = fi.base_name
+        if name.startswith(".") and name.endswith("__compacting"):
+            fs.delete_dir(fi.path)  # incomplete rewrite: the source is intact
+        elif name.startswith(".") and name.endswith("__replaced"):
+            final = posixpath.join(
+                posixpath.dirname(fi.path), name[1:-len("__replaced")]
+            )
+            if fs.get_file_info(final).type == pafs.FileType.NotFound:
+                fs.move(fi.path, final)  # crashed between the two renames
+            else:
+                fs.delete_dir(fi.path)  # crashed before the aside delete
 
     infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
     parts: dict[str, tuple[int, int]] = {}
@@ -144,8 +165,8 @@ def write_sorted(
     size the output from its shuffle stats."""
     ranged = (
         df.repartitionByRange(n_files, *sort_cols)
-        if n_files
-        else df.repartitionByRange(*sort_cols)
+        if n_files is not None  # 0 must reach Spark and fail fast, not
+        else df.repartitionByRange(*sort_cols)  # silently un-pin the count
     )
     (
         ranged.sortWithinPartitions(*sort_cols)

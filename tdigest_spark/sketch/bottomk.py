@@ -28,19 +28,34 @@ from .hashing import hash64, hash_strings
 
 __all__ = ["BottomK"]
 
-_HEADER = struct.Struct("<4sIQ")  # magic, k, n_seen
+_HEADER = struct.Struct("<4sIQc")  # magic, k, n_seen, priority family
 
 
 class BottomK:
-    __slots__ = ("k", "n_seen", "prios", "values")
+    __slots__ = ("k", "n_seen", "prios", "values", "family")
 
     def __init__(self, k: int = 1024):
         self.k = int(k)
         self.n_seen = 0  # total values observed (with duplicates)
         self.prios = np.empty(0, dtype=np.uint64)  # sorted ascending
         self.values = np.empty(0, dtype=np.int64)  # aligned with prios
+        # priority family, set on first ingest: 'x' = splitmix64 over ints,
+        # 's' = siphash+splitmix over strings, 'm' = md5-lower-64 decimal.
+        # Priorities from different families are INCOMPARABLE — an untagged
+        # merge/jaccard across them would return silently biased garbage,
+        # so mixing raises instead.
+        self.family: str | None = None
 
     # ------------------------------------------------------------------ build
+
+    def _check_family(self, fam: str) -> None:
+        if self.family is None:
+            self.family = fam
+        elif self.family != fam:
+            raise TypeError(
+                f"priority family mismatch: sketch holds {self.family!r}, "
+                f"got {fam!r} (splitmix64/string/md5 orders are incomparable)"
+            )
 
     def _ingest(self, prios: np.ndarray, values: np.ndarray) -> "BottomK":
         prios = np.concatenate([self.prios, prios])
@@ -61,6 +76,7 @@ class BottomK:
         v = np.asarray(values)
         if v.shape[0] == 0:
             return self
+        self._check_family("x")
         self.n_seen += int(v.shape[0])
         uv = np.unique(v.astype(np.int64))
         return self._ingest(hash64(uv), uv)
@@ -78,6 +94,7 @@ class BottomK:
         v = np.asarray(values)
         if v.shape[0] == 0:
             return self
+        self._check_family("m")
         self.n_seen += int(
             v.shape[0] if counts is None else np.asarray(counts).sum()
         )
@@ -87,6 +104,7 @@ class BottomK:
     def update_strings(self, values) -> "BottomK":
         if len(values) == 0:
             return self
+        self._check_family("s")
         self.n_seen += len(values)
         h = hash_strings(values)
         # store the hash as the value surrogate for strings
@@ -95,6 +113,8 @@ class BottomK:
     def merge(self, other: "BottomK") -> "BottomK":
         if other.k != self.k:
             raise ValueError("k mismatch")
+        if other.family is not None:
+            self._check_family(other.family)
         self.n_seen += other.n_seen
         return self._ingest(other.prios, other.values)
 
@@ -121,6 +141,11 @@ class BottomK:
         priorities present in both sketches."""
         if other.k != self.k:
             raise ValueError("k mismatch")
+        if self.family is not None and other.family is not None \
+                and self.family != other.family:
+            raise TypeError(
+                f"priority family mismatch: {self.family!r} vs {other.family!r}"
+            )
         union = np.union1d(self.prios, other.prios)[: self.k]
         if union.shape[0] == 0:
             return float("nan")
@@ -131,7 +156,9 @@ class BottomK:
     # ------------------------------------------------------------------ serde
 
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(b"BTK1", self.k, self.n_seen)
+        head = _HEADER.pack(
+            b"BTK2", self.k, self.n_seen, (self.family or "?").encode()
+        )
         return (
             head
             + struct.pack("<I", self.size)
@@ -141,14 +168,20 @@ class BottomK:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BottomK":
-        magic, k, n_seen = _HEADER.unpack_from(data, 0)
-        if magic != b"BTK1":
+        magic, k, n_seen, fam = _HEADER.unpack_from(data, 0)
+        if magic == b"BTK1":
+            raise ValueError(
+                "stale BottomK format BTK1 (no priority-family tag): "
+                "rebuild the sketch state"
+            )
+        if magic != b"BTK2":
             raise ValueError("not a BottomK blob")
         off = _HEADER.size
         (sz,) = struct.unpack_from("<I", data, off)
         off += 4
         sk = cls(k=k)
         sk.n_seen = n_seen
+        sk.family = None if fam == b"?" else fam.decode()
         sk.prios = np.frombuffer(data, dtype="<u8", count=sz, offset=off).copy()
         off += 8 * sz
         sk.values = np.frombuffer(data, dtype="<i8", count=sz, offset=off).copy()

@@ -53,6 +53,40 @@ class MisraGries:
         elif self.kind != kind:
             raise TypeError(f"sketch holds {self.kind!r} keys, got {kind!r}")
 
+    def _canon_keys(self, u: np.ndarray) -> np.ndarray:
+        """Canonicalize batch keys ONCE at ingest so in-memory counters and
+        the serde (int64 or utf-8 of the str key) agree exactly: without
+        this, float/bytes keys would silently change identity across a
+        to_bytes/from_bytes round trip (str(b'x') == \"b'x'\") and mix
+        incomparable key types in one dict."""
+        k = u.dtype.kind
+        if k in "iu":
+            self._check_kind("i")
+            return u.astype(np.int64)
+        if k == "U":
+            self._check_kind("s")
+            return u.astype(object)
+        if k == "f":
+            # float columns are keyed by their repr — stable and serde-safe
+            self._check_kind("s")
+            return np.asarray([str(x) for x in u.tolist()], dtype=object)
+        if k == "O":
+            first = u[0]
+            if isinstance(first, str):
+                self._check_kind("s")
+                return u
+            if isinstance(first, (int, np.integer)):
+                self._check_kind("i")
+                return np.asarray(u.tolist(), dtype=np.int64)
+            if isinstance(first, float):
+                self._check_kind("s")
+                return np.asarray([str(x) for x in u.tolist()], dtype=object)
+            raise TypeError(
+                f"unsupported MisraGries key type {type(first).__name__} "
+                "(int and str keys only; hash or cast first)"
+            )
+        raise TypeError(f"unsupported MisraGries key dtype {u.dtype}")
+
     def _ingest(self, uniques, counts) -> None:
         # vectorized combine: existing counters ++ batch, one unique-based
         # reduction — no per-item Python dict ops on the partials hot path
@@ -96,10 +130,9 @@ class MisraGries:
         v = np.asarray(values).ravel()
         if v.shape[0] == 0:
             return self
-        self._check_kind("i" if v.dtype.kind in "iu" else "s")
         uv, uc = np.unique(v, return_counts=True)
         self.n += int(v.shape[0])
-        self._ingest(uv.astype(np.int64) if self.kind == "i" else uv, uc)
+        self._ingest(self._canon_keys(uv), uc)
         return self
 
     def update_agg(self, uniques: np.ndarray, counts: np.ndarray) -> "MisraGries":
@@ -107,11 +140,10 @@ class MisraGries:
         c = np.asarray(counts, dtype=np.int64).ravel()
         if u.shape[0] == 0:
             return self
-        self._check_kind("i" if u.dtype.kind in "iu" else "s")
         self.n += int(c.sum())
         # pre-aggregated uniques may still repeat across batches of one
         # partition; _ingest's unique-combine re-aggregates them
-        self._ingest(u.astype(np.int64) if self.kind == "i" else u, c)
+        self._ingest(self._canon_keys(u), c)
         return self
 
     def merge(self, other: "MisraGries") -> "MisraGries":

@@ -369,3 +369,19 @@ def test_bottomk_md5_jaccard_estimate_and_layout_invariance():
     # pre-aggregated path: counts feed n_seen only
     c = BottomK(k).update_md5_ints(np.array([5, 6]), counts=np.array([3, 4]))
     assert c.n_seen == 7 and c.size == 2
+
+
+def test_bottomk_family_mismatch_raises():
+    from tdigest_spark.sketch.bottomk import BottomK
+
+    a = BottomK(16).update_ints(np.arange(10))
+    b = BottomK(16).update_md5_ints(np.arange(10))
+    with pytest.raises(TypeError, match="family mismatch"):
+        a.merge(b)
+    with pytest.raises(TypeError, match="family mismatch"):
+        a.jaccard(b)
+    # family survives serde; stale untagged format is named explicitly
+    back = BottomK.from_bytes(b.to_bytes())
+    assert back.family == "m"
+    with pytest.raises(ValueError, match="stale BottomK format BTK1"):
+        BottomK.from_bytes(b"BTK1" + b.to_bytes()[4:])

@@ -107,3 +107,19 @@ def test_hypothesis_bounds(xs, k):
         assert lo <= f <= hi
         if f * (k + 1) > sk.n:
             assert item in sk.counters
+
+
+def test_float_keys_canonical_across_serde():
+    # float columns key by repr; in-memory and serde-round-tripped sketches
+    # must agree (pre-fix: float keys in memory, str keys after round trip)
+    v = np.array([1.5, 1.5, 2.25, 0.1])
+    sk = MisraGries(8).update(v)
+    back = MisraGries.from_bytes(sk.to_bytes())
+    assert sk.counters == back.counters == {"1.5": 2, "2.25": 1, "0.1": 1}
+    back.update(v)  # mixing after a round trip must not split keys
+    assert back.counters == {"1.5": 4, "2.25": 2, "0.1": 2}
+
+
+def test_unsupported_key_types_raise():
+    with pytest.raises(TypeError, match="unsupported MisraGries key"):
+        MisraGries(8).update(np.array([b"raw", b"bytes"], dtype=object))

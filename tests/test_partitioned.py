@@ -189,3 +189,37 @@ def test_write_sorted_enables_row_group_skipping(spark, tmp_path):
         .num_rows
     )
     assert pruned_rows == n_match
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The repair pass restores a partition stranded mid-swap and removes
+    stale tmp/aside dirs, so a crashed compaction self-heals on re-run."""
+    import shutil
+
+    from tdigest_spark.plans.partitioned import compact_partitions
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    path = tmp_path / "docs_crash"
+    docs.repartition(4).write.partitionBy("source").parquet(str(path))
+    total = spark.read.parquet(str(path)).count()
+    src = docs.select("source").orderBy("source").first().source
+    d = path / f"source={src}"
+
+    # simulate a crash between the two renames: data dir moved aside
+    d.rename(path / f".source={src}__replaced")
+    # plus a stale half-written tmp dir from the same crash
+    (path / f".source={src}__compacting").mkdir()
+    assert spark.read.parquet(str(path)).count() < total  # partition gone
+
+    compact_partitions(spark, str(path), target_bytes=1 << 30)
+    assert spark.read.parquet(str(path)).count() == total  # restored
+    assert not (path / f".source={src}__compacting").exists()
+    assert not (path / f".source={src}__replaced").exists()
+
+    # crash AFTER move-in (aside left behind next to live data): deleted
+    shutil.copytree(d, path / f".source={src}__replaced")
+    compact_partitions(spark, str(path), target_bytes=1 << 30)
+    assert not (path / f".source={src}__replaced").exists()
+    assert spark.read.parquet(str(path)).count() == total
