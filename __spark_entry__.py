@@ -979,6 +979,76 @@ def bottomk_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+def theta_event_audience_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over event audiences: one theta (KMV)
+    sketch of the distinct user set per event_type — built as the
+    associativity-proven bottom-k grouped aggregate (k=64, md5-lower-64
+    priorities), normalized to theta form — then pairwise UNION /
+    INTERSECTION / DIFFERENCE cardinality estimates from the sketches
+    alone: the set algebra HLL cannot express (register merges union but
+    never intersect/difference). Priorities are md5-lower-64 of the
+    decimal user id, so every retained-hash decision, the theta
+    threshold, and the estimate values are reproduced verbatim by the
+    DuckDB oracle; exact cardinalities ride along via one distinct-pair
+    aggregation. Reference tie-in: the digest-union fidelity contract
+    (tdigest.js:93-100 push_centroid merge) applied to set sketches —
+    every distributed result exactly checkable."""
+    from tdigest_spark.operators.aggregate import BOTTOMK_MD5, build_sketch_grouped
+    from tdigest_spark.sketch.theta import ThetaSketch
+
+    ev = _t(spark, sf_dir, "events")
+    states = build_sketch_grouped(ev, ["event_type"], "user_id", BOTTOMK_MD5(64))
+    sks = {
+        r.event_type: ThetaSketch.from_bottomk_bytes(bytes(r.state))
+        for r in states.collect()
+    }
+    types = sorted(t for t in sks if t is not None)
+    du = (
+        ev.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .persist()
+    )
+    sizes = {
+        r.event_type: r.n
+        for r in du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    inter = {
+        (r.ta, r.tb): r.i
+        for r in du.alias("a")
+        .join(du.alias("b"), "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .collect()
+    }
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            it = int(inter.get((a, b), 0))
+            sa, sb = sks[a], sks[b]
+            rows.append(
+                (
+                    a,
+                    b,
+                    float(np.round(sa.union_estimate(sb), 6)),
+                    float(np.round(sa.intersect_estimate(sb), 6)),
+                    float(np.round(sa.a_not_b_estimate(sb), 6)),
+                    int(sizes[a] + sizes[b] - it),
+                    it,
+                    int(sizes[a] - it),
+                )
+            )
+    du.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "type_a string, type_b string, union_est double, inter_est double, "
+        "anotb_est double, exact_union long, exact_inter long, exact_anotb long",
+    ).orderBy("type_a", "type_b")
+
+
 def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over l_quantity: width >> distinct values, so
     estimates are exact and match GROUP BY counts (verified deterministic —
@@ -1927,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
+        "theta_event_audience_ops": theta_event_audience_ops,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_hash_sample": doc_hash_sample,
         "doc_stratified_sample": doc_stratified_sample,
@@ -2872,6 +2943,107 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.ta AS type_a, e.tb AS type_b, e.est_jaccard, x.exact_jaccard
             FROM est e JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
+            ORDER BY type_a, type_b
+        """,
+        # Theta-sketch set algebra, reproduced hash-for-hash: bottom-64
+        # md5-lower-64 priorities per type (ROW_NUMBER <= 64), theta = the
+        # priority at rn = 64 (NULL = unsaturated = 2^64), retained = the
+        # hashes strictly below theta, pairwise estimates = count below
+        # min(theta) / (theta / 2^64) with the union re-trimmed to k when
+        # the candidate set exceeds it — each double op mirrors the numpy
+        # expression tree so IEEE-754 pins identical values.
+        "theta_event_audience_ops": """
+            WITH hu AS (
+              SELECT DISTINCT event_type,
+                     CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UBIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL
+            ), ranked AS (
+              SELECT event_type, h,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM hu
+            ), theta AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = 64 THEN h END) AS th,
+                     CASE WHEN MAX(CASE WHEN rn = 64 THEN h END) IS NOT NULL
+                          THEN CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                               / 18446744073709551616.0
+                          ELSE 1.0 END AS thf
+              FROM ranked GROUP BY event_type
+            ), ret AS (
+              SELECT r.event_type, r.h
+              FROM ranked r JOIN theta t USING (event_type)
+              WHERE t.th IS NULL OR r.h < t.th
+            ), types AS (SELECT DISTINCT event_type FROM events),
+            pairs AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                     CASE WHEN x.th IS NULL THEN y.th
+                          WHEN y.th IS NULL THEN x.th
+                          ELSE LEAST(x.th, y.th) END AS thr,
+                     LEAST(x.thf, y.thf) AS thrf
+              FROM types a JOIN types b ON a.event_type < b.event_type
+              JOIN theta x ON x.event_type = a.event_type
+              JOIN theta y ON y.event_type = b.event_type
+            ), uh AS (
+              SELECT p.ta, p.tb, r.h
+              FROM pairs p JOIN ret r ON r.event_type IN (p.ta, p.tb)
+              WHERE p.thr IS NULL OR r.h < p.thr
+              GROUP BY 1, 2, 3
+            ), uranked AS (
+              SELECT ta, tb, h,
+                     ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+                     COUNT(*) OVER (PARTITION BY ta, tb) AS uc
+              FROM uh
+            ), uest AS (
+              SELECT ta, tb,
+                     CASE WHEN MAX(uc) > 64
+                          THEN 64.0 / (CAST(MAX(CASE WHEN rn = 65 THEN h END) AS DOUBLE)
+                                       / 18446744073709551616.0)
+                          ELSE CAST(MAX(uc) AS DOUBLE) END AS u_raw,
+                     MAX(uc) > 64 AS trimmed
+              FROM uranked GROUP BY 1, 2
+            ), icnt AS (
+              SELECT p.ta, p.tb, COUNT(*) AS c
+              FROM pairs p
+              JOIN ret ra ON ra.event_type = p.ta
+              JOIN ret rb ON rb.event_type = p.tb AND rb.h = ra.h
+              GROUP BY 1, 2
+            ), acnt AS (
+              SELECT p.ta, p.tb, COUNT(*) AS c
+              FROM pairs p
+              JOIN ret ra ON ra.event_type = p.ta
+              WHERE (p.thr IS NULL OR ra.h < p.thr)
+                AND NOT EXISTS (
+                  SELECT 1 FROM ret rb
+                  WHERE rb.event_type = p.tb AND rb.h = ra.h
+                )
+              GROUP BY 1, 2
+            ), du AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE user_id IS NOT NULL
+            ), exflag AS (
+              SELECT p.ta, p.tb, d.user_id,
+                     MAX(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS a,
+                     MAX(CASE WHEN d.event_type = p.tb THEN 1 ELSE 0 END) AS b
+              FROM pairs p JOIN du d ON d.event_type IN (p.ta, p.tb)
+              GROUP BY 1, 2, 3
+            ), ex AS (
+              SELECT ta, tb,
+                     CAST(COUNT(*) AS BIGINT) AS exact_union,
+                     CAST(SUM(a * b) AS BIGINT) AS exact_inter,
+                     CAST(SUM(a * (1 - b)) AS BIGINT) AS exact_anotb
+              FROM exflag GROUP BY 1, 2
+            )
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   ROUND(CASE WHEN u.trimmed THEN u.u_raw
+                              ELSE u.u_raw / p.thrf END, 6) AS union_est,
+                   ROUND(CAST(COALESCE(i.c, 0) AS DOUBLE) / p.thrf, 6) AS inter_est,
+                   ROUND(CAST(COALESCE(ac.c, 0) AS DOUBLE) / p.thrf, 6) AS anotb_est,
+                   x.exact_union, x.exact_inter, x.exact_anotb
+            FROM pairs p
+            JOIN uest u ON u.ta = p.ta AND u.tb = p.tb
+            LEFT JOIN icnt i ON i.ta = p.ta AND i.tb = p.tb
+            LEFT JOIN acnt ac ON ac.ta = p.ta AND ac.tb = p.tb
+            JOIN ex x ON x.ta = p.ta AND x.tb = p.tb
             ORDER BY type_a, type_b
         """,
         "cms_topk_quantity": """
