@@ -1462,6 +1462,37 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts — the n-gram LM / collocation statistic at the
+    root of corpus analysis: tokenize once, pair adjacent words JVM-side
+    (zip_with over two slices of the SAME bound array column; binding
+    matters because Spark HOFs have no common-subexpression elimination,
+    so an unbound split would re-tokenize per element), explode ->
+    two-phase hash aggregate -> TakeOrderedAndProject top-50 with a
+    deterministic tie-break. One shuffle on the bigram key — the same
+    wordcount shape as doc_vocab_topk, which holds at 100 TB."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens(F.lower(F.col("text"))).alias("t"))
+    n1 = F.greatest(F.size("t") - F.lit(1), F.lit(0))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n1),
+                F.slice("t", F.lit(2), n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
 def mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent items, two-pass exact heavy hitters: MG(k=64)
     over the exploded word stream yields a candidate set GUARANTEED to
@@ -2011,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
+        "doc_bigram_topk": doc_bigram_topk,
         "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_repetition_filter": doc_repetition_filter,
@@ -3373,6 +3405,17 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE word <> ''
             GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        "doc_bigram_topk": r"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''
+            ), big AS (
+              SELECT UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+              FROM toks
+            )
+            SELECT bigram, COUNT(*) AS n
+            FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
         """,
         # MG candidates are a guaranteed superset of {f > n/51} (k=64 >= 50),
         # and the second pass recounts exactly, so the result IS the plain
