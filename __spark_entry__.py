@@ -173,6 +173,57 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXISTS_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_returnflag = 'R'
+        AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def orders_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    returned lineitem shipped after the order date, counted per priority.
+    Catalyst decorrelates the subquery into a LEFT SEMI hash join on
+    o_orderkey — no per-row subquery execution — so the shape is one
+    shuffle-or-broadcast semi join + a tiny aggregate at any scale. The
+    IDENTICAL SQL text is the DuckDB oracle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+_CORRELATED_AVG_SQL = """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (
+      SELECT CAST(0.5 AS DOUBLE) * AVG(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY p.p_brand ORDER BY p_brand
+"""
+
+
+def part_avg_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below half their part's average quantity, revenue per
+    brand. Catalyst rewrites the per-row subquery into one per-partkey
+    aggregate joined back on l_partkey — the only scalable plan: the
+    fact table is scanned twice (once for averages, once for the probe),
+    never once per row. The IDENTICAL SQL text is the DuckDB oracle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_CORRELATED_AVG_SQL)
+
+
 def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join + conditional aggregation: per order-priority, how
     many orders have at least one returned ('R') lineitem
@@ -1986,6 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
+        "orders_exists_subquery": orders_exists_subquery,
+        "part_avg_correlated_subquery": part_avg_correlated_subquery,
         "order_fill_left_join": order_fill_left_join,
         "events_type_pivot": events_type_pivot,
         "embedding_posexplode": embedding_posexplode,
@@ -2344,6 +2397,10 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY c_custkey
         """,
+        # identical text runs on Spark (orders_exists_subquery /
+        # part_avg_correlated_subquery register same-named temp views)
+        "orders_exists_subquery": _EXISTS_SQL,
+        "part_avg_correlated_subquery": _CORRELATED_AVG_SQL,
         "order_fill_left_join": """
             SELECT o_orderpriority,
                    COUNT(DISTINCT o_orderkey) AS n_orders,
