@@ -56,6 +56,15 @@ AUDITS = {
     # cleaning pipeline: map-side gates, window dedup, final agg — no
     # joins at all, so any cartesian/SMJ is a regression
     "doc_clean_pipeline": (0, True, False),
+    # bigram wordcount: same shape contract as doc_vocab_topk
+    "doc_bigram_topk": (0, False, False),
+    # correlated EXISTS must decorrelate to a (broadcast) SEMI join with
+    # the l_returnflag predicate pushed to the scan — a per-row subquery
+    # or cartesian here is a scale regression
+    "orders_exists_subquery": (1, False, True),
+    # correlated scalar subquery: per-partkey aggregate joined back; two
+    # scans of lineitem, both width-pruned
+    "part_avg_correlated_subquery": (1, False, False),
 }
 
 
