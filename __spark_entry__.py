@@ -1207,6 +1207,37 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ams_f2_quantity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (AMS Tug-of-War): F2 = Σ n_v² of
+    l_quantity — the SELF-JOIN SIZE, the skewness statistic an optimizer
+    or the salting planner (plans/skew.py) reads before choosing a
+    shuffle strategy. 5×1024 signed counters from one splitmix64 per
+    (row, value); merge is integer addition (bit-identical over any
+    partition layout, test_ams.py); the estimate is the integer median
+    of per-row Σc². Because bucket, sign, and every counter are exact
+    integer functions of splitmix64 — reproducible in DuckDB's UHUGEINT
+    mod-2^64 arithmetic — the ESTIMATE ITSELF has an exact SQL oracle,
+    not just the exact F2 beside it. (l_quantity is integral-valued
+    double: numpy's truncating cast and DuckDB's rounding cast agree.)"""
+    from tdigest_spark.operators.aggregate import AMS_F2
+
+    sk = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_quantity", AMS_F2(5, 1024))}
+    )["s"]
+    est = sk.estimate()
+    exact = int(
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+        .collect()[0].f2
+    )
+    rel = float(np.round(abs(float(est) - float(exact)) / float(exact), 6))
+    return spark.createDataFrame(
+        [(est, exact, rel)], "est_f2 long, exact_f2 long, rel_err double"
+    )
+
+
 def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-UDF-over-states surface: grouped t-digest states queried
     in-DataFrame with digest_quantile / digest_cdf / digest_trimmed_mean
@@ -2077,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_quantity": cms_topk_quantity,
         "cms_lang_estimates": cms_lang_estimates,
         "cms_join_size_estimate": cms_join_size_estimate,
+        "ams_f2_quantity_selfjoin": ams_f2_quantity_selfjoin,
         "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "bottomk_sample_check": bottomk_sample_check,
@@ -2270,6 +2302,51 @@ def _simhash_oracle_sql(ngram: int = 2, max_hamming: int = 3) -> str:
         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
         ORDER BY id_a, id_b
+    """
+
+
+def _ams_f2_oracle_sql(depth: int = 5, width: int = 1024) -> str:
+    """Exact SQL twin of ams_f2_quantity_selfjoin: the estimate itself is
+    reproduced counter-for-counter — per-row seeds are splitmix64(1..d)
+    (inlined constants), each (row, distinct value) hash is the same
+    splitmix64 chain in UHUGEINT mod-2^64 arithmetic, bucket = low bits,
+    sign = top bit, and the median row Σc² is picked by ORDER BY/OFFSET
+    (an odd depth keeps it an exact integer)."""
+    from tdigest_spark.sketch.ams import _seeds
+
+    golden, c1, c2 = 11400714819323198485, 13787848793156543929, 10723151780598845931
+    seeds = ",".join(f"({j},{int(s)})" for j, s in enumerate(_seeds(depth)))
+    return f"""
+        WITH vals AS (
+          SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1
+        ), seeds AS (
+          SELECT j, CAST(s AS UBIGINT) AS seed FROM (VALUES {seeds}) t(j, s)
+        ), hz AS (
+          SELECT j, n,
+                 (CAST(xor(seed, CAST(v AS UBIGINT)) AS UHUGEINT) + {golden})
+                   % {_U64_MOD} AS z0,
+                 CAST((CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30)
+                   AS UHUGEINT) * {c1}) % {_U64_MOD} AS UBIGINT) AS z1,
+                 CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * {c2})
+                   % {_U64_MOD} AS UBIGINT) AS z2,
+                 xor(z2, z2 >> 31) AS h
+          FROM vals, seeds
+        ), cnt AS (
+          SELECT j, h & {width - 1} AS bucket,
+                 SUM(CASE WHEN h >= 9223372036854775808 THEN -n ELSE n END) AS c
+          FROM hz GROUP BY 1, 2
+        ), rowf2 AS (
+          SELECT j, CAST(SUM(c * c) AS BIGINT) AS f2 FROM cnt GROUP BY j
+        ), med AS (
+          SELECT f2 FROM rowf2 ORDER BY f2 LIMIT 1 OFFSET {depth // 2}
+        ), ex AS (
+          SELECT CAST(SUM(n * n) AS BIGINT) AS exact_f2 FROM vals
+        )
+        SELECT m.f2 AS est_f2, e.exact_f2,
+               ROUND(ABS(CAST(m.f2 AS DOUBLE) - CAST(e.exact_f2 AS DOUBLE))
+                     / CAST(e.exact_f2 AS DOUBLE), 6) AS rel_err
+        FROM med m, ex e
     """
 
 
@@ -3161,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "ams_f2_quantity_selfjoin": _ams_f2_oracle_sql(5, 1024),
         "cms_join_size_estimate": """
             SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
                    TRUE AS est_ge_exact,

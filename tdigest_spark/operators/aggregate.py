@@ -48,6 +48,7 @@ __all__ = [
     "BOTTOMK_INTS",
     "BOTTOMK_MD5",
     "BOTTOMK_STRINGS",
+    "AMS_F2",
     "build_sketches",
     "build_sketch",
     "build_sketch_grouped",
@@ -644,6 +645,19 @@ def _mk_bottomk_md5(k: int = 256):
     )
 
 
+def _mk_ams(depth: int = 5, width: int = 1024):
+    from ..sketch.ams import AMSF2
+
+    return SketchSpec(
+        name=f"ams_f2({depth}x{width})",
+        make=lambda: AMSF2(depth=depth, width=width),
+        from_bytes=lambda b: AMSF2.from_bytes(b),
+        update=lambda sk, v: sk.update_ints(v),
+        update_agg=lambda sk, uv, uc: sk.update_ints(uv, counts=uc),
+    )
+
+
 BOTTOMK_INTS = lambda k=1024: _mk_bottomk(k, strings=False)  # noqa: E731
 BOTTOMK_STRINGS = lambda k=1024: _mk_bottomk(k, strings=True)  # noqa: E731
 BOTTOMK_MD5 = _mk_bottomk_md5
+AMS_F2 = _mk_ams
