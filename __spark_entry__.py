@@ -1575,6 +1575,47 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_source_word_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-drift monitor: KL(source ‖ corpus) over the
+    unigram word distribution + an integer-exact count of words
+    over-represented ≥8× in the source (operators/drift.py).  One corpus
+    scan; everything else is derived from the (source, word) counts.
+    The KL sum is rounded to 6 dp (the per-term doubles are IEEE-exact
+    and spelled identically in the oracle; only ln ULPs and summation
+    order differ)."""
+    from tdigest_spark.operators.drift import word_divergence_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return word_divergence_by_group(docs, "text", "source", lift_k=8)
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of events.value between the two
+    event_id-parity halves over fixed-width buckets
+    (operators/drift.py psi_fixed_buckets): one scan, one bucket-keyed
+    two-phase aggregate with conditional partials, O(#buckets) persisted
+    state, broadcast totals.  Bucket edges are FLOOR(value/10) — IEEE
+    double division + floor, identical across engines (no libm edge
+    risk); PSI rounded to 6 dp; one-sided buckets reported as integer
+    counts instead of smoothed."""
+    from tdigest_spark.operators.drift import psi_fixed_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_fixed_buckets(ev, "value", "event_id", bucket_width=10.0)
+
+
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream (operators/drift.py):
+    users bucketed by first-seen Monday-truncated week, exact distinct
+    active users per (cohort, week_offset) cell.  One shuffle on user_id
+    (min week + bounded per-user week set), no countDistinct, no
+    full-stream window."""
+    from tdigest_spark.operators.drift import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
 def mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent items, two-pass exact heavy hitters: MG(k=64)
     over the exploded word stream yields a candidate set GUARANTEED to
@@ -2128,6 +2169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_bigram_topk": doc_bigram_topk,
+        "doc_source_word_kl": doc_source_word_kl,
+        "events_value_psi": events_value_psi,
+        "events_weekly_retention": events_weekly_retention,
         "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_repetition_filter": doc_repetition_filter,
@@ -3551,6 +3595,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, COUNT(*) AS n
             FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+        """,
+        # KL per-term doubles are IEEE-exact products/divisions of integer
+        # counts (< 2^53) spelled exactly like the Spark expression; ln ULP
+        # noise + summation order are absorbed by ROUND(..., 6). The lift
+        # test is integer cross-multiplication — exact on both engines.
+        "doc_source_word_kl": r"""
+            WITH w AS (
+              SELECT source,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ), gw AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_gw
+              FROM w WHERE word <> '' GROUP BY source, word
+            ), wt AS (
+              SELECT word, CAST(SUM(c_gw) AS BIGINT) AS c_w FROM gw GROUP BY word
+            ), gt AS (
+              SELECT source, CAST(SUM(c_gw) AS BIGINT) AS n_g FROM gw GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(n_g) AS BIGINT) AS n_total FROM gt
+            )
+            SELECT gw.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   ROUND(SUM(
+                     (CAST(c_gw AS DOUBLE) / CAST(n_g AS DOUBLE))
+                     * LN((CAST(c_gw AS DOUBLE) * CAST(n_total AS DOUBLE))
+                          / (CAST(c_w AS DOUBLE) * CAST(n_g AS DOUBLE)))
+                   ), 6) AS kl,
+                   CAST(SUM(CASE WHEN c_gw * n_total > 8 * c_w * n_g
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_lifted
+            FROM gw
+            JOIN wt USING (word)
+            JOIN gt USING (source)
+            CROSS JOIN tot
+            GROUP BY gw.source
+            ORDER BY gw.source
+        """,
+        # PSI terms are IEEE-exact products/divisions of integer counts
+        # spelled exactly like the Spark expression; FLOOR(value/10.0)
+        # bucket edges are pure IEEE double ops (no libm), so bucket ids
+        # are bit-identical across engines. ln ULPs + summation order are
+        # absorbed by ROUND(..., 6).
+        "events_value_psi": r"""
+            WITH pb AS (
+              SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+                     CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS c_a,
+                     CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END)
+                          AS BIGINT) AS c_b
+              FROM events GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                     CAST(SUM(c_b) AS BIGINT) AS n_b
+              FROM pb
+            )
+            SELECT ROUND(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN
+                     (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                      - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     * LN((CAST(c_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                          / (CAST(c_b AS DOUBLE) * CAST(n_a AS DOUBLE)))
+                   END), 6) AS psi,
+                   CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_buckets_both,
+                   CAST(SUM(CASE WHEN c_a > 0 AND c_b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_a,
+                   CAST(SUM(CASE WHEN c_a = 0 AND c_b > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_b
+            FROM pb CROSS JOIN tot
+        """,
+        # DuckDB date_trunc('week') is Monday-truncated like Spark's;
+        # week offsets are exact multiples of 7 days, so /7 is exact.
+        "events_weekly_retention": r"""
+            WITH wk AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events
+            ), c AS (
+              SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id
+            )
+            SELECT c.cohort,
+                   CAST(date_diff('day', c.cohort, wk.wk) / 7 AS BIGINT)
+                     AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM wk JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # MG candidates are a guaranteed superset of {f > n/51} (k=64 >= 50),
         # and the second pass recounts exactly, so the result IS the plain
