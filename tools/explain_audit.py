@@ -65,6 +65,15 @@ AUDITS = {
     # correlated scalar subquery: per-partkey aggregate joined back; two
     # scans of lineitem, both width-pruned
     "part_avg_correlated_subquery": (1, False, False),
+    # KL drift: (text, source)-pruned single cached scan; per-group totals
+    # join back via an explicit broadcast (the 1-row grand total rides a
+    # BroadcastNestedLoopJoin, which the cartesian check rightly ignores)
+    "doc_source_word_kl": (1, False, False),
+    # PSI: conditional partials per bucket — NO equi join anywhere, so any
+    # SMJ/cartesian is a regression; 2-col pruned scan
+    "events_value_psi": (0, True, False),
+    # retention: one user_id shuffle + re-agg, no joins at all
+    "events_weekly_retention": (0, True, False),
 }
 
 
