@@ -1922,6 +1922,54 @@ def events_stream_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_enriched_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/enrich_stream): the
+    events file stream joins the static customer dimension per micro-batch
+    (user_id == c_custkey; broadcast — the stream side never shuffles,
+    which is the only join shape that survives a 100-TB stream), then
+    per-market-segment counts and value sums over the enriched append
+    stream. Exact oracle: stream-static inner join of the full file ==
+    the batch join."""
+    import time as _time
+
+    from tdigest_spark.streaming import enrich_stream
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = enrich_stream(stream, dim, ["user_id"]).select(
+        "segment", "value"
+    )
+    qname = f"ev_enrich_{int(_time.time() * 1000)}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(qname)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
 def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon: the events file
     stream unioned with ITSELF (every event delivered twice — the at-least-
@@ -2184,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_dedup_counts": events_stream_dedup_counts,
+        "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -3720,6 +3769,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             HAVING COUNT(*) * 128 > (SELECT n FROM tot)
             ORDER BY user_id
+        """,
+        # stream-static inner join over the whole file == the batch join
+        "events_stream_enriched_segments": """
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "events_stream_dedup_counts": """
             SELECT event_type, COUNT(*) AS n_events

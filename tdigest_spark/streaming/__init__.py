@@ -36,7 +36,24 @@ __all__ = [
     "incremental_build_grouped",
     "read_state_grouped",
     "dedup_stream",
+    "enrich_stream",
 ]
+
+
+def enrich_stream(stream_df, dim_df, keys: list[str], broadcast: bool = True):
+    """Stream-static equi join — dimension enrichment of an ingest stream
+    (Structured Streaming joins each micro-batch against the static side;
+    no state is kept, unlike stream-stream joins).
+
+    The static side is broadcast by default: at 100 TB the stream is the
+    big side and the dimension must never shuffle the batch. A file-backed
+    static side is re-planned per micro-batch (that is how Structured
+    Streaming picks up dimension updates); ``.cache()`` it first if the
+    dimension is immutable and the re-scan matters."""
+    from pyspark.sql import functions as F
+
+    dim = F.broadcast(dim_df) if broadcast else dim_df
+    return stream_df.join(dim, keys, "inner")
 
 
 def dedup_stream(stream_df, id_cols: list[str], ts_col: str, delay: str = "1 hour"):

@@ -433,3 +433,36 @@ def test_incremental_mg_across_batches(spark, dirs):
     for x, f in zip(uv.tolist(), uc.tolist()):
         lo, hi = mg.estimate(str(x))
         assert lo <= f <= hi
+
+
+def test_enrich_stream_static_broadcast_join(spark, dirs):
+    """Stream-static dimension enrichment: every matched row carries its
+    dim attributes, unmatched keys drop (inner), and the join runs per
+    micro-batch with no streaming state."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.streaming import enrich_stream
+
+    _write_events(dirs["in"], seed=31, n=500)
+    stream = (
+        spark.readStream.schema("ts timestamp, source string, value double")
+        .parquet(str(dirs["in"]))
+    )
+    # dim covers only 'web' -> 'code' rows must be dropped by the inner join
+    dim = spark.createDataFrame([("web", "tier1")], "source string, tier string")
+    qname = f"enrich_test_{int(time.time() * 1000)}"
+    q = (
+        enrich_stream(stream, dim, ["source"])
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(qname)
+    batch = spark.read.parquet(str(dirs["in"]))
+    n_web = batch.where(F.col("source") == "web").count()
+    assert got.count() == n_web > 0
+    assert got.where(F.col("tier") != "tier1").count() == 0
+    assert set(got.columns) == {"source", "ts", "value", "tier"}
