@@ -57,6 +57,42 @@ class TestWordDivergence:
         assert all(r["kl"] == 0.0 for r in out)
 
 
+class TestDriftMathProperties:
+    def test_kl_nonnegative_gibbs(self, spark):
+        """Gibbs' inequality: KL(source ‖ corpus) >= 0 for every source,
+        on a seeded skewed corpus."""
+        import random
+
+        from tdigest_spark.operators.drift import word_divergence_by_group
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (f"s{rng.randrange(4)}", " ".join(rng.choices(vocab, k=rng.randrange(1, 40))))
+            for _ in range(200)
+        ]
+        out = word_divergence_by_group(_docs(spark, rows)).collect()
+        assert len(out) == 4
+        assert all(r["kl"] >= 0.0 for r in out)
+
+    def test_psi_symmetric_under_half_swap(self, spark):
+        """PSI is symmetric in the two halves: flipping id parity
+        (event_id + 1) leaves psi and the bucket counts mirrored."""
+        import random
+
+        from tdigest_spark.operators.drift import psi_fixed_buckets
+
+        rng = random.Random(11)
+        rows = [(i, rng.uniform(0.5, 120.0)) for i in range(400)]
+        df = spark.createDataFrame(rows, "event_id bigint, value double")
+        a = psi_fixed_buckets(df).collect()[0]
+        flipped = df.withColumn("event_id", F.col("event_id") + 1)
+        b = psi_fixed_buckets(flipped).collect()[0]
+        assert a["psi"] == b["psi"]
+        assert a["n_buckets_both"] == b["n_buckets_both"]
+        assert (a["n_only_a"], a["n_only_b"]) == (b["n_only_b"], b["n_only_a"])
+
+
 class TestPsiFixedBuckets:
     def test_identical_halves_zero_psi(self, spark):
         from tdigest_spark.operators.drift import psi_fixed_buckets
