@@ -2097,6 +2097,88 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# pruned-storage ANN index parameters: 2^6 = 64 hyperplane buckets, probes =
+# Hamming<=1 neighborhood (7/64 directories read). The plane matrix is
+# derived from (dim, n_planes, seed), so the DuckDB oracle recomputes the
+# same bucket assignment from inlined plane literals; sign margins
+# (min |v.plane| ~4e-5 across all SFs) are 7 orders of magnitude above
+# float64 summation-order noise, and tests/test_ann_index.py asserts the
+# Spark/DuckDB assignments stay identical.
+_ANN_PLANES = 6
+_ANN_SEED = 7
+_ANN_DIM = 64
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) the bucket-partitioned LSH index for this SF's
+    embeddings table. Marker-validated like sources/sequence_table: the
+    marker dies before any rebuild so a crash can't leave a lying cache."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from tdigest_spark.operators.similarity import build_lsh_index
+
+    root = Path(os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache"))
+    path = root / "ann_index" / (
+        f"{Path(sf_dir).name}_lsh_p{_ANN_PLANES}_s{_ANN_SEED}"
+    )
+    marker = path / "_built.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "n_planes": _ANN_PLANES,
+        "seed": _ANN_SEED,
+        "dim": _ANN_DIM,
+    }
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == params:
+                return str(path)
+        except Exception:
+            pass
+        marker.unlink()
+    if path.exists():
+        shutil.rmtree(path)
+    build_lsh_index(
+        _t(spark, sf_dir, "embeddings"),
+        str(path),
+        n_planes=_ANN_PLANES,
+        seed=_ANN_SEED,
+        dim=_ANN_DIM,
+    )
+    marker.write_text(json.dumps(params))
+    return str(path)
+
+
+def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned-storage ANN (VERDICT r2 item 1): the corpus is materialized
+    ONCE hive-partitioned by its LSH bucket; the probe query's bucket
+    IN-list hits the partition column so the scan reads only the 7/64
+    probed directories (PartitionFilters + numFiles proven in
+    tests/test_ann_index.py) — no full scan, no re-signing. The oracle
+    reproduces the exact candidate set in SQL: bucket = sign pattern of the
+    same inlined plane constants, probes = bit_count(xor) <= 1."""
+    from tdigest_spark.operators.similarity import lsh_index_topk
+
+    path = _ensure_ann_index(spark, sf_dir)
+    qrow = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    query = [float(x) for x in qrow["embedding"]]
+    top = lsh_index_topk(
+        spark, path, query, k=10,
+        n_planes=_ANN_PLANES, seed=_ANN_SEED, probe_hamming=1, exclude_id=0,
+    )
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id"
+    ).orderBy("rank")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2235,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
+        "ann_pruned_topk": ann_pruned_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
@@ -2440,6 +2523,49 @@ def _ams_f2_oracle_sql(depth: int = 5, width: int = 1024) -> str:
                ROUND(ABS(CAST(m.f2 AS DOUBLE) - CAST(e.exact_f2 AS DOUBLE))
                      / CAST(e.exact_f2 AS DOUBLE), 6) AS rel_err
         FROM med m, ex e
+    """
+
+
+def _ann_pruned_oracle_sql(
+    n_planes: int = _ANN_PLANES,
+    seed: int = _ANN_SEED,
+    dim: int = _ANN_DIM,
+    probe_hamming: int = 1,
+    k: int = 10,
+) -> str:
+    """SQL twin of ann_pruned_topk: recompute each vector's LSH bucket from
+    the SAME plane constants (inlined as double literals — repr() round-trips
+    float64 exactly), restrict to buckets within ``probe_hamming`` bit flips
+    of the query's bucket, then rank the candidates by exact cosine. Sign
+    decisions are safe against summation-order ULPs (min |proj| ~4e-5,
+    asserted in tests/test_ann_index.py)."""
+    from tdigest_spark.operators.similarity import _plane_matrix
+
+    P = _plane_matrix(dim, n_planes, seed)
+    terms = []
+    for p in range(n_planes):
+        lits = ",".join(repr(float(x)) for x in P[:, p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+        ), q AS (
+          SELECT embedding AS qe, bucket AS qb FROM sigs WHERE vec_id = 0
+        )
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(s.embedding, q.qe) DESC,
+                          s.vec_id
+               ) AS rank,
+               s.vec_id
+        FROM sigs s, q
+        WHERE s.vec_id <> 0
+          AND bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT)))
+              <= {probe_hamming}
+        ORDER BY rank LIMIT {k}
     """
 
 
@@ -3834,4 +3960,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY rank LIMIT 10
         """,
+        "ann_pruned_topk": _ann_pruned_oracle_sql(),
     }

@@ -25,6 +25,11 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "lsh_probe_buckets",
+    "build_lsh_index",
+    "lsh_index_topk",
+    "build_ivf_index",
+    "ivf_index_topk",
 ]
 
 
@@ -146,6 +151,137 @@ def ann_lsh_topk(
     bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=q.shape[0])
     cands = bucketed.where(F.col("bucket").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# pruned-storage ANN: the bucket/list assignment is materialized ONCE as the
+# table's partition key; probe queries then prune whole directories at the
+# scan (PartitionFilters / numFiles — proven in tests/test_ann_index.py).
+# This is the 100-TB read path: a top-k probe opens probes/buckets of the
+# corpus and never re-signs it.
+# ---------------------------------------------------------------------------
+
+
+def lsh_probe_buckets(
+    query: list[float], n_planes: int = 6, seed: int = 7, probe_hamming: int = 1
+) -> list[int]:
+    """All bucket ids within ``probe_hamming`` bit flips of the query's
+    hyperplane signature (multi-probe LSH). Driver-side: the planes are
+    derived from (dim, n_planes, seed) — no index metadata needed."""
+    from itertools import combinations
+
+    q = np.asarray(query, dtype=np.float64)
+    planes = _plane_matrix(q.shape[0], n_planes, seed)
+    qsig = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
+    probes = [qsig]
+    for r in range(1, min(probe_hamming, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            probes.append(qsig ^ m)
+    return probes
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """One-time index build: sign the corpus (one Arrow matmul pass) and lay
+    it out hive-partitioned by ``bucket`` — 2^n_planes directories. The
+    repartition puts each bucket in exactly one task so every directory gets
+    one file (no small-file fan-out from task x partition-value crossing)."""
+    from ..plans.partitioned import write_partitioned
+
+    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=dim)
+    write_partitioned(bucketed.repartition(F.col("bucket")), path, ["bucket"])
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 7,
+    probe_hamming: int = 1,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the prebuilt LSH index: the bucket IN-list hits the partition
+    column, so the scan reads only the probed directories (PartitionFilters
+    in the plan; numFiles metric counts only matching files) and the exact
+    cosine rerank touches ~probes/2^n_planes of the corpus. No signature
+    recomputation at query time."""
+    probes = lsh_probe_buckets(query, n_planes, seed, probe_hamming)
+    cands = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    return topk_cosine(cands, query, k, vec_col, id_col, exclude_id=exclude_id)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF list assignment as the partition key and persist
+    the trained centroids beside the data (underscore-prefixed sidecar —
+    invisible to Spark partition discovery), so probe queries need no
+    retraining and no full scan."""
+    import pyarrow.parquet as pq
+
+    from ..plans.partitioned import write_partitioned
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(df, C, vec_col)
+    write_partitioned(assigned.repartition(F.col("list_id")), path, ["list_id"])
+    side = pa.table(
+        {
+            "list_id": pa.array(range(C.shape[0]), pa.int32()),
+            "centroid": pa.array(C.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    from ..plans import fsio
+
+    fs, root = fsio.fs_and_path(str(path))
+    with fs.open_output_stream(fsio.join(root, "_centroids.parquet")) as f:
+        pq.write_table(side, f)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the prebuilt IVF index: centroids come from the sidecar (a few
+    KB), the n_probe nearest lists become a partition-pruning IN-list, and
+    only those directories are scanned for the exact rerank."""
+    import pyarrow.parquet as pq
+
+    from ..plans import fsio
+
+    fs, root = fsio.fs_and_path(str(path))
+    with fs.open_input_file(fsio.join(root, "_centroids.parquet")) as f:
+        side = pq.read_table(f)
+    order = np.argsort(side.column("list_id").to_numpy())
+    C = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in side.column("centroid").to_pylist()]
+    )[order]
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(x) for x in np.argsort(-(C @ q))[:n_probe]]
+    cands = spark.read.parquet(path).where(F.col("list_id").isin(probes))
+    return topk_cosine(cands, query, k, vec_col, id_col, exclude_id=exclude_id)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""Pruned-storage ANN (operators/similarity.py build_*_index /
+*_index_topk): the bucket / list assignment is materialized once as the
+table's hive partition key, so probe queries prune whole directories at the
+scan — PartitionFilters in the plan, numFiles counting only probed files —
+instead of full-scanning and re-signing the corpus per query (VERDICT r2
+item 1). Also guards the float margin that makes the DuckDB oracle's SQL
+bucket recomputation exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.operators.similarity import (
+    _plane_matrix,
+    build_ivf_index,
+    build_lsh_index,
+    ivf_centroids,
+    ivf_index_topk,
+    lsh_index_topk,
+    lsh_probe_buckets,
+    topk_cosine,
+)
+
+SF = "/root/testdata/sf0.01"
+N_PLANES, SEED, DIM = 6, 7, 64
+
+
+def _files_read(df) -> int:
+    """numFiles metric of the executed scan — counts files selected AFTER
+    partition pruning (same technique as tests/test_partitioned.py)."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    return int(leaves.apply(0).metrics().apply("numFiles").value())
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    row = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def lsh_path(emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=N_PLANES, seed=SEED, dim=DIM)
+    return path
+
+
+def test_lsh_index_scan_prunes_directories(spark, lsh_path, query_vec):
+    probes = lsh_probe_buckets(query_vec, N_PLANES, SEED, probe_hamming=1)
+    assert len(probes) == 1 + N_PLANES
+
+    full = spark.read.parquet(lsh_path)
+    probed = full.where(F.col("bucket").isin(probes))
+
+    # directory-level pruning is visible in the executed plan...
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # ...and in the numFiles metric: only probed directories are opened
+    n_probed, n_total = _files_read(probed), _files_read(full)
+    assert 0 < n_probed <= len(probes)
+    assert n_probed < n_total
+    # one file per bucket directory (repartition-by-bucket at build time)
+    n_buckets = full.select("bucket").distinct().count()
+    assert n_total == n_buckets
+
+
+def test_lsh_index_topk_equals_bruteforce_on_candidates(
+    spark, emb, lsh_path, query_vec
+):
+    """The probed top-k must equal brute-force top-k restricted to the same
+    candidate set computed independently (recomputed signatures, no index)."""
+    from tdigest_spark.operators.similarity import hyperplane_buckets
+
+    probes = set(lsh_probe_buckets(query_vec, N_PLANES, SEED, 1))
+    sig = hyperplane_buckets(emb, n_planes=N_PLANES, seed=SEED, dim=DIM)
+    cands = sig.where(F.col("bucket").isin(list(probes)))
+    expect = [
+        r.vec_id
+        for r in topk_cosine(cands, query_vec, 10, exclude_id=0).collect()
+    ]
+    got_df = lsh_index_topk(
+        spark, lsh_path, query_vec, k=10,
+        n_planes=N_PLANES, seed=SEED, probe_hamming=1, exclude_id=0,
+    )
+    got = [r.vec_id for r in got_df.collect()]
+    assert got == expect and len(got) == 10
+
+
+def test_lsh_sign_margin_guards_sql_oracle(emb):
+    """The DuckDB oracle recomputes buckets from inlined plane literals;
+    exactness needs every projection's |value| far above float64
+    summation-order noise (~1e-12 for 64-term dots of O(1) values)."""
+    P = _plane_matrix(DIM, N_PLANES, SEED)
+    rows = emb.select("embedding").collect()
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    assert np.abs(V @ P).min() > 1e-6
+
+
+def test_ivf_index_prunes_and_matches_full_probe(spark, emb, query_vec, tmp_path):
+    path = str(tmp_path / "ivf_idx")
+    C = ivf_centroids(emb, n_lists=8, sample=4096, seed=1)
+    build_ivf_index(emb, path, C)
+
+    # sidecar is invisible to the Spark read; partition column comes back
+    full = spark.read.parquet(path)
+    assert "list_id" in full.columns
+    assert full.count() == emb.count()
+
+    # full probe == brute force over everything (exactness anchor)
+    got = [
+        r.vec_id
+        for r in ivf_index_topk(
+            spark, path, query_vec, k=10, n_probe=8, exclude_id=0
+        ).collect()
+    ]
+    expect = [
+        r.vec_id for r in topk_cosine(emb, query_vec, 10, exclude_id=0).collect()
+    ]
+    assert got == expect
+
+    # partial probe prunes the scan to the probed lists' directories
+    qn = np.asarray(query_vec) / np.linalg.norm(query_vec)
+    probes = [int(x) for x in np.argsort(-(np.asarray(C) @ qn))[:2]]
+    probed = full.where(F.col("list_id").isin(probes))
+    n_probed, n_total = _files_read(probed), _files_read(full)
+    assert 0 < n_probed < n_total
+    assert n_probed <= len(probes)

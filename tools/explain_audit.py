@@ -74,7 +74,15 @@ AUDITS = {
     "events_value_psi": (0, True, False),
     # retention: one user_id shuffle + re-agg, no joins at all
     "events_weekly_retention": (0, True, False),
+    # pruned-storage ANN: no joins; the index scan must carry a non-empty
+    # PartitionFilters (bucket IN-list -> directory pruning, see
+    # PARTITION_PRUNED below)
+    "ann_pruned_topk": (0, True, False),
 }
+
+# queries whose scan must show directory-level partition pruning: a
+# non-empty PartitionFilters on a parquet scan node
+PARTITION_PRUNED = {"ann_pruned_topk"}
 
 
 def main() -> int:
@@ -115,12 +123,16 @@ def main() -> int:
             return n
 
         widths = [_width(s) for s in schemas]
+        part_filters = [
+            p for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if p
+        ]
         ok = (
             n_bc >= min_bc
             and (not forbid_smj or n_smj == 0)
             and n_cart == 0
             and (not want_push or pushed)
             and all(w <= 8 for w in widths)
+            and (name not in PARTITION_PRUNED or part_filters)
         )
         status = "OK  " if ok else "BAD "
         if not ok:
