@@ -1777,6 +1777,64 @@ def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode end-to-end (VERDICT r2 item 2): pixels are generated
+    from the splitmix64 formula (seeded by md5 of the doc_id string), encoded
+    into REAL containers — PPM, PNG (zlib), BMP by doc_id % 3
+    (operators/codecs.py, stdlib-only) — and decode_image_stats must parse
+    the container back to those exact pixels. Self-certifying: the stub
+    fallback would seed from md5(encoded bytes), producing different pixels,
+    so an oracle match proves the real decoder ran on every row."""
+    import pandas as pd
+
+    from tdigest_spark.operators import codecs
+    from tdigest_spark.operators.multimodal import _seed_from, decode_image_stats
+    from tdigest_spark.sketch.hashing import hash64
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.lit(8) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(8) + (F.col("doc_id") / F.lit(3)).cast("long") % 5)
+            .cast("int")
+            .alias("height"),
+            (F.col("doc_id") % 3).cast("int").alias("fmt"),
+        )
+    )
+
+    def encode(pdfs):
+        encoders = [codecs.encode_ppm, codecs.encode_png, codecs.encode_bmp]
+        for pdf in pdfs:
+            payloads = []
+            for r in pdf.itertuples():
+                seed = np.uint64(_seed_from(r.doc_id.encode()))
+                idx = np.arange(int(r.width) * int(r.height) * 3, dtype=np.uint64)
+                img = (
+                    (hash64(seed ^ idx) & np.uint64(255))
+                    .astype(np.uint8)
+                    .reshape(int(r.height), int(r.width), 3)
+                )
+                payloads.append(bytearray(encoders[int(r.fmt)](img)))
+            out = pdf.assign(payload=payloads, kind="image")
+            yield out[["doc_id", "kind", "payload", "width", "height"]]
+
+    media = docs.mapInPandas(
+        encode,
+        "doc_id string, kind string, payload binary, width int, height int",
+    )
+    stats = decode_image_stats(media)
+    return stats.select(
+        "doc_id",
+        (F.col("doc_id").cast("long") % 3).cast("int").alias("fmt"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+    ).orderBy("doc_id")
+
+
 def simhash_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signatures (one vectorized
     md5-hash + bit-vote kernel), pairs within Hamming distance 3 via
@@ -2295,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_resolution": dedup_group_resolution,
         "simhash_dup_candidates": simhash_dup_candidates,
         "media_decode_stats": media_decode_stats,
+        "media_real_decode_stats": media_real_decode_stats,
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
@@ -2610,6 +2669,58 @@ def _media_stats_oracle_sql() -> str:
         )
         SELECT c.doc_id, ROUND(c.mean_r, 6) AS mean_r,
                ROUND(c.mean_g, 6) AS mean_g,
+               ROUND(s.std_gray, 6) AS std_gray
+        FROM chan c JOIN gstat s ON s.doc_id = c.doc_id
+        ORDER BY c.doc_id
+    """
+
+
+def _media_real_oracle_sql() -> str:
+    """SQL twin of media_real_decode_stats: regenerate pixel i =
+    splitmix64(md5_number_lower(doc_id_string) XOR i) & 255 per (doc, pixel)
+    and aggregate the same channel means / gray std. The Spark side encodes
+    these pixels into real PPM/PNG/BMP containers and decodes them back
+    (operators/codecs.py) — equality proves the real decode is lossless."""
+    golden, c1, c2 = 11400714819323198485, 13787848793156543929, 10723151780598845931
+    return f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(doc_id % 3 AS INTEGER) AS fmt,
+                 8 + doc_id % 5 AS w,
+                 8 + (doc_id // 3) % 5 AS h,
+                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS UBIGINT)
+                   AS seed
+          FROM documents WHERE doc_id < 60
+        ), px AS (
+          SELECT doc_id, fmt, i,
+                 (CAST(xor(seed, CAST(i AS UBIGINT)) AS UHUGEINT) + {golden})
+                   % {_U64_MOD} AS z0,
+                 CAST((CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30)
+                   AS UHUGEINT) * {c1}) % {_U64_MOD} AS UBIGINT) AS z1,
+                 CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * {c2})
+                   % {_U64_MOD} AS UBIGINT) AS z2,
+                 CAST(xor(z2, z2 >> 31) & 255 AS DOUBLE) AS v
+          FROM base, UNNEST(range(w * h * 3)) AS t(i)
+        ), gray AS (
+          SELECT doc_id, i // 3 AS p, AVG(v) AS gv
+          FROM px GROUP BY doc_id, p
+        ), gstat AS (
+          SELECT g.doc_id, SQRT(AVG((g.gv - m.mu) * (g.gv - m.mu))) AS std_gray
+          FROM gray g
+          JOIN (SELECT doc_id, AVG(gv) AS mu FROM gray GROUP BY doc_id) m
+            ON m.doc_id = g.doc_id
+          GROUP BY g.doc_id
+        ), chan AS (
+          SELECT doc_id, ANY_VALUE(fmt) AS fmt,
+                 AVG(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+                 AVG(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
+                 AVG(CASE WHEN i % 3 = 2 THEN v END) AS mean_b
+          FROM px GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.fmt,
+               ROUND(c.mean_r, 6) AS mean_r,
+               ROUND(c.mean_g, 6) AS mean_g,
+               ROUND(c.mean_b, 6) AS mean_b,
                ROUND(s.std_gray, 6) AS std_gray
         FROM chan c JOIN gstat s ON s.doc_id = c.doc_id
         ORDER BY c.doc_id
@@ -3545,6 +3656,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_dup_candidates": _simhash_oracle_sql(ngram=2, max_hamming=3),
         "media_decode_stats": _media_stats_oracle_sql(),
+        "media_real_decode_stats": _media_real_oracle_sql(),
         # fan-out shapes are metadata arithmetic: image 16x16 grid = 256,
         # audio floor(sample_rate/1024) frames, video ceil(n_frames/8)
         "media_pipeline_shapes": """

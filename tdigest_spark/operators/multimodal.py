@@ -3,13 +3,16 @@
 Pattern for 100 TB training-data pipelines: media payloads travel as
 ``binary`` columns with typed metadata (codec, dims, duration), and every
 transform is an Arrow-batched ``mapInPandas``/``mapInArrow`` stage —
-map-only, no shuffle, pipelined with the parquet scan. The actual codecs
-(PIL/ffmpeg/soundfile) are NOT in this container, so the decode kernels are
-STUBBED behind ``_HAVE_CODECS`` with a deterministic fake decoder
-(blake2b-payload-seeded PRNG pixels/samples); the
-Spark-side plumbing — schemas, batch iteration, output shapes,
-partition-preserving layout — is real and tested. Swap `_fake_decode_*`
-for the real library call and nothing else changes.
+map-only, no shuffle, pipelined with the parquet scan.
+
+Decode is a REAL codec dispatch (operators/codecs.py: PPM/PGM, 24-bit BMP,
+8-bit PNG via zlib, 16-bit PCM WAV via the stdlib wave module — no external
+libraries needed). Payloads in containers beyond that set (JPEG, FLAC,
+video) fall back to the deterministic stub decoder — heavyweight codecs
+(PIL/ffmpeg/soundfile) are not in this container; wire them into
+``_decode_image``/``_decode_audio`` and nothing else changes. The fallback
+is strict-deterministic: a payload either parses fully as a supported
+container or takes the stub path, never a half-decode.
 
 Schema conventions (see MEDIA_SCHEMA below — flat typed metadata columns,
 not a nested struct, so parquet stats/pruning apply per field):
@@ -42,10 +45,6 @@ MEDIA_SCHEMA = (
     "width int, height int, sample_rate int, n_frames int"
 )
 
-# real codec libraries are absent in this environment by design
-_HAVE_CODECS = False
-
-
 def _seed_from(payload: bytes) -> int:
     """md5 lower 64 bits, little-endian — DuckDB ``md5_number_lower`` of the
     same bytes, so stub-decoded outputs are SQL-reproducible."""
@@ -53,15 +52,13 @@ def _seed_from(payload: bytes) -> int:
 
 
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for PIL/turbojpeg decode: (H, W, 3) uint8
-    derived from the payload hash. Replace with the real decoder here.
+    """Deterministic stand-in for codecs outside the supported set: (H, W, 3)
+    uint8 derived from the payload hash.
 
     Pixel i (C-order) = splitmix64(md5_seed XOR i) & 255 — both halves
     (md5_number_lower, splitmix64 via UHUGEINT mod-2^64 arithmetic) are
     expressible in DuckDB SQL, which is what gives media_decode_stats an
     exact VALUES-free oracle at any scale factor."""
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open here")
     from ..sketch.hashing import hash64
 
     seed = np.uint64(_seed_from(payload))
@@ -71,10 +68,39 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _fake_decode_audio(payload: bytes, n: int) -> np.ndarray:
-    if _HAVE_CODECS:  # pragma: no cover
-        raise NotImplementedError("wire soundfile.read here")
     rng = np.random.default_rng(_seed_from(payload))
     return rng.normal(0.0, 0.25, n).astype(np.float32)
+
+
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL image decode (PPM/PGM/BMP/PNG — operators/codecs.py) with a
+    deterministic stub fallback for unsupported containers. Strict parsers
+    make the dispatch deterministic: a payload that merely shares a magic
+    prefix fails validation and takes the stub path, never a mis-decode."""
+    from . import codecs
+
+    b = bytes(payload)
+    if codecs.sniff(b) in ("png", "bmp", "ppm"):
+        try:
+            return codecs.decode_image(b)
+        except ValueError:
+            pass
+    return _fake_decode_image(b, width, height)
+
+
+def _decode_audio(payload: bytes, n: int) -> np.ndarray:
+    """REAL audio decode (16-bit PCM WAV) with the deterministic stub
+    fallback; ``n`` is only used by the stub (real containers carry their
+    own length)."""
+    from . import codecs
+
+    b = bytes(payload)
+    if codecs.sniff(b) == "wav":
+        try:
+            return codecs.decode_audio(b)[0]
+        except Exception:  # wave.Error / truncated container
+            pass
+    return _fake_decode_audio(b, n)
 
 
 def make_media_table(spark, n_rows: int = 256, seed: int = 0) -> DataFrame:
@@ -119,7 +145,7 @@ def decode_image_stats(df: DataFrame) -> DataFrame:
                 "std_gray": [],
             }
             for r in pdf.itertuples():
-                img = _fake_decode_image(bytes(r.payload), r.width, r.height)
+                img = _decode_image(bytes(r.payload), r.width, r.height)
                 m = img.reshape(-1, 3).mean(axis=0)
                 gray = img.mean(axis=2)
                 out["doc_id"].append(r.doc_id)
@@ -149,7 +175,7 @@ def image_resize_features(df: DataFrame, side: int = 16) -> DataFrame:
         for pdf in pdfs:
             ids, feats = [], []
             for r in pdf.itertuples():
-                img = _fake_decode_image(bytes(r.payload), r.width, r.height)
+                img = _decode_image(bytes(r.payload), r.width, r.height)
                 ys = (np.arange(side) * img.shape[0] // side).astype(int)
                 xs = (np.arange(side) * img.shape[1] // side).astype(int)
                 small = img[np.ix_(ys, xs)].mean(axis=2) / 255.0
@@ -169,7 +195,7 @@ def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:
         for pdf in pdfs:
             ids, en = [], []
             for r in pdf.itertuples():
-                wav = _fake_decode_audio(bytes(r.payload), r.sample_rate)
+                wav = _decode_audio(bytes(r.payload), r.sample_rate)
                 n = (len(wav) // frame) * frame
                 frames = wav[:n].reshape(-1, frame)
                 ids.append(r.doc_id)

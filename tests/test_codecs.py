@@ -1,0 +1,183 @@
+"""Real media codecs (operators/codecs.py — stdlib-only PPM/PGM, 24-bit
+BMP, 8-bit PNG via zlib, 16-bit PCM WAV) and their dispatch inside the
+multimodal operators: supported containers decode to exact pixels/samples,
+everything else falls back to the deterministic stub."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tdigest_spark.operators import codecs as C
+from tdigest_spark.operators.multimodal import (
+    _decode_audio,
+    _decode_image,
+    _fake_decode_image,
+    audio_frame_energy,
+    decode_image_stats,
+)
+
+RNG = np.random.default_rng(7)
+IMG = RNG.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+GRAY = RNG.integers(0, 256, (9, 31), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "enc,dec",
+    [
+        (C.encode_ppm, C.decode_ppm),
+        (C.encode_bmp, C.decode_bmp),
+        (C.encode_png, C.decode_png),
+    ],
+)
+def test_image_roundtrip_exact(enc, dec):
+    assert (dec(enc(IMG)) == IMG).all()
+    # odd width exercises BMP row padding; gray maps to replicated RGB
+    odd = RNG.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    assert (dec(enc(odd)) == odd).all()
+    g3 = np.repeat(GRAY[:, :, None], 3, axis=2)
+    assert (dec(enc(GRAY)) == g3).all()
+
+
+def test_png_all_filter_types_decode():
+    """Reference-encode each row with a cycling filter type (none/sub/up/
+    average/paeth) and check the decoder reconstructs the pixels."""
+    img = IMG
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        ft = y % 5
+        line = img[y].reshape(-1).astype(np.int32)
+        raw.append(ft)
+        if ft == 0:
+            enc = line
+        elif ft == 2:
+            enc = (line - prev) & 255
+        else:
+            enc = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 255
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b))
+            + t
+            + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (C.decode_png(png) == img).all()
+
+
+def test_png_rgba_and_gray_alpha():
+    rgba = RNG.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    assert (C.decode_png(C.encode_png(rgba)) == rgba[:, :, :3]).all()
+    ga = RNG.integers(0, 256, (8, 8, 2), dtype=np.uint8)
+    assert (
+        C.decode_png(C.encode_png(ga)) == np.repeat(ga[:, :, :1], 3, axis=2)
+    ).all()
+
+
+def test_wav_roundtrip():
+    x = RNG.normal(0, 0.2, 5000).astype(np.float32)
+    y, rate = C.decode_wav(C.encode_wav(x, 8000))
+    assert rate == 8000
+    assert np.abs(y - np.clip(x, -1, 32767 / 32768)).max() <= 1 / 32768
+
+
+def test_sniff_and_strict_rejects():
+    assert C.sniff(C.encode_png(IMG)) == "png"
+    assert C.sniff(C.encode_bmp(IMG)) == "bmp"
+    assert C.sniff(C.encode_ppm(IMG)) == "ppm"
+    assert C.sniff(C.encode_wav(np.zeros(10))) == "wav"
+    assert C.sniff(b"hello world") is None
+    # magic prefix alone must NOT decode: strictness is what makes the
+    # stub fallback deterministic
+    for bad in (b"P6 notanimage", b"BM" + bytes(60), b"\x89PNG\r\n\x1a\njunk"):
+        with pytest.raises(ValueError):
+            C.decode_image(bad)
+
+
+def test_dispatch_real_vs_stub():
+    # supported container -> exact real pixels
+    assert (_decode_image(C.encode_png(IMG), 0, 0) == IMG).all()
+    assert (_decode_image(C.encode_ppm(IMG), 0, 0) == IMG).all()
+    # unknown payload -> deterministic stub with the given dims
+    blob = b"\x00opaque-payload"
+    assert (
+        _decode_image(blob, 4, 6) == _fake_decode_image(blob, 4, 6)
+    ).all()
+    # truncated container sharing a magic -> stub, not a crash
+    trunc = C.encode_bmp(IMG)[:40]
+    assert _decode_image(trunc, 4, 6).shape == (6, 4, 3)
+    # audio: real WAV decodes; unknown falls back to stub length n
+    x = RNG.normal(0, 0.1, 2000).astype(np.float32)
+    got = _decode_audio(C.encode_wav(x, 16000), 123)
+    assert got.shape == (2000,)
+    assert _decode_audio(b"\x00not-audio", 123).shape == (123,)
+
+
+def test_spark_image_stats_real_decode(spark):
+    """decode_image_stats over REAL containers returns the source pixels'
+    exact stats (proves the Arrow kernel runs the real decoder)."""
+    import pandas as pd
+
+    imgs = {
+        f"d{i}": RNG.integers(0, 256, (6 + i, 5 + i, 3), dtype=np.uint8)
+        for i in range(6)
+    }
+    encoders = [C.encode_ppm, C.encode_png, C.encode_bmp]
+    rows = [
+        (k, "image", bytearray(encoders[i % 3](img)), img.shape[1], img.shape[0], 0, 0)
+        for i, (k, img) in enumerate(sorted(imgs.items()))
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id string, kind string, payload binary, width int, height int, "
+        "sample_rate int, n_frames int",
+    )
+    got = {r["doc_id"]: r for r in decode_image_stats(media).collect()}
+    for k, img in imgs.items():
+        m = img.reshape(-1, 3).mean(axis=0)
+        assert abs(got[k]["mean_r"] - m[0]) < 1e-9
+        assert abs(got[k]["mean_g"] - m[1]) < 1e-9
+        assert abs(got[k]["mean_b"] - m[2]) < 1e-9
+        assert abs(got[k]["std_gray"] - img.mean(axis=2).std()) < 1e-9
+
+
+def test_spark_audio_energy_real_wav(spark):
+    """audio_frame_energy over a REAL 16-bit PCM WAV equals the RMS of the
+    encoded samples (quantized), not the stub's hash noise."""
+    x = (RNG.normal(0, 0.2, 4096) * 32768).astype(np.int16).astype(np.float32) / 32768
+    payload = bytearray(C.encode_wav(x, 16000))
+    media = spark.createDataFrame(
+        [("a1", "audio", payload, 0, 0, 16000, 0)],
+        "doc_id string, kind string, payload binary, width int, height int, "
+        "sample_rate int, n_frames int",
+    )
+    got = audio_frame_energy(media, frame=1024).collect()
+    assert len(got) == 1
+    want = np.sqrt((x[:4096].reshape(-1, 1024) ** 2).mean(axis=1))
+    np.testing.assert_allclose(got[0]["rms"], want, atol=1e-6)

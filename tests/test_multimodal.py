@@ -1,9 +1,11 @@
 """Multimodal binary-column plumbing (operators/multimodal.py).
 
-Codecs are stubbed (deterministic payload-hash fakes); these tests verify
-the REAL parts: schemas, Arrow batch iteration, output shapes/cardinality,
+These tests use the synthetic media table, whose payloads are opaque random
+bytes — they exercise the deterministic stub-decode path plus the REAL
+plumbing: schemas, Arrow batch iteration, output shapes/cardinality,
 determinism across partitionings, and composition with the similarity
-operators.
+operators. Real-container decode (PPM/PNG/BMP/WAV) is covered in
+tests/test_codecs.py.
 """
 
 import numpy as np
