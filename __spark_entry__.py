@@ -995,7 +995,16 @@ def bottomk_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing under the oracle's `a.event_type < b.event_type` — exclude it
     # from the pairing the same way
     types = sorted(t for t in sks if t is not None)
-    du = ev.select("event_type", "user_id").distinct().persist()
+    # NULL user_ids are dropped by the sketch ingest (null rows never hash);
+    # the exact side must drop them too or sizes count a (type, NULL) member
+    # that intersections can never join (ADVICE r2) — same explicit filter
+    # as theta_event_audience_ops
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
     sizes = {
         r.event_type: r.n
         for r in du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1218,13 +1227,30 @@ def ams_f2_quantity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer functions of splitmix64 — reproducible in DuckDB's UHUGEINT
     mod-2^64 arithmetic — the ESTIMATE ITSELF has an exact SQL oracle,
     not just the exact F2 beside it. (l_quantity is integral-valued
-    double: numpy's truncating cast and DuckDB's rounding cast agree.)"""
+    double: numpy's truncating cast and DuckDB's rounding cast agree.)
+
+    Oracle domain contract (ADVICE r2): the SQL twin hashes
+    xor(seed, CAST(v AS UBIGINT)), which raises on NEGATIVE values where
+    the Python side two's-complement-reinterprets, and its
+    CAST(SUM(c*c) AS BIGINT) / est_f2 long schema cap the estimate at
+    2^63 where AMSF2.row_estimates stays exact — so this oracled query
+    asserts the values it certifies are non-negative with F2 < 2^63
+    (true for l_quantity at every SF). The sketch itself has no such
+    limits; use it on signed/huge data, just not under THIS oracle."""
     from tdigest_spark.operators.aggregate import AMS_F2
 
+    assert (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 0)
+        .limit(1)
+        .count()
+        == 0
+    ), "ams_f2_quantity_selfjoin oracle requires non-negative values"
     sk = _scan_build(
         spark, sf_dir, "lineitem", {"s": ("l_quantity", AMS_F2(5, 1024))}
     )["s"]
     est = sk.estimate()
+    assert est < 2**63, "estimate exceeds the oracle's BIGINT ceiling"
     exact = int(
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_quantity").cast("long").alias("v"))
@@ -2016,7 +2042,9 @@ def events_stream_enriched_segments(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
     return (
         spark.table(qname)
         .groupBy("segment")
@@ -2025,6 +2053,65 @@ def events_stream_enriched_segments(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("segment")
+    )
+
+
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (streaming/
+    interval_join_streams): the click stream joins the purchase stream on
+    user_id with purchase_ts in [click_ts, click_ts + 2h] — the attribution
+    query every clickstream pipeline needs. Both sides are watermarked and
+    the time-range condition bounds the join state to O(rows per horizon),
+    so the same plan survives an unbounded stream. Exact oracle: the
+    interval inner join over the drained file stream == the batch SQL
+    interval join."""
+    import time as _time
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(etype: str, prefix: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias(ts_name),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+        )
+
+    clicks = _stream("click", "click", "click_ts").drop("click_value")
+    purchases = _stream("purchase", "purchase", "purchase_ts")
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        horizon="2 hours",
+    )
+    qname = f"ev_attr_{int(_time.time() * 1000)}"
+    q = (
+        joined.select("click_id", "purchase_id", "user_id", "purchase_value")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return (
+        spark.table(qname)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
     )
 
 
@@ -2061,7 +2148,9 @@ def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
     return (
         spark.table(qname)
         .groupBy("event_type")
@@ -2372,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
+        "events_stream_attribution": events_stream_attribution,
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
@@ -3393,7 +3483,7 @@ def oracle_sql() -> dict[str, str]:
             WITH hu AS (
               SELECT DISTINCT event_type,
                      CAST(md5_number_lower(CAST(user_id AS VARCHAR)) AS UBIGINT) AS h
-              FROM events
+              FROM events WHERE user_id IS NOT NULL
             ), bk AS (
               SELECT event_type, h FROM (
                 SELECT event_type, h,
@@ -3425,7 +3515,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT ta, tb,
                      ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS est_jaccard
               FROM flag GROUP BY 1, 2
-            ), du AS (SELECT DISTINCT event_type, user_id FROM events),
+            ), du AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE user_id IS NOT NULL
+            ),
             exflag AS (
               SELECT p.ta, p.tb, d.user_id,
                      MAX(CASE WHEN d.event_type = p.ta THEN 1 ELSE 0 END) AS a,
@@ -4020,6 +4113,16 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_dedup_counts": """
             SELECT event_type, COUNT(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # drained interval stream-stream join == batch interval join
+        "events_stream_attribution": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+                   c.user_id, ROUND(p.value, 2) AS purchase_value
+            FROM events c
+            JOIN events p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id
         """,
         "events_hourly_stream_digest": """
             WITH cum AS (

@@ -50,8 +50,8 @@ def word_divergence_by_group(
     Scale shape (the part that must hold at 100 TB):
 
     * ONE corpus scan: explode words → two-phase hash aggregate on
-      ``(group, word)``, persisted.  Everything downstream is derived
-      from that cached vocab-×-groups table, never from the raw corpus
+      ``(group, word)``, materialized once.  Everything downstream is
+      derived from that vocab-×-groups table, never from the raw corpus
       again (without the persist the plan re-scans the corpus 4×).
     * per-word corpus totals = re-aggregate of the (group, word) counts
       (vocab-sized, shuffled on ``word`` — the join back is co-keyed);
@@ -66,20 +66,25 @@ def word_divergence_by_group(
     and summation order differ between engines — absorbed by the 6 dp
     round (same convention as q1's summed aggregates).
     """
-    from pyspark import StorageLevel
-
     g = F.col(group_col)
     words = df.select(
         g.alias("g"),
         F.explode(word_tokens(F.lower(F.col(text_col)))).alias("word"),
     ).where(F.col("word") != "")
-    # persist the vocab-×-groups counts: wt/gt/tot below are all derived
-    # from gw, and without the persist Spark re-runs the corpus scan +
+    # materialize the vocab-×-groups counts ONCE: wt/gt/tot below are all
+    # derived from gw, and without this Spark re-runs the corpus scan +
     # explode once per derivation (observed: 4 parquet scans in the plan).
-    # The cached table is O(vocab × groups) — tiny next to the corpus.
+    # localCheckpoint (not persist): blocks are freed by the ContextCleaner
+    # when the result DataFrame is garbage collected, so repeated
+    # invocations in a long-lived shared session cannot accumulate cache
+    # entries the way an un-unpersisted persist() does. The table is
+    # O(vocab × groups) — tiny next to the corpus. (Caveat at scale:
+    # checkpoint blocks are not recomputable on executor loss; a
+    # fault-critical pipeline should write the aggregate to a table
+    # instead.)
     gw = words.groupBy("g", "word").agg(
         F.count(F.lit(1)).alias("c_gw")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     # vocab-sized corpus histogram, derived from gw (no second corpus scan)
     wt = gw.groupBy("word").agg(F.sum("c_gw").alias("c_w"))
     gt = gw.groupBy("g").agg(F.sum("c_gw").alias("n_g"))
@@ -142,16 +147,16 @@ def psi_fixed_buckets(
 
     Scale shape: ONE scan → two-phase hash aggregate on the bucket id
     with conditional partial sums for the two halves (no join between
-    halves, no second scan); the O(#buckets) result is persisted so the
-    totals derivation does not re-trigger the corpus scan; totals are
+    halves, no second scan); the O(#buckets) result is materialized once so
+    the totals derivation does not re-trigger the corpus scan; totals are
     broadcast back.  PSI terms are IEEE-exact integer-count products
     (< 2^53) spelled identically in the SQL oracle; only libm ``ln``
     ULPs and summation order differ — absorbed by the 6 dp round.
     """
-    from pyspark import StorageLevel
-
     bucket = F.floor(F.col(value_col) / F.lit(float(bucket_width)))
     is_a = (F.col(split_col) % 2 == 0).cast("bigint")
+    # localCheckpoint instead of persist: see word_divergence_by_group —
+    # GC-managed blocks, no cache accumulation across invocations.
     per_bucket = (
         df.select(bucket.alias("bucket"), is_a.alias("in_a"))
         .groupBy("bucket")
@@ -159,7 +164,7 @@ def psi_fixed_buckets(
             F.sum("in_a").alias("c_a"),
             F.sum(F.lit(1) - F.col("in_a")).alias("c_b"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     tot = per_bucket.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")

@@ -37,6 +37,7 @@ __all__ = [
     "read_state_grouped",
     "dedup_stream",
     "enrich_stream",
+    "interval_join_streams",
 ]
 
 
@@ -54,6 +55,52 @@ def enrich_stream(stream_df, dim_df, keys: list[str], broadcast: bool = True):
 
     dim = F.broadcast(dim_df) if broadcast else dim_df
     return stream_df.join(dim, keys, "inner")
+
+
+def interval_join_streams(
+    left_df,
+    right_df,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "2 hours",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+):
+    """Watermarked stream-stream interval join — the attribution shape
+    (purchase joins every preceding click by the same user within
+    ``horizon`` of event time). Both sides carry watermarks and the join
+    condition includes the time range, which is what lets Structured
+    Streaming bound the buffered state: a left row is evicted once the
+    right watermark passes left_ts + horizon (and vice versa), so state is
+    O(rows per horizon x keys), never stream length.
+
+    ``left_ts``/``right_ts`` must be distinct column names of TIMESTAMP
+    type (cast TIMESTAMP_NTZ parquet columns first — see CLAUDE.md), and
+    the two sides' remaining columns must not collide — rename before the
+    join (this keeps the result referencable without alias gymnastics,
+    which matter because stream-stream join output feeds further streaming
+    stages)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    overlap = (set(left_df.columns) & set(right_df.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"rename overlapping non-key columns before joining: {sorted(overlap)}"
+        )
+    lw = left_df.withWatermark(left_ts, max_delay)
+    rw = right_df.withWatermark(right_ts, max_delay)
+    cond = reduce(
+        lambda a, b: a & b, [lw[k] == rw[k] for k in keys]
+    )
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, how).drop(*[rw[k] for k in keys])
 
 
 def dedup_stream(stream_df, id_cols: list[str], ts_col: str, delay: str = "1 hour"):

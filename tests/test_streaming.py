@@ -466,3 +466,114 @@ def test_enrich_stream_static_broadcast_join(spark, dirs):
     assert got.count() == n_web > 0
     assert got.where(F.col("tier") != "tier1").count() == 0
     assert set(got.columns) == {"source", "ts", "value", "tier"}
+
+
+def test_interval_join_streams_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join across micro-batches: the
+    drained inner join over two file streams equals the batch interval
+    join, including matches that span different micro-batches (click in
+    file 1, purchase in file 2)."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    t0 = 1_700_000_000
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(), pdir.mkdir()
+    rng = np.random.default_rng(11)
+    # clicks in two files (forces >=2 micro-batches on the left side)
+    for fi in (0, 1):
+        ids = np.arange(fi * 40, fi * 40 + 40, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "click_id": pa.array(ids),
+                "user_id": pa.array(rng.integers(0, 12, 40)),
+                "click_ts": pa.array(
+                    ((t0 + rng.integers(0, 7200, 40)) * 1_000_000).astype(
+                        "int64"
+                    )
+                ).cast(pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, cdir / f"c-{fi}.parquet")
+    pids = np.arange(1000, 1030, dtype=np.int64)
+    ptbl = pa.table(
+        {
+            "purchase_id": pa.array(pids),
+            "user_id": pa.array(rng.integers(0, 12, 30)),
+            "purchase_ts": pa.array(
+                ((t0 + rng.integers(0, 9000, 30)) * 1_000_000).astype("int64")
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq.write_table(ptbl, pdir / "p-0.parquet")
+
+    def _read(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+
+    clicks = _read(cdir, "click_id long, user_id long, click_ts timestamp")
+    purchases = _read(
+        pdir, "purchase_id long, user_id long, purchase_ts timestamp"
+    )
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        horizon="30 minutes", max_delay="10 minutes",
+    )
+    qname = f"attr_test_{int(time.time() * 1000)}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in spark.table(qname).collect()
+    )
+    cb = spark.read.parquet(str(cdir))
+    pb = spark.read.parquet(str(pdir))
+    want = sorted(
+        (r.click_id, r.purchase_id)
+        for r in cb.join(
+            pb,
+            (cb.user_id == pb.user_id)
+            & (pb.purchase_ts >= cb.click_ts)
+            & (pb.purchase_ts <= cb.click_ts + F.expr("INTERVAL 30 minutes")),
+            "inner",
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_streams_rejects_column_collision(spark, tmp_path):
+    d = tmp_path / "coll"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000 * 1_000_000], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([1.0]),
+            }
+        ),
+        d / "x.parquet",
+    )
+    s1 = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(d))
+    s2 = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(d))
+    with pytest.raises(ValueError, match="rename overlapping"):
+        from tdigest_spark.streaming import interval_join_streams
+
+        interval_join_streams(s1, s2, ["user_id"], "ts", "ts")
