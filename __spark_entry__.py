@@ -1123,6 +1123,38 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def skewed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted SHUFFLE JOIN (plans/skew.salted_join): events get a
+    synthesized hot key covering ~60% of rows ('click'/'view'/'error' all
+    map to 'hot'), the weight dim replicates across 8 salts, and the join
+    runs on (hk, salt) — the hot key's rows spread over 8 shuffle
+    partitions instead of one straggler task (spread asserted in
+    tests/test_skew_join.py). Salting changes placement, never values:
+    the oracle is the plain SQL join."""
+    from tdigest_spark.plans.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    hk = F.when(
+        F.col("event_type").isin("click", "view", "error"), F.lit("hot")
+    ).otherwise(F.col("event_type"))
+    fact = ev.select(hk.alias("hk"), "event_id", "value")
+    dim = spark.createDataFrame(
+        [("hot", 10.0), ("purchase", 2.0), ("signup", 1.0)],
+        "hk string, weight double",
+    )
+    joined = salted_join(fact, dim, ["hk"], n_salts=8, salt_from=["event_id"])
+    return (
+        joined.groupBy("hk")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("hk")
+    )
+
+
 def skewed_source_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit skew handling in the contract: the hot-key aggregation done
     as salted two-stage — salt = xxhash64(doc_id) % 16, partial counts per
@@ -2429,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_quantity_selfjoin": ams_f2_quantity_selfjoin,
         "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
+        "skewed_key_join": skewed_key_join,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
         "theta_event_audience_ops": theta_event_audience_ops,
@@ -3674,6 +3707,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source ORDER BY source
         """,
+        # salting only changes placement: the oracle is the plain join
+        "skewed_key_join": """
+            WITH fact AS (
+              SELECT CASE WHEN event_type IN ('click', 'view', 'error')
+                          THEN 'hot' ELSE event_type END AS hk,
+                     value
+              FROM events
+            ), dim AS (
+              SELECT * FROM (VALUES
+                ('hot', CAST(10.0 AS DOUBLE)),
+                ('purchase', CAST(2.0 AS DOUBLE)),
+                ('signup', CAST(1.0 AS DOUBLE))) t(hk, weight)
+            )
+            SELECT f.hk, COUNT(*) AS n_events,
+                   ROUND(SUM(f.value * d.weight), 2) AS weighted_value
+            FROM fact f JOIN dim d ON d.hk = f.hk
+            GROUP BY f.hk ORDER BY f.hk
+        """,
         "doc_exact_dedup": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
@@ -3730,9 +3781,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
             ), sizes AS (
               SELECT doc_id, COUNT(*) AS sz FROM hv GROUP BY doc_id
+            ), kept AS (
+              -- the operator's default max_df='auto' hot-shingle cap:
+              -- max(64, ceil(0.005 * n_docs)); set sizes keep capped
+              -- shingles, intersections exclude them
+              SELECT h FROM (SELECT h, COUNT(*) AS df FROM hv GROUP BY h)
+              WHERE df <= GREATEST(
+                64, CEIL(CAST((SELECT COUNT(DISTINCT doc_id) FROM hv)
+                              AS DOUBLE) * 0.005))
             ), inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
               FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN kept k ON k.h = a.h
               GROUP BY a.doc_id, b.doc_id
             )
             SELECT id_a, id_b,

@@ -137,6 +137,13 @@ def run_headline(spark) -> dict[str, float]:
         "doc_exact_dedup",
         "minhash_lsh_pairs",
         "ann_topk_cosine",
+        # round-2/3 analytics (VERDICT r2 item 7: regressions here were
+        # previously invisible to the bench)
+        "doc_source_word_kl",
+        "events_weekly_retention",
+        "ddsketch_price_quantiles",
+        "theta_event_audience_ops",
+        "ann_pruned_topk",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -171,6 +178,14 @@ def run_headline(spark) -> dict[str, float]:
                 qs[name](spark, warm_dir).count()
             except Exception:
                 pass  # warmup only — the timed run surfaces real failures
+    # one full untimed q1 run: the table-count warm above is metadata-only
+    # (parquet count() never touches data pages), so the first timed query
+    # used to absorb the session's first real columnar scan + codegen ramp
+    # (BENCH_r02: q1 1.62s in both reps vs its 0.7s steady state).
+    # Also pre-build the ANN index so ann_pruned_topk times the PROBE, not
+    # the one-time index materialization.
+    qs["q1_pricing_summary"](spark, SF_DIR).count()
+    entrymod._ensure_ann_index(spark, SF_DIR)
     # best-of-2 per query, taken as two full passes over the WHOLE list:
     # the shared host has multi-minute contention windows (BASELINE.md §D)
     # that can inflate a run 3-6x with no local load, and back-to-back

@@ -144,6 +144,63 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert all(a.startswith("dup") for a, b in capped)
 
 
+def test_ngram_jaccard_auto_cap_binds(spark):
+    """The default max_df='auto' cap (max(64, ceil(0.005*n_docs))) actually
+    binds on a corpus with a stopword shingle in >64 docs: capped shingles
+    leave intersections but stay in set sizes (documented underestimate),
+    checked against a pure-Python oracle applying the same semantics."""
+    hot = "aa bb cc"  # one hot shingle shared by every doc
+    docs = []
+    for i in range(80):
+        pair = i // 2  # docs 2k/2k+1 are near-dups sharing unique content
+        docs.append(
+            (
+                f"x{i:03d}",
+                f"{hot} p{pair} q{pair} r{pair} s{pair} t{i} u{i}",
+            )
+        )
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.3).collect()
+    }
+
+    # python oracle: same shingling, same auto cap
+    import math
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {d: shingles(t) for d, t in docs}
+    dfreq: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    cap = max(64, math.ceil(0.005 * len(sets)))
+    assert max(dfreq.values()) > cap  # the cap must actually bind
+    kept = {g for g, n in dfreq.items() if n <= cap}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b] & kept)
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.3:
+                want[(a, b)] = round(j, 6)
+    assert want and got == want
+    # capped jaccard never exceeds the uncapped exact value
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", 3, 0.0001, max_df=None
+        ).collect()
+    }
+    assert all(got[k] <= exact[k] + 1e-12 for k in got)
+
+
 def test_spread_small_input_partitioning(spark):
     """A low-partition frame spreads to session parallelism; an
     already-wide frame is untouched (no shuffle inserted); row content

@@ -78,11 +78,19 @@ AUDITS = {
     # PartitionFilters (bucket IN-list -> directory pruning, see
     # PARTITION_PRUNED below)
     "ann_pruned_topk": (0, True, False),
+    # salted skew join: must be a shuffled hash join keyed on (hk, _salt)
+    # (see SALTED below) — a broadcast here would mean the hint regressed
+    # and the demo measures nothing
+    "skewed_key_join": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
 # non-empty PartitionFilters on a parquet scan node
 PARTITION_PRUNED = {"ann_pruned_topk"}
+
+# queries whose executed plan must contain a ShuffledHashJoin whose join
+# keys include the salt column (the skew-spread mechanism)
+SALTED = {"skewed_key_join"}
 
 
 def main() -> int:
@@ -133,6 +141,10 @@ def main() -> int:
             and (not want_push or pushed)
             and all(w <= 8 for w in widths)
             and (name not in PARTITION_PRUNED or part_filters)
+            and (
+                name not in SALTED
+                or ("ShuffledHashJoin" in plan and "_salt" in plan)
+            )
         )
         status = "OK  " if ok else "BAD "
         if not ok:
