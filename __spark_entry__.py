@@ -1123,6 +1123,87 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg static-metadata read path (sources/iceberg.py +
+    sources/avro_lite.py — no runtime jars needed): the documents table is
+    laid out as an Iceberg-shaped table whose CURRENT snapshot references
+    one data file, while the data directory also holds an ORPHAN copy (a
+    replaced file from an old snapshot, the normal state of a real Iceberg
+    dir). read_sequences resolves version-hint -> metadata JSON ->
+    manifest-list Avro -> manifest Avro and reads ONLY the live file; a raw
+    directory read would return every count doubled, so the exact oracle
+    (plain GROUP BY over documents) certifies snapshot isolation."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from tdigest_spark.sources import avro_lite
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_demo" / Path(sf_dir).name
+    marker = root / "metadata" / "version-hint.text"
+    if not marker.exists():
+        if root.exists():
+            shutil.rmtree(root)
+        (root / "data").mkdir(parents=True)
+        (root / "metadata").mkdir()
+        src = f"{sf_dir}/documents.parquet"
+        live = root / "data" / "live.parquet"
+        shutil.copyfile(src, live)
+        shutil.copyfile(src, root / "data" / "orphan.parquet")
+        man_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                    ]}},
+            ],
+        }
+        list_schema = {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "content", "type": "int"},
+            ],
+        }
+        m = root / "metadata" / "m1.avro"
+        avro_lite.write_container(m, man_schema, [{
+            "status": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{live}",
+                "file_format": "PARQUET",
+            },
+        }])
+        ml = root / "metadata" / "snap-1.avro"
+        avro_lite.write_container(
+            ml, list_schema,
+            [{"manifest_path": f"file://{m}", "content": 0}],
+        )
+        (root / "metadata" / "v1.metadata.json").write_text(_json.dumps({
+            "format-version": 2,
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": f"file://{ml}"}
+            ],
+        }))
+        marker.write_text("1")
+    docs = read_sequences(spark, str(root))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
 def skewed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted SHUFFLE JOIN (plans/skew.salted_join): events get a
     synthesized hot key covering ~60% of rows ('click'/'view'/'error' all
@@ -2462,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "skewed_key_join": skewed_key_join,
+        "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
         "theta_event_audience_ops": theta_event_audience_ops,
@@ -3705,6 +3787,12 @@ def oracle_sql() -> dict[str, str]:
         "skewed_source_salted_agg": """
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # snapshot isolation: only the current snapshot's file is read, so
+        # the counts equal the plain table's despite the orphan duplicate
+        "iceberg_snapshot_isolated_read": """
+            SELECT source, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
         # salting only changes placement: the oracle is the plain join

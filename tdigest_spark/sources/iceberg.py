@@ -3,20 +3,46 @@
 north_rule targets Iceberg tables of pre-tokenized sequences. This sandbox
 ships no Iceberg runtime jars, so the loader is capability-gated: when the
 session has an Iceberg catalog configured it reads through it (getting
-snapshot isolation, hidden partitioning, and metadata-pruned scans); else
-it falls back to the parquet directory layout used everywhere in this repo.
+snapshot isolation, hidden partitioning, and metadata-pruned scans).
+Without a catalog there are TWO fallbacks:
 
-The scan-in-worker fast path composes with Iceberg too: Iceberg's planned
-file-scan tasks expose (file, start, length) splits whose data files are
-plain parquet — `iceberg_scan_paths` extracts them so
-`operators.scan.build_sketches_scan` can read row groups directly.
+* a directory that IS an Iceberg table (``metadata/v*.metadata.json``
+  present) is resolved by the pure-Python static-metadata walk
+  (:func:`iceberg_scan_paths_static` — version hint -> metadata JSON ->
+  manifest-list Avro -> manifest Avro via sources/avro_lite.py) and only
+  the CURRENT snapshot's live data files are read. This preserves snapshot
+  isolation semantics a naive ``spark.read.parquet(dir)`` would violate:
+  an Iceberg data directory legitimately contains orphaned / replaced /
+  delete-marked files that a raw directory scan double-counts.
+* anything else falls back to the plain parquet directory layout used
+  everywhere in this repo.
+
+The scan-in-worker fast path composes with Iceberg too: the resolved data
+files are plain parquet — `iceberg_scan_paths` / `iceberg_scan_paths_static`
+extract them so `operators.scan.build_sketches_scan` can read row groups
+directly.
+
+Format reference: Apache Iceberg table spec (public documentation) —
+metadata JSON layout, manifest-list and manifest-entry fields, status
+(1=ADDED / 0=EXISTING live, 2=DELETED) and content (0=DATA) codes.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import re
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["has_iceberg", "read_sequences", "iceberg_scan_paths"]
+__all__ = [
+    "has_iceberg",
+    "read_sequences",
+    "iceberg_scan_paths",
+    "is_static_iceberg_table",
+    "iceberg_scan_paths_static",
+]
 
 
 def has_iceberg(spark: SparkSession) -> bool:
@@ -38,10 +64,84 @@ def has_iceberg(spark: SparkSession) -> bool:
 
 def read_sequences(spark: SparkSession, source: str) -> DataFrame:
     """Load the sequence table from an Iceberg identifier (``cat.db.tbl``)
-    when available, else from a parquet path."""
+    when a catalog is available; from static Iceberg metadata when the path
+    IS an Iceberg table directory (current snapshot only — see module
+    docstring); else from a plain parquet path."""
     if "/" not in source and has_iceberg(spark):
         return spark.read.format("iceberg").load(source)
+    if is_static_iceberg_table(source):
+        return spark.read.parquet(*iceberg_scan_paths_static(source))
     return spark.read.parquet(source)
+
+
+def is_static_iceberg_table(path: str) -> bool:
+    """True when ``path`` looks like an Iceberg table root on a local/
+    mounted filesystem (a ``metadata`` dir holding ``v*.metadata.json``)."""
+    meta = Path(str(path)) / "metadata"
+    try:
+        return meta.is_dir() and any(meta.glob("v*.metadata.json"))
+    except OSError:
+        return False
+
+
+def _localize(uri: str, table_dir: Path) -> str:
+    """Iceberg metadata stores absolute URIs; map file: URIs to plain paths
+    and re-root absolute paths written by another host onto this table dir
+    (the standard relocated-table case for a copied fixture/backup)."""
+    p = re.sub(r"^file:(//)?", "", uri)
+    if os.path.exists(p):
+        return p
+    # relocated table: resolve by the path suffix under the table root
+    parts = p.split("/")
+    for anchor in ("metadata", "data"):
+        if anchor in parts:
+            cand = table_dir.joinpath(*parts[parts.index(anchor):])
+            if cand.exists():
+                return str(cand)
+    return p
+
+
+def iceberg_scan_paths_static(table_dir: str) -> list[str]:
+    """Current-snapshot live data files of an Iceberg table, resolved from
+    static metadata in pure Python (no jars, no catalog): version-hint ->
+    ``vN.metadata.json`` -> manifest list (Avro) -> manifests (Avro) ->
+    ``data_file.file_path`` where the entry is live (status != 2 DELETED)
+    and the file holds data (content 0), sorted for determinism."""
+    from . import avro_lite
+
+    root = Path(str(table_dir))
+    meta_dir = root / "metadata"
+    hint = meta_dir / "version-hint.text"
+    if hint.exists():
+        meta_file = meta_dir / f"v{hint.read_text().strip()}.metadata.json"
+    else:
+        versions = sorted(
+            meta_dir.glob("v*.metadata.json"),
+            key=lambda p: int(re.sub(r"\D", "", p.stem) or 0),
+        )
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+        meta_file = versions[-1]
+    meta = json.loads(meta_file.read_text())
+    snap_id = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snap_id is None or snap_id == -1 or snap_id not in snaps:
+        return []  # empty table: no committed snapshot yet
+    manifest_list = _localize(snaps[snap_id]["manifest-list"], root)
+    _, manifests = avro_lite.read_container(manifest_list)
+    paths = []
+    for m in manifests:
+        if m.get("content", 0) != 0:  # v2 delete manifests carry no data
+            continue
+        _, entries = avro_lite.read_container(_localize(m["manifest_path"], root))
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:  # v2 delete files
+                continue
+            paths.append(_localize(df_rec["file_path"], root))
+    return sorted(paths)
 
 
 def iceberg_scan_paths(spark: SparkSession, identifier: str) -> list[str]:
