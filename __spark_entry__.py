@@ -1123,6 +1123,53 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def lineitem_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (plans/zorder.py): lineitem is rewritten
+    once sorted by the Morton interleave of (l_quantity, l_extendedprice),
+    then a conjunctive range filter on BOTH columns aggregates over the
+    clustered copy — row groups outside either range prune from footer
+    stats alone (multi-column skipping a single-column sort cannot give;
+    property proven in tests/test_zorder.py). Layout never changes values:
+    the oracle is the same filter over the plain table."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from tdigest_spark.plans.zorder import write_zordered
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "zorder" / Path(sf_dir).name
+    marker = root / "_built.json"
+    params = {"sf_dir": str(sf_dir), "cols": ["l_quantity", "l_extendedprice"]}
+    rebuild = True
+    if marker.exists():
+        try:
+            rebuild = _json.loads(marker.read_text()) != params
+        except Exception:
+            rebuild = True
+    if rebuild:
+        if root.exists():
+            shutil.rmtree(root)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        )
+        write_zordered(
+            li, str(root / "data"), ["l_quantity", "l_extendedprice"],
+            bits=8, n_files=8,
+        )
+        marker.write_text(_json.dumps(params))
+    z = spark.read.parquet(str(root / "data"))
+    return z.where(
+        (F.col("l_quantity") < 10) & (F.col("l_extendedprice") < 5000)
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
 def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg static-metadata read path (sources/iceberg.py +
     sources/avro_lite.py — no runtime jars needed): the documents table is
@@ -2544,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "skewed_key_join": skewed_key_join,
         "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
+        "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
         "theta_event_audience_ops": theta_event_audience_ops,
@@ -3788,6 +3836,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # clustering only changes layout: the oracle is the plain filter
+        "lineitem_zorder_pruned_scan": """
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_quantity < 10 AND l_extendedprice < 5000
         """,
         # snapshot isolation: only the current snapshot's file is read, so
         # the counts equal the plain table's despite the orphan duplicate
