@@ -27,6 +27,7 @@ __all__ = [
     "ivf_topk",
     "lsh_probe_buckets",
     "build_lsh_index",
+    "append_lsh_index",
     "lsh_index_topk",
     "build_ivf_index",
     "ivf_index_topk",
@@ -199,6 +200,30 @@ def build_lsh_index(
 
     bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=dim)
     write_partitioned(bucketed.repartition(F.col("bucket")), path, ["bucket"])
+
+
+def append_lsh_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Incremental index maintenance: sign ONLY the new vectors (one Arrow
+    pass over the delta, never a corpus re-scan) and append them into the
+    existing bucket directories. Probes see them immediately — the probe
+    path is a partition filter, agnostic to file count. Appends accrete
+    one file per (batch, bucket); fold them back with
+    plans/partitioned.compact_partitions when the per-directory file count
+    matters (tests/test_ann_index.py exercises the composition)."""
+    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=dim)
+    (
+        bucketed.repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
 
 
 def lsh_index_topk(

@@ -102,6 +102,43 @@ def test_lsh_sign_margin_guards_sql_oracle(emb):
     assert np.abs(V @ P).min() > 1e-6
 
 
+def test_lsh_index_incremental_append_and_compaction(spark, emb, query_vec, tmp_path):
+    """Appending a delta equals a full rebuild (probe results identical),
+    and small-file compaction of the index preserves them while folding
+    the per-append files back to one per directory."""
+    from tdigest_spark.operators.similarity import append_lsh_index
+    from tdigest_spark.plans.partitioned import compact_partitions
+
+    path = str(tmp_path / "lsh_inc")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    delta = emb.where(F.col("vec_id") % 5 == 0)
+    build_lsh_index(old, path, n_planes=N_PLANES, seed=SEED, dim=DIM)
+    append_lsh_index(delta, path, n_planes=N_PLANES, seed=SEED, dim=DIM)
+
+    full = str(tmp_path / "lsh_full")
+    build_lsh_index(emb, full, n_planes=N_PLANES, seed=SEED, dim=DIM)
+
+    def probe(p):
+        return [
+            r.vec_id
+            for r in lsh_index_topk(
+                spark, p, query_vec, k=10,
+                n_planes=N_PLANES, seed=SEED, probe_hamming=1, exclude_id=0,
+            ).collect()
+        ]
+
+    assert probe(path) == probe(full)
+    # delta rows really are reachable (the query vector's own row came in
+    # via one of the two writes and at least one neighbor is a delta id)
+    assert spark.read.parquet(path).count() == emb.count()
+
+    # appends accrete files; compaction folds them without changing results
+    before = probe(path)
+    rewritten = compact_partitions(spark, path, target_bytes=1 << 30)
+    assert rewritten  # at least one directory had >1 file
+    assert probe(path) == before
+
+
 def test_ivf_index_prunes_and_matches_full_probe(spark, emb, query_vec, tmp_path):
     path = str(tmp_path / "ivf_idx")
     C = ivf_centroids(emb, n_lists=8, sample=4096, seed=1)

@@ -73,6 +73,72 @@ def test_salted_key_spreads_hot_rows_across_partitions(spark):
     assert spread >= n_salts // 2
 
 
+def test_aqe_skew_join_split(spark):
+    """The OTHER half of the skew-join story: for plain sort-merge joins
+    AQE itself splits oversized shuffle partitions at runtime (no salting
+    needed) — visible as skew=true on the executed SMJ node. salted_join
+    remains for the shapes AQE cannot see (custom downstream stages,
+    shuffled-hash joins)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # thresholds scaled to the test's shuffle: column pruning drops
+        # everything but the ~5-byte join key before the exchange, and the
+        # shuffle is lz4-compressed, so the hot partition is only tens of
+        # KB here (at production scale the defaults, 256MB/5x, play the
+        # same role)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 29).cast("string")))
+            .alias("k"),
+        )
+        dim = spark.createDataFrame(
+            [("hot", 1.0)] + [(f"k{i}", float(i) + 100.0) for i in range(29)],
+            "k string, w double",
+        )
+        # aggregate on the DIM attribute, not the join key: a groupBy on k
+        # would reuse the join's hash partitioning, and AQE refuses to
+        # split skewed partitions whose partitioning a downstream operator
+        # still requires
+        out = fact.join(dim.hint("merge"), "k").groupBy("w").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        rows = {r.w: r.n for r in out.collect()}
+        assert rows[1.0] == 108_000  # values unaffected by the split
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salted_join_rejects_unsupported_how(spark):
     import pytest
 
