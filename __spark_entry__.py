@@ -1554,6 +1554,67 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii) — the hygiene pass next to
+    dedup/decontamination. The fixture corpus is digit-free, so the query
+    injects deterministic emails (doc_id % 7) and phone numbers
+    (doc_id % 11) first; both the injection and the RE2-safe patterns are
+    mirrored exactly in the SQL oracle. The n_residual column proves the
+    redacted text contains zero remaining matches — the contract a scrub
+    must certify, not just 'some replacements happened'."""
+    from tdigest_spark.operators.text import (
+        PII_PATTERNS,
+        pii_match_count,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pats = {k: PII_PATTERNS[k] for k in ("email", "phone")}
+    red = redact_pii(F.col("text"), pats)
+    scored = aug.select(
+        "source",
+        pii_match_count(F.col("text"), pats["email"]).alias("e"),
+        pii_match_count(F.col("text"), pats["phone"]).alias("p"),
+        (red != F.col("text")).cast("bigint").alias("changed"),
+        (
+            pii_match_count(red, pats["email"])
+            + pii_match_count(red, pats["phone"])
+        ).alias("resid"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("changed").alias("n_redacted_docs"),
+            F.sum("resid").alias("n_residual"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_decontamination_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination (benchmark-overlap removal), the standard
     pre-training hygiene pass: corpus documents sharing ANY word-3-gram
@@ -2615,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekly_retention": events_weekly_retention,
         "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
+        "doc_pii_redaction": doc_pii_redaction,
         "doc_repetition_filter": doc_repetition_filter,
         "doc_clean_pipeline": doc_clean_pipeline,
         "token_mix_rebalance": token_mix_rebalance,
@@ -4044,6 +4106,48 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        # same injection, same RE2-safe patterns, 'g' = Spark's always-global
+        # regexp_replace
+        "doc_pii_redaction": r"""
+            WITH aug AS (
+              SELECT source,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN ' call 415-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS text
+              FROM documents
+            ), scored AS (
+              SELECT source, text,
+                     len(regexp_extract_all(
+                         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                     )) AS e,
+                     len(regexp_extract_all(
+                         text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS p,
+                     regexp_replace(regexp_replace(
+                         text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<PII>', 'g'),
+                         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PII>', 'g') AS red
+              FROM aug
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(e) AS BIGINT) AS n_emails,
+                   CAST(SUM(p) AS BIGINT) AS n_phones,
+                   CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_redacted_docs,
+                   CAST(SUM(
+                     len(regexp_extract_all(
+                         red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(
+                         red, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                   ) AS BIGINT) AS n_residual
+            FROM scored GROUP BY source ORDER BY source
         """,
         "doc_decontamination_anti": rf"""
             WITH {_grams_cte(3)}, hv AS (

@@ -18,7 +18,35 @@ __all__ = [
     "repetition_features",
     "langid_heuristic",
     "fingerprint",
+    "PII_PATTERNS",
+    "pii_match_count",
+    "redact_pii",
 ]
+
+# PII scrub patterns (the pre-training hygiene pass next to dedup and
+# decontamination). Kept to RE2-safe constructs (no backrefs/lookaround) so
+# the SAME pattern string runs identically under Java regex (Spark) and RE2
+# (DuckDB oracle) — and would port to ripgrep/hyperscan scrubbers unchanged.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_match_count(col, pattern: str) -> Column:
+    """Number of matches of ``pattern`` in the column (codegen)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col, patterns: dict[str, str] | None = None, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token`` — a chain of codegen
+    regexp_replace calls, map-only at any scale. Pattern application order
+    is the dict's insertion order (matters when patterns overlap)."""
+    out = col
+    for pat in (patterns or PII_PATTERNS).values():
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 # tiny per-language stopword lists for the n-gram/stopword lang-ID heuristic
 _STOPWORDS = {

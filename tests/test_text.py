@@ -41,3 +41,42 @@ def test_fingerprint_equal_docs_share_fingerprint(spark):
     t = "one two three four five six seven"
     a, b = _spark_fingerprints(spark, [t, t], 5)
     assert a == b and len(a) == 16
+
+
+def test_redact_pii_and_match_counts(spark):
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.text import (
+        PII_PATTERNS,
+        pii_match_count,
+        redact_pii,
+    )
+
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.org or 212-555-0187 ok"),
+        ("b", "server 10.0.255.7 and 192.168.1.10 up"),
+        ("c", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = df.select(
+        "id",
+        redact_pii(F.col("text")).alias("red"),
+        *[
+            pii_match_count(F.col("text"), p).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    got = {r.id: r for r in out.collect()}
+    assert got["a"].email == 1 and got["a"].phone == 1 and got["a"].ipv4 == 0
+    assert got["b"].ipv4 == 2 and got["b"].email == 0
+    assert got["c"].red == "nothing sensitive here"
+    assert got["a"].red == "mail me at <PII> or <PII> ok"
+    assert got["b"].red == "server <PII> and <PII> up"
+    # the scrub contract: zero residual matches in redacted text
+    resid = out.select(
+        sum(
+            (pii_match_count(F.col("red"), p) for p in PII_PATTERNS.values()),
+            F.lit(0),
+        ).alias("r")
+    ).agg(F.sum("r").alias("t")).collect()[0].t
+    assert resid == 0
