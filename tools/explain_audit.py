@@ -82,6 +82,13 @@ AUDITS = {
     # (see SALTED below) — a broadcast here would mean the hint regressed
     # and the demo measures nothing
     "skewed_key_join": (0, True, False),
+    # PII scrub: map-only regex stages + one agg shuffle — no joins at all
+    "doc_pii_redaction": (0, True, False),
+    # z-order clustered scan: the conjunctive range filter must push down
+    # to the clustered copy's scan
+    "lineitem_zorder_pruned_scan": (0, True, True),
+    # static-Iceberg read: one pruned scan of the live snapshot file only
+    "iceberg_snapshot_isolated_read": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
