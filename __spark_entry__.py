@@ -1142,7 +1142,11 @@ def lineitem_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
     ) / "zorder" / Path(sf_dir).name
     marker = root / "_built.json"
-    params = {"sf_dir": str(sf_dir), "cols": ["l_quantity", "l_extendedprice"]}
+    params = {
+        "sf_dir": str(sf_dir),
+        "cols": ["l_quantity", "l_extendedprice"],
+        "src": _src_sig(f"{sf_dir}/lineitem.parquet"),
+    }
     rebuild = True
     if marker.exists():
         try:
@@ -1191,8 +1195,18 @@ def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFram
     root = Path(
         os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
     ) / "iceberg_demo" / Path(sf_dir).name
-    marker = root / "metadata" / "version-hint.text"
-    if not marker.exists():
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
         if root.exists():
             shutil.rmtree(root)
         (root / "data").mkdir(parents=True)
@@ -1242,7 +1256,8 @@ def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFram
                 {"snapshot-id": 1, "manifest-list": f"file://{ml}"}
             ],
         }))
-        marker.write_text("1")
+        (root / "metadata" / "version-hint.text").write_text("1")
+        marker.write_text(_json.dumps(params))
     docs = read_sequences(spark, str(root))
     return (
         docs.groupBy("source")
@@ -2494,6 +2509,18 @@ _ANN_SEED = 7
 _ANN_DIM = 64
 
 
+def _src_sig(*paths: str) -> list:
+    """Source-data fingerprint (size + mtime per file) for cache markers:
+    a fixture cache derived from EXTERNAL files must invalidate when those
+    files are regenerated, or stale cached copies silently diverge from
+    the oracle's view of the fresh tables."""
+    import os
+
+    return [
+        [str(p), os.stat(p).st_size, int(os.stat(p).st_mtime)] for p in paths
+    ]
+
+
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once, cached) the bucket-partitioned LSH index for this SF's
     embeddings table. Marker-validated like sources/sequence_table: the
@@ -2515,6 +2542,7 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
         "n_planes": _ANN_PLANES,
         "seed": _ANN_SEED,
         "dim": _ANN_DIM,
+        "src": _src_sig(f"{sf_dir}/embeddings.parquet"),
     }
     if marker.exists():
         try:

@@ -144,6 +144,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", data, 30)[0]
     if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0:
         raise ValueError("unsupported BMP variant")
+    if off < 14 + hdr_size:
+        raise ValueError("BMP raster offset inside the headers")
     flip = h > 0  # positive height = bottom-up row order
     h = abs(h)
     stride = (w * 3 + 3) & ~3

@@ -83,7 +83,9 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     if codecs.sniff(b) in ("png", "bmp", "ppm"):
         try:
             return codecs.decode_image(b)
-        except ValueError:
+        except Exception:  # ValueError, but also struct.error / zlib.error
+            # from payloads truncated inside a chunk — any parse failure
+            # takes the deterministic stub path, never a task crash
             pass
     return _fake_decode_image(b, width, height)
 

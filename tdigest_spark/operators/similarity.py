@@ -133,23 +133,11 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """ANN: scan only buckets within ``probe_hamming`` of the query's bucket
     (multi-probe), then exact cosine on the candidates. At scale, bucket is a
-    partition-pruning key (write bucketed parquet / Iceberg hidden
-    partition): the scan itself prunes."""
-    from itertools import combinations
-
-    q = np.asarray(query, dtype=np.float64)
-    planes = _plane_matrix(q.shape[0], n_planes, seed)
-    qsig = int(((q @ planes) > 0) @ (1 << np.arange(n_planes)))
-    # all buckets within Hamming distance <= probe_hamming of the query's
-    # bucket (sum over r of C(n_planes, r) probes)
-    probes = [qsig]
-    for r in range(1, min(probe_hamming, n_planes) + 1):
-        for bits in combinations(range(n_planes), r):
-            m = 0
-            for i in bits:
-                m |= 1 << i
-            probes.append(qsig ^ m)
-    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=q.shape[0])
+    partition-pruning key — build_lsh_index materializes exactly that
+    layout, and lsh_index_topk probes it with the scan itself pruning."""
+    probes = lsh_probe_buckets(query, n_planes, seed, probe_hamming)
+    dim = len(query)
+    bucketed = hyperplane_buckets(df, vec_col, n_planes, seed, dim=dim)
     cands = bucketed.where(F.col("bucket").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)
 

@@ -35,7 +35,8 @@ def zorder_key(
     """Morton key column: each column maps to a ``bits``-bit equal-width
     bucket id within its (min, max) bounds, then bit b of column i lands at
     interleaved position b*len(cols)+i. Codegen-only (width_bucket + shift
-    cascade); out-of-bounds values clamp to the edge buckets."""
+    cascade); out-of-bounds values clamp to the edge buckets and NULLs map
+    to bucket 0 (so one nullable column cannot null the whole key)."""
     n = len(cols)
     if not (1 <= bits * n <= 63):
         raise ValueError("bits * len(cols) must fit a signed 64-bit key")
@@ -53,6 +54,10 @@ def zorder_key(
             F.greatest(F.lit(1).cast("long"), F.least(b, F.lit(2**bits)))
             - F.lit(1)
         ).cast("long")
+        # NULLs land in the edge bucket instead of nulling the WHOLE key
+        # (bitwiseOR with NULL is NULL): the row keeps its clustering on
+        # every other column, and nulls of this column co-locate low
+        b = F.coalesce(b, F.lit(0).cast("long"))
         for bit in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(

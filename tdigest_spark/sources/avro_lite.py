@@ -88,7 +88,10 @@ def _decode(schema, buf, named: dict):
         if t == "null":
             return None
         if t == "boolean":
-            return buf.read(1) != b"\x00"
+            b = buf.read(1)
+            if not b:
+                raise EOFError("truncated boolean")
+            return b != b"\x00"
         if t in ("int", "long"):
             return _read_long(buf)
         if t == "float":
@@ -201,8 +204,11 @@ def read_container(path_or_bytes) -> tuple[dict, list]:
         if codec == "deflate":
             block = zlib.decompress(block, -15)
         bbuf = io.BytesIO(block)
+        # one shared registry: _collect_named pre-registered every named
+        # type, and _register during decode only re-adds identical
+        # definitions, so no per-record copy is needed
         for _ in range(n_rec):
-            records.append(_decode(schema, bbuf, dict(named)))
+            records.append(_decode(schema, bbuf, named))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt container)")
     return schema, records
@@ -233,6 +239,33 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
     out.extend(b)
 
 
+def _branch_accepts(schema, value, named: dict) -> bool:
+    """Whether a union branch's type matches the python value's type."""
+    tname = schema if isinstance(schema, str) else schema.get("type")
+    if tname in named and isinstance(tname, str) and tname not in (
+        "null", "boolean", "int", "long", "float", "double", "bytes",
+        "string", "record", "error", "enum", "fixed", "array", "map",
+    ):
+        return _branch_accepts(named[tname], value, named)
+    if value is None:
+        return tname == "null"
+    if isinstance(value, bool):
+        return tname == "boolean"
+    if isinstance(value, int):
+        return tname in ("int", "long")
+    if isinstance(value, float):
+        return tname in ("float", "double")
+    if isinstance(value, str):
+        return tname in ("string", "enum")
+    if isinstance(value, (bytes, bytearray)):
+        return tname in ("bytes", "fixed")
+    if isinstance(value, dict):
+        return tname in ("record", "error", "map")
+    if isinstance(value, (list, tuple)):
+        return tname == "array"
+    return False
+
+
 def _encode(schema, value, out: bytearray, named: dict) -> None:
     if isinstance(schema, str):
         t = schema
@@ -255,16 +288,15 @@ def _encode(schema, value, out: bytearray, named: dict) -> None:
         else:
             raise ValueError(f"unknown avro type {t!r}")
         return
-    if isinstance(schema, list):  # union: pick the branch matching value
+    if isinstance(schema, list):  # union: pick the branch matching the
+        # VALUE'S TYPE (first-non-null would mis-encode multi-branch unions)
         for i, s in enumerate(schema):
-            tname = s if isinstance(s, str) else s.get("type")
-            if value is None and tname == "null":
+            if _branch_accepts(s, value, named):
                 _write_long(out, i)
+                if value is not None:
+                    _encode(s, value, out, named)
                 return
-            if value is not None and tname != "null":
-                _write_long(out, i)
-                return _encode(s, value, out, named)
-        raise ValueError("no matching union branch")
+        raise ValueError(f"no union branch accepts {type(value).__name__}")
     t = schema["type"]
     if t in ("record", "error"):
         _register(schema, named)

@@ -70,7 +70,15 @@ def read_sequences(spark: SparkSession, source: str) -> DataFrame:
     if "/" not in source and has_iceberg(spark):
         return spark.read.format("iceberg").load(source)
     if is_static_iceberg_table(source):
-        return spark.read.parquet(*iceberg_scan_paths_static(source))
+        paths = iceberg_scan_paths_static(source)
+        if not paths:
+            # spark.read.parquet() with zero paths raises a misleading
+            # UNABLE_TO_INFER_SCHEMA; say what actually happened
+            raise ValueError(
+                f"Iceberg table {source!r} has no committed snapshot "
+                "(no data files to read)"
+            )
+        return spark.read.parquet(*paths)
     return spark.read.parquet(source)
 
 

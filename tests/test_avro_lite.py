@@ -229,3 +229,31 @@ def test_iceberg_static_empty_table(tmp_path):
                     "snapshots": []})
     )
     assert iceberg_scan_paths_static(str(tmp_path / "empty")) == []
+
+
+def test_union_multi_branch_encodes_by_value_type(tmp_path):
+    """A >2-branch union must pick the branch matching the VALUE's type,
+    not the first non-null branch (code-review regression)."""
+    schema = {
+        "type": "record", "name": "u",
+        "fields": [{"name": "v", "type": ["null", "string", "long", "bytes"]}],
+    }
+    recs = [{"v": None}, {"v": "s"}, {"v": 5}, {"v": b"\x01\x02"}]
+    p = tmp_path / "u.avro"
+    av.write_container(p, schema, recs, codec="null")
+    _, got = av.read_container(p)
+    assert got == recs
+    with pytest.raises(ValueError, match="union"):
+        av.write_container(p, schema, [{"v": 1.5}], codec="null")
+
+
+def test_truncated_boolean_raises(tmp_path):
+    schema = {"type": "record", "name": "b",
+              "fields": [{"name": "x", "type": "boolean"}]}
+    p = tmp_path / "b.avro"
+    av.write_container(p, schema, [{"x": True}], codec="null")
+    raw = p.read_bytes()
+    # chop the record body (the boolean byte) out of the block: block body
+    # is right before the trailing 16-byte sync
+    with pytest.raises((EOFError, ValueError)):
+        av.read_container(raw[:-17] + raw[-16:])

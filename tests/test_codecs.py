@@ -230,3 +230,17 @@ def test_arbitrary_bytes_never_misdecode(data):
             assert out.ndim == 3 and out.shape[2] == 3
         except Exception:
             pass  # rejection is the expected outcome for junk bytes
+
+
+def test_bmp_offset_inside_header_rejected():
+    raw = bytearray(C.encode_bmp(IMG))
+    struct.pack_into("<I", raw, 10, 4)  # bfOffBits points into the header
+    with pytest.raises(ValueError, match="offset"):
+        C.decode_bmp(bytes(raw))
+
+
+def test_truncated_png_takes_stub_path_not_crash():
+    png = C.encode_png(IMG)
+    for cut in (12, 30, len(png) - 5):
+        out = _decode_image(png[:cut], 4, 6)  # struct/zlib errors absorbed
+        assert out.shape == (6, 4, 3)
