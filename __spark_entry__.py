@@ -1123,6 +1123,36 @@ def cms_topk_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "l_quantity long, est_count long")
 
 
+def ann_pruned_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the SAME materialized index as ann_pruned_topk:
+    top-k restricted to a metadata predicate (label == 3) — the standard
+    'nearest neighbors among documents matching a filter' query. The
+    bucket IN-list prunes directories AND the label predicate pushes down
+    into the surviving parquet scans (two independent skipping layers
+    composing); the oracle applies the same bucket + label restriction."""
+    path = _ensure_ann_index(spark, sf_dir)
+    qrow = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    query = [float(x) for x in qrow["embedding"]]
+    from tdigest_spark.operators.similarity import lsh_probe_buckets, topk_cosine
+
+    probes = lsh_probe_buckets(query, _ANN_PLANES, _ANN_SEED, 1)
+    cands = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(probes))
+        .where(F.col("label") == 3)
+    )
+    top = topk_cosine(cands, query, k=5, exclude_id=0)
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id"
+    ).orderBy("rank")
+
+
 def lineitem_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered layout (plans/zorder.py): lineitem is rewritten
     once sorted by the Morton interleave of (l_quantity, l_extendedprice),
@@ -2738,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_pruned_topk": ann_pruned_topk,
+        "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
     }
@@ -2952,13 +2983,16 @@ def _ann_pruned_oracle_sql(
     dim: int = _ANN_DIM,
     probe_hamming: int = 1,
     k: int = 10,
+    label: int | None = None,
 ) -> str:
-    """SQL twin of ann_pruned_topk: recompute each vector's LSH bucket from
+    """SQL twin of ann_pruned_topk (and, with ``label``, of
+    ann_pruned_filtered_topk): recompute each vector's LSH bucket from
     the SAME plane constants (inlined as double literals — repr() round-trips
     float64 exactly), restrict to buckets within ``probe_hamming`` bit flips
-    of the query's bucket, then rank the candidates by exact cosine. Sign
-    decisions are safe against summation-order ULPs (min |proj| ~4e-5,
-    asserted in tests/test_ann_index.py)."""
+    of the query's bucket (plus the metadata predicate when given), then
+    rank the candidates by exact cosine. Sign decisions are safe against
+    summation-order ULPs (min |proj| ~4e-5, asserted in
+    tests/test_ann_index.py)."""
     from tdigest_spark.operators.similarity import _plane_matrix
 
     P = _plane_matrix(dim, n_planes, seed)
@@ -2970,9 +3004,11 @@ def _ann_pruned_oracle_sql(
             f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
         )
     bucket_expr = " + ".join(terms)
+    label_pred = "" if label is None else f" AND s.label = {int(label)}"
     return f"""
         WITH sigs AS (
-          SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+          SELECT vec_id, embedding, label, {bucket_expr} AS bucket
+          FROM embeddings
         ), q AS (
           SELECT embedding AS qe, bucket AS qb FROM sigs WHERE vec_id = 0
         )
@@ -2984,7 +3020,7 @@ def _ann_pruned_oracle_sql(
         FROM sigs s, q
         WHERE s.vec_id <> 0
           AND bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT)))
-              <= {probe_hamming}
+              <= {probe_hamming}{label_pred}
         ORDER BY rank LIMIT {k}
     """
 
@@ -4553,4 +4589,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank LIMIT 10
         """,
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
+        "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
     }
