@@ -1130,6 +1130,8 @@ def ann_pruned_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket IN-list prunes directories AND the label predicate pushes down
     into the surviving parquet scans (two independent skipping layers
     composing); the oracle applies the same bucket + label restriction."""
+    from tdigest_spark.operators.similarity import lsh_index_topk
+
     path = _ensure_ann_index(spark, sf_dir)
     qrow = (
         _t(spark, sf_dir, "embeddings")
@@ -1138,15 +1140,11 @@ def ann_pruned_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
     )
     query = [float(x) for x in qrow["embedding"]]
-    from tdigest_spark.operators.similarity import lsh_probe_buckets, topk_cosine
-
-    probes = lsh_probe_buckets(query, _ANN_PLANES, _ANN_SEED, 1)
-    cands = (
-        spark.read.parquet(path)
-        .where(F.col("bucket").isin(probes))
-        .where(F.col("label") == 3)
+    top = lsh_index_topk(
+        spark, path, query, k=5,
+        n_planes=_ANN_PLANES, seed=_ANN_SEED, probe_hamming=1, exclude_id=0,
+        pre_filter=F.col("label") == 3,
     )
-    top = topk_cosine(cands, query, k=5, exclude_id=0)
     w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "vec_id"
@@ -2546,9 +2544,11 @@ def _src_sig(*paths: str) -> list:
     the oracle's view of the fresh tables."""
     import os
 
-    return [
-        [str(p), os.stat(p).st_size, int(os.stat(p).st_mtime)] for p in paths
-    ]
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        out.append([str(p), st.st_size, st.st_mtime_ns])
+    return out
 
 
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:

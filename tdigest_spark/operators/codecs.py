@@ -142,7 +142,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     comp = struct.unpack_from("<I", data, 30)[0]
-    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0:
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
         raise ValueError("unsupported BMP variant")
     if off < 14 + hdr_size:
         raise ValueError("BMP raster offset inside the headers")

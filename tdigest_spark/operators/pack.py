@@ -47,9 +47,18 @@ def chunk_with_overlap(
     Pure codegen (split / sequence / explode / slice / array_join) —
     map-only fan-out, no shuffle, and integer-exact chunk-count math
     ((n - chunk + stride - 1) DIV stride + 1, no float ceil), so the
-    whole operator has a closed-form SQL twin."""
+    whole operator has a closed-form SQL twin.
+
+    ``stride`` must not exceed ``chunk_tokens`` (overlap >= 0): with a gap
+    the count formula would emit a phantom empty trailing chunk, and gap
+    sampling is a different operator anyway."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            "stride must be <= chunk_tokens (this operator overlaps windows;"
+            " it does not gap-sample)"
+        )
     from .text import word_tokens
 
     toks = word_tokens(F.col(text_col))

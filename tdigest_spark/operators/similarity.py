@@ -225,14 +225,22 @@ def lsh_index_topk(
     seed: int = 7,
     probe_hamming: int = 1,
     exclude_id: int | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """Probe the prebuilt LSH index: the bucket IN-list hits the partition
     column, so the scan reads only the probed directories (PartitionFilters
     in the plan; numFiles metric counts only matching files) and the exact
     cosine rerank touches ~probes/2^n_planes of the corpus. No signature
-    recomputation at query time."""
+    recomputation at query time.
+
+    ``pre_filter`` (optional Column) restricts candidates by metadata
+    BEFORE the rerank — filtered ANN ('nearest among label == x'): the
+    predicate pushes into the surviving scans, composing with the
+    directory pruning."""
     probes = lsh_probe_buckets(query, n_planes, seed, probe_hamming)
     cands = spark.read.parquet(path).where(F.col("bucket").isin(probes))
+    if pre_filter is not None:
+        cands = cands.where(pre_filter)
     return topk_cosine(cands, query, k, vec_col, id_col, exclude_id=exclude_id)
 
 

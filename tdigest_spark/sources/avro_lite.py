@@ -239,20 +239,25 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
     out.extend(b)
 
 
-def _branch_accepts(schema, value, named: dict) -> bool:
-    """Whether a union branch's type matches the python value's type."""
+def _branch_accepts(schema, value, named: dict, promote: bool = False) -> bool:
+    """Whether a union branch's type matches the python value's type.
+    With ``promote`` the Avro numeric promotions apply (int -> float/
+    double) — checked only after no branch matches exactly, so
+    ['null','long','double'] still routes ints to 'long'."""
     tname = schema if isinstance(schema, str) else schema.get("type")
     if tname in named and isinstance(tname, str) and tname not in (
         "null", "boolean", "int", "long", "float", "double", "bytes",
         "string", "record", "error", "enum", "fixed", "array", "map",
     ):
-        return _branch_accepts(named[tname], value, named)
+        return _branch_accepts(named[tname], value, named, promote)
     if value is None:
         return tname == "null"
     if isinstance(value, bool):
         return tname == "boolean"
     if isinstance(value, int):
-        return tname in ("int", "long")
+        if tname in ("int", "long"):
+            return True
+        return promote and tname in ("float", "double")
     if isinstance(value, float):
         return tname in ("float", "double")
     if isinstance(value, str):
@@ -260,7 +265,13 @@ def _branch_accepts(schema, value, named: dict) -> bool:
     if isinstance(value, (bytes, bytearray)):
         return tname in ("bytes", "fixed")
     if isinstance(value, dict):
-        return tname in ("record", "error", "map")
+        if tname == "map":
+            return True
+        if tname in ("record", "error"):
+            # disambiguate record branches (and record-vs-map when the
+            # record comes FIRST) by the exact field-name set
+            return set(value.keys()) == {f["name"] for f in schema["fields"]}
+        return False
     if isinstance(value, (list, tuple)):
         return tname == "array"
     return False
@@ -289,13 +300,18 @@ def _encode(schema, value, out: bytearray, named: dict) -> None:
             raise ValueError(f"unknown avro type {t!r}")
         return
     if isinstance(schema, list):  # union: pick the branch matching the
-        # VALUE'S TYPE (first-non-null would mis-encode multi-branch unions)
-        for i, s in enumerate(schema):
-            if _branch_accepts(s, value, named):
-                _write_long(out, i)
-                if value is not None:
-                    _encode(s, value, out, named)
-                return
+        # VALUE'S TYPE (first-non-null would mis-encode multi-branch
+        # unions); numeric promotion (int -> double) only as a second pass
+        # so an exact branch always wins
+        for promote in (False, True):
+            for i, s in enumerate(schema):
+                if _branch_accepts(s, value, named, promote):
+                    _write_long(out, i)
+                    if value is not None:
+                        if promote and isinstance(value, int):
+                            value = float(value)
+                        _encode(s, value, out, named)
+                    return
         raise ValueError(f"no union branch accepts {type(value).__name__}")
     t = schema["type"]
     if t in ("record", "error"):

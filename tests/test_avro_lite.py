@@ -247,13 +247,40 @@ def test_union_multi_branch_encodes_by_value_type(tmp_path):
         av.write_container(p, schema, [{"v": 1.5}], codec="null")
 
 
-def test_truncated_boolean_raises(tmp_path):
-    schema = {"type": "record", "name": "b",
-              "fields": [{"name": "x", "type": "boolean"}]}
-    p = tmp_path / "b.avro"
-    av.write_container(p, schema, [{"x": True}], codec="null")
-    raw = p.read_bytes()
-    # chop the record body (the boolean byte) out of the block: block body
-    # is right before the trailing 16-byte sync
-    with pytest.raises((EOFError, ValueError)):
-        av.read_container(raw[:-17] + raw[-16:])
+def test_truncated_boolean_raises():
+    # direct decode on an empty buffer: must EOFError, not return True
+    # (b'' != b'\x00' is truthy — the regression this guards)
+    with pytest.raises(EOFError):
+        av._decode("boolean", io.BytesIO(b""), {})
+    assert av._decode("boolean", io.BytesIO(b"\x01"), {}) is True
+    assert av._decode("boolean", io.BytesIO(b"\x00"), {}) is False
+
+
+def test_union_numeric_promotion_and_record_vs_map(tmp_path):
+    # int into ['null','double'] promotes (standard Avro int->double)
+    schema = {"type": "record", "name": "p",
+              "fields": [{"name": "v", "type": ["null", "double"]}]}
+    p = tmp_path / "p.avro"
+    av.write_container(p, schema, [{"v": 1}, {"v": None}], codec="null")
+    _, got = av.read_container(p)
+    assert got == [{"v": 1.0}, {"v": None}]
+    # ...but an exact branch always wins over promotion
+    schema2 = {"type": "record", "name": "p2",
+               "fields": [{"name": "v", "type": ["null", "double", "long"]}]}
+    av.write_container(p, schema2, [{"v": 7}], codec="null")
+    _, got2 = av.read_container(p)
+    assert got2 == [{"v": 7}] and isinstance(got2[0]["v"], int)
+    # record-vs-map in one union: dicts route by exact field-name set when
+    # the record branch is first
+    schema3 = {"type": "record", "name": "p3", "fields": [{
+        "name": "v",
+        "type": [
+            {"type": "record", "name": "R",
+             "fields": [{"name": "a", "type": "long"}]},
+            {"type": "map", "values": "long"},
+        ]}]}
+    av.write_container(
+        p, schema3, [{"v": {"a": 5}}, {"v": {"x": 1, "y": 2}}], codec="null"
+    )
+    _, got3 = av.read_container(p)
+    assert got3 == [{"v": {"a": 5}}, {"v": {"x": 1, "y": 2}}]

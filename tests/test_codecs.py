@@ -244,3 +244,10 @@ def test_truncated_png_takes_stub_path_not_crash():
     for cut in (12, 30, len(png) - 5):
         out = _decode_image(png[:cut], 4, 6)  # struct/zlib errors absorbed
         assert out.shape == (6, 4, 3)
+
+
+def test_bmp_zero_height_rejected():
+    raw = bytearray(C.encode_bmp(IMG))
+    struct.pack_into("<i", raw, 22, 0)  # biHeight = 0
+    with pytest.raises(ValueError, match="variant"):
+        C.decode_bmp(bytes(raw))

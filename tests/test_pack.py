@@ -140,3 +140,13 @@ def test_chunk_with_overlap_windows(spark):
 
     with pytest.raises(ValueError, match="positive"):
         chunk_with_overlap(df, stride=0)
+
+
+def test_chunk_with_overlap_rejects_gap_sampling(spark):
+    import pytest
+
+    from tdigest_spark.operators.pack import chunk_with_overlap
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="gap-sample"):
+        chunk_with_overlap(df, chunk_tokens=2, stride=10)

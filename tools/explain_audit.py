@@ -78,6 +78,9 @@ AUDITS = {
     # PartitionFilters (bucket IN-list -> directory pruning, see
     # PARTITION_PRUNED below)
     "ann_pruned_topk": (0, True, False),
+    # filtered ANN: directory pruning AND the label predicate pushed into
+    # the surviving scans must BOTH show up
+    "ann_pruned_filtered_topk": (0, True, True),
     # salted skew join: must be a shuffled hash join keyed on (hk, _salt)
     # (see SALTED below) — a broadcast here would mean the hint regressed
     # and the demo measures nothing
@@ -93,7 +96,7 @@ AUDITS = {
 
 # queries whose scan must show directory-level partition pruning: a
 # non-empty PartitionFilters on a parquet scan node
-PARTITION_PRUNED = {"ann_pruned_topk"}
+PARTITION_PRUNED = {"ann_pruned_topk", "ann_pruned_filtered_topk"}
 
 # queries whose executed plan must contain a ShuffledHashJoin whose join
 # keys include the salt column (the skew-spread mechanism)
