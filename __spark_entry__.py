@@ -1948,6 +1948,47 @@ def mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mg_heavy_words_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED frequent items — the per-key twin of mg_heavy_words: one
+    Misra-Gries(127) summary per source built map-side (only O(k) states
+    shuffle per key, build_sketch_grouped), candidates recounted exactly
+    with a broadcast semi-join, threshold cnt*64 > n_source. The MG
+    guarantee (every word with f > n/128 survives) makes the candidate
+    set a superset of the f > n/64 answer NO MATTER how rows were
+    batched, so the result equals the plain per-source GROUP BY + HAVING
+    — one full scan + one candidate-pruned scan instead of shuffling the
+    full per-source vocabulary."""
+    from tdigest_spark.operators.aggregate import MG_SPEC, build_sketch_grouped
+    from tdigest_spark.operators.text import word_tokens
+    from tdigest_spark.sketch.mg import MisraGries
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+    ).where(F.col("word") != "")
+    states = build_sketch_grouped(words, ["source"], "word", MG_SPEC(127))
+    cand_rows = []
+    totals = {}
+    for r in states.collect():
+        mg = MisraGries.from_bytes(bytes(r.state))
+        totals[r.source] = int(mg.n)
+        cand_rows.extend((r.source, str(w)) for w in mg.candidates())
+    cand = spark.createDataFrame(cand_rows, "source string, word string")
+    tot = spark.createDataFrame(
+        list(totals.items()), "source string, n long"
+    )
+    return (
+        words.join(F.broadcast(cand), ["source", "word"], "left_semi")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(tot), "source")
+        .where(F.col("cnt") * 64 > F.col("n"))
+        .select("source", "word", "cnt")
+        .orderBy("source", "word")
+    )
+
+
 def media_pipeline_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three multimodal paths end-to-end (image resize-to-features,
     audio frame-energy, video frame-sampling) over a deterministic media
@@ -2750,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_psi": events_value_psi,
         "events_weekly_retention": events_weekly_retention,
         "mg_heavy_words": mg_heavy_words,
+        "mg_heavy_words_by_source": mg_heavy_words_by_source,
         "doc_decontamination_anti": doc_decontamination_anti,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_chunk_overlap": doc_chunk_overlap,
@@ -4487,6 +4529,23 @@ def oracle_sql() -> dict[str, str]:
             FROM w2 GROUP BY word
             HAVING COUNT(*) * 51 > (SELECT n FROM tot)
             ORDER BY word
+        """,
+        # grouped MG: candidate superset + exact recount == plain per-group
+        # GROUP BY + HAVING
+        "mg_heavy_words_by_source": r"""
+            WITH w2 AS (
+              SELECT source, word FROM (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                         AS word
+                FROM documents WHERE TRIM(text) <> ''
+              ) WHERE word <> ''
+            ), tot AS (SELECT source, COUNT(*) AS n FROM w2 GROUP BY source)
+            SELECT w2.source, word, COUNT(*) AS cnt
+            FROM w2 JOIN tot ON tot.source = w2.source
+            GROUP BY w2.source, word, tot.n
+            HAVING COUNT(*) * 64 > tot.n
+            ORDER BY w2.source, word
         """,
         # fingerprint = min md5-lower-64 over word 5-grams, spelled as the
         # 16-hex-char little-endian string (byte-reversed lower half of the
