@@ -359,6 +359,47 @@ def part_supplier_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set ops (the ALL flavors part_supplier_set_ops' DISTINCT
+    variants don't touch): per-suppkey lineitem rows with quantity <= 10
+    INTERSECT ALL / EXCEPT ALL the rows with discount = 0 — duplicates
+    preserved with bag semantics (min/0-floor of multiplicities), which is
+    what Spark intersectAll/exceptAll and SQL INTERSECT ALL/EXCEPT ALL
+    both implement. Tagged, unioned, re-counted."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") <= 10).select("l_suppkey")
+    b = li.where(F.col("l_discount") == 0).select("l_suppkey")
+    inter = a.intersectAll(b).withColumn("tag", F.lit("inter_all"))
+    diff = a.exceptAll(b).withColumn("tag", F.lit("except_all"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("tag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("tag", "l_suppkey")
+    )
+
+
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (CUBE is covered by lineitem_cube_counts;
+    this is the general form with a grouping_id disambiguator): totals by
+    returnflag, by linestatus, and the grand total — ONE Expand + one
+    aggregate, not three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage (json/string/math/date): parse the props
     JSON column, bucket by k-decile and event month."""
@@ -2732,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_balance_full_join": nation_balance_full_join,
         "events_user_type_map": events_user_type_map,
         "part_supplier_set_ops": part_supplier_set_ops,
+        "lineitem_multiset_ops": lineitem_multiset_ops,
+        "lineitem_grouping_sets": lineitem_grouping_sets,
         "events_json_props": events_json_props,
         "orders_ntile_quartiles": orders_ntile_quartiles,
         "purchases_asof_view": purchases_asof_view,
@@ -4230,6 +4273,34 @@ def oracle_sql() -> dict[str, str]:
                    + LEN(regexp_split_to_array(text, '[^\w\s]')) - 1
                      AS n_subwords
             FROM documents ORDER BY doc_id
+        """,
+        # bag semantics are identical: INTERSECT ALL = min(multiplicities),
+        # EXCEPT ALL = 0-floored difference
+        "lineitem_multiset_ops": """
+            WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 10),
+                 b AS (SELECT l_suppkey FROM lineitem WHERE l_discount = 0),
+                 u AS (
+                   SELECT 'inter_all' AS tag, l_suppkey FROM (
+                     SELECT l_suppkey FROM a INTERSECT ALL
+                     SELECT l_suppkey FROM b)
+                   UNION ALL
+                   SELECT 'except_all' AS tag, l_suppkey FROM (
+                     SELECT l_suppkey FROM a EXCEPT ALL
+                     SELECT l_suppkey FROM b)
+                 )
+            SELECT tag, l_suppkey, COUNT(*) AS multiplicity
+            FROM u GROUP BY tag, l_suppkey ORDER BY tag, l_suppkey
+        """,
+        # DuckDB GROUPING() == Spark grouping_id(): bit i set when column i
+        # is aggregated away in that grouping set
+        "lineitem_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY gid, l_returnflag, l_linestatus
         """,
         # same sliding windows: integer-exact chunk count, 1-based DuckDB
         # list_slice == Spark slice(start, length) with clamping
