@@ -505,6 +505,55 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the window-function flavor the other
+    window queries don't cover — rows vs range): per event, the count and
+    value sum of the SAME user's events in the trailing hour, expressed as
+    ``RANGE BETWEEN 3_600_000_000 PRECEDING AND CURRENT ROW`` over integer
+    microseconds. One shuffle on user_id, then a linear per-partition
+    sliding-frame scan — never a self-join. Exactness: the summand is
+    ``FLOOR(value * 100)`` — an integer — so the frame sum is
+    order-independent and the DuckDB RANGE frame (identical semantics:
+    peers included by ordering VALUE, not row position) matches bit-for-
+    bit; µs integers dodge fp boundary flips at the frame edge."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0))).over(w).alias(
+            "cents_in_hour"
+        ),
+    ).orderBy("event_id")
+
+
+def discrete_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation COMPOSED from two digest passes: the
+    Nearest-Rank median of l_quantity (discrete digest — exact map state,
+    so the median is an actual data value), then a second discrete digest
+    over |x − median|. Both stages are exact, so MAD has a closed-form SQL
+    twin; the deviations stay integer-valued in double (IEEE-exact both
+    engines). The robust-statistics companion to tdigest_trimmed_mean."""
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE, build_sketch
+
+    d1 = _scan_build(
+        spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST_DISCRETE())}
+    )["s"]
+    med = float(d1.quantile(0.5))
+    dev = _t(spark, sf_dir, "lineitem").select(
+        F.abs(F.col("l_quantity").cast("double") - F.lit(med)).alias("dev")
+    )
+    d2 = build_sketch(dev, "dev", TDIGEST_DISCRETE())
+    mad = float(d2.quantile(0.5))
+    return spark.createDataFrame([(med, mad)], "median double, mad double")
+
+
 def purchase_prior_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (custom operator; mandate example alongside as-of join):
     each purchase event joined to the SAME user's events in the preceding
@@ -1755,6 +1804,26 @@ def doc_decontamination_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination REPORT (the audit companion to
+    doc_decontamination_anti's removal): per contaminated training doc,
+    how many DISTINCT word-5-grams it shares with the benchmark slice
+    (doc_id % 10 == 7 stands in for the eval suite). 5-grams are the
+    decontamination-grade shingle (the GPT-3 appendix-C recipe uses
+    13-grams; the synthetic docs are shorter) — long enough that overlap
+    means leakage, not stopword coincidence. The benchmark shingle-hash
+    set broadcasts; the corpus pass is map-side (operators/dedup.py
+    ngram_contamination)."""
+    from tdigest_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    return ngram_contamination(
+        train, bench, "text", "doc_id", shingle_n=5
+    ).orderBy("doc_id")
+
+
 def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (the looping/boilerplate screen
     every pre-training pipeline runs): distinct-word ratio and
@@ -2779,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ntile_quartiles": orders_ntile_quartiles,
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
+        "events_user_trailing_hour": events_user_trailing_hour,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
@@ -2790,6 +2860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_tree_merged_quantiles": tdigest_tree_merged_quantiles,
         "tdigest_checkpoint_resume": tdigest_checkpoint_resume,
         "discrete_quantile_quantity": discrete_quantile_quantity,
+        "discrete_quantity_mad": discrete_quantity_mad,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
         "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
@@ -2836,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_words": mg_heavy_words,
         "mg_heavy_words_by_source": mg_heavy_words_by_source,
         "doc_decontamination_anti": doc_decontamination_anti,
+        "doc_contamination_report": doc_contamination_report,
         "doc_pii_redaction": doc_pii_redaction,
         "doc_chunk_overlap": doc_chunk_overlap,
         "doc_repetition_filter": doc_repetition_filter,
@@ -3424,6 +3496,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
         """,
+        # RANGE frame: DuckDB's RANGE BETWEEN has the identical
+        # peers-by-ordering-value semantics; integer µs ordering + integer
+        # floor-cents summand make the frame boundary and the sum exact
+        "events_user_trailing_hour": """
+            SELECT event_id,
+                   COUNT(*) OVER w AS n_in_hour,
+                   CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w
+                        AS BIGINT) AS cents_in_hour
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
         # range join: plain inequality join in the oracle; the engine's
         # bucket-expansion equi-join must produce identical pairs.
         # epoch_us == Spark unix_micros (integer µs, no fp boundary flips).
@@ -3443,6 +3528,28 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <= epoch_us(p.ts)
              AND e.event_id <> p.event_id
             GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        # MAD: stage-1 Nearest-Rank median is an exact data value, so the
+        # stage-2 deviations ABS(x - m) are integer-valued doubles — both
+        # digest passes reproduce closed-form
+        "discrete_quantity_mad": """
+            WITH cum AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS v,
+                     SUM(COUNT(*)) OVER (ORDER BY l_quantity) AS c,
+                     SUM(COUNT(*)) OVER () AS n
+              FROM lineitem GROUP BY l_quantity
+            ), med AS (
+              SELECT MIN(v) AS m FROM cum WHERE c >= 0.5 * n
+            ), dcum AS (
+              SELECT ABS(CAST(l_quantity AS DOUBLE) - (SELECT m FROM med)) AS d,
+                     SUM(COUNT(*)) OVER (
+                       ORDER BY ABS(CAST(l_quantity AS DOUBLE)
+                                    - (SELECT m FROM med))) AS c,
+                     SUM(COUNT(*)) OVER () AS n
+              FROM lineitem GROUP BY 1
+            )
+            SELECT (SELECT m FROM med) AS median,
+                   (SELECT MIN(d) FROM dcum WHERE c >= 0.5 * n) AS mad
         """,
         "tdigest_quantity_centroids": """
             SELECT CAST(l_quantity AS DOUBLE) AS mean,
@@ -4380,6 +4487,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
             ORDER BY doc_id
+        """,
+        # contamination report: both engines dedup shingles per doc ON THE
+        # HASH, so even an md5 collision is mirrored
+        "doc_contamination_report": rf"""
+            WITH {_grams_cte(5)}, hv AS (
+              SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+            ), bench AS (
+              SELECT DISTINCT h FROM hv WHERE doc_id % 10 = 7
+            )
+            SELECT v.doc_id, COUNT(*) AS n_shared
+            FROM hv v JOIN bench b USING (h)
+            WHERE v.doc_id % 10 <> 7
+            GROUP BY v.doc_id ORDER BY v.doc_id
         """,
         "doc_repetition_filter": r"""
             WITH w AS (

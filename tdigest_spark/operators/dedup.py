@@ -25,6 +25,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_contamination",
     "simhash64",
     "shingle_minhash_arrow",
     "shingle_hash_sets_arrow",
@@ -487,6 +488,59 @@ def ngram_jaccard_pairs(
         common.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram OVERLAP (the GPT-3 appendix-C
+    recipe, distinct from the whole-document fingerprint anti-join): a
+    training document is contaminated if it shares at least one word
+    n-gram with any benchmark document. Returns
+    DataFrame[id_col, n_shared] — contaminated ids with their count of
+    DISTINCT shared shingles (the review currency: how much leaked, not
+    just a flag).
+
+    Scale shape: the benchmark shingle set is DISTINCT md5-lower-64
+    hashes of the (small) eval suite — low millions of 8-byte longs even
+    for a large benchmark battery — and BROADCASTS, so the training
+    corpus is a single map-side semi-join pass: no shuffle of corpus
+    rows, no join state proportional to the corpus. The per-doc count
+    aggregate only shuffles the (rare) contaminated hits.
+
+    Exactly oracled: shingles are `_shingle_sets` word n-grams hashed
+    with md5-lower-64, both reproduced verbatim in SQL (DuckDB
+    ``md5_number_lower``), so the contaminated id set and counts match
+    bit-for-bit. Short docs (< n words) contribute their whole text as
+    one shingle, same as ngram_jaccard_pairs.
+    """
+    bench_h = (
+        spread_small_input(bench.select(F.col(text_col).alias("_text")))
+        .select(
+            F.explode(
+                shingle_hash_sets_arrow(F.col("_text"), shingle_n)
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    posts = spread_small_input(
+        train.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select(
+        "_id",
+        F.explode(shingle_hash_sets_arrow(F.col("_text"), shingle_n)).alias(
+            "_g"
+        ),
+    )
+    return (
+        posts.join(F.broadcast(bench_h), "_g", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("_id").alias(id_col), "n_shared")
     )
 
 

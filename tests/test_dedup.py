@@ -217,3 +217,34 @@ def test_spread_small_input_partitioning(spark):
 
     wide = spark.range(1000).repartition(par + 4)
     assert spread_small_input(wide) is wide
+
+
+def test_ngram_contamination_counts_and_exclusions(spark):
+    """Contamination = >=1 shared word n-gram with the bench set;
+    n_shared counts DISTINCT shared shingles; clean and short docs
+    behave per the _shingle_sets contract."""
+    from tdigest_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "tiny")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares two distinct 5-grams with bench 100
+            (1, "the quick brown fox jumps over a fence"),
+            # no 5-gram overlap
+            (2, "completely different words in this training document"),
+            # short doc whose whole text equals a short bench doc
+            (3, "tiny"),
+            # repeated shared shingle counts once (distinct per doc)
+            (4, "the quick brown fox jumps x the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in ngram_contamination(train, bench, "text", "doc_id", 5).collect()
+    }
+    assert got == {1: 2, 3: 1, 4: 1}

@@ -74,6 +74,9 @@ AUDITS = {
     "events_value_psi": (0, True, False),
     # retention: one user_id shuffle + re-agg, no joins at all
     "events_weekly_retention": (0, True, False),
+    # time-RANGE frame: one user_id shuffle + linear sliding-frame scan —
+    # any join is a regression to the quadratic self-join formulation
+    "events_user_trailing_hour": (0, True, False),
     # pruned-storage ANN: no joins; the index scan must carry a non-empty
     # PartitionFilters (bucket IN-list -> directory pruning, see
     # PARTITION_PRUNED below)
