@@ -2591,6 +2591,59 @@ def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (streaming/session_windows): 30-minute-gap
+    sessions per user over the events file stream, emitted in append mode
+    as the watermark finalizes each session (state = open sessions only).
+    The batch oracle rebuilds the same sessions gaps-and-islands style and
+    keeps exactly those finalized at drain time: session end (last event +
+    gap) <= max event time - 1s delay. The per-session value sum uses
+    integer floor-cents, so it is order-independent and exact."""
+    import time as _time
+
+    from tdigest_spark.streaming import session_windows
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sessions = session_windows(
+        stream,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        delay="1 second",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0))).alias("cents"),
+        ],
+    )
+    qname = f"ev_sess_{int(_time.time() * 1000)}"
+    q = (
+        sessions.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "cents",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return spark.table(qname).orderBy("user_id", "session_start")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates with exact-jaccard verification.
     Fully oracled: base hashing is md5-lower-64 (DuckDB md5_number_lower)
@@ -2639,6 +2692,43 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the set is stable (no pair within 3e-5 of the threshold at any SF)
     # but the 7th decimal of the value is not
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) dedup END-TO-END with a keep-best
+    retention policy: exact cosine near-dup pairs (block-pair plan, no
+    crossJoin) -> connected components (operators/graph.py) -> within each
+    duplicate group keep the member with the highest label (standing in
+    for a quality score), ties to the lowest vec_id. This is the policy a
+    curation pipeline actually ships — delete all but the best copy — as
+    opposed to dedup_group_resolution's min-id canonical assignment.
+    The per-group winner is a row_number over groups (dup groups are
+    small; the window shuffles only component members, not the corpus).
+    Oracle: recursive transitive closure over the identical pair set +
+    the same ROW_NUMBER pick."""
+    from tdigest_spark.operators.graph import dup_groups
+    from tdigest_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, 0.42, n_blocks=4).select("id_a", "id_b")
+    groups = dup_groups(pairs, "id_a", "id_b")
+    members = groups.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("label"), F.col("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("canonical_id").alias("group_id"),
+            F.col("doc_id").alias("kept_id"),
+            F.col("label").alias("kept_label"),
+            "group_size",
+        )
+        .orderBy("group_id")
+    )
 
 
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2921,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_attribution": events_stream_attribution,
         "events_stream_dedup_counts": events_stream_dedup_counts,
+        "events_stream_session_stats": events_stream_session_stats,
         "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
@@ -2928,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "semantic_dedup_keep_best": semantic_dedup_keep_best,
     }
 
 
@@ -4777,6 +4869,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # streaming session windows: gaps-and-islands rebuild; only
+        # sessions the final watermark (max ts - 1s) finalized are emitted.
+        # tests/test_streaming guards the boundary margin (no session end
+        # near the watermark at any SF)
+        "events_stream_session_stats": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, value FROM events
+            ), flagged AS (
+              SELECT user_id, us, value,
+                     CASE WHEN us - LAG(us) OVER (
+                            PARTITION BY user_id ORDER BY us) > 1800000000
+                          OR LAG(us) OVER (
+                            PARTITION BY user_id ORDER BY us) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e
+            ), sess AS (
+              SELECT user_id, us, value,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            ), agg AS (
+              SELECT user_id,
+                     MIN(us) AS session_start,
+                     MAX(us) + 1800000000 AS session_end,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events, cents
+            FROM agg
+            WHERE session_end <=
+                  (SELECT MAX(epoch_us(ts)) FROM events) - 1000000
+            ORDER BY user_id, session_start
+        """,
         # drained interval stream-stream join == batch interval join
         "events_stream_attribution": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id,
@@ -4827,6 +4954,38 @@ def oracle_sql() -> dict[str, str]:
                     CAST(b.embedding AS DOUBLE[])
                   ) >= 0.42
             ORDER BY id_a, id_b
+        """,
+        # keep-best semantic dedup: pair set is engine-stable (no cosine
+        # within 3e-5 of 0.42 at any SF — same basis as embedding_dup_pairs);
+        # components + winner pick are integer-deterministic from there
+        "semantic_dedup_keep_best": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.42
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+              FROM reach GROUP BY u
+            ), sized AS (
+              SELECT c.group_id, c.doc_id, e.label,
+                     COUNT(*) OVER (PARTITION BY c.group_id) AS group_size,
+                     ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                        ORDER BY e.label DESC, c.doc_id) AS rn
+              FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id
+            )
+            SELECT group_id, doc_id AS kept_id, label AS kept_label,
+                   group_size
+            FROM sized WHERE rn = 1 ORDER BY group_id
         """,
         "ivf_topk_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

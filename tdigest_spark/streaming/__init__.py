@@ -38,7 +38,45 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "interval_join_streams",
+    "session_windows",
 ]
+
+
+def session_windows(
+    stream_df,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    delay: str = "1 second",
+    aggs: list | None = None,
+):
+    """Event-time SESSION windows (gap-based, the window flavor tumbling/
+    sliding can't express): per key, events closer than ``gap`` merge into
+    one session via Spark's native ``session_window`` aggregation. Append
+    mode + watermark: a session is emitted exactly once, when the
+    watermark passes its end (last event + gap), and its state is evicted
+    — so state is bounded by OPEN sessions per key, never stream length.
+
+    Sessions still open when the stream drains (end > final watermark =
+    max event time − ``delay``) are NOT emitted — that is the correct
+    unbounded-stream semantics (they might still grow), and it makes the
+    emitted set a deterministic function of the data, which is what the
+    exact batch oracle keys on.
+
+    ``aggs`` defaults to a row count; pass pyspark aggregate Columns for
+    more. Returns key, session_window (start/end struct), and the aggs.
+    """
+    from pyspark.sql import functions as F
+
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n_events")]
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap)
+        )
+        .agg(*aggs)
+    )
 
 
 def enrich_stream(stream_df, dim_df, keys: list[str], broadcast: bool = True):

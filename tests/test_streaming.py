@@ -577,3 +577,118 @@ def test_interval_join_streams_rejects_column_collision(spark, tmp_path):
         from tdigest_spark.streaming import interval_join_streams
 
         interval_join_streams(s1, s2, ["user_id"], "ts", "ts")
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """Gap-based streaming sessions: events of one session split across
+    micro-batches (maxFilesPerTrigger=1) still merge into ONE session;
+    a session still open at drain (end past the final watermark) is
+    withheld; finalized sessions carry exact counts and floor-cent sums."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.streaming import session_windows
+
+    t0 = 1_700_000_000_000_000  # µs
+    m = 60_000_000
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    # file 0: user 1 events at 0 and 10 min; user 2 at 0
+    # file 1: user 1 at 25 min (merges: gaps < 30 min); user 2 at 100 min
+    #         (new session) ... plus a far sentinel that drives the
+    #         watermark past every session end except user 2's last
+    rows0 = [(1, t0, 1.0), (1, t0 + 10 * m, 2.5), (2, t0, 4.0)]
+    rows1 = [(1, t0 + 25 * m, 3.0), (2, t0 + 100 * m, 8.0),
+             (9, t0 + 500 * m, 0.5)]
+    for fi, rows in enumerate([rows0, rows1]):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, d / f"f-{fi}.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    out = session_windows(
+        stream, "user_id", "ts", gap="30 minutes", delay="1 second",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0))).alias("cents"),
+        ],
+    )
+    qname = f"sess_test_{int(time.time() * 1000)}"
+    q = (
+        out.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("s"),
+            F.unix_micros(F.col("session_window.end")).alias("e"),
+            "n",
+            "cents",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.user_id, r.s): (r.e, r.n, r.cents)
+        for r in spark.table(qname).collect()
+    }
+    gap = 30 * m
+    # user 1: one merged session 0..25min+gap, 3 events, 100+250+300 cents
+    # user 2: both sessions end before the watermark (sentinel at 500min
+    # - 1s) -> emitted; the sentinel's own open session is withheld
+    assert got == {
+        (1, t0): (t0 + 25 * m + gap, 3, 650),
+        (2, t0): (t0 + gap, 1, 400),
+        (2, t0 + 100 * m): (t0 + 100 * m + gap, 1, 800),
+    }
+
+
+def test_session_watermark_boundary_margin():
+    """The events_stream_session_stats oracle keys on session_end <=
+    max_ts - 1s: guard that no session end sits NEAR that watermark at
+    any SF (a boundary hit would make emission engine-dependent)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        (margin,) = con.execute(
+            """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            flagged AS (
+              SELECT user_id, us,
+                     CASE WHEN us - LAG(us) OVER (
+                            PARTITION BY user_id ORDER BY us) > 1800000000
+                          OR LAG(us) OVER (
+                            PARTITION BY user_id ORDER BY us) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e),
+            sess AS (
+              SELECT user_id, us,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged),
+            ends AS (
+              SELECT MAX(us) + 1800000000 AS session_end
+              FROM sess GROUP BY user_id, sid)
+            SELECT MIN(ABS(session_end -
+                           ((SELECT MAX(epoch_us(ts)) FROM events)
+                            - 1000000)))
+            FROM ends
+            """
+        ).fetchone()
+        assert margin > 100_000, (sf, margin)  # >100ms from the boundary
