@@ -2547,6 +2547,72 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution flavor
+    where unconverted clicks must ALSO be emitted (with nulls) once the
+    watermark proves no purchase can still match. Null emission is
+    watermark-driven state eviction: an unmatched click emits exactly
+    when final_wm > click_ts + horizon, where final_wm =
+    min(max_click_ts, max_purchase_ts) − delay (global min-watermark
+    policy across the two inputs). That makes the emitted set a
+    deterministic function of the data, and the batch oracle reproduces
+    it: matched interval-join pairs plus watermark-expired unmatched
+    clicks (purchase_id −1 stands in for NULL so both engines order and
+    hash identically). Boundary margin is test-guarded per SF."""
+    import time as _time
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(etype: str, prefix: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias(ts_name),
+            )
+        )
+
+    joined = interval_join_streams(
+        _stream("click", "click", "click_ts"),
+        _stream("purchase", "purchase", "purchase_ts"),
+        ["user_id"],
+        "click_ts",
+        "purchase_ts",
+        horizon="2 hours",
+        max_delay="1 second",
+        how="left_outer",
+    )
+    qname = f"ev_attr_oj_{int(_time.time() * 1000)}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return (
+        spark.table(qname)
+        .select(
+            "click_id",
+            F.coalesce("purchase_id", F.lit(-1).cast("long")).alias(
+                "purchase_id"
+            ),
+            F.col("purchase_id").isNotNull().alias("attributed"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon: the events file
     stream unioned with ITSELF (every event delivered twice — the at-least-
@@ -2589,6 +2655,80 @@ def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+def events_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-source coverage (JSON Lines + CSV) with explicit schemas and
+    PERMISSIVE corrupt-record capture — the other half of ingestion after
+    parquet/Avro/Iceberg: events are staged as JSONL and CSV, read back
+    with enforced schemas, and aggregated; two injected malformed JSON
+    lines must surface in ``_corrupt_record`` (counted in the result, so
+    the oracle's literal 2 certifies the error path ran against 10k+ good
+    lines). The staged value column is integer floor-cents — text
+    roundtrips of longs are exact, doubles-as-decimal-text are not.
+    The JSON and CSV reads must agree row-for-row (asserted in-query).
+    Scale shape: both reads are splittable line formats; the aggregate is
+    the usual partial+final pass."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="evt_text_src_")
+    try:
+        ev.write.mode("overwrite").json(f"{tmp}/json")
+        ev.write.mode("overwrite").option("header", "true").csv(f"{tmp}/csv")
+        with open(f"{tmp}/json/zz-corrupt.json", "w") as fh:
+            fh.write('{"event_id": "not-a-long", "user_id": 1}\n')
+            fh.write("{this is not json at all\n")
+        schema = (
+            "event_id long, user_id long, event_type string, cents long, "
+            "_corrupt_record string"
+        )
+        jdf = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(f"{tmp}/json")
+            # cache is REQUIRED before referencing only the corrupt-record
+            # column (Spark disallows corrupt-column-only queries on the
+            # raw unparsed relation)
+            .cache()
+        )
+        n_corrupt = jdf.where(F.col("_corrupt_record").isNotNull()).count()
+        assert n_corrupt == 2, n_corrupt
+        good = jdf.where(F.col("_corrupt_record").isNull())
+
+        def _agg(df):
+            return (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+                .orderBy("event_type")
+            )
+
+        rows = [tuple(r) for r in _agg(good).collect()]
+        cdf = (
+            spark.read.schema(
+                "event_id long, user_id long, event_type string, cents long"
+            )
+            .option("header", "true")
+            .csv(f"{tmp}/csv")
+        )
+        assert rows == [tuple(r) for r in _agg(cdf).collect()]
+        jdf.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = [(t, n, c, 2) for t, n, c in rows]
+    return spark.createDataFrame(
+        out, "event_type string, n_events long, cents long, n_corrupt int"
+    ).orderBy("event_type")
 
 
 def events_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3012,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_attribution": events_stream_attribution,
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_session_stats": events_stream_session_stats,
+        "events_text_source_roundtrip": events_text_source_roundtrip,
         "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
@@ -4867,6 +5008,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup_counts": """
             SELECT event_type, COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # text-source roundtrip: staged column is integer cents (exact in
+        # text); n_corrupt's literal 2 certifies the PERMISSIVE path found
+        # exactly the injected malformed lines
+        "events_text_source_roundtrip": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(2 AS INTEGER) AS n_corrupt
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         # streaming session windows: gaps-and-islands rebuild; only
