@@ -3150,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_attribution": events_stream_attribution,
+        "events_stream_attribution_outer": events_stream_attribution_outer,
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_session_stats": events_stream_session_stats,
         "events_text_source_roundtrip": events_text_source_roundtrip,
@@ -5064,6 +5065,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN events p ON c.user_id = p.user_id
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id
+        """,
+        # left-outer stream-stream join: matched pairs + watermark-expired
+        # unmatched clicks (null emission == state eviction at
+        # click_ts + horizon < min-watermark); -1 stands in for NULL so
+        # both engines sort/hash identically. Boundary margin test-guarded.
+        "events_stream_attribution_outer": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+              FROM events WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT c.click_id, p.purchase_id
+              FROM c JOIN p ON c.user_id = p.user_id
+               AND p.pus >= c.cus AND p.pus <= c.cus + 7200000000
+            ), wm AS (
+              SELECT LEAST((SELECT MAX(cus) FROM c),
+                           (SELECT MAX(pus) FROM p)) - 1000000 AS w
+            )
+            SELECT click_id, purchase_id, TRUE AS attributed FROM m
+            UNION ALL
+            SELECT c.click_id, CAST(-1 AS BIGINT) AS purchase_id,
+                   FALSE AS attributed
+            FROM c, wm
+            WHERE c.click_id NOT IN (SELECT click_id FROM m)
+              AND c.cus + 7200000000 < wm.w
             ORDER BY click_id, purchase_id
         """,
         "events_hourly_stream_digest": """

@@ -692,3 +692,102 @@ def test_session_watermark_boundary_margin():
             """
         ).fetchone()
         assert margin > 100_000, (sf, margin)  # >100ms from the boundary
+
+
+def test_interval_join_left_outer_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unmatched left rows emit
+    with nulls exactly when the watermark passes click_ts + horizon;
+    clicks whose join window is still open at drain are withheld."""
+    import pyspark.sql.functions as F
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    t0 = 1_700_000_000_000_000
+    m = 60_000_000
+    cdir, pdir = tmp_path / "oc", tmp_path / "op"
+    cdir.mkdir(), pdir.mkdir()
+
+    def _tbl(ids, users, tss, idname, tsname):
+        return pa.table(
+            {
+                idname: pa.array(ids, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                tsname: pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    # clicks: 1 matched; 2 unmatched+expired; 3 unmatched, window still
+    # open at drain (click_ts + horizon > wm)
+    pq.write_table(
+        _tbl([1, 2, 3], [7, 8, 7],
+             [t0, t0 + 5 * m, t0 + 200 * m], "click_id", "click_ts"),
+        cdir / "c.parquet",
+    )
+    # purchases: one match for click 1; a late sentinel drives the
+    # purchase-side watermark; click side max is click 3's ts
+    pq.write_table(
+        _tbl([100, 101], [7, 99],
+             [t0 + 10 * m, t0 + 260 * m], "purchase_id", "purchase_ts"),
+        pdir / "p.parquet",
+    )
+    clicks = spark.readStream.schema(
+        "click_id long, user_id long, click_ts timestamp"
+    ).parquet(str(cdir))
+    purchases = spark.readStream.schema(
+        "purchase_id long, user_id long, purchase_ts timestamp"
+    ).parquet(str(pdir))
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        horizon="30 minutes", max_delay="1 second", how="left_outer",
+    )
+    qname = f"oj_test_{int(time.time() * 1000)}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r.click_id, r.purchase_id) for r in spark.table(qname).collect()}
+    # wm = min(t0+200m, t0+260m) - 1s = t0+200m - 1s
+    # click 1: matched. click 2: 5m+30m << wm -> null-emitted.
+    # click 3: 200m+30m > wm -> withheld.
+    assert got == {(1, 100), (2, None)}
+
+
+def test_attribution_outer_watermark_margin():
+    """events_stream_attribution_outer keys null emission on
+    click_ts + 2h <?> min(max_click, max_purchase) - 1s: no unmatched
+    click may sit near that boundary at any SF."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        (margin,) = con.execute(
+            """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, epoch_us(ts) AS pus
+              FROM events WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT DISTINCT c.click_id
+              FROM c JOIN p ON c.user_id = p.user_id
+               AND p.pus >= c.cus AND p.pus <= c.cus + 7200000000
+            ), wm AS (
+              SELECT LEAST((SELECT MAX(cus) FROM c),
+                           (SELECT MAX(pus) FROM p)) - 1000000 AS w
+            )
+            SELECT MIN(ABS(c.cus + 7200000000 - wm.w))
+            FROM c, wm WHERE c.click_id NOT IN (SELECT click_id FROM m)
+            """
+        ).fetchone()
+        assert margin > 100_000, (sf, margin)
