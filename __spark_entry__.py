@@ -3003,6 +3003,55 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_ANN_RECALL_PROBES = (0, 1, 2, 6)
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement — the recall/cost TRADEOFF CURVE every ANN
+    deployment tunes on: recall@10 of the LSH probe vs the exact
+    brute-force top-10 at widening probe radii (Hamming 0, 1, 2, and 6 =
+    all buckets), alongside candidates scanned. The full-probe row must
+    reach recall 1.0 — the curve carries its own correctness endpoint.
+    Both rankings are SQL-reproducible (plane-literal buckets + exact
+    cosine), so the measured recall values are exactly oracled — the
+    approximation is quantified, not asserted. Each probe is a
+    partition-pruned index read (no re-signing)."""
+    from tdigest_spark.operators.similarity import (
+        lsh_index_topk,
+        lsh_probe_buckets,
+        topk_cosine,
+    )
+
+    path = _ensure_ann_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    exact = topk_cosine(emb, query, k=10, exclude_id=0).select("vec_id")
+    exact.persist()
+    n_corpus = emb.where(F.col("vec_id") != 0).count()
+    idx = spark.read.parquet(path)
+    rows = []
+    for ph in _ANN_RECALL_PROBES:
+        approx = lsh_index_topk(
+            spark, path, query, k=10,
+            n_planes=_ANN_PLANES, seed=_ANN_SEED, probe_hamming=ph,
+            exclude_id=0,
+        ).select("vec_id")
+        n_hits = approx.join(exact, "vec_id", "left_semi").count()
+        probes = lsh_probe_buckets(query, _ANN_PLANES, _ANN_SEED, ph)
+        n_cand = idx.where(
+            F.col("bucket").isin(probes) & (F.col("vec_id") != 0)
+        ).count()
+        rows.append((ph, 10, n_hits, n_cand, n_corpus, n_hits / 10.0))
+    exact.unpersist()
+    assert rows[-1][5] == 1.0, rows[-1]  # full probe == brute force
+    return spark.createDataFrame(
+        rows,
+        "probe_hamming int, k int, n_hits long, n_candidates long, "
+        "n_corpus long, recall double",
+    ).orderBy("probe_hamming")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3158,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
         "ann_pruned_topk": ann_pruned_topk,
+        "ann_recall_at_k": ann_recall_at_k,
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -3413,6 +3463,63 @@ def _ann_pruned_oracle_sql(
           AND bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT)))
               <= {probe_hamming}{label_pred}
         ORDER BY rank LIMIT {k}
+    """
+
+
+def _ann_recall_oracle_sql(
+    n_planes: int = _ANN_PLANES,
+    seed: int = _ANN_SEED,
+    dim: int = _ANN_DIM,
+    k: int = 10,
+) -> str:
+    """SQL twin of ann_recall_at_k: rebuild each probe radius's candidate
+    set from the inlined plane literals, take both top-k rankings, and
+    measure the overlap — every point of the recall/cost curve is exact."""
+    from tdigest_spark.operators.similarity import _plane_matrix
+
+    P = _plane_matrix(dim, n_planes, seed)
+    terms = []
+    for p in range(n_planes):
+        lits = ",".join(repr(float(x)) for x in P[:, p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    blocks = []
+    for ph in _ANN_RECALL_PROBES:
+        blocks.append(f"""
+        SELECT CAST({ph} AS INTEGER) AS probe_hamming,
+               CAST({k} AS INTEGER) AS k,
+               (SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM cand WHERE hd <= {ph}
+                  ORDER BY cos DESC, vec_id LIMIT {k}
+                ) WHERE vec_id IN (SELECT vec_id FROM exact)) AS n_hits,
+               (SELECT COUNT(*) FROM cand WHERE hd <= {ph}) AS n_candidates,
+               (SELECT COUNT(*) FROM cand) AS n_corpus,
+               CAST((SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM cand WHERE hd <= {ph}
+                  ORDER BY cos DESC, vec_id LIMIT {k}
+                ) WHERE vec_id IN (SELECT vec_id FROM exact))
+                 AS DOUBLE) / {float(k)} AS recall""")
+    union = "\n        UNION ALL\n".join(blocks)
+    return f"""
+        WITH sigs AS (
+          SELECT vec_id, embedding, {bucket_expr} AS bucket
+          FROM embeddings
+        ), q AS (
+          SELECT embedding AS qe, bucket AS qb FROM sigs WHERE vec_id = 0
+        ), cand AS (
+          SELECT s.vec_id,
+                 bit_count(xor(CAST(s.bucket AS BIGINT),
+                               CAST(q.qb AS BIGINT))) AS hd,
+                 list_cosine_similarity(s.embedding, q.qe) AS cos
+          FROM sigs s, q WHERE s.vec_id <> 0
+        ), exact AS (
+          SELECT vec_id FROM cand ORDER BY cos DESC, vec_id LIMIT {k}
+        )
+        {union}
+        ORDER BY probe_hamming
     """
 
 
@@ -5179,5 +5286,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank LIMIT 10
         """,
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
+        "ann_recall_at_k": _ann_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
     }
