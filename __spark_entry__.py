@@ -1584,6 +1584,44 @@ def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def events_daily_p95_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series quantile rollup — the monitoring query sketches exist
+    for: p95 of event value per (event_type, day), built as grouped
+    DISCRETE digests over integer floor-cents. Exact-map state means the
+    per-group Nearest-Rank p95 is exact for ANY value distribution (not
+    just duplicate-heavy configs), with bounded state (distinct cents per
+    group). Only #groups x O(state) bytes shuffle — the scale shape of
+    every per-key time-bucketed quantile dashboard."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST_DISCRETE,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.floor(F.col("value") * F.lit(100.0)).alias("cents"),
+    )
+    states = build_sketch_grouped(
+        ev, ["event_type", "day"], "cents", TDIGEST_DISCRETE()
+    ).collect()
+    rows = [
+        (
+            r["event_type"],
+            r["day"],
+            int(DiscreteDigest.from_bytes(r["state"]).n),
+            int(DiscreteDigest.from_bytes(r["state"]).quantile(0.95)),
+        )
+        for r in states
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, day string, n_events long, p95_cents long"
+    ).orderBy("event_type", "day")
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (dedup / text / similarity)
 # --------------------------------------------------------------------------
@@ -3148,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_price_quantiles": ddsketch_price_quantiles,
         "ddsketch_price_by_flag": ddsketch_price_by_flag,
         "grouped_digest_functions": grouped_digest_functions,
+        "events_daily_p95_by_type": events_daily_p95_by_type,
         "digest_centroids_udtf": digest_centroids_udtf,
         "hll_distinct_check": hll_distinct_check,
         "hll_set_algebra": hll_set_algebra,
@@ -3869,6 +3908,26 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <= epoch_us(p.ts)
              AND e.event_id <> p.event_id
             GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        # daily p95: exact-map grouped digests => per-group Nearest-Rank is
+        # exact for ANY data; 0.95*n doubles are IEEE-identical both sides
+        "events_daily_p95_by_type": """
+            WITH b AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+              FROM events
+            ), cum AS (
+              SELECT event_type, day, cents,
+                     SUM(COUNT(*)) OVER (PARTITION BY event_type, day
+                                         ORDER BY cents) AS c,
+                     SUM(COUNT(*)) OVER (PARTITION BY event_type, day) AS n
+              FROM b GROUP BY event_type, day, cents
+            )
+            SELECT event_type, day,
+                   CAST(MAX(n) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN c >= 0.95 * n THEN cents END) AS p95_cents
+            FROM cum GROUP BY event_type, day
+            ORDER BY event_type, day
         """,
         # MAD: stage-1 Nearest-Rank median is an exact data value, so the
         # stage-2 deviations ABS(x - m) are integer-valued doubles — both

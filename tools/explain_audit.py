@@ -77,6 +77,9 @@ AUDITS = {
     # time-RANGE frame: one user_id shuffle + linear sliding-frame scan —
     # any join is a regression to the quadratic self-join formulation
     "events_user_trailing_hour": (0, True, False),
+    # contamination report: the benchmark shingle set must BROADCAST
+    # (map-side semi-join); an SMJ here would shuffle the whole corpus
+    "doc_contamination_report": (1, True, False),
     # pruned-storage ANN: no joins; the index scan must carry a non-empty
     # PartitionFilters (bucket IN-list -> directory pruning, see
     # PARTITION_PRUNED below)
