@@ -1913,6 +1913,90 @@ def doc_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation story as one funnel — what a 100 TB
+    pre-training pipeline actually reports: input -> benchmark holdout
+    split -> quality gate -> repetition gate -> exact dedup (keep min) ->
+    5-gram decontamination vs the holdout -> deterministic 50% hash
+    sample, with the surviving-document count at every stage. The gate
+    counts come from ``df.observe`` metrics (one action materializes the
+    whole gated chain AND its funnel — no per-stage re-scan, the pattern
+    that matters when one scan is petabytes); the dedup survivor count is
+    that same action's result. Only the decontamination branch re-reads
+    the (persisted) dedup survivors. Every stage is exactly oracled by a
+    staged SQL CTE chain."""
+    from pyspark.sql import Observation
+
+    from tdigest_spark.operators.dedup import (
+        shingle_hash_sets_arrow,
+        spread_small_input,
+    )
+    from tdigest_spark.operators.sample import hash_sample
+    from tdigest_spark.operators.text import quality_features, repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    n_input = docs.count()
+    obs_train, obs_q, obs_r = Observation(), Observation(), Observation()
+    cnt = [F.count(F.lit(1)).alias("n")]
+    train = docs.where(F.col("doc_id") % 10 != 7).observe(obs_train, *cnt)
+    q = quality_features(train).where(
+        (F.col("n_words") >= 5) & (F.col("punct_ratio") <= 0.25)
+    ).observe(obs_q, *cnt)
+    r = repetition_features(
+        q.select("doc_id", "source", "lang", "text")
+    ).where(
+        (F.col("distinct_ratio") >= 0.45) & (F.col("top_word_ratio") <= 0.12)
+    ).observe(obs_r, *cnt)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    kept = (
+        r.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+        .persist()
+    )
+    n_dedup = kept.count()  # one action: funnel metrics + dedup survivors
+    n_train = obs_train.get["n"]
+    n_quality = obs_q.get["n"]
+    n_rep = obs_r.get["n"]
+    bench_h = (
+        spread_small_input(
+            docs.where(F.col("doc_id") % 10 == 7).select("text")
+        )
+        .select(
+            F.explode(shingle_hash_sets_arrow(F.col("text"), 5)).alias("_g")
+        )
+        .distinct()
+    )
+    posts = spread_small_input(kept).select(
+        "doc_id",
+        F.explode(shingle_hash_sets_arrow(F.col("text"), 5)).alias("_g"),
+    )
+    contaminated = (
+        posts.join(F.broadcast(bench_h), "_g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = kept.join(contaminated, "doc_id", "left_anti").persist()
+    n_decon = decon.count()
+    n_sampled = hash_sample(decon, "doc_id", 0.5).count()
+    kept.unpersist()
+    decon.unpersist()
+    rows = [
+        (1, "input", n_input),
+        (2, "train_split", n_train),
+        (3, "quality", n_quality),
+        (4, "repetition", n_rep),
+        (5, "exact_dedup", n_dedup),
+        (6, "decontaminated", n_decon),
+        (7, "sampled", n_sampled),
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, gate string, n_docs long"
+    ).orderBy("stage")
+
+
 def token_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mix rebalancing: per-source whitespace-token totals and the
     sampling weight that equalizes every source's token contribution
@@ -3230,6 +3314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": doc_chunk_overlap,
         "doc_repetition_filter": doc_repetition_filter,
         "doc_clean_pipeline": doc_clean_pipeline,
+        "doc_curation_funnel": doc_curation_funnel,
         "token_mix_rebalance": token_mix_rebalance,
         "doc_pack_chunks": doc_pack_chunks,
         "token_shards_by_source": token_shards_by_source,
@@ -3559,6 +3644,84 @@ def _ann_recall_oracle_sql(
         )
         {union}
         ORDER BY probe_hamming
+    """
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """Staged SQL twin of doc_curation_funnel: the same gate chain as the
+    doc_clean_pipeline oracle plus holdout split, 5-gram decontamination
+    vs the holdout slice, and the md5 half-sample — one COUNT per stage."""
+    g5 = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(5))
+    thr = int(0.5 * (1 << 64))
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(TRIM(text), '\s+') AS words,
+                 LENGTH(text) AS nc,
+                 LENGTH(text)
+                   - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS np
+          FROM documents WHERE doc_id % 10 <> 7
+        ), q AS (
+          SELECT doc_id, text FROM base
+          WHERE LEN(words) >= 5
+            AND (CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END) <= 0.25
+        ), f AS (
+          SELECT doc_id, word, COUNT(*) AS c
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM q
+          ) GROUP BY 1, 2
+        ), rep AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dr,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS tr
+          FROM f GROUP BY 1
+        ), r AS (
+          SELECT q.* FROM q JOIN rep USING (doc_id)
+          WHERE rep.dr >= 0.45 AND rep.tr <= 0.12
+        ), ded AS (
+          SELECT r.* FROM r
+          JOIN (SELECT MIN(doc_id) AS doc_id FROM r GROUP BY text) k
+            USING (doc_id)
+        ), wd AS (
+          SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+          FROM ded
+        ), gd AS (
+          SELECT DISTINCT doc_id, {g5} AS g
+          FROM wd, UNNEST(range(1, len(w) - 3)) AS t(i) WHERE len(w) >= 5
+          UNION
+          SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+          FROM wd WHERE len(w) < 5
+        ), wb AS (
+          SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+          FROM documents WHERE doc_id % 10 = 7
+        ), gb AS (
+          SELECT DISTINCT md5_number_lower({g5}) AS h
+          FROM wb, UNNEST(range(1, len(w) - 3)) AS t(i) WHERE len(w) >= 5
+          UNION
+          SELECT DISTINCT md5_number_lower(array_to_string(w, ' ')) AS h
+          FROM wb WHERE len(w) < 5
+        ), bad AS (
+          SELECT DISTINCT doc_id FROM
+            (SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM gd)
+          WHERE h IN (SELECT h FROM gb)
+        ), dec AS (
+          SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        ), samp AS (
+          SELECT * FROM dec
+          WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) < {thr}
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS INTEGER) AS stage, 'input' AS gate,
+                 (SELECT COUNT(*) FROM documents) AS n_docs
+          UNION ALL SELECT 2, 'train_split', (SELECT COUNT(*) FROM base)
+          UNION ALL SELECT 3, 'quality', (SELECT COUNT(*) FROM q)
+          UNION ALL SELECT 4, 'repetition', (SELECT COUNT(*) FROM r)
+          UNION ALL SELECT 5, 'exact_dedup', (SELECT COUNT(*) FROM ded)
+          UNION ALL SELECT 6, 'decontaminated', (SELECT COUNT(*) FROM dec)
+          UNION ALL SELECT 7, 'sampled', (SELECT COUNT(*) FROM samp)
+        ) ORDER BY stage
     """
 
 
@@ -4682,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
             ORDER BY id_a, id_b
         """,
+        "doc_curation_funnel": _curation_funnel_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
         "dedup_group_resolution": _dedup_groups_oracle_sql(
             k=32, bands=8, threshold=0.5
