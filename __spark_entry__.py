@@ -2155,6 +2155,66 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts")
 
 
+def token_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup audit (ExactSubstr of Lee et al. 2022) over
+    the hash-tokenized corpus: per document, the number of token positions
+    covered by a 5-token span that occurs more than once ANYWHERE in the
+    corpus — the signal substring dedup trims on where document-level
+    dedup sees nothing.  The paper's suffix array doesn't distribute;
+    operators/dedup.py duplicate_span_coverage is the shuffle formulation
+    (map-side span hashing -> one shuffle on the 8-byte span hash ->
+    join-back + gaps-and-islands interval merge per doc).  Tokens and span
+    hashes are md5-lower-64 (== DuckDB md5_number_lower), so the whole
+    statistic has an exact SQL oracle."""
+    from tdigest_spark.operators.dedup import duplicate_span_coverage
+    from tdigest_spark.operators.text import hash_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", hash_tokens(F.col("text")).alias("tokens"))
+    return duplicate_span_coverage(toks, "tokens", "doc_id", k=5).orderBy(
+        "doc_id"
+    )
+
+
+def token_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-output audit per source over the deterministic hash
+    tokenizer (operators/text.py hash_tokens, md5-lower-64 mod 50257):
+    token mass, distinct-id count (hashing-trick vocab coverage), top-token
+    mass share, and Shannon entropy in nats — the diversity numbers a
+    training-mix owner watches per domain.  One explode + one (source, id)
+    two-phase aggregate + one O(#sources x #vocab)-bounded rollup; per-term
+    doubles (c*ln c) are IEEE-exact and spelled identically in the oracle,
+    ROUND(...,6) absorbs ln ULPs + summation order (the
+    doc_source_word_kl contract)."""
+    from tdigest_spark.operators.text import hash_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(hash_tokens(F.col("text"))).alias("tok")
+    )
+    per = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.col("n_tokens").cast("double")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("_max_c"),
+            F.sum(
+                F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            ).alias("_clnc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("_max_c").cast("double") / n, 6).alias("top_share"),
+            F.round(F.log(n) - F.col("_clnc") / n, 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 def mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent items, two-pass exact heavy hitters: MG(k=64)
     over the exploded word stream yields a candidate set GUARANTEED to
@@ -3304,6 +3364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": doc_vocab_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_source_word_kl": doc_source_word_kl,
+        "token_span_dedup": token_span_dedup,
+        "token_vocab_audit": token_vocab_audit,
         "events_value_psi": events_value_psi,
         "events_weekly_retention": events_weekly_retention,
         "mg_heavy_words": mg_heavy_words,
@@ -5190,6 +5252,80 @@ def oracle_sql() -> dict[str, str]:
         # counts (< 2^53) spelled exactly like the Spark expression; ln ULP
         # noise + summation order are absorbed by ROUND(..., 6). The lift
         # test is integer cross-multiplication — exact on both engines.
+        # span identity = md5_number_lower of the comma-joined token ids —
+        # the SAME uint64 Spark's conv(md5-lower-hex,16,10) path computes,
+        # so duplicate classification is exact (not merely collision-equal)
+        "token_span_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(text) = '' THEN CAST([] AS BIGINT[])
+                          ELSE list_transform(
+                                 regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                                 w -> CAST(md5_number_lower(w) % 50257 AS BIGINT))
+                     END AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5_number_lower(array_to_string(t[i:i+4], ',')) AS h
+              FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+              WHERE len(t) >= 5
+            ), dups AS (
+              SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1
+            ), hits AS (
+              SELECT s.doc_id, s.pos, s.pos + 4 AS e
+              FROM spans s JOIN dups USING (h)
+            ), isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pos > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1) + 1
+                          THEN 1 ELSE 0 END AS ni
+              FROM hits
+            ), isl2 AS (
+              SELECT doc_id, pos, e,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS g
+              FROM isl
+            ), cov AS (
+              SELECT doc_id, CAST(SUM(mx - mn + 1) AS BIGINT) AS dup_covered
+              FROM (SELECT doc_id, g, MIN(pos) AS mn, MAX(e) AS mx
+                    FROM isl2 GROUP BY doc_id, g)
+              GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(len(b.t) AS INT) AS n_tok,
+                   CAST(COALESCE(c.dup_covered, 0) AS BIGINT) AS dup_covered,
+                   CASE WHEN len(b.t) = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE ROUND(CAST(COALESCE(c.dup_covered, 0) AS DOUBLE)
+                                   / len(b.t), 6)
+                   END AS dup_fraction
+            FROM toks b LEFT JOIN cov c USING (doc_id)
+            ORDER BY b.doc_id
+        """,
+        "token_vocab_audit": r"""
+            WITH tok AS (
+              SELECT source,
+                     UNNEST(list_transform(
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                       w -> CAST(md5_number_lower(w) % 50257 AS BIGINT))) AS tok
+              FROM documents WHERE TRIM(text) <> ''
+            ), per AS (
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY source, tok
+            )
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   ROUND(CAST(MAX(c) AS DOUBLE)
+                         / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+                   ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                         - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                           / CAST(SUM(c) AS DOUBLE), 6) AS entropy_nats
+            FROM per
+            GROUP BY source
+            ORDER BY source
+        """,
         "doc_source_word_kl": r"""
             WITH w AS (
               SELECT source,

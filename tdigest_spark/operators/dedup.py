@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_tokens
+from .text import _md5_lower64_hex, word_tokens
 
 __all__ = [
     "exact_dup_groups",
@@ -30,6 +30,7 @@ __all__ = [
     "shingle_minhash_arrow",
     "shingle_hash_sets_arrow",
     "spread_small_input",
+    "duplicate_span_coverage",
 ]
 
 
@@ -582,3 +583,115 @@ def simhash64(col, ngram: int = 2) -> Column:
         return pd.Series(out)
 
     return vote(col)
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Substring-level dedup audit (the ExactSubstr statistic of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", 2022):
+    for every document, how many token POSITIONS are covered by at least
+    one ``k``-token span that occurs more than once anywhere in the corpus
+    — the signal substring dedup trims on, where document-level dedup sees
+    nothing (boilerplate headers, quoted paragraphs, license blocks).
+
+    The paper builds a single-node suffix array; that doesn't distribute.
+    This is the shuffle formulation that does:
+
+      1. map-side: every row fans out its (pos, md5-lower-64(span)) pairs —
+         one 8-byte hash per token position, computed inside ONE bound
+         ``transform`` (no cross-branch re-evaluation);
+      2. one shuffle on span hash -> corpus frequency; spans with freq > 1
+         are the duplicated ones (the analogue of the suffix-array repeated
+         substring scan);
+      3. join back on span hash (both sides large => shuffle hash join, the
+         correct plan) and merge overlapping [pos, pos+k-1] intervals per
+         document with a gaps-and-islands window — state per doc is its own
+         duplicated spans only.
+
+    Everything is exact and SQL-reproducible: span identity is
+    ``md5_number_lower(array_to_string(tokens[i:i+k-1], ','))`` in DuckDB.
+
+    Returns (id, n_tok, dup_covered, dup_fraction) for EVERY input row
+    (docs with no duplicated span report 0 / 0.0; blank docs 0-token docs
+    report fraction 0.0).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(tokens_col), lambda x: x.cast("string")).alias("_s"),
+        F.size(tokens_col).alias("n_tok"),
+    )
+    n = F.col("n_tok")
+    spans = (
+        base.where(n >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _md5_lower64_hex(F.concat_ws(",", F.slice(F.col("_s"), i, k))).alias(
+                            "h"
+                        ),
+                    ),
+                )
+            ).alias("sp"),
+        )
+        .select(id_col, F.col("sp.pos").alias("pos"), F.col("sp.h").alias("h"))
+    )
+    dup_hashes = spans.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") > 1
+    )
+    hits = spans.join(dup_hashes.select("h"), "h").select(
+        id_col, "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn(
+            "_new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("end").over(w_prev), F.lit(-1)) + F.lit(1)
+            ).cast("int"),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_isl")
+        .agg((F.max("end") - F.min("pos") + F.lit(1)).alias("_cov"))
+        .groupBy(id_col)
+        .agg(F.sum("_cov").alias("dup_covered"))
+    )
+    return (
+        base.select(id_col, "n_tok")
+        .join(islands, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce(F.col("dup_covered"), F.lit(0).cast("bigint")).alias(
+                "dup_covered"
+            ),
+            F.when(F.col("n_tok") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("dup_covered"), F.lit(0).cast("bigint"))
+                    / F.col("n_tok"),
+                    6,
+                )
+            )
+            .alias("dup_fraction"),
+        )
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "word_tokens",
+    "hash_tokens",
     "token_count",
     "quality_features",
     "repetition_features",
@@ -177,6 +178,30 @@ def _md5_lower64_hex(col) -> Column:
     substring/concat — no Python."""
     h = F.md5(col.cast("binary"))
     return F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+
+
+def hash_tokens(col, vocab: int = 50257) -> Column:
+    """Deterministic hash tokenizer: lowercase whitespace words -> token ids
+    in [0, vocab) as array<bigint>, via md5-lower-64 mod vocab (the
+    hashing-trick vocabulary every sketch/embedding pipeline starts from
+    when no trained tokenizer ships with the corpus). Exactly reproducible
+    in SQL: ``list_transform(words, w -> md5_number_lower(w) % vocab)`` —
+    Spark's ``conv(hex, 16, 10)`` interprets the 16 hex chars as the same
+    unsigned 64-bit value DuckDB's ``md5_number_lower`` returns, and the
+    decimal(20,0) mod keeps the full uint64 range exact.
+
+    Scale note: this is a per-word JVM expression chain inside one
+    ``transform`` (interpreted HOF, not codegen) — fine as the exact-oracle
+    stand-in and for audits; a production tokenizer would run as an Arrow
+    ``mapInArrow`` kernel like operators/scan.py's sketch builders."""
+    words = word_tokens(F.lower(col))
+    return F.transform(
+        words,
+        lambda w: F.pmod(
+            F.conv(_md5_lower64_hex(w), 16, 10).cast("decimal(20,0)"),
+            F.lit(vocab),
+        ).cast("bigint"),
+    )
 
 
 def fingerprint(col, ngram: int = 5) -> Column:

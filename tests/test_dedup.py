@@ -248,3 +248,68 @@ def test_ngram_contamination_counts_and_exclusions(spark):
         for r in ngram_contamination(train, bench, "text", "doc_id", 5).collect()
     }
     assert got == {1: 2, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# substring-level (token-span) dedup coverage
+# ---------------------------------------------------------------------------
+
+
+def _brute_span_coverage(rows, k):
+    """Reference implementation: count every k-span, mark docs' positions
+    covered by any span with corpus frequency > 1."""
+    from collections import Counter
+
+    freq = Counter()
+    for _id, toks in rows:
+        for i in range(len(toks) - k + 1):
+            freq[tuple(toks[i : i + k])] += 1
+    out = {}
+    for _id, toks in rows:
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if freq[tuple(toks[i : i + k])] > 1:
+                covered.update(range(i, i + k))
+        n = len(toks)
+        frac = 0.0 if n == 0 else round(len(covered) / n, 6)
+        out[_id] = (n, len(covered), frac)
+    return out
+
+
+def test_duplicate_span_coverage_known(spark):
+    from tdigest_spark.operators.dedup import duplicate_span_coverage
+
+    rows = [
+        (1, [1, 2, 3, 4, 5, 9, 9, 9, 9, 9]),  # spans at pos 1,2 duplicated
+        (2, [7, 1, 2, 3, 4, 5, 8, 8, 8]),
+        (3, [1, 2, 3, 4, 6]),  # unique span
+        (4, []),  # empty doc: fraction 0.0, no NaN
+        (5, [1, 2, 3, 4, 5, 2, 3, 4, 5, 9]),  # adjacent islands merge to 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<bigint>")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_covered"], r["dup_fraction"])
+        for r in duplicate_span_coverage(df, "tokens", "doc_id", k=5).collect()
+    }
+    assert got == _brute_span_coverage(rows, 5)
+    assert got[1] == (10, 6, 0.6)
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (10, 10, 1.0)
+
+
+def test_duplicate_span_coverage_random_matches_bruteforce(spark):
+    from tdigest_spark.operators.dedup import duplicate_span_coverage
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 30))
+        # tiny alphabet so repeated spans actually occur
+        rows.append((i, [int(x) for x in rng.integers(0, 4, n)]))
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<bigint>")
+    for k in (3, 5):
+        got = {
+            r["doc_id"]: (r["n_tok"], r["dup_covered"], r["dup_fraction"])
+            for r in duplicate_span_coverage(df, "tokens", "doc_id", k=k).collect()
+        }
+        assert got == _brute_span_coverage(rows, k)

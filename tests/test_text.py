@@ -80,3 +80,33 @@ def test_redact_pii_and_match_counts(spark):
         ).alias("r")
     ).agg(F.sum("r").alias("t")).collect()[0].t
     assert resid == 0
+
+
+def test_hash_tokens_matches_duckdb_md5_number_lower(spark):
+    """hash_tokens' conv(md5-lower-hex,16,10) % vocab must equal DuckDB's
+    md5_number_lower(w) % vocab for the same lowercased words — the bridge
+    every token-axis oracle rests on."""
+    import duckdb
+
+    from tdigest_spark.operators.text import hash_tokens
+
+    texts = [
+        ("The quick Brown fox",),
+        ("  spaced\t\nout   ",),
+        ("",),
+        ("único ünïcode 字符 123",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    got = [r[0] for r in df.select(hash_tokens(F.col("text")).alias("t")).collect()]
+    con = duckdb.connect()
+    for (text,), ids in zip(texts, got):
+        want = con.execute(
+            """
+            SELECT CASE WHEN TRIM(?) = '' THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(
+                     regexp_split_to_array(TRIM(LOWER(?)), '\\s+'),
+                     w -> CAST(md5_number_lower(w) % 50257 AS BIGINT)) END
+            """,
+            [text, text],
+        ).fetchone()[0]
+        assert ids == want, text
