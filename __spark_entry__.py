@@ -1384,6 +1384,80 @@ def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
+    documents table is committed as three real snapshots — append(even
+    doc_ids), append(odd doc_ids), then a copy-on-write OVERWRITE down to
+    lang='en' (the GDPR-delete / compaction commit shape).  Each snapshot
+    is then read back BY ID through the static metadata walk (version-hint
+    -> metadata JSON -> manifest-list Avro -> manifest Avro), so v1 sees
+    only the even half, v2 the full table, and v3/current only English docs
+    even though every data file is still on disk.  The oracle recomputes
+    all three states from the plain documents view — exact, and it
+    certifies both snapshot accumulation (append reuses prior manifests)
+    and tombstoned overwrite (status=2 entries hide replaced files)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_tt" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        en = tbl.filter(pc.equal(tbl["lang"], "en"))
+        f_even = root / "data" / "even.parquet"
+        f_odd = root / "data" / "odd.parquet"
+        f_en = root / "data" / "en.parquet"
+        pq.write_table(even, f_even)
+        pq.write_table(odd, f_odd)
+        pq.write_table(en, f_en)
+        W.append_snapshot(root, [f_even], snapshot_id=1, ts_ms=2000)
+        W.append_snapshot(root, [f_odd], snapshot_id=2, ts_ms=3000)
+        W.overwrite_snapshot(root, [f_en], snapshot_id=3, ts_ms=4000)
+        marker.write_text(_json.dumps(params))
+    outs = []
+    for label, sid in (("v1", 1), ("v2", 2), ("v3", 3)):
+        snap = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            snap.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit(label).alias("snapshot"), "source", "n_docs")
+        )
+    # the current snapshot must BE v3 — read it without an id too
+    cur = read_sequences(spark, str(root)).count()
+    v3 = read_sequences(spark, str(root), snapshot_id=3).count()
+    assert cur == v3, (cur, v3)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("snapshot", "source")
+
+
 def skewed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted SHUFFLE JOIN (plans/skew.salted_join): events get a
     synthesized hot key covering ~60% of rows ('click'/'view'/'error' all
@@ -3344,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "skewed_key_join": skewed_key_join,
         "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
+        "iceberg_time_travel_read": iceberg_time_travel_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -4810,6 +4885,19 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_snapshot_isolated_read": """
             SELECT source, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # three committed snapshots = three recomputable table states:
+        # v1 append(even ids), v2 append(odd ids), v3 overwrite(lang='en')
+        "iceberg_time_travel_read": """
+            SELECT 'v1' AS snapshot, source, COUNT(*) AS n_docs
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+            UNION ALL
+            SELECT 'v2' AS snapshot, source, COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'v3' AS snapshot, source, COUNT(*) AS n_docs
+            FROM documents WHERE lang = 'en' GROUP BY source
+            ORDER BY snapshot, source
         """,
         # salting only changes placement: the oracle is the plain join
         "skewed_key_join": """

@@ -42,6 +42,7 @@ __all__ = [
     "iceberg_scan_paths",
     "is_static_iceberg_table",
     "iceberg_scan_paths_static",
+    "current_metadata",
 ]
 
 
@@ -62,15 +63,20 @@ def has_iceberg(spark: SparkSession) -> bool:
     )
 
 
-def read_sequences(spark: SparkSession, source: str) -> DataFrame:
+def read_sequences(
+    spark: SparkSession, source: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Load the sequence table from an Iceberg identifier (``cat.db.tbl``)
     when a catalog is available; from static Iceberg metadata when the path
-    IS an Iceberg table directory (current snapshot only — see module
-    docstring); else from a plain parquet path."""
+    IS an Iceberg table directory (current snapshot, or ``snapshot_id`` for
+    time travel — see module docstring); else from a plain parquet path."""
     if "/" not in source and has_iceberg(spark):
-        return spark.read.format("iceberg").load(source)
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        return reader.load(source)
     if is_static_iceberg_table(source):
-        paths = iceberg_scan_paths_static(source)
+        paths = iceberg_scan_paths_static(source, snapshot_id=snapshot_id)
         if not paths:
             # spark.read.parquet() with zero paths raises a misleading
             # UNABLE_TO_INFER_SCHEMA; say what actually happened
@@ -79,6 +85,10 @@ def read_sequences(spark: SparkSession, source: str) -> DataFrame:
                 "(no data files to read)"
             )
         return spark.read.parquet(*paths)
+    if snapshot_id is not None:
+        raise ValueError(
+            f"time travel requested but {source!r} is not an Iceberg table"
+        )
     return spark.read.parquet(source)
 
 
@@ -109,16 +119,10 @@ def _localize(uri: str, table_dir: Path) -> str:
     return p
 
 
-def iceberg_scan_paths_static(table_dir: str) -> list[str]:
-    """Current-snapshot live data files of an Iceberg table, resolved from
-    static metadata in pure Python (no jars, no catalog): version-hint ->
-    ``vN.metadata.json`` -> manifest list (Avro) -> manifests (Avro) ->
-    ``data_file.file_path`` where the entry is live (status != 2 DELETED)
-    and the file holds data (content 0), sorted for determinism."""
-    from . import avro_lite
-
-    root = Path(str(table_dir))
-    meta_dir = root / "metadata"
+def current_metadata(table_dir: str) -> dict:
+    """The table's current ``vN.metadata.json`` as a dict (version-hint
+    wins; else the highest version number)."""
+    meta_dir = Path(str(table_dir)) / "metadata"
     hint = meta_dir / "version-hint.text"
     if hint.exists():
         meta_file = meta_dir / f"v{hint.read_text().strip()}.metadata.json"
@@ -130,11 +134,34 @@ def iceberg_scan_paths_static(table_dir: str) -> list[str]:
         if not versions:
             raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
         meta_file = versions[-1]
-    meta = json.loads(meta_file.read_text())
-    snap_id = meta.get("current-snapshot-id")
+    return json.loads(meta_file.read_text())
+
+
+def iceberg_scan_paths_static(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[str]:
+    """Live data files of an Iceberg table, resolved from static metadata
+    in pure Python (no jars, no catalog): version-hint ->
+    ``vN.metadata.json`` -> manifest list (Avro) -> manifests (Avro) ->
+    ``data_file.file_path`` where the entry is live (status != 2 DELETED)
+    and the file holds data (content 0), sorted for determinism.
+    ``snapshot_id`` time-travels to any retained snapshot instead of the
+    current one."""
+    from . import avro_lite
+
+    root = Path(str(table_dir))
+    meta = current_metadata(table_dir)
+    snap_id = meta.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    if snap_id is None or snap_id == -1 or snap_id not in snaps:
+    if snap_id is None or snap_id == -1:
         return []  # empty table: no committed snapshot yet
+    if snap_id not in snaps:
+        if snapshot_id is not None:
+            raise KeyError(
+                f"snapshot {snapshot_id} not found in {table_dir!r} "
+                f"(retained: {sorted(snaps)})"
+            )
+        return []
     manifest_list = _localize(snaps[snap_id]["manifest-list"], root)
     _, manifests = avro_lite.read_container(manifest_list)
     paths = []

@@ -1,0 +1,294 @@
+"""Static Iceberg snapshot WRITER (stdlib + avro_lite, no jars).
+
+The north rule targets Iceberg tables of pre-tokenized sequences; the read
+side (sources/iceberg.py) already walks real snapshot metadata. This module
+closes the loop: it COMMITS snapshots — append, overwrite — by authoring the
+same structures the reader (and a real Iceberg planner) consumes:
+
+    metadata/vN.metadata.json       table metadata, snapshot log, current id
+    metadata/snap-<id>-*.avro       manifest list (one row per manifest)
+    metadata/m-<id>-*.avro          manifest (one entry per data file)
+    metadata/version-hint.text      current metadata version
+    data/...parquet                 the data files (written by the caller)
+
+Semantics mirrored from the Iceberg table spec (public documentation):
+
+* a snapshot's manifest LIST references every manifest whose live entries
+  belong to the snapshot — an append REUSES the previous snapshot's
+  manifests untouched and adds one new manifest for the added files (O(new
+  files) metadata work per commit, which is why Iceberg appends scale);
+* manifest entries carry status ADDED(1) / EXISTING(0) / DELETED(2); an
+  overwrite commits a manifest list that drops the replaced manifests and
+  records the removed files as DELETED entries in a tombstone manifest so
+  the change survives in history (readers skip status 2);
+* older metadata versions and snapshots stay readable — time travel is
+  ``read_sequences(spark, root, snapshot_id=...)``;
+* commits are crash-safe in the same order Iceberg requires: data files,
+  then manifests, then the manifest list, then the new metadata JSON, and
+  the version hint LAST (a reader never observes a half-commit because the
+  hint still names the previous complete version until the final rename).
+
+Not implemented (documented, not stubbed): v2 row-level delete files
+(position/equality deletes) — overwrite here is file-granular
+(copy-on-write), which is the mode Spark's own Iceberg writer defaults to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from . import avro_lite
+
+__all__ = [
+    "create_table",
+    "append_snapshot",
+    "overwrite_snapshot",
+    "snapshot_ids",
+    "live_paths",
+]
+
+# minimal spec-shaped schemas: every field the static reader keys on
+# (status / content / file_path) plus the bookkeeping columns a real
+# planner would use for pruning (record_count, file_size_in_bytes)
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _meta_dir(root: str | Path) -> Path:
+    return Path(str(root)) / "metadata"
+
+
+def _now_ms(ts_ms: int | None) -> int:
+    return int(time.time() * 1000) if ts_ms is None else int(ts_ms)
+
+
+def create_table(root: str | Path, ts_ms: int | None = None) -> Path:
+    """Initialize an empty Iceberg table (v1 metadata, no snapshot)."""
+    root = Path(str(root))
+    meta = _meta_dir(root)
+    (root / "data").mkdir(parents=True, exist_ok=True)
+    meta.mkdir(parents=True, exist_ok=True)
+    doc = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, str(root))),
+        "location": str(root),
+        "last-sequence-number": 0,
+        "last-updated-ms": _now_ms(ts_ms),
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+    }
+    (meta / "v1.metadata.json").write_text(json.dumps(doc, indent=1))
+    (meta / "version-hint.text").write_text("1")
+    return root
+
+
+def _load_current(root: Path) -> tuple[int, dict]:
+    from .iceberg import current_metadata
+
+    version = int((_meta_dir(root) / "version-hint.text").read_text().strip())
+    return version, current_metadata(root)
+
+
+def _file_entry(path: str | Path, status: int, snapshot_id: int) -> dict:
+    p = Path(str(path))
+    try:
+        import pyarrow.parquet as pq
+
+        record_count = pq.read_metadata(p).num_rows
+    except Exception:
+        record_count = -1
+    return {
+        "status": status,
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "content": 0,
+            "file_path": f"file://{p}",
+            "file_format": "PARQUET",
+            "record_count": int(record_count),
+            "file_size_in_bytes": p.stat().st_size if p.exists() else -1,
+        },
+    }
+
+
+def _commit(
+    root: Path,
+    version: int,
+    meta: dict,
+    snapshot_id: int,
+    manifest_rows: list[dict],
+    operation: str,
+    ts_ms: int | None,
+) -> int:
+    """Write manifest list + new metadata version + hint (in that order)."""
+    meta_dir = _meta_dir(root)
+    ml = meta_dir / f"snap-{snapshot_id}-{version + 1}.avro"
+    avro_lite.write_container(ml, _MANIFEST_FILE_SCHEMA, manifest_rows)
+    now = _now_ms(ts_ms)
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    snapshots = list(meta.get("snapshots", []))
+    snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": f"file://{ml}",
+            "summary": {"operation": operation},
+        }
+    )
+    log = list(meta.get("snapshot-log", []))
+    log.append({"snapshot-id": snapshot_id, "timestamp-ms": now})
+    doc = dict(meta)
+    doc.update(
+        {
+            "last-sequence-number": seq,
+            "last-updated-ms": now,
+            "current-snapshot-id": snapshot_id,
+            "snapshots": snapshots,
+            "snapshot-log": log,
+        }
+    )
+    new_version = version + 1
+    (meta_dir / f"v{new_version}.metadata.json").write_text(
+        json.dumps(doc, indent=1)
+    )
+    # the hint flips LAST: a concurrent reader sees either the old complete
+    # table or the new complete table, never a half-commit
+    tmp = meta_dir / "version-hint.text.tmp"
+    tmp.write_text(str(new_version))
+    os.replace(tmp, meta_dir / "version-hint.text")
+    return snapshot_id
+
+
+def _current_manifests(root: Path, meta: dict) -> list[dict]:
+    """The current snapshot's manifest-list rows (empty for a fresh table)."""
+    snap_id = meta.get("current-snapshot-id")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snap_id is None or snap_id == -1 or snap_id not in snaps:
+        return []
+    from .iceberg import _localize
+
+    ml = _localize(snaps[snap_id]["manifest-list"], root)
+    _, rows = avro_lite.read_container(ml)
+    return rows
+
+
+def append_snapshot(
+    root: str | Path,
+    data_files: list[str | Path],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit an APPEND snapshot referencing ``data_files`` (already written
+    under the table's data/ dir by the caller). Previous manifests are
+    reused by reference — O(new files) metadata work."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    m = _meta_dir(root) / f"m-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]}.avro"
+    avro_lite.write_container(
+        m,
+        _MANIFEST_ENTRY_SCHEMA,
+        [_file_entry(p, 1, sid) for p in data_files],
+    )
+    rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 0,
+            "added_snapshot_id": sid,
+        }
+    ]
+    return _commit(root, version, meta, sid, rows, "append", ts_ms)
+
+
+def overwrite_snapshot(
+    root: str | Path,
+    data_files: list[str | Path],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit an OVERWRITE snapshot: the table's live content becomes
+    exactly ``data_files`` (copy-on-write compaction / rewrite). The files
+    previously live are recorded as DELETED entries in a tombstone manifest
+    so the removal is explicit in history; old snapshots keep reading their
+    own manifest lists untouched (time travel unaffected)."""
+    from .iceberg import iceberg_scan_paths_static
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    old_live = iceberg_scan_paths_static(root)
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
+    entries = [_file_entry(p, 1, sid) for p in data_files] + [
+        _file_entry(p, 2, sid) for p in old_live
+    ]
+    m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
+    avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
+    rows = [
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 0,
+            "added_snapshot_id": sid,
+        }
+    ]
+    return _commit(root, version, meta, sid, rows, "overwrite", ts_ms)
+
+
+def snapshot_ids(root: str | Path) -> list[int]:
+    """Committed snapshot ids, oldest first."""
+    _, meta = _load_current(Path(str(root)))
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    return [s["snapshot-id"] for s in snaps]
+
+
+def live_paths(root: str | Path, snapshot_id: int | None = None) -> list[str]:
+    from .iceberg import iceberg_scan_paths_static
+
+    return iceberg_scan_paths_static(root, snapshot_id=snapshot_id)

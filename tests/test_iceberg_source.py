@@ -34,3 +34,137 @@ def test_parquet_fallback(spark):
 def test_scan_paths_requires_catalog(spark):
     with pytest.raises(RuntimeError):
         iceberg_scan_paths(spark, "cat.db.tbl")
+
+
+# ---------------------------------------------------------------------------
+# static snapshot writer (sources/iceberg_write.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq(path, xs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"x": list(xs)}), path)
+    return path
+
+
+@pytest.fixture()
+def table_root(tmp_path):
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    return root
+
+
+def test_writer_append_accumulates_and_time_travels(table_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        is_static_iceberg_table,
+        read_sequences,
+    )
+
+    assert is_static_iceberg_table(str(table_root))
+    assert W.live_paths(table_root) == []
+    s1 = W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "a.parquet", [1, 2])], ts_ms=2000
+    )
+    s2 = W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "b.parquet", [3])], ts_ms=3000
+    )
+    assert W.snapshot_ids(table_root) == [s1, s2]
+    assert [p.rsplit("/", 1)[1] for p in W.live_paths(table_root, s1)] == [
+        "a.parquet"
+    ]
+    got_v1 = sorted(
+        r["x"] for r in read_sequences(spark, str(table_root), snapshot_id=s1).collect()
+    )
+    got_cur = sorted(r["x"] for r in read_sequences(spark, str(table_root)).collect())
+    assert got_v1 == [1, 2]
+    assert got_cur == [1, 2, 3]
+
+
+def test_writer_overwrite_tombstones_but_history_survives(table_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.avro_lite import read_container
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    s1 = W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "a.parquet", [1, 2])], ts_ms=2000
+    )
+    s2 = W.overwrite_snapshot(
+        table_root, [_pq(table_root / "data" / "c.parquet", [9])], ts_ms=3000
+    )
+    # current reads only the rewrite; the replaced file is still on disk
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [9]
+    assert (table_root / "data" / "a.parquet").exists()
+    # time travel to the pre-overwrite snapshot still works
+    assert sorted(
+        r["x"]
+        for r in read_sequences(spark, str(table_root), snapshot_id=s1).collect()
+    ) == [1, 2]
+    # the overwrite manifest records the removal as a DELETED (status 2)
+    # entry, not a silent drop
+    import json
+
+    meta = json.loads(
+        (table_root / "metadata" / "v3.metadata.json").read_text()
+    )
+    snap = [s for s in meta["snapshots"] if s["snapshot-id"] == s2][0]
+    assert snap["summary"]["operation"] == "overwrite"
+    ml = snap["manifest-list"].replace("file://", "")
+    _, manifests = read_container(ml)
+    _, entries = read_container(
+        manifests[0]["manifest_path"].replace("file://", "")
+    )
+    statuses = sorted(e["status"] for e in entries)
+    assert statuses == [1, 2]
+    deleted = [e for e in entries if e["status"] == 2][0]
+    assert deleted["data_file"]["file_path"].endswith("a.parquet")
+
+
+def test_writer_commit_order_is_crash_safe(table_root):
+    """The version hint flips last: before it does, a reader still resolves
+    the previous complete metadata version."""
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import current_metadata
+
+    W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "a.parquet", [1])], ts_ms=2000
+    )
+    # simulate a crash AFTER v3.metadata.json is written but BEFORE the
+    # hint advances: hand-roll the partial state
+    import json
+
+    meta_dir = table_root / "metadata"
+    broken = json.loads((meta_dir / "v2.metadata.json").read_text())
+    broken["current-snapshot-id"] = 999  # never committed
+    (meta_dir / "v3.metadata.json").write_text(json.dumps(broken))
+    # hint still says 2 -> readers see the last complete commit
+    meta = current_metadata(table_root)
+    assert meta["current-snapshot-id"] != 999
+
+
+def test_writer_missing_snapshot_raises(table_root):
+    from tdigest_spark.sources import iceberg_write as W
+
+    W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "a.parquet", [1])], ts_ms=2000
+    )
+    with pytest.raises(KeyError):
+        W.live_paths(table_root, 12345)
+
+
+def test_writer_record_counts_recorded(table_root):
+    from tdigest_spark.sources import avro_lite, iceberg_write as W
+
+    W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "a.parquet", [1, 2, 3])], ts_ms=2000
+    )
+    m = sorted((table_root / "metadata").glob("m-*.avro"))[0]
+    _, entries = avro_lite.read_container(m)
+    assert entries[0]["data_file"]["record_count"] == 3
+    assert entries[0]["data_file"]["file_size_in_bytes"] > 0
