@@ -1458,6 +1458,69 @@ def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("snapshot", "source")
 
 
+def iceberg_mor_deleted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ row deletes end to end: the documents
+    table is committed as one data file, then a position-delete snapshot
+    tombstones every row with lang='de' OR doc_id % 7 == 3 WITHOUT
+    rewriting the data file (sources/iceberg_write.delete_rows_snapshot).
+    The scan applies the deletes Spark-first — ``_metadata.file_path`` /
+    ``_metadata.row_index`` hidden columns anti-joined (broadcast) against
+    the delete file, the plan a real Iceberg planner pushes into its scan.
+    Reads both snapshots: v1 (pre-delete, full counts) and v2 (post-delete)
+    — exact oracle recomputes both states from the documents view."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_mor" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        data = root / "data" / "docs.parquet"
+        shutil.copyfile(f"{sf_dir}/documents.parquet", data)
+        tbl = pq.read_table(data, columns=["doc_id", "lang"])
+        positions = [
+            i
+            for i, (d, lang) in enumerate(
+                zip(tbl["doc_id"].to_pylist(), tbl["lang"].to_pylist())
+            )
+            if lang == "de" or d % 7 == 3
+        ]
+        W.append_snapshot(root, [data], snapshot_id=1, ts_ms=2000)
+        W.delete_rows_snapshot(root, {str(data): positions}, snapshot_id=2, ts_ms=3000)
+        marker.write_text(_json.dumps(params))
+    outs = []
+    for label, sid in (("v1", 1), ("v2", 2)):
+        snap = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            snap.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit(label).alias("snapshot"), "lang", "n_docs")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot", "lang")
+
+
 def skewed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted SHUFFLE JOIN (plans/skew.salted_join): events get a
     synthesized hot key covering ~60% of rows ('click'/'view'/'error' all
@@ -3419,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_key_join": skewed_key_join,
         "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
         "iceberg_time_travel_read": iceberg_time_travel_read,
+        "iceberg_mor_deleted_read": iceberg_mor_deleted_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -4898,6 +4962,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v3' AS snapshot, source, COUNT(*) AS n_docs
             FROM documents WHERE lang = 'en' GROUP BY source
             ORDER BY snapshot, source
+        """,
+        # v1 = the full table; v2 = after the merge-on-read position-delete
+        # snapshot tombstones lang='de' OR doc_id % 7 = 3
+        "iceberg_mor_deleted_read": """
+            SELECT 'v1' AS snapshot, lang, COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs
+            FROM documents
+            WHERE NOT (lang = 'de' OR doc_id % 7 = 3)
+            GROUP BY lang
+            ORDER BY snapshot, lang
         """,
         # salting only changes placement: the oracle is the plain join
         "skewed_key_join": """

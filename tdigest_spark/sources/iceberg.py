@@ -76,7 +76,9 @@ def read_sequences(
             reader = reader.option("snapshot-id", snapshot_id)
         return reader.load(source)
     if is_static_iceberg_table(source):
-        paths = iceberg_scan_paths_static(source, snapshot_id=snapshot_id)
+        paths, delete_paths = iceberg_scan_files_static(
+            source, snapshot_id=snapshot_id
+        )
         if not paths:
             # spark.read.parquet() with zero paths raises a misleading
             # UNABLE_TO_INFER_SCHEMA; say what actually happened
@@ -84,12 +86,51 @@ def read_sequences(
                 f"Iceberg table {source!r} has no committed snapshot "
                 "(no data files to read)"
             )
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        if delete_paths:
+            df = _apply_position_deletes(spark, df, delete_paths)
+        return df
     if snapshot_id is not None:
         raise ValueError(
             f"time travel requested but {source!r} is not an Iceberg table"
         )
     return spark.read.parquet(source)
+
+
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_paths: list[str]
+) -> DataFrame:
+    """Merge-on-read: subtract v2 position-delete rows (file_path, pos)
+    from a data scan — Spark-first, via the parquet reader's
+    ``_metadata.file_path`` / ``_metadata.row_index`` hidden columns and a
+    broadcast LEFT ANTI join. Delete files are tiny next to the data they
+    tombstone (that is the point of merge-on-read), so the broadcast is the
+    plan a real Iceberg planner produces too (it pushes per-file delete
+    vectors into the scan). Path spellings differ between the writer
+    (``file:///x``) and Spark's metadata column (``file:/x``); both
+    normalize to a plain path before the join."""
+    from pyspark.sql import functions as F
+
+    dels = spark.read.parquet(*delete_paths).select(
+        F.regexp_replace("file_path", "^file:/+", "/").alias("_dfp"),
+        F.col("pos").cast("long").alias("_dpos"),
+    )
+    keyed = df.withColumns(
+        {
+            "_fp": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            "_ri": F.col("_metadata.row_index"),
+        }
+    )
+    return (
+        keyed.join(
+            F.broadcast(dels),
+            (keyed["_fp"] == dels["_dfp"]) & (keyed["_ri"] == dels["_dpos"]),
+            "left_anti",
+        )
+        .drop("_fp", "_ri")
+    )
 
 
 def is_static_iceberg_table(path: str) -> bool:
@@ -147,6 +188,17 @@ def iceberg_scan_paths_static(
     and the file holds data (content 0), sorted for determinism.
     ``snapshot_id`` time-travels to any retained snapshot instead of the
     current one."""
+    return iceberg_scan_files_static(table_dir, snapshot_id=snapshot_id)[0]
+
+
+def iceberg_scan_files_static(
+    table_dir: str, snapshot_id: int | None = None
+) -> tuple[list[str], list[str]]:
+    """Like :func:`iceberg_scan_paths_static` but returns BOTH halves of a
+    v2 snapshot: ``(data_paths, position_delete_paths)``. Delete files live
+    in delete manifests (manifest-list ``content`` 1) with ``data_file
+    .content`` 1 — a merge-on-read scan must subtract their (file, pos)
+    rows from the data files."""
     from . import avro_lite
 
     root = Path(str(table_dir))
@@ -154,29 +206,31 @@ def iceberg_scan_paths_static(
     snap_id = meta.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snap_id is None or snap_id == -1:
-        return []  # empty table: no committed snapshot yet
+        return [], []  # empty table: no committed snapshot yet
     if snap_id not in snaps:
         if snapshot_id is not None:
             raise KeyError(
                 f"snapshot {snapshot_id} not found in {table_dir!r} "
                 f"(retained: {sorted(snaps)})"
             )
-        return []
+        return [], []
     manifest_list = _localize(snaps[snap_id]["manifest-list"], root)
     _, manifests = avro_lite.read_container(manifest_list)
-    paths = []
+    data, deletes = [], []
     for m in manifests:
-        if m.get("content", 0) != 0:  # v2 delete manifests carry no data
-            continue
         _, entries = avro_lite.read_container(_localize(m["manifest_path"], root))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
-            if df_rec.get("content", 0) != 0:  # v2 delete files
-                continue
-            paths.append(_localize(df_rec["file_path"], root))
-    return sorted(paths)
+            p = _localize(df_rec["file_path"], root)
+            if df_rec.get("content", 0) == 1:  # position deletes
+                deletes.append(p)
+            elif df_rec.get("content", 0) == 0:
+                data.append(p)
+            # content 2 (equality deletes): not produced by this repo's
+            # writer; a real planner would apply them here
+    return sorted(data), sorted(deletes)
 
 
 def iceberg_scan_paths(spark: SparkSession, identifier: str) -> list[str]:

@@ -28,9 +28,11 @@ Semantics mirrored from the Iceberg table spec (public documentation):
   the version hint LAST (a reader never observes a half-commit because the
   hint still names the previous complete version until the final rename).
 
-Not implemented (documented, not stubbed): v2 row-level delete files
-(position/equality deletes) — overwrite here is file-granular
-(copy-on-write), which is the mode Spark's own Iceberg writer defaults to.
+Row-level deletes: :func:`delete_rows_snapshot` commits v2 POSITION delete
+files (merge-on-read; the read side subtracts them at scan time), and
+:func:`overwrite_snapshot` is the copy-on-write alternative. Equality
+deletes (content 2) are not produced — copy-on-write covers their use case
+here and the reader documents the gap.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ __all__ = [
     "create_table",
     "append_snapshot",
     "overwrite_snapshot",
+    "delete_rows_snapshot",
     "snapshot_ids",
     "live_paths",
 ]
@@ -277,6 +280,61 @@ def overwrite_snapshot(
         }
     ]
     return _commit(root, version, meta, sid, rows, "overwrite", ts_ms)
+
+
+def delete_rows_snapshot(
+    root: str | Path,
+    positions: dict[str, list[int]],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit a MERGE-ON-READ row delete: ``positions`` maps a live data
+    file path to the 0-based row indices to tombstone. Writes one v2
+    position-delete parquet (columns ``file_path`` string, ``pos`` long —
+    the spec's schema, sorted by (file_path, pos) as the spec requires),
+    referenced from a DELETE manifest (content 1) added alongside the
+    previous snapshot's manifests. No data file is rewritten — the read
+    side subtracts the (file, pos) rows at scan time
+    (sources/iceberg.py _apply_position_deletes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    rows = sorted(
+        (f"file://{Path(str(p)).resolve()}", int(i))
+        for p, idxs in positions.items()
+        for i in idxs
+    )
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
+    del_file = root / "data" / f"delete-{sid}-{tag}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        del_file,
+    )
+    entry = _file_entry(del_file, 1, sid)
+    entry["data_file"]["content"] = 1  # position deletes
+    m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
+    avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, [entry])
+    manifest_rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 1,  # delete manifest
+            "added_snapshot_id": sid,
+        }
+    ]
+    return _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
 
 
 def snapshot_ids(root: str | Path) -> list[int]:

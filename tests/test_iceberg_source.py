@@ -168,3 +168,59 @@ def test_writer_record_counts_recorded(table_root):
     _, entries = avro_lite.read_container(m)
     assert entries[0]["data_file"]["record_count"] == 3
     assert entries[0]["data_file"]["file_size_in_bytes"] > 0
+
+
+def test_writer_position_deletes_merge_on_read(table_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_files_static,
+        read_sequences,
+    )
+
+    f1 = _pq(table_root / "data" / "a.parquet", [10, 20, 30, 40])
+    f2 = _pq(table_root / "data" / "b.parquet", [50, 60])
+    s1 = W.append_snapshot(table_root, [f1, f2], ts_ms=2000)
+    s2 = W.delete_rows_snapshot(
+        table_root, {str(f1): [0, 2], str(f2): [1]}, ts_ms=3000
+    )
+    data, dels = iceberg_scan_files_static(table_root)
+    assert len(data) == 2 and len(dels) == 1
+    # current = MOR view; the data files are untouched on disk
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [20, 40, 50]
+    # time travel to the pre-delete snapshot
+    assert sorted(
+        r["x"]
+        for r in read_sequences(spark, str(table_root), snapshot_id=s1).collect()
+    ) == [10, 20, 30, 40, 50, 60]
+    # a later overwrite compacts away BOTH the old data and the delete file
+    f3 = _pq(table_root / "data" / "c.parquet", [20, 40, 50])
+    s3 = W.overwrite_snapshot(table_root, [f3], ts_ms=4000)
+    data3, dels3 = iceberg_scan_files_static(table_root)
+    assert [p.rsplit("/", 1)[1] for p in data3] == ["c.parquet"]
+    assert dels3 == []
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [20, 40, 50]
+    # and the MOR snapshot itself is still time-travelable
+    assert sorted(
+        r["x"]
+        for r in read_sequences(spark, str(table_root), snapshot_id=s2).collect()
+    ) == [20, 40, 50]
+
+
+def test_writer_append_after_delete_keeps_tombstones(table_root, spark):
+    """Position deletes name (file, pos) — appending new files must not
+    resurrect tombstoned rows of old files."""
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f1 = _pq(table_root / "data" / "a.parquet", [10, 20])
+    W.append_snapshot(table_root, [f1], ts_ms=2000)
+    W.delete_rows_snapshot(table_root, {str(f1): [0]}, ts_ms=3000)
+    f2 = _pq(table_root / "data" / "b.parquet", [30])
+    W.append_snapshot(table_root, [f2], ts_ms=4000)
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [20, 30]
