@@ -111,6 +111,106 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trading nations):
+    lineitem -> orders shuffle join on the fact keys; supplier/customer
+    are first reduced to (key, nation) by BROADCAST joins against the
+    name-FILTERED nation dim (predicate applied before the join, so the
+    big fact rows that survive carry only two nations), then the
+    cross-pair predicate and a (supp_nation, cust_nation, year) rollup.
+    One fact-fact shuffle, everything else broadcast — the Q7 plan you
+    want at 100 TB."""
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority audit; this schema has no
+    shipmode/receipt dates, so the split is by ship YEAR): lineitem joins
+    orders on the fact key and counts urgent (1-URGENT/2-HIGH) vs other
+    order priorities per year — integer counts, conditional partial
+    aggregation map-side, one shuffle on the join key then one on the
+    (tiny) year key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_year")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share per ship year): lineitem
+    BROADCAST-joins the part dim, conditional revenue partials map-side,
+    promo share = 100 * promo / total rounded to 6 dp (per-term doubles
+    spelled identically in the oracle; summation order absorbed by the
+    round)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias(
+                "_promo"
+            ),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            "l_year",
+            F.round(F.lit(100.0) * F.col("_promo") / F.col("_total"), 6).alias(
+                "promo_share"
+            ),
+            F.round(F.col("_total"), 2).alias("revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
 def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL entry surface: TPC-H Q6 written as a plain ``spark.sql`` string
     over a registered view (same text runs on DuckDB). Catalyst pushes the
@@ -3428,6 +3528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue_sql": q6_forecast_revenue_sql,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q12_priority_shipping": q12_priority_shipping,
+        "q14_promo_revenue": q14_promo_revenue,
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
@@ -4066,6 +4169,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        "q7_volume_shipping": """
+            WITH sn AS (
+              SELECT s_suppkey, n_name AS supp_nation
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+            ), cn AS (
+              SELECT c_custkey, n_name AS cust_nation
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+            )
+            SELECT supp_nation, cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN sn ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN cn ON o_custkey = c_custkey
+            WHERE supp_nation <> cust_nation
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q12_priority_shipping": """
+            SELECT CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_year ORDER BY l_year
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                     SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE CAST(0.0 AS DOUBLE) END) AS promo,
+                     SUM(l_extendedprice * (1 - l_discount)) AS total
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY l_year
+            )
+            SELECT l_year,
+                   ROUND(100.0 * promo / total, 6) AS promo_share,
+                   ROUND(total, 2) AS revenue
+            FROM j ORDER BY l_year
         """,
         "q6_forecast_revenue_sql": """
             SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

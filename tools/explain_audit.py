@@ -98,6 +98,19 @@ AUDITS = {
     "lineitem_zorder_pruned_scan": (0, True, True),
     # static-Iceberg read: one pruned scan of the live snapshot file only
     "iceberg_snapshot_isolated_read": (0, True, False),
+    # Q7: supplier/customer reduce to (key, nation) via broadcasts against
+    # the name-filtered dim (predicate pushed); only lineitem-orders may
+    # shuffle
+    "q7_volume_shipping": (3, False, True),
+    # Q12: one fact-fact equi join + tiny year rollup, no broadcasts needed
+    "q12_priority_shipping": (0, False, False),
+    # Q14: the part dim must BROADCAST into the fact scan
+    "q14_promo_revenue": (1, True, False),
+    # substring dedup: span fan-out is map-side; the dup-hash join and the
+    # doc coverage join are large-large — forbid cartesian only
+    "token_span_dedup": (0, False, False),
+    # tokenizer audit: explode + two hash aggregates, no joins at all
+    "token_vocab_audit": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -131,7 +144,10 @@ def main() -> int:
         pushed = [
             p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p
         ]
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        # stop at end-of-line too: Spark TRUNCATES long schema strings
+        # ("l_shipdate:tim..." with no closing '>'), and a greedy cross-line
+        # match would count phantom columns from unrelated plan lines
+        schemas = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
         # count only TOP-LEVEL fields: commas inside nested types
         # (map<string,int>, struct<...>) must not inflate the width
 
