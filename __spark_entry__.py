@@ -1484,18 +1484,11 @@ def iceberg_snapshot_isolated_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
-    documents table is committed as three real snapshots — append(even
-    doc_ids), append(odd doc_ids), then a copy-on-write OVERWRITE down to
-    lang='en' (the GDPR-delete / compaction commit shape).  Each snapshot
-    is then read back BY ID through the static metadata walk (version-hint
-    -> metadata JSON -> manifest-list Avro -> manifest Avro), so v1 sees
-    only the even half, v2 the full table, and v3/current only English docs
-    even though every data file is still on disk.  The oracle recomputes
-    all three states from the plain documents view — exact, and it
-    certifies both snapshot accumulation (append reuses prior manifests)
-    and tombstoned overwrite (status=2 entries hide replaced files)."""
+def _iceberg_tt_fixture(sf_dir: str):
+    """Marker-cached three-snapshot Iceberg table derived from documents:
+    v1 append(even doc_ids), v2 append(odd doc_ids), v3 copy-on-write
+    overwrite(lang='en'). Shared by the time-travel and incremental-read
+    queries so both states stay recomputable from the registered view."""
     import json as _json
     import os
     import shutil
@@ -1505,7 +1498,6 @@ def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from tdigest_spark.sources import iceberg_write as W
-    from tdigest_spark.sources.iceberg import read_sequences
 
     root = Path(
         os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
@@ -1540,6 +1532,49 @@ def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.append_snapshot(root, [f_odd], snapshot_id=2, ts_ms=3000)
         W.overwrite_snapshot(root, [f_en], snapshot_id=3, ts_ms=4000)
         marker.write_text(_json.dumps(params))
+    return root
+
+
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) Iceberg consumption: read ONLY the files
+    added between snapshot 1 and snapshot 2 of the three-snapshot fixture
+    (sources/iceberg.iceberg_incremental_paths walks snapshot 2's manifest
+    list and keeps ADDED entries whose commit falls in the range) — the
+    downstream-consumer pattern that processes each commit's delta instead
+    of rescanning the table.  v1 added the even doc_ids and v2 the odd
+    ones, so the delta is exactly the odd half: the oracle recomputes it
+    from the documents view."""
+    from tdigest_spark.sources.iceberg import iceberg_incremental_paths
+
+    root = _iceberg_tt_fixture(sf_dir)
+    paths = iceberg_incremental_paths(str(root), 1, 2)
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["odd.parquet"], paths
+    delta = spark.read.parquet(*paths)
+    return (
+        delta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
+    documents table is committed as three real snapshots — append(even
+    doc_ids), append(odd doc_ids), then a copy-on-write OVERWRITE down to
+    lang='en' (the GDPR-delete / compaction commit shape).  Each snapshot
+    is then read back BY ID through the static metadata walk (version-hint
+    -> metadata JSON -> manifest-list Avro -> manifest Avro), so v1 sees
+    only the even half, v2 the full table, and v3/current only English docs
+    even though every data file is still on disk.  The oracle recomputes
+    all three states from the plain documents view — exact, and it
+    certifies both snapshot accumulation (append reuses prior manifests)
+    and tombstoned overwrite (status=2 entries hide replaced files)."""
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = _iceberg_tt_fixture(sf_dir)
     outs = []
     for label, sid in (("v1", 1), ("v2", 2), ("v3", 3)):
         snap = read_sequences(spark, str(root), snapshot_id=sid)
@@ -3586,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
         "iceberg_time_travel_read": iceberg_time_travel_read,
         "iceberg_mor_deleted_read": iceberg_mor_deleted_read,
+        "iceberg_incremental_read": iceberg_incremental_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -5111,6 +5147,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v3' AS snapshot, source, COUNT(*) AS n_docs
             FROM documents WHERE lang = 'en' GROUP BY source
             ORDER BY snapshot, source
+        """,
+        # the v1 -> v2 delta is exactly the odd-doc_id append
+        "iceberg_incremental_read": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE doc_id % 2 = 1
+            GROUP BY source ORDER BY source
         """,
         # v1 = the full table; v2 = after the merge-on-read position-delete
         # snapshot tombstones lang='de' OR doc_id % 7 = 3

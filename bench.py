@@ -61,16 +61,21 @@ def make_spark(cpus: int):
 def bench_table_path() -> Path:
     from tdigest_spark.sources.sequence_table import (
         default_cache_dir,
+        ensure_iceberg_metadata,
         generate_sequence_table,
     )
 
-    # 256 uniform files; the build maps them onto one task per core
-    return generate_sequence_table(
+    # 256 uniform files; the build maps them onto one task per core.
+    # The files are committed as an Iceberg snapshot so the timed build
+    # resolves them through the real metadata walk (north-rule shape:
+    # sketches over an Iceberg table of pre-tokenized sequences).
+    path = generate_sequence_table(
         default_cache_dir() / f"bench_n{BENCH_ROWS}",
         n_rows=BENCH_ROWS,
         seed=7,
         rows_per_file=max(1, BENCH_ROWS // 256),
     )
+    return ensure_iceberg_metadata(path)
 
 
 def token_sketch_build(
@@ -82,8 +87,6 @@ def token_sketch_build(
     decode); the only traffic is #partitions x O(1 MB) serialized states.
     ``warmup=True`` runs a 1/8-subset pass (primes python workers, page
     cache, parquet footers) without paying a full extra scan."""
-    import glob
-
     from tdigest_spark.operators.aggregate import (
         BLOOM_INTS,
         CMS_INTS,
@@ -92,8 +95,11 @@ def token_sketch_build(
         TDIGEST,
     )
     from tdigest_spark.operators.scan import build_sketches_scan
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
 
-    files = sorted(glob.glob(str(path) + "/*.parquet"))
+    # resolve the current snapshot's files through the Iceberg metadata
+    # walk (manifest-list -> manifest -> data_file), not a directory glob
+    files = iceberg_scan_paths_static(str(path))
     if warmup:
         files = files[:: max(1, len(files) // 32)]
     t0 = time.perf_counter()

@@ -42,6 +42,7 @@ __all__ = [
     "iceberg_scan_paths",
     "is_static_iceberg_table",
     "iceberg_scan_paths_static",
+    "iceberg_incremental_paths",
     "current_metadata",
 ]
 
@@ -231,6 +232,52 @@ def iceberg_scan_files_static(
             # content 2 (equality deletes): not produced by this repo's
             # writer; a real planner would apply them here
     return sorted(data), sorted(deletes)
+
+
+def iceberg_incremental_paths(
+    table_dir: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> list[str]:
+    """Incremental (CDC-style) scan: data files ADDED strictly after
+    ``from_snapshot_id`` up to and including ``to_snapshot_id`` (default:
+    current). This is how a downstream consumer processes only the new
+    files of each commit instead of re-reading the table. Works off the
+    per-entry ``snapshot_id`` recorded at ADD time — append commits reuse
+    prior manifests verbatim, so the ids survive. Append-only semantics:
+    rows removed by delete/overwrite commits in the range are NOT
+    re-emitted as retractions (documented limitation, same as Iceberg's
+    own incremental append scan)."""
+    from . import avro_lite
+
+    root = Path(str(table_dir))
+    meta = current_metadata(table_dir)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    seq_of = {s["snapshot-id"]: s.get("sequence-number", 0) for s in snaps.values()}
+    to_id = meta.get("current-snapshot-id") if to_snapshot_id is None else to_snapshot_id
+    for sid in (from_snapshot_id, to_id):
+        if sid not in snaps:
+            raise KeyError(
+                f"snapshot {sid} not found in {table_dir!r} "
+                f"(retained: {sorted(snaps)})"
+            )
+    lo, hi = seq_of[from_snapshot_id], seq_of[to_id]
+    manifest_list = _localize(snaps[to_id]["manifest-list"], root)
+    _, manifests = avro_lite.read_container(manifest_list)
+    paths = []
+    for m in manifests:
+        _, entries = avro_lite.read_container(_localize(m["manifest_path"], root))
+        for e in entries:
+            if e.get("status", 0) != 1:  # only ADDED entries carry changes
+                continue
+            sid = e.get("snapshot_id")
+            if sid is None or sid not in seq_of:
+                continue
+            if not (lo < seq_of[sid] <= hi):
+                continue
+            df_rec = e["data_file"]
+            if df_rec.get("content", 0) != 0:
+                continue
+            paths.append(_localize(df_rec["file_path"], root))
+    return sorted(paths)
 
 
 def iceberg_scan_paths(spark: SparkSession, identifier: str) -> list[str]:

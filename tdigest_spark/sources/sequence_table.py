@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["generate_sequence_table", "read_sequence_table", "SOURCES"]
+__all__ = ["generate_sequence_table", "read_sequence_table", "ensure_iceberg_metadata", "SOURCES"]
 
 SOURCES = ["web", "code", "books", "wiki", "rare"]
 _SOURCE_P = [0.70, 0.15, 0.10, 0.04, 0.01]
@@ -127,6 +127,34 @@ def generate_sequence_table(
 
 def read_sequence_table(spark, path: str | Path):
     return spark.read.parquet(str(path))
+
+
+def ensure_iceberg_metadata(path: str | Path) -> Path:
+    """Commit the generated sequence-table files as an Iceberg snapshot
+    (sources/iceberg_write.py) so readers resolve them through the real
+    metadata walk — the north-rule shape ("Iceberg tables of pre-tokenized
+    sequences"). Idempotent: existing metadata is reused when it still
+    references exactly the on-disk file set, and rebuilt otherwise (the
+    generator regenerates files in place when params change)."""
+    import shutil
+
+    from . import iceberg_write as W
+    from .iceberg import is_static_iceberg_table, iceberg_scan_paths_static
+
+    path = Path(path)
+    files = sorted(str(p) for p in path.glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    if is_static_iceberg_table(str(path)):
+        try:
+            if iceberg_scan_paths_static(str(path)) == files:
+                return path
+        except Exception:
+            pass
+        shutil.rmtree(path / "metadata")
+    W.create_table(path, ts_ms=0)
+    W.append_snapshot(path, files, snapshot_id=1, ts_ms=0)
+    return path
 
 
 def default_cache_dir() -> Path:

@@ -224,3 +224,48 @@ def test_writer_append_after_delete_keeps_tombstones(table_root, spark):
     assert sorted(
         r["x"] for r in read_sequences(spark, str(table_root)).collect()
     ) == [20, 30]
+
+
+def test_incremental_paths_between_snapshots(table_root):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_incremental_paths
+
+    f1 = _pq(table_root / "data" / "a.parquet", [1])
+    f2 = _pq(table_root / "data" / "b.parquet", [2])
+    f3 = _pq(table_root / "data" / "c.parquet", [3])
+    s1 = W.append_snapshot(table_root, [f1], ts_ms=2000)
+    s2 = W.append_snapshot(table_root, [f2], ts_ms=3000)
+    s3 = W.append_snapshot(table_root, [f3], ts_ms=4000)
+    names = lambda ps: [p.rsplit("/", 1)[1] for p in ps]  # noqa: E731
+    assert names(iceberg_incremental_paths(table_root, s1)) == [
+        "b.parquet",
+        "c.parquet",
+    ]
+    assert names(iceberg_incremental_paths(table_root, s1, s2)) == ["b.parquet"]
+    assert names(iceberg_incremental_paths(table_root, s2, s3)) == ["c.parquet"]
+    assert iceberg_incremental_paths(table_root, s3) == []
+    with pytest.raises(KeyError):
+        iceberg_incremental_paths(table_root, 999)
+
+
+def test_sequence_table_iceberg_metadata_roundtrip(tmp_path):
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+    from tdigest_spark.sources.sequence_table import (
+        ensure_iceberg_metadata,
+        generate_sequence_table,
+    )
+
+    path = generate_sequence_table(tmp_path / "seq", n_rows=300, seed=3, rows_per_file=100)
+    ensure_iceberg_metadata(path)
+    files = sorted(str(p) for p in path.glob("*.parquet"))
+    assert iceberg_scan_paths_static(str(path)) == files
+    # idempotent: second call reuses the committed snapshot
+    before = (path / "metadata" / "version-hint.text").read_text()
+    ensure_iceberg_metadata(path)
+    assert (path / "metadata" / "version-hint.text").read_text() == before
+    # regeneration with different params invalidates and recommits
+    generate_sequence_table(path, n_rows=200, seed=3, rows_per_file=100)
+    ensure_iceberg_metadata(path)
+    files2 = sorted(str(p) for p in path.glob("*.parquet"))
+    assert iceberg_scan_paths_static(str(path)) == files2
+    assert len(files2) == 2
