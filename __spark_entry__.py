@@ -1560,6 +1560,55 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_incremental_sketch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The north-rule loop end to end: a checkpointed sketch build over an
+    Iceberg table that RESUMES across snapshot appends.  Build a discrete
+    digest of n_chars at snapshot v1 (even doc_ids) through
+    plans/checkpoint.CheckpointedBuild, then commit-advance to v2 (odd
+    doc_ids appended) and run again: the checkpoint's batch keys are
+    (file, row-groups), so only the DELTA file's batches execute — proven
+    here by asserting every newly-written batch's lineage touches only the
+    appended file — and digest(v2) == merge(checkpointed v1 partials,
+    delta partials).  Exact oracle: the discrete digest is an exact value
+    map, so both snapshots' quantiles are Nearest-Rank SQL over the
+    documents view.  The checkpoint dir is recreated per call so the
+    demonstration (not just the result) is deterministic."""
+    import json as _json
+    import shutil
+
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE
+    from tdigest_spark.plans.checkpoint import CheckpointedBuild
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    root = _iceberg_tt_fixture(sf_dir)
+    ckpt = root / "ckpt_demo"
+    if ckpt.exists():
+        shutil.rmtree(ckpt)
+    cb = CheckpointedBuild(
+        ckpt, {"d": ("n_chars", TDIGEST_DISCRETE())}, splits_per_batch=1
+    )
+    v1_paths = iceberg_scan_paths_static(str(root), snapshot_id=1)
+    d1 = cb.run(spark, v1_paths)["d"]
+    done_v1 = set(cb.completed())
+    v2_paths = iceberg_scan_paths_static(str(root), snapshot_id=2)
+    d2 = cb.run(spark, v2_paths)["d"]
+    done_v2 = cb.completed()
+    new_keys = set(done_v2) - done_v1
+    assert new_keys, "append scheduled no delta work"
+    for k in new_keys:  # the resumed run re-scanned ONLY the appended file
+        for rec in _json.loads(done_v2[k]["lineage"]):
+            assert rec["path"].endswith("odd.parquet"), rec
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    rows = [("v1", p, float(d1.quantile(p))) for p in ps] + [
+        ("v2", p, float(d2.quantile(p))) for p in ps
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot string, p double, q double"
+    ).orderBy("snapshot", "p")
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -3622,6 +3671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_time_travel_read": iceberg_time_travel_read,
         "iceberg_mor_deleted_read": iceberg_mor_deleted_read,
         "iceberg_incremental_read": iceberg_incremental_read,
+        "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -5147,6 +5197,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'v3' AS snapshot, source, COUNT(*) AS n_docs
             FROM documents WHERE lang = 'en' GROUP BY source
             ORDER BY snapshot, source
+        """,
+        # discrete digest = exact value map: Nearest-Rank quantiles per
+        # snapshot state (v1 = even doc_ids, v2 = the whole table)
+        "iceberg_incremental_sketch_maintenance": """
+            WITH states AS (
+              SELECT 'v1' AS snapshot, CAST(n_chars AS DOUBLE) AS v
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'v2' AS snapshot, CAST(n_chars AS DOUBLE) AS v
+              FROM documents
+            ), cum AS (
+              SELECT snapshot, v, SUM(COUNT(*)) OVER (
+                       PARTITION BY snapshot ORDER BY v) AS c,
+                     SUM(COUNT(*)) OVER (PARTITION BY snapshot) AS n
+              FROM states GROUP BY snapshot, v
+            ), ps AS (
+              SELECT * FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(1.0)) t(p)
+            )
+            SELECT snapshot, CAST(p AS DOUBLE) AS p, MIN(v) AS q
+            FROM ps JOIN cum ON c >= p * n
+            GROUP BY snapshot, p ORDER BY snapshot, p
         """,
         # the v1 -> v2 delta is exactly the odd-doc_id append
         "iceberg_incremental_read": """

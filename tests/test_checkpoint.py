@@ -111,3 +111,46 @@ def test_torn_checkpoint_file_is_redone(spark, seq_path, ckpt_dir):
     out = cb.run(spark, _files(seq_path))
     assert int(out["td"].n) == 16_000
     assert len(cb.metrics()) == 4
+
+
+def test_checkpoint_resumes_across_iceberg_appends(tmp_path, spark):
+    """Snapshot-aware incremental maintenance: after an Iceberg append,
+    a resumed CheckpointedBuild schedules batches only for the delta file
+    and the merged digest equals a from-scratch build of the new state."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.aggregate import TDIGEST_DISCRETE
+    from tdigest_spark.plans.checkpoint import CheckpointedBuild
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3, 4]}), f1)
+    s1 = W.append_snapshot(root, [f1], ts_ms=2000)
+    cb = CheckpointedBuild(
+        tmp_path / "ckpt", {"d": ("x", TDIGEST_DISCRETE())}, splits_per_batch=1
+    )
+    d1 = cb.run(spark, iceberg_scan_paths_static(str(root), snapshot_id=s1))["d"]
+    assert d1.n == 4
+    done1 = set(cb.completed())
+    pq.write_table(pa.table({"x": [10, 11]}), f2)
+    s2 = W.append_snapshot(root, [f2], ts_ms=3000)
+    d2 = cb.run(spark, iceberg_scan_paths_static(str(root), snapshot_id=s2))["d"]
+    assert d2.n == 6
+    done2 = cb.completed()
+    new = set(done2) - done1
+    assert len(new) == 1  # exactly the delta file's batch ran
+    lineage = json.loads(done2[new.pop()]["lineage"])
+    assert [rec["path"].rsplit("/", 1)[1] for rec in lineage] == ["b.parquet"]
+    # merged digest == from-scratch build over the same snapshot
+    cb2 = CheckpointedBuild(
+        tmp_path / "ckpt2", {"d": ("x", TDIGEST_DISCRETE())}, splits_per_batch=1
+    )
+    d_full = cb2.run(spark, iceberg_scan_paths_static(str(root)))["d"]
+    assert d2.to_bytes() == d_full.to_bytes()
