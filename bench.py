@@ -80,9 +80,10 @@ def bench_table_path() -> Path:
 
 def token_sketch_build(
     spark, path: Path, warmup: bool = False
-) -> tuple[float, int]:
+) -> tuple[float, int, dict]:
     """One-pass multi-sketch build over the token arrays; returns
-    (seconds, total tokens). Uses the scan-in-worker fast path (pyarrow
+    (seconds, total tokens, built sketches). Uses the scan-in-worker fast
+    path (pyarrow
     reads the row-group splits directly inside each task — no JVM row
     decode); the only traffic is #partitions x O(1 MB) serialized states.
     ``warmup=True`` runs a 1/8-subset pass (primes python workers, page
@@ -124,7 +125,63 @@ def token_sketch_build(
     dt = time.perf_counter() - t0
     total_tokens = int(sketches["td_tokens"].n)
     assert total_tokens > 0
-    return dt, total_tokens
+    return dt, total_tokens, sketches
+
+
+def accuracy_vs_exact(path: Path, sketches) -> dict:
+    """North-rule evidence in the bench record itself: max CDF (p-rank)
+    error of the DISTRIBUTED token/length digests against the EXACT
+    distribution, computed by an independent engine (DuckDB group-by over
+    the same Iceberg-resolved files). Exact mid-rank CDF at value v is
+    (cum(v) - count(v)/2) / N — the digest's half-weight boundary
+    convention. Reports the reference's absolute bound (max abs err < 0.01
+    at delta=0.01, specs/tdigest.spec.js:179,240) and the q(1-q)/delta
+    shape bound (err/(q(1-q)) < 4*delta, tests/test_accuracy.py)."""
+    import duckdb
+
+    import numpy as np
+
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    files = iceberg_scan_paths_static(str(path))
+    con = duckdb.connect()
+    out = {}
+    for key, sql in (
+        (
+            "tokens",
+            "SELECT u AS v, COUNT(*) AS c FROM (SELECT UNNEST(tokens) AS u "
+            "FROM read_parquet(?)) GROUP BY u ORDER BY u",
+        ),
+        (
+            "n_tok",
+            "SELECT n_tok AS v, COUNT(*) AS c FROM read_parquet(?) "
+            "GROUP BY n_tok ORDER BY n_tok",
+        ),
+    ):
+        rows = con.execute(sql, [files]).fetchnumpy()
+        v = rows["v"].astype(np.float64)
+        c = rows["c"].astype(np.float64)
+        n = c.sum()
+        exact = (np.cumsum(c) - c / 2.0) / n
+        d = sketches["td_tokens" if key == "tokens" else "td_ntok"]
+        err = np.abs(d.cdf(v) - exact)
+        # shape bound evaluated on the body (q in [0.01, 0.99]) like the
+        # reference's percentile grid: at the extreme tails q(1-q) -> 0
+        # faster than any estimator's absolute error, so the ratio there
+        # measures nothing (test_accuracy.py uses the same grid)
+        body = (exact >= 0.01) & (exact <= 0.99)
+        shape = err[body] / (exact[body] * (1.0 - exact[body]))
+        out[f"{key}_max_cdf_err"] = float(err.max())
+        out[f"{key}_max_shape_err"] = float(shape.max()) if body.any() else 0.0
+    out["abs_bound"] = 0.01
+    out["shape_bound"] = 0.04  # 4 * delta, delta = 0.01
+    out["within_bound"] = bool(
+        out["tokens_max_cdf_err"] < 0.01
+        and out["n_tok_max_cdf_err"] < 0.01
+        and out["tokens_max_shape_err"] < 0.04
+        and out["n_tok_max_shape_err"] < 0.04
+    )
+    return out
 
 
 def run_headline(spark) -> dict[str, float]:
@@ -280,7 +337,7 @@ def main() -> None:
                 s = make_spark(cpus)
                 token_sketch_build(s, path, warmup=True)
                 for _ in range(reps):
-                    secs, n_tok = token_sketch_build(s, path)
+                    secs, n_tok, _ = token_sketch_build(s, path)
                     pair[cpus] = max(pair[cpus], n_tok / secs)
                     results[cpus] = max(results[cpus], pair[cpus])
                 s.stop()
@@ -310,10 +367,10 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     token_sketch_build(spark, path, warmup=True)
-    hi_s, n_tokens = token_sketch_build(spark, path)
+    hi_s, n_tokens, sketches = token_sketch_build(spark, path)
     for _ in range(2):  # best-of-3, spaced: contention windows last minutes
         time.sleep(2)
-        s, _ = token_sketch_build(spark, path)
+        s, _, _sk = token_sketch_build(spark, path)
         hi_s = min(hi_s, s)
     tokens_per_sec = n_tokens / hi_s
     if scaling is not None:
@@ -363,6 +420,7 @@ def main() -> None:
         "sf": sf,
         "tokens": n_tokens,
         "tokens_per_sec": round(tokens_per_sec),
+        "accuracy": accuracy_vs_exact(path, sketches),
         "scaling": scaling,
     }
     print(json.dumps(result))
