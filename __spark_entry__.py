@@ -1609,6 +1609,76 @@ def iceberg_incremental_sketch_maintenance(
     ).orderBy("snapshot", "p")
 
 
+def iceberg_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes with the sequence rule end to end: v1
+    commits the documents table, v2 commits an equality delete whose key
+    file is just {lang: ['de', 'fr']} (the GDPR / bad-source purge shape —
+    no data rewrite, no positions), v3 RE-APPENDS the even-doc_id German
+    docs.  The reader (sources/iceberg.py _read_with_equality_deletes)
+    anti-joins each data file against only the deletes with LARGER
+    sequence numbers, so the v3 re-insert survives while v1's German and
+    French rows stay tombstoned — the spec behavior that makes
+    delete-then-reinsert pipelines correct.  Oracle recomputes both
+    post-delete states from the documents view."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_eq" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        data = root / "data" / "docs.parquet"
+        shutil.copyfile(f"{sf_dir}/documents.parquet", data)
+        W.append_snapshot(root, [data], snapshot_id=1, ts_ms=2000)
+        keys = root / "data" / "eq-keys.parquet"
+        pq.write_table(pa.table({"lang": ["de", "fr"]}), keys)
+        W.equality_delete_snapshot(root, keys, snapshot_id=2, ts_ms=3000)
+        tbl = pq.read_table(data)
+        reins = tbl.filter(
+            pc.and_(
+                pc.equal(tbl["lang"], "de"),
+                pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0),
+            )
+        )
+        f_re = root / "data" / "reinsert.parquet"
+        pq.write_table(reins, f_re)
+        W.append_snapshot(root, [f_re], snapshot_id=3, ts_ms=4000)
+        marker.write_text(_json.dumps(params))
+    outs = []
+    for label, sid in (("v2", 2), ("v3", 3)):
+        snap = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            snap.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit(label).alias("snapshot"), "lang", "n_docs")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("snapshot", "lang")
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -3672,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_mor_deleted_read": iceberg_mor_deleted_read,
         "iceberg_incremental_read": iceberg_incremental_read,
         "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
+        "iceberg_eq_delete_read": iceberg_eq_delete_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -5218,6 +5289,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT snapshot, CAST(p AS DOUBLE) AS p, MIN(v) AS q
             FROM ps JOIN cum ON c >= p * n
             GROUP BY snapshot, p ORDER BY snapshot, p
+        """,
+        # v2 = equality delete of lang de/fr over the full table; v3 = the
+        # later re-append of even-doc_id German docs survives the delete
+        "iceberg_eq_delete_read": """
+            SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs
+            FROM documents WHERE lang NOT IN ('de', 'fr')
+            GROUP BY lang
+            UNION ALL
+            SELECT 'v3' AS snapshot, lang, COUNT(*) AS n_docs
+            FROM documents
+            WHERE lang NOT IN ('de', 'fr')
+               OR (lang = 'de' AND doc_id % 2 = 0)
+            GROUP BY lang
+            ORDER BY snapshot, lang
         """,
         # the v1 -> v2 delta is exactly the odd-doc_id append
         "iceberg_incremental_read": """

@@ -42,6 +42,7 @@ __all__ = [
     "iceberg_scan_paths",
     "is_static_iceberg_table",
     "iceberg_scan_paths_static",
+    "iceberg_scan_entries_static",
     "iceberg_incremental_paths",
     "current_metadata",
 ]
@@ -77,20 +78,22 @@ def read_sequences(
             reader = reader.option("snapshot-id", snapshot_id)
         return reader.load(source)
     if is_static_iceberg_table(source):
-        paths, delete_paths = iceberg_scan_files_static(
-            source, snapshot_id=snapshot_id
-        )
-        if not paths:
+        entries = iceberg_scan_entries_static(source, snapshot_id=snapshot_id)
+        if not entries["data"]:
             # spark.read.parquet() with zero paths raises a misleading
             # UNABLE_TO_INFER_SCHEMA; say what actually happened
             raise ValueError(
                 f"Iceberg table {source!r} has no committed snapshot "
                 "(no data files to read)"
             )
-        df = spark.read.parquet(*paths)
-        if delete_paths:
-            df = _apply_position_deletes(spark, df, delete_paths)
-        return df
+        pos_paths = [x["path"] for x in entries["pos_deletes"]]
+        eqs = entries["eq_deletes"]
+        if not eqs:
+            df = spark.read.parquet(*[x["path"] for x in entries["data"]])
+            if pos_paths:
+                df = _apply_position_deletes(spark, df, pos_paths)
+            return df
+        return _read_with_equality_deletes(spark, entries, pos_paths)
     if snapshot_id is not None:
         raise ValueError(
             f"time travel requested but {source!r} is not an Iceberg table"
@@ -132,6 +135,42 @@ def _apply_position_deletes(
         )
         .drop("_fp", "_ri")
     )
+
+
+def _read_with_equality_deletes(
+    spark: SparkSession, entries: dict, pos_paths: list[str]
+) -> DataFrame:
+    """Merge-on-read with v2 EQUALITY deletes: an equality delete applies
+    to data files with STRICTLY SMALLER sequence numbers, so data files are
+    grouped by their applicable delete-set and each group anti-joins (key
+    columns = the delete file's schema, broadcast — delete key sets are
+    tiny next to the data) before the groups union back. A key re-inserted
+    by a later-sequence append therefore survives, exactly the spec rule
+    that makes delete-then-reinsert pipelines correct."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    eqs = entries["eq_deletes"]
+    groups: dict[tuple, list[str]] = defaultdict(list)
+    for d in entries["data"]:
+        applicable = tuple(
+            e["path"] for e in eqs if e["seq"] > d["seq"]
+        )
+        groups[applicable].append(d["path"])
+    parts = []
+    for applicable, paths in sorted(groups.items()):
+        part = spark.read.parquet(*sorted(paths))
+        if pos_paths:
+            part = _apply_position_deletes(spark, part, pos_paths)
+        for dp in applicable:
+            keys = spark.read.parquet(dp)
+            part = part.join(F.broadcast(keys), on=keys.columns, how="left_anti")
+        parts.append(part)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def is_static_iceberg_table(path: str) -> bool:
@@ -200,38 +239,64 @@ def iceberg_scan_files_static(
     in delete manifests (manifest-list ``content`` 1) with ``data_file
     .content`` 1 — a merge-on-read scan must subtract their (file, pos)
     rows from the data files."""
+    e = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
+    return (
+        sorted(x["path"] for x in e["data"]),
+        sorted(x["path"] for x in e["pos_deletes"]),
+    )
+
+
+def iceberg_scan_entries_static(
+    table_dir: str, snapshot_id: int | None = None
+) -> dict:
+    """Full live-entry walk of a snapshot with SEQUENCE numbers: returns
+    ``{"data": [...], "pos_deletes": [...], "eq_deletes": [...]}`` where
+    each item is ``{"path", "seq"}``. Sequence numbers come from the
+    per-entry ``snapshot_id`` recorded at ADD time (entries from foreign
+    metadata without one get seq 0) and drive the v2 delete-applicability
+    rules: an equality delete applies to data files with STRICTLY SMALLER
+    sequence numbers (a re-inserted key in a later commit survives)."""
     from . import avro_lite
 
     root = Path(str(table_dir))
     meta = current_metadata(table_dir)
     snap_id = meta.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    empty = {"data": [], "pos_deletes": [], "eq_deletes": []}
     if snap_id is None or snap_id == -1:
-        return [], []  # empty table: no committed snapshot yet
+        return empty  # empty table: no committed snapshot yet
     if snap_id not in snaps:
         if snapshot_id is not None:
             raise KeyError(
                 f"snapshot {snapshot_id} not found in {table_dir!r} "
                 f"(retained: {sorted(snaps)})"
             )
-        return [], []
+        return empty
+    seq_of = {
+        s["snapshot-id"]: s.get("sequence-number", 0) for s in snaps.values()
+    }
     manifest_list = _localize(snaps[snap_id]["manifest-list"], root)
     _, manifests = avro_lite.read_container(manifest_list)
-    data, deletes = [], []
+    out = {"data": [], "pos_deletes": [], "eq_deletes": []}
+    kind = {0: "data", 1: "pos_deletes", 2: "eq_deletes"}
     for m in manifests:
         _, entries = avro_lite.read_container(_localize(m["manifest_path"], root))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED
                 continue
             df_rec = e["data_file"]
-            p = _localize(df_rec["file_path"], root)
-            if df_rec.get("content", 0) == 1:  # position deletes
-                deletes.append(p)
-            elif df_rec.get("content", 0) == 0:
-                data.append(p)
-            # content 2 (equality deletes): not produced by this repo's
-            # writer; a real planner would apply them here
-    return sorted(data), sorted(deletes)
+            bucket = kind.get(df_rec.get("content", 0))
+            if bucket is None:
+                continue
+            out[bucket].append(
+                {
+                    "path": _localize(df_rec["file_path"], root),
+                    "seq": seq_of.get(e.get("snapshot_id"), 0),
+                }
+            )
+    for v in out.values():
+        v.sort(key=lambda x: (x["seq"], x["path"]))
+    return out
 
 
 def iceberg_incremental_paths(

@@ -29,10 +29,10 @@ Semantics mirrored from the Iceberg table spec (public documentation):
   hint still names the previous complete version until the final rename).
 
 Row-level deletes: :func:`delete_rows_snapshot` commits v2 POSITION delete
-files (merge-on-read; the read side subtracts them at scan time), and
-:func:`overwrite_snapshot` is the copy-on-write alternative. Equality
-deletes (content 2) are not produced — copy-on-write covers their use case
-here and the reader documents the gap.
+files and :func:`equality_delete_snapshot` commits v2 EQUALITY deletes
+(both merge-on-read; the read side subtracts them at scan time, honoring
+the sequence rule that equality deletes apply only to earlier-sequence
+data files); :func:`overwrite_snapshot` is the copy-on-write alternative.
 """
 
 from __future__ import annotations
@@ -50,6 +50,7 @@ __all__ = [
     "append_snapshot",
     "overwrite_snapshot",
     "delete_rows_snapshot",
+    "equality_delete_snapshot",
     "snapshot_ids",
     "live_paths",
 ]
@@ -324,6 +325,43 @@ def delete_rows_snapshot(
     )
     entry = _file_entry(del_file, 1, sid)
     entry["data_file"]["content"] = 1  # position deletes
+    m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
+    avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, [entry])
+    manifest_rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 1,  # delete manifest
+            "added_snapshot_id": sid,
+        }
+    ]
+    return _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+
+
+def equality_delete_snapshot(
+    root: str | Path,
+    keys_file: str | Path,
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit an EQUALITY delete (v2 content-2): every row of every
+    EARLIER-sequence data file whose key columns match a row of
+    ``keys_file`` (a parquet the caller wrote under data/; its columns ARE
+    the equality key set — the reader derives them from the file schema,
+    this writer's stand-in for the spec's equality_ids field-id list) is
+    tombstoned at read time. Later-sequence appends are NOT affected —
+    the spec's sequence rule, which is what lets a pipeline delete-then-
+    re-insert a key in consecutive commits."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    entry = _file_entry(keys_file, 1, sid)
+    entry["data_file"]["content"] = 2  # equality deletes
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, [entry])
     manifest_rows = _current_manifests(root, meta) + [

@@ -269,3 +269,55 @@ def test_sequence_table_iceberg_metadata_roundtrip(tmp_path):
     files2 = sorted(str(p) for p in path.glob("*.parquet"))
     assert iceberg_scan_paths_static(str(path)) == files2
     assert len(files2) == 2
+
+
+def test_writer_equality_deletes_and_reinsert(table_root, spark):
+    """Equality delete tombstones matching keys in EARLIER-sequence files
+    only; a later re-insert of the same key survives (spec sequence rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f1 = table_root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]}), f1)
+    s1 = W.append_snapshot(table_root, [f1], ts_ms=2000)
+    keys = table_root / "data" / "ed.parquet"
+    pq.write_table(pa.table({"k": [2, 4]}), keys)
+    s2 = W.equality_delete_snapshot(table_root, keys, ts_ms=3000)
+    f2 = table_root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": [2, 5], "x": [21, 50]}), f2)
+    s3 = W.append_snapshot(table_root, [f2], ts_ms=4000)
+
+    def state(sid=None):
+        return sorted(
+            (r["k"], r["x"])
+            for r in read_sequences(spark, str(table_root), snapshot_id=sid).collect()
+        )
+
+    assert state(s1) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    assert state(s2) == [(1, 10), (3, 30)]
+    # re-inserted k=2 survives; original k=2/k=4 rows stay deleted
+    assert state(s3) == [(1, 10), (2, 21), (3, 30), (5, 50)]
+    assert state() == state(s3)
+
+
+def test_equality_and_position_deletes_compose(table_root, spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f1 = table_root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]}), f1)
+    W.append_snapshot(table_root, [f1], ts_ms=2000)
+    W.delete_rows_snapshot(table_root, {str(f1): [0]}, ts_ms=3000)  # k=1
+    keys = table_root / "data" / "ed.parquet"
+    pq.write_table(pa.table({"k": [3]}), keys)
+    W.equality_delete_snapshot(table_root, keys, ts_ms=4000)
+    assert sorted(
+        (r["k"], r["x"])
+        for r in read_sequences(spark, str(table_root)).collect()
+    ) == [(2, 20), (4, 40)]
