@@ -2455,6 +2455,34 @@ def token_shards_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing MATERIALIZED (the trainer-input step after
+    chunk/shard accounting): hash-tokenized documents are concatenated
+    into ~512-token shards per source (operators/pack.py
+    pack_token_arrays — deterministic in-shard order, one (source, shard)
+    shuffle, O(shard) reducer state), and each packed stream is
+    content-fingerprinted with md5-lower-64 so the oracle certifies the
+    EXACT byte-for-byte token order of every shard, not just its size."""
+    from tdigest_spark.operators.pack import pack_token_arrays
+    from tdigest_spark.operators.text import _md5_lower64_hex, hash_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", hash_tokens(F.col("text")).alias("tokens")
+    )
+    packed = pack_token_arrays(toks, "source", "doc_id", "tokens", 512)
+    fp = _md5_lower64_hex(
+        F.concat_ws(",", F.transform(F.col("packed"), lambda x: x.cast("string")))
+    )
+    return packed.select(
+        "source",
+        "shard",
+        "n_docs",
+        "n_tokens",
+        fp.alias("pack_fp"),
+    ).orderBy("source", "shard")
+
+
 def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build (the wordcount at the root of every tokenizer
     pipeline): lowercase whitespace words -> explode -> count -> top 50 by
@@ -3765,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_word_kl": doc_source_word_kl,
         "token_span_dedup": token_span_dedup,
         "token_vocab_audit": token_vocab_audit,
+        "token_pack_sequences": token_pack_sequences,
         "events_value_psi": events_value_psi,
         "events_weekly_retention": events_weekly_retention,
         "mg_heavy_words": mg_heavy_words,
@@ -5814,6 +5843,39 @@ def oracle_sql() -> dict[str, str]:
                    END AS dup_fraction
             FROM toks b LEFT JOIN cov c USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        # packed-stream fingerprint: md5-lower-64 hex of the comma-joined
+        # token ids — certifies exact in-shard token ORDER, not just sizes
+        "token_pack_sequences": rf"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CASE WHEN TRIM(text) = '' THEN CAST([] AS BIGINT[])
+                          ELSE list_transform(
+                                 regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                                 w -> CAST(md5_number_lower(w) % 50257 AS BIGINT))
+                     END AS t
+              FROM documents
+            ), sh AS (
+              SELECT source, doc_id, t,
+                     CAST(FLOOR((SUM(len(t)) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - len(t)) / 512.0) AS BIGINT) AS shard
+              FROM toks
+            ), packed AS (
+              SELECT source, shard,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     flatten(list(t ORDER BY doc_id)) AS p
+              FROM sh GROUP BY source, shard
+            ), hashed AS (
+              SELECT source, shard, n_docs, CAST(len(p) AS INT) AS n_tokens,
+                     md5(array_to_string(p, ',')) AS h
+              FROM packed
+            )
+            SELECT source, shard, n_docs, n_tokens,
+                   {" || ".join(f"substr(h, {31 - 2 * i}, 2)" for i in range(8))} AS pack_fp
+            FROM hashed
+            ORDER BY source, shard
         """,
         "token_vocab_audit": r"""
             WITH tok AS (

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_fixed", "shard_by_cumsum", "chunk_with_overlap"]
+__all__ = ["chunk_fixed", "shard_by_cumsum", "chunk_with_overlap", "pack_token_arrays"]
 
 
 def chunk_with_overlap(
@@ -147,4 +147,52 @@ def shard_by_cumsum(
     cum_incl = F.sum(n).over(w)
     return df.withColumn(
         "shard", F.floor((cum_incl - n) / F.lit(capacity)).cast("bigint")
+    )
+
+
+def pack_token_arrays(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """MATERIALIZE the packed token streams (``shard_by_cumsum`` assigns;
+    this emits the actual trainer input): within ``part_col``, rows in
+    ``order_col`` order are concatenated into shards of ~``capacity``
+    tokens (never splitting a row). Output: ``part_col, shard, n_docs,
+    n_tokens, packed`` (the concatenated token array).
+
+    One shuffle on (part, shard); per-reducer state is one shard's tokens
+    (O(capacity + max row)), so the operator streams at any corpus size.
+    The in-shard order is made deterministic by sorting the collected
+    (order, tokens) structs — collect_list order is otherwise
+    partition-arrival nondeterministic."""
+    sharded = shard_by_cumsum(
+        df.select(part_col, order_col, F.col(tokens_col).alias("_t")),
+        part_col,
+        order_col,
+        F.size("_t"),
+        capacity,
+    )
+    packed = F.flatten(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col("_t").alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        )
+    )
+    return (
+        sharded.groupBy(part_col, "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), packed.alias("packed"))
+        .select(
+            part_col,
+            "shard",
+            "n_docs",
+            F.size("packed").alias("n_tokens"),
+            "packed",
+        )
     )

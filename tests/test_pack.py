@@ -150,3 +150,33 @@ def test_chunk_with_overlap_rejects_gap_sampling(spark):
     df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
     with pytest.raises(ValueError, match="gap-sample"):
         chunk_with_overlap(df, chunk_tokens=2, stride=10)
+
+
+def test_pack_token_arrays_materializes_in_order(spark):
+    from tdigest_spark.operators.pack import pack_token_arrays
+
+    rows = [
+        ("a", 1, [1, 2, 3]),
+        ("a", 2, [4, 5]),
+        ("a", 3, [6, 7, 8, 9]),   # cum before = 5 -> shard 1 (cap 5)
+        ("a", 4, [10]),
+        ("b", 1, [11]),
+        ("b", 2, []),             # empty row packs nothing but counts
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id int, tokens array<bigint>")
+    got = {
+        (r["source"], r["shard"]): (r["n_docs"], r["n_tokens"], r["packed"])
+        for r in pack_token_arrays(df, "source", "doc_id", "tokens", 5).collect()
+    }
+    # shard 0 of 'a': docs 1+2 (cum-before 0 and 3 < 5); doc 3 starts at 5
+    assert got[("a", 0)] == (2, 5, [1, 2, 3, 4, 5])
+    assert got[("a", 1)] == (2, 5, [6, 7, 8, 9, 10])
+    assert got[("b", 0)] == (2, 1, [11])
+    # deterministic under repartition (collect_list order is not trusted)
+    got2 = {
+        (r["source"], r["shard"]): r["packed"]
+        for r in pack_token_arrays(
+            df.repartition(7), "source", "doc_id", "tokens", 5
+        ).collect()
+    }
+    assert got2 == {k: v[2] for k, v in got.items()}
