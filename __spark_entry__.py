@@ -230,6 +230,371 @@ def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (one supplier nation's share of a region's customer
+    demand, per order year): nation×region collapses to an ASIA key list
+    (broadcast), supplier reduces to (s_suppkey, supp_nation) via a
+    broadcast against the nation dim, and the two-year date predicate is
+    pushed to the orders scan BEFORE the only fact-fact shuffle
+    (lineitem⋈orders). The share is a conditional partial aggregate per
+    year; per-term doubles are spelled identically in the oracle and
+    ROUND(...,6) absorbs summation-order ULPs."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("_n"),
+            F.sum(rev).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_n") / F.col("_d"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and order year for a
+    part-name family; this schema has no partsupp, so unit cost is the
+    part's retail price): the LIKE-filtered part dim broadcasts into the
+    fact scan FIRST (the selective gate), supplier reduces to (key,
+    nation) via a broadcast, and lineitem⋈orders is the only shuffle."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    nation = _t(spark, sf_dir, "nation")
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    # exact integer cents: revenue floors per item, cost is 2-decimal
+    # retail cents × integer quantity — every partial sum < 2^53, so the
+    # result is order-independent (a ROUND(SUM(double)) here landed on a
+    # .005 boundary at sf0.1 and split the engines by a cent)
+    amount_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long") - F.floor(F.col("p_retailprice") * 100).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    j = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(amount_cents) / F.lit(100.0)).alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top customers by returned-item revenue in a
+    half-year window): revenue is PRE-AGGREGATED to the o_custkey grain
+    straight off the fact join — the classic Q10 rewrite that shrinks the
+    customer-join input from line items to one row per buying customer —
+    then joins the customer dim and a broadcast nation. Revenue is summed
+    in exact integer cents (FLOOR(rev*100), every partial < 2^53) so the
+    top-20 cut is deterministic across engines; displayed as cents/100."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("_cents"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        per_cust.join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_cents") / F.lit(100.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (distribution of per-customer order counts, with a
+    filter INSIDE the outer join): orders are pre-filtered (the join-
+    condition predicate, pushed to the scan), LEFT-joined to customer so
+    zero-order customers survive as c_count=0, then a second tiny
+    aggregation folds counts into a histogram. Two shuffles total — the
+    second is over at most a few hundred distinct counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (supplier(s) with the maximum quarterly revenue —
+    the revenue-view + scalar-max pattern): one map-side-partial shuffle
+    builds per-supplier revenue in exact integer cents, the 1-row MAX
+    broadcasts back onto it (an equi-join, so ties all surface, exactly
+    like the spec's view formulation), and the winners broadcast into the
+    supplier dim. No SMJ anywhere."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("_rc"))
+    mx = rev.agg(F.max("_rc").alias("_mx"))
+    top = rev.join(F.broadcast(mx), F.col("_rc") == F.col("_mx")).select(
+        "l_suppkey", "_rc"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(top), supp.s_suppkey == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rc") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct-supplier counts per part attribute with a
+    NOT-IN supplier blacklist; this schema has no partsupp, so the
+    part↔supplier relation is the distinct pairs observed in lineitem):
+    the blacklist is a broadcast ANTI join (NOT IN decorrelated), the
+    attribute-filtered part dim broadcasts, and countDistinct runs as the
+    standard two-shuffle expand/aggregate."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (orders whose total quantity exceeds a threshold —
+    group-HAVING feeding an IN subquery): the only full-fact shuffle is
+    the per-order quantity rollup (map-side partials); the surviving key
+    set is tiny, so it BROADCASTS into orders and the joined result
+    broadcasts again into customer. Quantities are integer-valued doubles
+    (sums exact in any order), and the top-100 cut breaks o_totalprice
+    ties on o_orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(big), orders.o_orderkey == F.col("l_orderkey"))
+    return (
+        cust.join(F.broadcast(j), cust.c_custkey == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (revenue under an OR-of-ANDs join predicate mixing
+    both sides): the part dim broadcasts; Catalyst extracts the per-side
+    disjunction envelopes (brand IN-list on the part scan, quantity range
+    on the fact scan) as pushed filters, leaving only the cross-side
+    residual on the join. COALESCE keeps the single output row exact when
+    the filter matches nothing at tiny scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & qty.between(1, 11) & size.between(1, 5))
+        | ((brand == "Brand#23") & qty.between(10, 20) & size.between(1, 10))
+        | ((brand == "Brand#34") & qty.between(20, 30) & size.between(1, 15))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(
+        F.broadcast(part), (li.l_partkey == F.col("p_partkey")) & cond
+    ).agg(
+        F.round(F.coalesce(F.sum(rev), F.lit(0.0)), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone held up multi-supplier orders;
+    this schema has no receipt/commit dates, so "late" is shipping >60
+    days after the order date): EXISTS(another supplier in the order)
+    becomes a LEFT SEMI self-join and NOT EXISTS(another LATE supplier)
+    a LEFT ANTI self-join, both equi-keyed on l_orderkey with the
+    supplier-inequality as residual — the decorrelated plan Catalyst
+    should produce, written explicitly. Counts are exact integers."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    cand = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = cand.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (above-average-balance customers with no recent
+    orders, rolled up by nation): the scalar threshold is an exact
+    integer floor-cents DIV average (both engines do pure bigint
+    arithmetic — no float-comparison boundary anywhere), broadcast onto
+    the customer scan; "no recent orders" is a LEFT ANTI join against the
+    date-filtered orders projection; balances aggregate as exact cents."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(F.expr("_s DIV _n").alias("_thr"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cand = (
+        cust.withColumn("_cents", cents)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("_cents") > F.col("_thr"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        cand.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -3711,8 +4076,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue_sql": q6_forecast_revenue_sql,
         "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
         "q12_priority_shipping": q12_priority_shipping,
+        "q13_order_count_distribution": q13_order_count_distribution,
         "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_dormant_customers": q22_dormant_customers,
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
@@ -4377,6 +4752,168 @@ def oracle_sql() -> dict[str, str]:
             WHERE supp_nation <> cust_nation
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            WITH an AS (
+              SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ), j AS (
+              SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS rev,
+                     sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN an ON c_nationkey = an.n_nationkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                                  ELSE CAST(0.0 AS DOUBLE) END) / SUM(rev),
+                         6) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)
+                       - CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) / 100.0 AS sum_profit,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "q10_returned_items": """
+            WITH r AS (
+              SELECT o_custkey,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS _cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1998-01-01'
+                AND o_orderdate < TIMESTAMP '1998-07-01'
+              GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, _cents / 100.0 AS revenue,
+                   c_acctbal, n_name
+            FROM r
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            WITH co AS (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM co GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS _rc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, _rc / 100.0 AS total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE _rc = (SELECT MAX(_rc) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * (1 - l_discount)),
+                                  CAST(0.0 AS DOUBLE)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders o ON l1.l_orderkey = o.o_orderkey
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM lineitem l3
+                    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "q22_dormant_customers": """
+            WITH thr AS (
+              SELECT SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                     // COUNT(*) AS _thr
+              FROM customer WHERE c_acctbal > 0
+            ), cand AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS _cents
+              FROM customer, thr
+              WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > _thr
+                AND NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT n_name, COUNT(*) AS numcust,
+                   SUM(_cents) / 100.0 AS totacctbal
+            FROM cand JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "q12_priority_shipping": """
             SELECT CAST(YEAR(l_shipdate) AS INT) AS l_year,

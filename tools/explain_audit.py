@@ -104,6 +104,32 @@ AUDITS = {
     "q7_volume_shipping": (3, False, True),
     # Q12: one fact-fact equi join + tiny year rollup, no broadcasts needed
     "q12_priority_shipping": (0, False, False),
+    # Q8: region in-list, cust keyset and (suppkey, nation) all broadcast;
+    # the two-year predicate must push to the orders scan
+    "q8_market_share": (3, False, True),
+    # Q9: LIKE-filtered part + (suppkey, nation) broadcast; the p_name
+    # contains-filter must push to the part scan
+    "q9_product_profit": (2, False, True),
+    # Q10: pre-aggregated custkey revenue, nation broadcast, pushed
+    # returnflag + date-range predicates
+    "q10_returned_items": (1, False, True),
+    # Q13: filter-inside-outer-join pushed to the orders scan
+    "q13_order_count_distribution": (0, False, True),
+    # Q15: scalar MAX and the winner set both broadcast — no SMJ anywhere
+    "q15_top_supplier": (2, True, True),
+    # Q16: blacklist anti-join and attribute-filtered part dim broadcast
+    "q16_parts_supplier_counts": (2, True, True),
+    # Q18: HAVING keyset broadcasts into orders, result into customer
+    "q18_large_volume_customers": (2, True, False),
+    # Q19: part broadcast; Catalyst must extract per-side disjunction
+    # envelopes as pushed filters
+    "q19_disjunctive_revenue": (1, True, True),
+    # Q21: semi/anti self-joins are large-large (SMJ fine); supplier
+    # broadcast; o_orderstatus pushed
+    "q21_waiting_suppliers": (1, False, True),
+    # Q22: nation broadcast; the date predicate pushes to the orders scan
+    # (threshold rides a 1-row BroadcastNestedLoopJoin)
+    "q22_dormant_customers": (1, False, True),
     # Q14: the part dim must BROADCAST into the fact scan
     "q14_promo_revenue": (1, True, False),
     # substring dedup: span fan-out is map-side; the dup-hash join and the
