@@ -2313,6 +2313,175 @@ def ams_f2_quantity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def moments_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments sketch (Gan et al., VLDB'18 collection half) over
+    l_quantity: the distributed build ships ONE ~84-byte state per
+    partition (n + Σx..Σx⁴ as exact length-prefixed ints; merge = integer addition,
+    bit-identical under ANY partition layout — the HLL/CMS merge law,
+    tested in test_moments.py), then mean/variance/skewness/kurtosis come
+    from single exact-integer ratios. The oracle reproduces the power
+    sums with DuckDB HUGEINT arithmetic and the SAME final-expression
+    spelling; ROUND(,6) absorbs the one int128→double cast ULP."""
+    from tdigest_spark.operators.aggregate import MOMENTS_SPEC
+
+    sk = _scan_build(
+        spark, sf_dir, "lineitem", {"m": ("l_quantity", MOMENTS_SPEC())}
+    )["m"]
+    row = (
+        sk.n,
+        float(np.round(sk.mean(), 6)),
+        float(np.round(sk.variance(), 6)),
+        float(np.round(sk.skewness(), 6)),
+        float(np.round(sk.kurtosis(), 6)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n long, mean double, variance double, skewness double, kurtosis double",
+    )
+
+
+def moments_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED moments sketches — one 84-byte state per l_returnflag built
+    map-side (build_sketch_grouped: raw rows never shuffle), over integer
+    cents of l_extendedprice (FLOOR×100 — exact at any magnitude, the
+    same cents bridge the TPC-H revenue queries use). Demonstrates the
+    sketch on a large-domain column (millions of distinct cent values),
+    not just the 50-value quantity axis."""
+    from tdigest_spark.operators.aggregate import MOMENTS_SPEC, build_sketch_grouped
+    from tdigest_spark.sketch.moments import MomentsSketch
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    states = build_sketch_grouped(li, ["l_returnflag"], "cents", MOMENTS_SPEC())
+    rows = []
+    for r in states.collect():
+        sk = MomentsSketch.from_bytes(bytes(r.state))
+        rows.append(
+            (
+                r.l_returnflag,
+                sk.n,
+                float(np.round(sk.mean(), 6)),
+                float(np.round(sk.variance(), 6)),
+                float(np.round(sk.skewness(), 6)),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "l_returnflag string, n long, mean double, variance double, skewness double",
+    )
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf's-law fit over the hash-token unigram distribution:
+    least-squares slope/intercept of ln(freq) on ln(rank) — the
+    sanity-check a training-mix owner runs per domain (natural text sits
+    near slope −1; a broken extractor or boilerplate flood shows up as a
+    flat or cliffed curve). One explode + (source, tok) two-phase agg,
+    one per-source window for the frequency rank (ties broken by token
+    id, so the rank is total and both engines agree), then a 5-sum
+    closed-form regression. Per-term doubles (ln of exact integer rank /
+    count) are spelled identically in the oracle; the slope's cancelling
+    sums keep ~1e-13 of noise and ROUND(,6) absorbs it (the
+    doc_source_word_kl contract)."""
+    from tdigest_spark.operators.text import hash_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(hash_tokens(F.col("text"))).alias("tok")
+    )
+    per = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    s = (
+        per.withColumn("r", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(x * y).alias("_sxy"),
+        )
+    )
+    nd = F.col("n_distinct").cast("double")
+    slope = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return (
+        s.withColumn("_slope", slope)
+        .select(
+            "source",
+            "n_distinct",
+            F.round(F.col("_slope"), 6).alias("zipf_slope"),
+            F.round(
+                (F.col("_sy") - F.col("_slope") * F.col("_sx")) / nd, 6
+            ).alias("zipf_intercept"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram diversity and cross-source exclusivity per source:
+    bigrams encode as one bigint (t[i]·vocab + t[i+1] — no string concat
+    in the hot path), counts aggregate per (source, bigram), and a bigram
+    appearing in exactly ONE source marks it exclusive. n-gram novelty is
+    the mix-dedup signal: a source whose bigrams all exist elsewhere adds
+    no new sequence structure. Integer-exact except the final ratio.
+    Scale shape: explode → two-phase agg on (source, bg), one bg-keyed
+    shuffle for the source-multiplicity count, one broadcast-size rollup."""
+    from tdigest_spark.operators.text import hash_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", hash_tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= 2)
+    big = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.element_at(F.col("t"), i) * F.lit(50257)
+                + F.element_at(F.col("t"), i + 1),
+            )
+        ).alias("bg"),
+    )
+    per = big.groupBy("source", "bg").agg(F.count(F.lit(1)).alias("c"))
+    solo = (
+        per.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("_nsrc"))
+        .where(F.col("_nsrc") == 1)
+        .select("bg")
+    )
+    excl = (
+        per.join(solo, "bg", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    stats = per.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    return (
+        stats.join(excl, "source", "left")
+        .na.fill(0, ["n_exclusive"])
+        .select(
+            "source",
+            "n_bigrams",
+            "n_distinct",
+            "n_exclusive",
+            F.round(
+                F.col("n_exclusive").cast("double")
+                / F.col("n_distinct").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
 def grouped_digest_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-UDF-over-states surface: grouped t-digest states queried
     in-DataFrame with digest_quantile / digest_cdf / digest_trimmed_mean
@@ -4137,6 +4306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_lang_estimates": cms_lang_estimates,
         "cms_join_size_estimate": cms_join_size_estimate,
         "ams_f2_quantity_selfjoin": ams_f2_quantity_selfjoin,
+        "moments_quantity_stats": moments_quantity_stats,
+        "moments_price_by_flag": moments_price_by_flag,
+        "token_zipf_fit": token_zipf_fit,
+        "token_bigram_novelty": token_bigram_novelty,
         "sql_digest_surface": sql_digest_surface,
         "skewed_source_salted_agg": skewed_source_salted_agg,
         "skewed_key_join": skewed_key_join,
@@ -6436,6 +6609,134 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             GROUP BY source
             ORDER BY source
+        """,
+        "moments_quantity_stats": """
+            WITH s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(CAST(l_quantity AS HUGEINT)) AS s1,
+                     SUM(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) AS s2,
+                     SUM(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) AS s3,
+                     SUM(CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)
+                         * CAST(l_quantity AS HUGEINT)) AS s4
+              FROM lineitem
+            ), v AS (
+              SELECT n, s1, s2, s3, s4,
+                     CAST(n * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS var
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+                   ROUND(var, 6) AS variance,
+                   ROUND(CAST(n * n * s3 - 3 * n * s1 * s2
+                              + 2 * s1 * s1 * s1 AS DOUBLE)
+                         / CAST(n * n * n AS DOUBLE)
+                         / (var * SQRT(var)), 6) AS skewness,
+                   ROUND(CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                              + 6 * n * s1 * s1 * s2
+                              - 3 * s1 * s1 * s1 * s1 AS DOUBLE)
+                         / CAST(n * n * n * n AS DOUBLE)
+                         / (var * var), 6) AS kurtosis
+            FROM v
+        """,
+        "moments_price_by_flag": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100) AS HUGEINT) AS v
+              FROM lineitem
+            ), s AS (
+              SELECT l_returnflag,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(v) AS s1, SUM(v * v) AS s2, SUM(v * v * v) AS s3
+              FROM c GROUP BY l_returnflag
+            ), v AS (
+              SELECT l_returnflag, n, s1, s2, s3,
+                     CAST(n * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS var
+              FROM s
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+                   ROUND(var, 6) AS variance,
+                   ROUND(CAST(n * n * s3 - 3 * n * s1 * s2
+                              + 2 * s1 * s1 * s1 AS DOUBLE)
+                         / CAST(n * n * n AS DOUBLE)
+                         / (var * SQRT(var)), 6) AS skewness
+            FROM v ORDER BY l_returnflag
+        """,
+        "token_zipf_fit": r"""
+            WITH tok AS (
+              SELECT source,
+                     UNNEST(list_transform(
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                       w -> CAST(md5_number_lower(w) % 50257 AS BIGINT))) AS tok
+              FROM documents WHERE TRIM(text) <> ''
+            ), per AS (
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY source, tok
+            ), ranked AS (
+              SELECT source, c,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY c DESC, tok) AS r
+              FROM per
+            ), t AS (
+              SELECT source, LN(CAST(r AS DOUBLE)) AS x,
+                     LN(CAST(c AS DOUBLE)) AS y
+              FROM ranked
+            ), s AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM t GROUP BY source
+            ), sl AS (
+              SELECT source, n_distinct, sx, sy,
+                     (CAST(n_distinct AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_distinct AS DOUBLE) * sxx - sx * sx) AS slope
+              FROM s
+            )
+            SELECT source, n_distinct,
+                   ROUND(slope, 6) AS zipf_slope,
+                   ROUND((sy - slope * sx)
+                         / CAST(n_distinct AS DOUBLE), 6) AS zipf_intercept
+            FROM sl ORDER BY source
+        """,
+        "token_bigram_novelty": r"""
+            WITH toks AS (
+              SELECT source,
+                     list_transform(
+                       regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                       w -> CAST(md5_number_lower(w) % 50257 AS BIGINT)) AS t
+              FROM documents WHERE TRIM(text) <> ''
+            ), bgt AS (
+              SELECT source, t[i] * 50257 + t[i + 1] AS bg
+              FROM toks, UNNEST(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            ), per AS (
+              SELECT source, bg, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bgt GROUP BY source, bg
+            ), solo AS (
+              SELECT bg FROM per GROUP BY bg HAVING COUNT(*) = 1
+            ), excl AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exclusive
+              FROM per WHERE bg IN (SELECT bg FROM solo)
+              GROUP BY source
+            ), stats AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct
+              FROM per GROUP BY source
+            )
+            SELECT s.source, n_bigrams, n_distinct,
+                   CAST(COALESCE(n_exclusive, 0) AS BIGINT) AS n_exclusive,
+                   ROUND(CAST(COALESCE(n_exclusive, 0) AS DOUBLE)
+                         / CAST(n_distinct AS DOUBLE), 6) AS novelty
+            FROM stats s LEFT JOIN excl e ON s.source = e.source
+            ORDER BY s.source
         """,
         "doc_source_word_kl": r"""
             WITH w AS (

@@ -45,6 +45,7 @@ __all__ = [
     "DDSKETCH_SPEC",
     "KLL_SPEC",
     "MG_SPEC",
+    "MOMENTS_SPEC",
     "BOTTOMK_INTS",
     "BOTTOMK_MD5",
     "BOTTOMK_STRINGS",
@@ -222,6 +223,18 @@ def _mk_mg(k: int = 64):
     )
 
 
+def _mk_moments(k: int = 4):
+    from ..sketch.moments import MomentsSketch
+
+    return SketchSpec(
+        name=f"moments(k={k})",
+        make=lambda: MomentsSketch(k=k),
+        from_bytes=lambda b: MomentsSketch.from_bytes(b),
+        update=lambda sk, v: sk.update_ints(v),
+        update_agg=lambda sk, uv, uc: sk.update_ints(uv, counts=uc),
+    )
+
+
 def _mk_kll(k: int = 200):
     from ..sketch.kll import KLL
 
@@ -248,6 +261,7 @@ BLOOM_STRINGS = lambda n=1_000_000, fpp=0.01: _mk_bloom(n, fpp, True)  # noqa: E
 KLL_SPEC = _mk_kll
 DDSKETCH_SPEC = _mk_ddsketch
 MG_SPEC = _mk_mg
+MOMENTS_SPEC = _mk_moments
 
 
 def _column_values(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -137,6 +137,12 @@ AUDITS = {
     "token_span_dedup": (0, False, False),
     # tokenizer audit: explode + two hash aggregates, no joins at all
     "token_vocab_audit": (0, True, False),
+    # Zipf fit: explode + agg + one per-source window + regression agg —
+    # no joins at all
+    "token_zipf_fit": (0, True, False),
+    # bigram novelty: the solo-bigram semi-join is large-large (SMJ ok);
+    # only forbid cartesian
+    "token_bigram_novelty": (0, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
