@@ -595,6 +595,214 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in one region; this
+    schema has no partsupp, so the part↔supplier "supplycost" is the
+    minimum observed unit price MIN(l_extendedprice / l_quantity) over
+    lineitem): the correlated MIN subquery decorrelates into a window MIN
+    over the already-dim-filtered candidate frame — region, nation, part,
+    and supplier dims all BROADCAST, the only fact shuffle is the
+    (part, supplier) rollup, and the window runs over the tiny
+    post-filter set, never the fact table. Every per-row unit price is
+    the same IEEE double in both engines, so the MIN and the equality
+    against it are bit-exact; the sort key (s_acctbal DESC, n_name,
+    s_name, p_partkey) is unique per output row, making LIMIT 100
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "LARGE")
+        .select("p_partkey", "p_brand")
+    )
+    cand = ps.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min", F.min("_cost").over(w))
+        .where(F.col("_cost") == F.col("_min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("_cost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; no commit/receipt dates in
+    this schema, so a "late" order is one with any lineitem shipped more
+    than 30 days after the order date): the EXISTS subquery decorrelates
+    into a LEFT SEMI join equi-keyed on l_orderkey with the date
+    inequality as residual — no row multiplication, no distinct — and the
+    quarter window is pushed into the orders scan. Counts exact."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts whose "inventory value" exceeds a global
+    fraction threshold; value = floor-cents revenue contributed by a
+    three-nation supplier group; the fraction is 2x the mean part value,
+    which scales with the part count the way TPC-H's 0.0001/SF does):
+    integer cents make the HAVING comparison an exact bigint predicate
+    (value_cents * n_parts > 2 * total_cents — no float boundary
+    anywhere; products stay < 2^63 up to ~100 TB of per-part cents). The nation-filtered
+    supplier dim BROADCASTS into the fact scan; the scalar total
+    broadcasts back over the per-part rollup as a single-row crossJoin,
+    the decorrelated form of the scalar subquery."""
+    nat = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_partkey").alias("p_partkey"), cents.alias("_c"))
+        .groupBy("p_partkey")
+        .agg(F.sum("_c").alias("value_cents"))
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("_n") > F.lit(2) * F.col("_total"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 canonical aggregate (average yearly revenue lost to
+    sub-20%-of-average-quantity orders of one brand) — the scalar-output
+    sibling of part_avg_correlated_subquery: the per-part AVG subquery
+    decorrelates into one rollup joined back to the probe scan. The
+    rollup is computed over lineitems of Brand#3 parts only — the
+    per-part average needs exactly that part's rows, and the brand filter
+    keeps every row of each surviving partkey, so this equals the
+    oracle's all-parts subquery restricted to the probed keys (and is the
+    plan that survives 100 TB: the avg never scans non-brand parts).
+    Quantities are integer-valued doubles, so each per-part average —
+    hence the 0.2·avg comparison — is IEEE-exact in both engines;
+    ROUND(...,2) absorbs summation-order ULPs in the price sum."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    pq = brand_li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg")
+    )
+    return (
+        brand_li.join(F.broadcast(pq), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q20_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers who shipped a significant volume of
+    'red%' parts in one year, restricted to one region): the nested-IN
+    chain decorrelates into broadcast joins — red-part keys broadcast
+    into the date-pruned fact scan, the qualifying supplier rollup
+    (integer-valued quantities, exact in any order) broadcasts into the
+    region-filtered supplier dim. LIKE-prefix predicate pushes to the
+    part scan as a range filter."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    sq = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        supp.join(F.broadcast(sq), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name", F.col("_qty").cast("long").alias("red_qty"))
+        .orderBy("s_name")
+    )
+
+
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -3513,7 +3721,9 @@ def events_hourly_stream_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
     res = spark.table(qname).toPandas()
     res = res.drop_duplicates(subset=["key", "window_start"], keep="last")
     rows = [
@@ -4257,6 +4467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_dormant_customers": q22_dormant_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_order_priority": q4_order_priority,
+        "q11_important_parts": q11_important_parts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_red_part_suppliers": q20_red_part_suppliers,
         "events_type_stats": events_type_stats,
         "events_top_users_window": events_top_users_window,
         "customers_without_orders": customers_without_orders,
@@ -5068,6 +5283,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     MIN(l_extendedprice / l_quantity) AS supplycost
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ), cand AS (
+              SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, supplycost,
+                     MIN(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+              FROM part JOIN ps ON p_partkey = l_partkey
+              JOIN eu ON l_suppkey = s_suppkey
+              WHERE p_type = 'LARGE'
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   ROUND(supplycost, 6) AS supplycost
+            FROM cand WHERE supplycost = min_cost
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l_partkey AS p_partkey,
+                     SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) AS value_cents
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+              GROUP BY 1
+            ), t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                            COUNT(*) AS n_parts FROM v)
+            SELECT p_partkey, CAST(value_cents AS BIGINT) AS value_cents
+            FROM v, t
+            WHERE value_cents * n_parts > 2 * total_cents
+            ORDER BY value_cents DESC, p_partkey
+        """,
+        "q17_small_quantity_revenue": """
+            WITH pq AS (
+              SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+              FROM lineitem GROUP BY 1
+            )
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            JOIN pq ON pk = l_partkey
+            WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+        """,
+        "q20_red_part_suppliers": """
+            WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+            sq AS (
+              SELECT l_suppkey, SUM(l_quantity) AS qty
+              FROM lineitem JOIN red ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey)
+            SELECT s_name, n_name, CAST(qty AS BIGINT) AS red_qty
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN sq ON s_suppkey = l_suppkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND qty > 50
+            ORDER BY s_name
         """,
         "q22_dormant_customers": """
             WITH thr AS (

@@ -143,6 +143,20 @@ AUDITS = {
     # bigram novelty: the solo-bigram semi-join is large-large (SMJ ok);
     # only forbid cartesian
     "token_bigram_novelty": (0, False, False),
+    # Q2: part + region-filtered supplier dims broadcast into the
+    # (part,supplier) rollup; p_type pushes to the part scan
+    "q2_min_cost_supplier": (2, True, True),
+    # Q4: EXISTS decorrelates to a semi join; date window pushes to the
+    # orders scan (the join is large-large at scale, SMJ fine)
+    "q4_order_priority": (0, False, True),
+    # Q11: nation-filtered supplier dim broadcasts into the fact scan;
+    # the scalar total rides a 1-row broadcast
+    "q11_important_parts": (1, False, True),
+    # Q17: brand part keys broadcast; per-part avg joins back broadcast
+    "q17_small_quantity_revenue": (2, True, True),
+    # Q20: red-part keys + qualifying-supplier rollup broadcast; the
+    # LIKE prefix and date window push to their scans
+    "q20_red_part_suppliers": (2, True, True),
 }
 
 # queries whose scan must show directory-level partition pruning: a
