@@ -2252,6 +2252,90 @@ def iceberg_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).orderBy("snapshot", "lang")
 
 
+def iceberg_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MANIFEST-STATS file pruning end to end: orders is committed
+    as one data file per calendar month, with the writer recording
+    per-column lower/upper bounds in the manifest entries (table spec
+    Appendix D single-value encoding — timestamps as little-endian micros).
+    The scan then plans a 12-month predicate window from MANIFEST METADATA
+    ALONE (sources/iceberg.iceberg_scan_paths_pruned — no parquet footer is
+    opened), reads only the surviving files, and re-applies the predicate
+    row-level as the residual filter, exactly a real engine's split: at
+    100 TB this is the difference between O(manifest) and O(data) planning.
+    The pruning itself is exact-oracled: files_scanned/files_total equal
+    the distinct order months inside/overall the window because bounds of
+    month-partitioned files overlap a month-aligned window iff the month
+    has an order in it. Revenue sums are integer floor-cents (exact in any
+    order)."""
+    import datetime as _dt
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_stats" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/orders.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(f"{sf_dir}/orders.parquet")
+        months = pc.strftime(tbl["o_orderdate"], format="%Y-%m")
+        files = []
+        for m in sorted(set(months.to_pylist())):
+            part = tbl.filter(pc.equal(months, m))
+            part = part.take(pc.sort_indices(part["o_orderkey"]))
+            f = root / "data" / f"m-{m}.parquet"
+            pq.write_table(part, f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        marker.write_text(_json.dumps(params))
+    lo, hi = _dt.datetime(1996, 6, 1), _dt.datetime(1997, 6, 1)
+    paths, n_total = iceberg_scan_paths_pruned(
+        str(root), [("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)]
+    )
+    df = spark.read.parquet(*paths).where(
+        (F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    return (
+        df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "price_cents",
+            F.lit(len(paths)).cast("long").alias("files_scanned"),
+            F.lit(n_total).cast("long").alias("files_total"),
+        )
+        .orderBy("month")
+    )
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -4534,6 +4618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_read": iceberg_incremental_read,
         "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
         "iceberg_eq_delete_read": iceberg_eq_delete_read,
+        "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -6320,6 +6405,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # v2 = equality delete of lang de/fr over the full table; v3 = the
         # later re-append of even-doc_id German docs survives the delete
+        "iceberg_stats_pruned_read": """
+            WITH m AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+                AND o_orderdate < TIMESTAMP '1997-06-01'
+              GROUP BY 1
+            ), f AS (
+              SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                       FILTER (WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+                                 AND o_orderdate < TIMESTAMP '1997-06-01')
+                       AS files_scanned,
+                     COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                       AS files_total
+              FROM orders
+            )
+            SELECT month, n_orders, price_cents, files_scanned, files_total
+            FROM m, f ORDER BY month
+        """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs
             FROM documents WHERE lang NOT IN ('de', 'fr')

@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,7 @@ __all__ = [
     "iceberg_scan_paths_static",
     "iceberg_scan_entries_static",
     "iceberg_incremental_paths",
+    "iceberg_scan_paths_pruned",
     "current_metadata",
 ]
 
@@ -292,6 +294,8 @@ def iceberg_scan_entries_static(
                 {
                     "path": _localize(df_rec["file_path"], root),
                     "seq": seq_of.get(e.get("snapshot_id"), 0),
+                    "lower_bounds": df_rec.get("lower_bounds"),
+                    "upper_bounds": df_rec.get("upper_bounds"),
                 }
             )
     for v in out.values():
@@ -343,6 +347,78 @@ def iceberg_incremental_paths(
                 continue
             paths.append(_localize(df_rec["file_path"], root))
     return sorted(paths)
+
+
+def _bound_key(value, bound: bytes):
+    """Decode a manifest bound into the predicate literal's comparison
+    domain. Longs/doubles/timestamp-micros were serialized little-endian
+    (table spec, Appendix D) so they must be DECODED — raw byte order is
+    not value order for two's-complement or IEEE data. UTF-8 strings are
+    the opposite: byte order IS code-point order, and upper bounds may be
+    truncation-incremented mid-codepoint (not decodable), so strings
+    compare in the byte domain."""
+    import datetime as _dt
+    import struct as _struct
+
+    if isinstance(value, bool):
+        raise TypeError("boolean predicates are not prunable")
+    if isinstance(value, int):
+        return _struct.unpack("<q", bound)[0], value
+    if isinstance(value, float):
+        return _struct.unpack("<d", bound)[0], value
+    if isinstance(value, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        micros = int((value - epoch) / _dt.timedelta(microseconds=1))
+        return _struct.unpack("<q", bound)[0], micros
+    if isinstance(value, str):
+        return bound, value.encode("utf-8")
+    raise TypeError(f"unsupported predicate type {type(value).__name__}")
+
+
+def _entry_matches(entry: dict, predicates) -> bool:
+    """Can a data file possibly contain rows satisfying ALL predicates?
+    Missing bounds (old manifests, unsupported column types) keep the
+    file — pruning is an optimization, never a correctness filter."""
+    lo_map = entry.get("lower_bounds") or {}
+    hi_map = entry.get("upper_bounds") or {}
+    for col, op, value in predicates:
+        lo = lo_map.get(col)
+        hi = hi_map.get(col)
+        try:
+            if op in (">=", ">", "=="):
+                if hi is not None:
+                    h, v = _bound_key(value, hi)
+                    if (op == ">" and not h > v) or (op != ">" and not h >= v):
+                        return False
+            if op in ("<=", "<", "=="):
+                if lo is not None:
+                    l, v = _bound_key(value, lo)
+                    if (op == "<" and not l < v) or (op != "<" and not l <= v):
+                        return False
+        except (TypeError, struct.error):
+            continue  # un-decodable bound: keep the file
+    return True
+
+
+def iceberg_scan_paths_pruned(
+    table_dir: str,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+) -> tuple[list[str], int]:
+    """Plan a predicate-pruned scan from MANIFEST METADATA ALONE: returns
+    ``(matching_data_paths, total_live_data_files)`` using the per-file
+    ``lower_bounds``/``upper_bounds`` the writer recorded at commit time —
+    no parquet footer is opened, which is the property that makes Iceberg
+    planning O(manifest) instead of O(data) on a 100 TB table.
+    ``predicates`` is a conjunction of ``(column, op, literal)`` with op in
+    ``>= > <= < ==``; literals are python ints/floats/strs/datetimes.
+    Files without bounds for a referenced column always survive (pruning
+    is never a correctness filter — the caller re-applies the predicate
+    row-level, exactly like a real engine's residual filter)."""
+    entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
+    data = entries["data"]
+    kept = [e["path"] for e in data if _entry_matches(e, predicates)]
+    return sorted(kept), len(data)
 
 
 def iceberg_scan_paths(spark: SparkSession, identifier: str) -> list[str]:

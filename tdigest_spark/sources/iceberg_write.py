@@ -75,6 +75,16 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                        "default": None,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {"type": "map", "values": "bytes"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -129,12 +139,108 @@ def _load_current(root: Path) -> tuple[int, dict]:
     return version, current_metadata(root)
 
 
+_TRUNC = 16  # spec-recommended string-bound truncation length
+
+
+def encode_bound(v) -> bytes:
+    """Iceberg single-value serialization (table spec, Appendix D) for the
+    bound types this writer emits: long and timestamp-micros as 8-byte
+    little-endian two's complement, double as 8-byte little-endian IEEE
+    754, strings as UTF-8 bytes."""
+    import datetime as _dt
+    import struct as _struct
+
+    if isinstance(v, bool):
+        raise TypeError("boolean bounds are not emitted")
+    if isinstance(v, int):
+        return _struct.pack("<q", v)
+    if isinstance(v, float):
+        return _struct.pack("<d", v)
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return _struct.pack("<q", int((v - epoch) / _dt.timedelta(microseconds=1)))
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    raise TypeError(f"unsupported bound type {type(v).__name__}")
+
+
+def _truncate_lower(b: bytes) -> bytes:
+    """Prefix truncation keeps a valid LOWER bound (prefix <= original)."""
+    return b[:_TRUNC]
+
+
+def _truncate_upper(b: bytes) -> bytes | None:
+    """A valid UPPER bound for a truncated byte string: the prefix with its
+    last byte incremented (spec's short-ened upper bound). Bytes already at
+    0xFF roll off; an all-0xFF prefix has no finite upper -> None (bound
+    omitted, file never pruned on this column)."""
+    if len(b) <= _TRUNC:
+        return b
+    t = bytearray(b[:_TRUNC])
+    while t:
+        if t[-1] < 0xFF:
+            t[-1] += 1
+            return bytes(t)
+        t.pop()
+    return None
+
+
+def _column_bounds(path: Path) -> tuple[dict, dict] | None:
+    """Per-column (lower, upper) bound maps from the parquet footer's
+    row-group statistics — computed ONCE at commit time so the planner can
+    prune files from the manifest alone, never touching data-file footers
+    at query time. Columns without usable stats (or non-scalar types) are
+    simply absent from the maps."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    lo: dict = {}
+    hi: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested / list element: not a scalar column
+                continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                continue
+            if isinstance(mn, bytes) or mn is None or mx is None:
+                continue
+            if name not in lo or (mn, ) < (lo[name], ):
+                lo[name] = mn
+            if name not in hi or (mx, ) > (hi[name], ):
+                hi[name] = mx
+    if not lo:
+        return None
+    lo_b: dict = {}
+    hi_b: dict = {}
+    for name in lo:
+        try:
+            lb = _truncate_lower(encode_bound(lo[name]))
+            ub_raw = encode_bound(hi[name])
+            ub = _truncate_upper(ub_raw)
+        except TypeError:
+            continue
+        lo_b[name] = lb
+        if ub is not None:
+            hi_b[name] = ub
+    return (lo_b, hi_b) if lo_b else None
+
+
 def _file_entry(path: str | Path, status: int, snapshot_id: int) -> dict:
     p = Path(str(path))
+    bounds = None
     try:
         import pyarrow.parquet as pq
 
         record_count = pq.read_metadata(p).num_rows
+        bounds = _column_bounds(p)
     except Exception:
         record_count = -1
     return {
@@ -146,6 +252,8 @@ def _file_entry(path: str | Path, status: int, snapshot_id: int) -> dict:
             "file_format": "PARQUET",
             "record_count": int(record_count),
             "file_size_in_bytes": p.stat().st_size if p.exists() else -1,
+            "lower_bounds": bounds[0] if bounds else None,
+            "upper_bounds": bounds[1] if bounds else None,
         },
     }
 

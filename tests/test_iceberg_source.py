@@ -321,3 +321,161 @@ def test_equality_and_position_deletes_compose(table_root, spark):
         (r["k"], r["x"])
         for r in read_sequences(spark, str(table_root)).collect()
     ) == [(2, 20), (4, 40)]
+
+
+# ---------------------------------------------------------------------------
+# manifest column-stats pruning (writer bounds + metadata-only scan plan)
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_upper_increments_and_rolls():
+    from tdigest_spark.sources.iceberg_write import _TRUNC, _truncate_upper
+
+    short = b"abc"
+    assert _truncate_upper(short) == short  # within limit: unchanged
+    long = b"a" * _TRUNC + b"zz"
+    up = _truncate_upper(long)
+    assert len(up) == _TRUNC and up > long[:_TRUNC] and up > long
+    # trailing 0xFF rolls back to the previous byte
+    rolls = b"a" * (_TRUNC - 1) + b"\xff" + b"tail"
+    up = _truncate_upper(rolls)
+    assert up == b"a" * (_TRUNC - 2) + b"b"
+    assert up > rolls  # still a valid upper bound
+    # un-bound-able: every prefix byte is 0xFF
+    assert _truncate_upper(b"\xff" * (_TRUNC + 4)) is None
+
+
+def test_bounds_recorded_and_pruned_scan(table_root):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_entries_static,
+        iceberg_scan_paths_pruned,
+    )
+
+    files = []
+    for i in range(5):
+        f = table_root / "data" / f"f{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([i * 10 + j for j in range(10)], pa.int64()),
+                    "x": pa.array([float(i * 10 + j) for j in range(10)]),
+                    "s": [f"n_{i:02d}_{j}" for j in range(10)],
+                    "ts": [datetime.datetime(2001, 1 + i, 1 + j) for j in range(10)],
+                }
+            ),
+            f,
+        )
+        files.append(f)
+    W.append_snapshot(table_root, files, snapshot_id=1, ts_ms=2000)
+
+    entries = iceberg_scan_entries_static(str(table_root))["data"]
+    assert all(e["lower_bounds"] and e["upper_bounds"] for e in entries)
+
+    def names(pred):
+        paths, total = iceberg_scan_paths_pruned(str(table_root), pred)
+        assert total == 5
+        return [p.rsplit("/", 1)[1] for p in paths]
+
+    assert names([("k", ">=", 25), ("k", "<", 45)]) == [
+        "f2.parquet", "f3.parquet", "f4.parquet",
+    ]
+    assert names([("k", "==", 10)]) == ["f1.parquet"]
+    assert names([("x", ">", 39.0)]) == ["f4.parquet"]
+    assert names([("s", "==", "n_03_5")]) == ["f3.parquet"]
+    assert names([("ts", ">=", datetime.datetime(2001, 4, 1))]) == [
+        "f3.parquet", "f4.parquet",
+    ]
+    # a column without bounds never prunes (optimization, not a filter)
+    assert len(names([("missing", ">=", 0)])) == 5
+    # conjunction that excludes everything
+    assert names([("k", ">=", 100)]) == []
+
+
+def test_pruned_scan_matches_full_scan(table_root, spark):
+    """Pruning + residual filter must equal filtering the full table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_paths_pruned,
+        iceberg_scan_paths_static,
+    )
+
+    files = []
+    for i in range(4):
+        f = table_root / "data" / f"g{i}.parquet"
+        pq.write_table(
+            pa.table({"v": pa.array(range(i * 100, i * 100 + 100), pa.int64())}), f
+        )
+        files.append(f)
+    W.append_snapshot(table_root, files, snapshot_id=1, ts_ms=2000)
+    pruned, total = iceberg_scan_paths_pruned(
+        str(table_root), [("v", ">=", 150), ("v", "<", 310)]
+    )
+    assert len(pruned) == 3 < total == 4  # metadata-only skip proven
+    got = sorted(
+        r.v
+        for r in spark.read.parquet(*pruned)
+        .where("v >= 150 AND v < 310")
+        .collect()
+    )
+    full = sorted(
+        r.v
+        for r in spark.read.parquet(*iceberg_scan_paths_static(str(table_root)))
+        .where("v >= 150 AND v < 310")
+        .collect()
+    )
+    assert got == full == list(range(150, 310))
+
+
+def test_old_manifests_without_bounds_still_read(table_root):
+    """Entries written before the bounds fields existed must keep reading
+    (and never prune) — forward compatibility of the metadata walk."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import avro_lite
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    f = _pq(table_root / "data" / "old.parquet", range(50))
+    W.append_snapshot(table_root, [f], snapshot_id=1, ts_ms=2000)
+    # rewrite the manifest with the PRE-bounds schema (simulating an old
+    # writer): strip the bounds fields from every entry
+    meta_dir = table_root / "metadata"
+    old_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    for m in meta_dir.glob("m-*.avro"):
+        _, rows = avro_lite.read_container(m)
+        for r in rows:
+            r["data_file"].pop("lower_bounds", None)
+            r["data_file"].pop("upper_bounds", None)
+        avro_lite.write_container(m, old_schema, rows)
+    paths, total = iceberg_scan_paths_pruned(str(table_root), [("x", ">=", 999)])
+    assert total == 1 and len(paths) == 1  # no bounds -> never pruned
