@@ -2336,6 +2336,90 @@ def iceberg_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION resolved by FIELD ID end to end: v1 commits
+    the even doc_ids under schema 0 (doc_id, n_chars, source); two
+    metadata-only commits then RENAME n_chars -> doc_len and ADD a lang
+    column; v2 appends the odd doc_ids under the evolved schema.  The
+    evolved read (sources/iceberg.read_table_evolved) projects every data
+    file onto the CURRENT schema by field id — v1 files keep serving the
+    renamed column from their stored n_chars (same id, new name, zero data
+    rewritten) and read NULL for the later-added lang — the contract that
+    makes in-place evolution safe on a 100 TB table where a rewrite is a
+    non-starter.  The oracle recomputes the per-source rollup from the
+    documents view: sum_len covers ALL docs (rename transparent), lang
+    statistics only the odd half (added column NULL before its commit)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_evo" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(
+            root,
+            ts_ms=1000,
+            schema_fields=[
+                ("doc_id", "long"), ("n_chars", "long"), ("source", "string")
+            ],
+        )
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "source", "lang"],
+        )
+        odd_mask = pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1)
+        even = tbl.filter(pc.invert(odd_mask)).select(
+            ["doc_id", "n_chars", "source"]
+        )
+        f1 = root / "data" / "even.parquet"
+        pq.write_table(even, f1)
+        W.append_snapshot(root, [f1], snapshot_id=1, ts_ms=2000)
+        W.rename_column(root, "n_chars", "doc_len", ts_ms=3000)
+        W.add_column(root, "lang", "string", ts_ms=4000)
+        odd = (
+            tbl.filter(odd_mask)
+            .select(["doc_id", "n_chars", "source", "lang"])
+            .rename_columns(["doc_id", "doc_len", "source", "lang"])
+        )
+        f2 = root / "data" / "odd.parquet"
+        pq.write_table(odd, f2)
+        W.append_snapshot(root, [f2], snapshot_id=2, ts_ms=5000)
+        marker.write_text(_json.dumps(params))
+    df = read_table_evolved(spark, str(root))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("sum_len"),
+            F.count("lang").alias("n_lang"),
+            F.countDistinct("lang").alias("n_distinct_lang"),
+        )
+        .orderBy("source")
+    )
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -4619,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
         "iceberg_eq_delete_read": iceberg_eq_delete_read,
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
+        "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -6426,6 +6511,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT month, n_orders, price_cents, files_scanned, files_total
             FROM m, f ORDER BY month
+        """,
+        "iceberg_schema_evolution_read": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+                   COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
+                   COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+                     AS n_distinct_lang
+            FROM documents GROUP BY source ORDER BY source
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

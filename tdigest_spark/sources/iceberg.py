@@ -46,6 +46,7 @@ __all__ = [
     "iceberg_scan_entries_static",
     "iceberg_incremental_paths",
     "iceberg_scan_paths_pruned",
+    "read_table_evolved",
     "current_metadata",
 ]
 
@@ -294,6 +295,7 @@ def iceberg_scan_entries_static(
                 {
                     "path": _localize(df_rec["file_path"], root),
                     "seq": seq_of.get(e.get("snapshot_id"), 0),
+                    "schema_id": df_rec.get("schema_id"),
                     "lower_bounds": df_rec.get("lower_bounds"),
                     "upper_bounds": df_rec.get("upper_bounds"),
                 }
@@ -347,6 +349,76 @@ def iceberg_incremental_paths(
                 continue
             paths.append(_localize(df_rec["file_path"], root))
     return sorted(paths)
+
+
+_ICE_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    # this repo's parquet timestamps are written without a zone
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def read_table_evolved(
+    spark: SparkSession, table_dir: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read a snapshot under the table's CURRENT schema with columns
+    resolved by FIELD ID — Iceberg's schema-evolution contract: a renamed
+    column keeps reading old files (same id, new name), an added column is
+    NULL for files that predate it, a dropped column disappears even where
+    old files still store it, and int->long promotion casts at read time.
+    Files are grouped by the schema they were written under (recorded per
+    data file by this repo's writer; a real Iceberg writer embeds the ids
+    in the parquet schema), each group is projected id-by-id onto the
+    current schema, and the groups union. At scale the projection is a
+    zero-cost column alias in the scan — evolution never rewrites data."""
+    from pyspark.sql import functions as F
+
+    meta = current_metadata(table_dir)
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+    if not schemas:
+        raise ValueError(
+            f"{table_dir!r} tracks no schemas; use read_sequences for "
+            "schema-less tables"
+        )
+    cur = schemas[int(meta["current-schema-id"])]
+    entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
+    if entries["pos_deletes"] or entries["eq_deletes"]:
+        raise NotImplementedError(
+            "evolved read of tables with row-level deletes"
+        )
+    groups: dict[int | None, list[str]] = {}
+    for e in entries["data"]:
+        groups.setdefault(e.get("schema_id"), []).append(e["path"])
+    if not groups:
+        raise ValueError(f"Iceberg table {table_dir!r} has no data files")
+    parts = []
+    for sid, paths in sorted(
+        groups.items(), key=lambda kv: (-1 if kv[0] is None else kv[0])
+    ):
+        # files without a recorded schema (foreign metadata) are assumed
+        # current-schema — the same leap a name-based reader always makes
+        file_schema = schemas.get(sid, cur)
+        by_id = {f["id"]: f for f in file_schema["fields"]}
+        cols = []
+        for f in cur["fields"]:
+            t = _ICE_TO_SPARK[f["type"]]
+            src = by_id.get(f["id"])
+            if src is None:
+                cols.append(F.lit(None).cast(t).alias(f["name"]))
+            else:
+                cols.append(F.col(src["name"]).cast(t).alias(f["name"]))
+        parts.append(spark.read.parquet(*sorted(paths)).select(cols))
+    df = parts[0]
+    for part in parts[1:]:
+        df = df.unionByName(part)
+    return df
 
 
 def _bound_key(value, bound: bytes):

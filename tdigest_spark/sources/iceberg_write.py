@@ -47,6 +47,9 @@ from . import avro_lite
 
 __all__ = [
     "create_table",
+    "add_column",
+    "rename_column",
+    "drop_column",
     "append_snapshot",
     "overwrite_snapshot",
     "delete_rows_snapshot",
@@ -75,6 +78,11 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "schema_id",
+                        "type": ["null", "int"],
+                        "default": None,
+                    },
                     {
                         "name": "lower_bounds",
                         "type": ["null", {"type": "map", "values": "bytes"}],
@@ -111,8 +119,17 @@ def _now_ms(ts_ms: int | None) -> int:
     return int(time.time() * 1000) if ts_ms is None else int(ts_ms)
 
 
-def create_table(root: str | Path, ts_ms: int | None = None) -> Path:
-    """Initialize an empty Iceberg table (v1 metadata, no snapshot)."""
+def create_table(
+    root: str | Path,
+    ts_ms: int | None = None,
+    schema_fields: list[tuple[str, str]] | None = None,
+) -> Path:
+    """Initialize an empty Iceberg table (v2 metadata, no snapshot).
+    ``schema_fields`` — optional ``[(name, iceberg_type), ...]`` — records
+    schema 0 with stable FIELD IDS (ids 1..N), enabling the evolution
+    commits (:func:`add_column` / :func:`rename_column` / :func:`drop_
+    column`) and the field-id-resolved evolved read
+    (sources/iceberg.read_table_evolved)."""
     root = Path(str(root))
     meta = _meta_dir(root)
     (root / "data").mkdir(parents=True, exist_ok=True)
@@ -127,9 +144,106 @@ def create_table(root: str | Path, ts_ms: int | None = None) -> Path:
         "snapshots": [],
         "snapshot-log": [],
     }
+    if schema_fields is not None:
+        fields = [
+            {"id": i + 1, "name": n, "type": t, "required": False}
+            for i, (n, t) in enumerate(schema_fields)
+        ]
+        doc["schemas"] = [{"schema-id": 0, "fields": fields}]
+        doc["current-schema-id"] = 0
+        doc["last-column-id"] = len(fields)
     (meta / "v1.metadata.json").write_text(json.dumps(doc, indent=1))
     (meta / "version-hint.text").write_text("1")
     return root
+
+
+def _commit_metadata_only(root: Path, version: int, doc: dict, ts_ms) -> None:
+    """Write a new metadata version + flip the hint LAST (same crash-safe
+    order as a snapshot commit) — schema evolution is a METADATA-ONLY
+    commit in Iceberg: no data file moves, no manifest is rewritten."""
+    doc = dict(doc)
+    doc["last-updated-ms"] = _now_ms(ts_ms)
+    meta_dir = _meta_dir(root)
+    new_version = version + 1
+    (meta_dir / f"v{new_version}.metadata.json").write_text(
+        json.dumps(doc, indent=1)
+    )
+    tmp = meta_dir / "version-hint.text.tmp"
+    tmp.write_text(str(new_version))
+    os.replace(tmp, meta_dir / "version-hint.text")
+
+
+def _evolve_schema(root: str | Path, mutate, ts_ms: int | None = None) -> int:
+    """Commit a new schema produced by ``mutate(fields) -> fields`` (deep
+    copies; field IDS are never reused — the spec invariant that makes
+    rename/drop/re-add unambiguous). Returns the new schema id."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    schemas = list(meta.get("schemas", []))
+    if not schemas:
+        raise ValueError(
+            "table has no tracked schema (create_table(schema_fields=...))"
+        )
+    cur_id = int(meta.get("current-schema-id", schemas[-1]["schema-id"]))
+    cur = next(s for s in schemas if s["schema-id"] == cur_id)
+    fields = [dict(f) for f in cur["fields"]]
+    new_fields = mutate(fields)
+    new_id = max(s["schema-id"] for s in schemas) + 1
+    schemas.append({"schema-id": new_id, "fields": new_fields})
+    doc = dict(meta)
+    doc["schemas"] = schemas
+    doc["current-schema-id"] = new_id
+    doc["last-column-id"] = max(
+        [f["id"] for s in schemas for f in s["fields"]], default=0
+    )
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return new_id
+
+
+def add_column(
+    root: str | Path, name: str, ice_type: str, ts_ms: int | None = None
+) -> int:
+    """ADD COLUMN evolution commit: a fresh field id; files written under
+    earlier schemas read the column as NULL."""
+    def mutate(fields):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        _, meta = _load_current(Path(str(root)))
+        next_id = int(meta.get("last-column-id", 0)) + 1
+        return fields + [
+            {"id": next_id, "name": name, "type": ice_type, "required": False}
+        ]
+
+    return _evolve_schema(root, mutate, ts_ms)
+
+
+def rename_column(
+    root: str | Path, old: str, new: str, ts_ms: int | None = None
+) -> int:
+    """RENAME COLUMN evolution commit: the field id is STABLE — files
+    written under the old name keep resolving to the new name by id (no
+    data rewrite), the property column-name-keyed formats cannot offer."""
+    def mutate(fields):
+        hit = [f for f in fields if f["name"] == old]
+        if not hit:
+            raise KeyError(f"no column {old!r} in current schema")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        hit[0]["name"] = new
+        return fields
+
+    return _evolve_schema(root, mutate, ts_ms)
+
+
+def drop_column(root: str | Path, name: str, ts_ms: int | None = None) -> int:
+    """DROP COLUMN evolution commit: the field id is retired, never
+    reused; old files' data for it is simply no longer projected."""
+    def mutate(fields):
+        if not any(f["name"] == name for f in fields):
+            raise KeyError(f"no column {name!r} in current schema")
+        return [f for f in fields if f["name"] != name]
+
+    return _evolve_schema(root, mutate, ts_ms)
 
 
 def _load_current(root: Path) -> tuple[int, dict]:
@@ -233,7 +347,9 @@ def _column_bounds(path: Path) -> tuple[dict, dict] | None:
     return (lo_b, hi_b) if lo_b else None
 
 
-def _file_entry(path: str | Path, status: int, snapshot_id: int) -> dict:
+def _file_entry(
+    path: str | Path, status: int, snapshot_id: int, schema_id: int | None = None
+) -> dict:
     p = Path(str(path))
     bounds = None
     try:
@@ -252,6 +368,10 @@ def _file_entry(path: str | Path, status: int, snapshot_id: int) -> dict:
             "file_format": "PARQUET",
             "record_count": int(record_count),
             "file_size_in_bytes": p.stat().st_size if p.exists() else -1,
+            # the schema current at WRITE time — this writer's stand-in for
+            # the field-ids a real Iceberg writer embeds in the parquet
+            # schema itself; read_table_evolved resolves columns by id
+            "schema_id": schema_id,
             "lower_bounds": bounds[0] if bounds else None,
             "upper_bounds": bounds[1] if bounds else None,
         },
@@ -337,10 +457,11 @@ def append_snapshot(
         else int(meta.get("last-sequence-number", 0)) + 1
     )
     m = _meta_dir(root) / f"m-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]}.avro"
+    cur_schema = meta.get("current-schema-id")
     avro_lite.write_container(
         m,
         _MANIFEST_ENTRY_SCHEMA,
-        [_file_entry(p, 1, sid) for p in data_files],
+        [_file_entry(p, 1, sid, schema_id=cur_schema) for p in data_files],
     )
     rows = _current_manifests(root, meta) + [
         {
@@ -375,9 +496,10 @@ def overwrite_snapshot(
     )
     old_live = iceberg_scan_paths_static(root)
     tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
-    entries = [_file_entry(p, 1, sid) for p in data_files] + [
-        _file_entry(p, 2, sid) for p in old_live
-    ]
+    cur_schema = meta.get("current-schema-id")
+    entries = [
+        _file_entry(p, 1, sid, schema_id=cur_schema) for p in data_files
+    ] + [_file_entry(p, 2, sid) for p in old_live]
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
     rows = [

@@ -479,3 +479,106 @@ def test_old_manifests_without_bounds_still_read(table_root):
         avro_lite.write_container(m, old_schema, rows)
     paths, total = iceberg_scan_paths_pruned(str(table_root), [("x", ">=", 999)])
     assert total == 1 and len(paths) == 1  # no bounds -> never pruned
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (field-id resolved reads)
+# ---------------------------------------------------------------------------
+
+
+def _evo_table(table_root):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    f1 = table_root / "data" / "a.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "val": pa.array([10, 20], pa.int32()),  # int -> long promotes
+            }
+        ),
+        f1,
+    )
+    W.append_snapshot(table_root, [f1], snapshot_id=1, ts_ms=2000)
+    W.rename_column(table_root, "val", "amount", ts_ms=3000)
+    W.add_column(table_root, "note", "string", ts_ms=4000)
+    f2 = table_root / "data" / "b.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "amount": pa.array([30], pa.int64()),
+                "note": ["hi"],
+            }
+        ),
+        f2,
+    )
+    W.append_snapshot(table_root, [f2], snapshot_id=2, ts_ms=5000)
+
+
+@pytest.fixture()
+def evolved_root(tmp_path):
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(
+        root, ts_ms=1000, schema_fields=[("id", "long"), ("val", "long")]
+    )
+    _evo_table(root)
+    return root
+
+
+def test_evolved_read_resolves_rename_add_promote(evolved_root, spark):
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    df = read_table_evolved(spark, str(evolved_root))
+    assert df.columns == ["id", "amount", "note"]
+    assert dict(df.dtypes)["amount"] == "bigint"  # int32 file promoted
+    rows = {r.id: (r.amount, r.note) for r in df.collect()}
+    # old file: val read as amount by FIELD ID, note NULL (added later)
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "hi")}
+
+
+def test_evolved_read_time_travel_uses_current_schema(evolved_root, spark):
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    df = read_table_evolved(spark, str(evolved_root), snapshot_id=1)
+    assert df.columns == ["id", "amount", "note"]
+    assert {r.id for r in df.collect()} == {1, 2}
+
+
+def test_evolved_read_after_drop_column(evolved_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    W.drop_column(evolved_root, "note", ts_ms=6000)
+    df = read_table_evolved(spark, str(evolved_root))
+    assert df.columns == ["id", "amount"]  # old files still store note
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+    # re-adding the same NAME gets a FRESH field id: b.parquet's stored
+    # note values must NOT resurrect under the re-added column
+    W.add_column(evolved_root, "note", "string", ts_ms=7000)
+    df = read_table_evolved(spark, str(evolved_root))
+    assert {r.note for r in df.collect()} == {None}
+
+
+def test_evolution_guards(evolved_root, tmp_path):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    with pytest.raises(KeyError):
+        W.rename_column(evolved_root, "nope", "x")
+    with pytest.raises(ValueError):
+        W.rename_column(evolved_root, "amount", "note")  # collision
+    with pytest.raises(ValueError):
+        W.add_column(evolved_root, "amount", "long")  # exists
+    with pytest.raises(KeyError):
+        W.drop_column(evolved_root, "nope")
+    # schema-less tables refuse the evolved read with a clear message
+    root = tmp_path / "bare"
+    W.create_table(root, ts_ms=1000)
+    with pytest.raises(ValueError):
+        W.rename_column(root, "a", "b")
