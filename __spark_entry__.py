@@ -3443,6 +3443,129 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocations — the statistic behind
+    phrase mining / tokenizer-merge candidates: PMI(a,b) =
+    ln(P(ab) / (P(a)·P(b))) over adjacent word pairs. Unigram and bigram
+    counts are two wordcount shapes (one shuffle each); the pair frame
+    joins the vocab twice on the word key and the two scalar totals ride
+    1-row broadcasts. Exactness: every division operand is an
+    integer-valued double (IEEE division of identical inputs is
+    bit-identical in both engines — no count product can overflow 2^53
+    the way c_ab·n1² would), so only the final ln differs by ULPs, and
+    ROUND(...,6) absorbs that; ordering uses the ROUNDED value with a
+    (w1, w2) tie-break, so the top-50 cut is deterministic."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens(F.lower(F.col("text"))).alias("t")).persist()
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    m = F.greatest(F.size("t") - F.lit(1), F.lit(0))
+    bc = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", F.lit(1), m),
+                    F.slice("t", F.lit(2), m),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    nb = bc.agg(F.sum("c_ab").alias("nb"))
+    ua = uni.select(F.col("word").alias("_wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("_wb"), F.col("c").alias("c_b"))
+    out = (
+        bc.where(F.col("c_ab") >= 5)
+        .join(ua, F.col("w1") == F.col("_wa"))
+        .join(ub, F.col("w2") == F.col("_wb"))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n1"))
+                        * (F.col("c_b").cast("double") / F.col("n1"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+    toks.unpersist()
+    return out
+
+
+def iceberg_incremental_vocab_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary drift over an Iceberg commit — the monitoring query a
+    token pipeline runs on every ingest: the CDC-style incremental scan
+    (files added between snapshot 1 and 2 of the shared fixture) yields
+    the delta docs; their per-source distinct words anti-join the
+    snapshot-1 vocabulary to count genuinely NEW words. At 100 TB the
+    delta is one commit's files (O(new data)), and the v1 vocab is a
+    word-keyed semi-join, never a rescan of history. Counts exact; the
+    oracle recomputes both sides from doc_id parity."""
+    from tdigest_spark.operators.text import word_tokens
+    from tdigest_spark.sources.iceberg import (
+        iceberg_incremental_paths,
+        iceberg_scan_paths_static,
+    )
+
+    root = _iceberg_tt_fixture(sf_dir)
+    v1 = spark.read.parquet(*iceberg_scan_paths_static(str(root), snapshot_id=1))
+    delta = spark.read.parquet(*iceberg_incremental_paths(str(root), 1, 2))
+    v1_vocab = (
+        v1.select(F.explode(word_tokens(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    dw = (
+        delta.select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+        .persist()
+    )
+    totals = dw.groupBy("source").agg(F.count(F.lit(1)).alias("n_delta_words"))
+    news = (
+        dw.join(v1_vocab, "word", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    out = (
+        totals.join(news, "source", "left")
+        .select(
+            "source",
+            "n_delta_words",
+            F.coalesce("n_new_words", F.lit(0)).alias("n_new_words"),
+        )
+        .orderBy("source")
+    )
+    out = out.localCheckpoint(eager=True)
+    dw.unpersist()
+    return out
+
+
 def doc_source_word_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus-drift monitor: KL(source ‖ corpus) over the
     unigram word distribution + an integer-exact count of words
@@ -4723,6 +4846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_bigram_topk": doc_bigram_topk,
+        "doc_pmi_collocations": doc_pmi_collocations,
+        "iceberg_incremental_vocab_drift": iceberg_incremental_vocab_drift,
         "doc_source_word_kl": doc_source_word_kl,
         "token_span_dedup": token_span_dedup,
         "token_vocab_audit": token_vocab_audit,
@@ -6520,6 +6645,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
                      AS n_distinct_lang
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "doc_pmi_collocations": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+              FROM documents WHERE TRIM(text) <> ''
+            ), uc AS (
+              SELECT word, COUNT(*) AS c FROM (
+                SELECT UNNEST(t) AS word FROM toks
+              ) WHERE word <> '' GROUP BY word
+            ), n1t AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uc),
+            bc AS (
+              SELECT bg['a'] AS w1, bg['b'] AS w2, COUNT(*) AS c_ab FROM (
+                SELECT UNNEST(
+                  [struct_pack(a := t[i], b := t[i+1]) FOR i IN range(1, len(t))]
+                ) AS bg FROM toks
+              ) GROUP BY 1, 2
+            ), nbt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nb FROM bc)
+            SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+                   ROUND(LN((CAST(c_ab AS DOUBLE) / nb)
+                            / ((CAST(ua.c AS DOUBLE) / n1)
+                               * (CAST(ub.c AS DOUBLE) / n1))), 6) AS pmi
+            FROM bc JOIN uc ua ON ua.word = bc.w1
+            JOIN uc ub ON ub.word = bc.w2, n1t, nbt
+            WHERE c_ab >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        "iceberg_incremental_vocab_drift": """
+            WITH v1w AS (
+              SELECT DISTINCT word FROM (
+                SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+                       AS word
+                FROM documents WHERE doc_id % 2 = 0 AND TRIM(text) <> ''
+              ) WHERE word <> ''
+            ), dw AS (
+              SELECT DISTINCT source, word FROM (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+                       AS word
+                FROM documents WHERE doc_id % 2 = 1 AND TRIM(text) <> ''
+              ) WHERE word <> ''
+            )
+            SELECT source,
+                   COUNT(*) AS n_delta_words,
+                   COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
+                     AS n_new_words
+            FROM dw GROUP BY source ORDER BY source
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

@@ -110,3 +110,46 @@ def test_hash_tokens_matches_duckdb_md5_number_lower(spark):
             [text, text],
         ).fetchone()[0]
         assert ids == want, text
+
+
+def test_pmi_round_boundary_margin():
+    """doc_pmi_collocations rounds ln(ratio) to 6 dp in two engines whose
+    libm may differ by ULPs — exact oracle parity needs every PMI value to
+    sit far from a 0.5e-6 rounding boundary at every scale factor the
+    oracle gate runs (the ratio itself is IEEE-exact in both engines, so
+    only the ln call differs)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        vals = duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+              FROM read_parquet('/root/testdata/{sf}/documents.parquet')
+              WHERE TRIM(text) <> ''
+            ), uc AS (
+              SELECT word, COUNT(*) AS c FROM (
+                SELECT UNNEST(t) AS word FROM toks
+              ) WHERE word <> '' GROUP BY word
+            ), n1t AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uc),
+            bc AS (
+              SELECT bg['a'] AS w1, bg['b'] AS w2, COUNT(*) AS c_ab FROM (
+                SELECT UNNEST(
+                  [struct_pack(a := t[i], b := t[i+1])
+                   FOR i IN range(1, len(t))]
+                ) AS bg FROM toks
+              ) GROUP BY 1, 2
+            ), nbt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nb FROM bc)
+            SELECT LN((CAST(c_ab AS DOUBLE) / nb)
+                      / ((CAST(ua.c AS DOUBLE) / n1)
+                         * (CAST(ub.c AS DOUBLE) / n1))) AS lnr
+            FROM bc JOIN uc ua ON ua.word = bc.w1
+            JOIN uc ub ON ub.word = bc.w2, n1t, nbt
+            WHERE c_ab >= 5
+            """
+        ).fetchnumpy()["lnr"]
+        scaled = np.abs(vals) * 1e6
+        dist = np.abs(scaled - np.floor(scaled) - 0.5)
+        # 1e-6 scaled units = 1e-12 absolute — ~1000x a 1-ulp ln
+        # disagreement at |lnr| <= 16, the cross-engine risk being guarded
+        assert dist.min() > 1e-6, (sf, dist.min())
