@@ -212,6 +212,10 @@ def run_headline(spark) -> dict[str, float]:
         "events_user_trailing_hour",
         "semantic_dedup_keep_best",
         "doc_contamination_report",
+        # round-3 session-4 additions: the min-cost-supplier join stack and
+        # the PMI collocation double-join
+        "q2_min_cost_supplier",
+        "doc_pmi_collocations",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
