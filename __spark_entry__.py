@@ -2420,6 +2420,99 @@ def iceberg_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def iceberg_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN PARTITIONING end to end: documents is committed under
+    the partition spec (identity(lang), bucket[8](doc_id)) — one data file
+    per partition tuple, the tuple recorded in each manifest entry — and a
+    point lookup ``lang = 'en' AND doc_id = <min English doc>`` is planned
+    from ordinary COLUMN predicates: the static planner derives the
+    partition predicates through the transforms (identity compares
+    directly; bucket[8] hashes the literal with the spec's murmur3 — test
+    vectors pinned against the published spec) and prunes 40 files to ONE
+    without opening a footer.  The user never names a partition field —
+    that is the feature: at 100 TB the layout can evolve without breaking
+    a single query.  Self-certifying: if the bucket computation were
+    wrong, the surviving file would not contain the probed doc and the
+    row would come back empty; files_scanned/files_total are exact in SQL
+    (every (lang, bucket) cell is occupied at all SFs — test-guarded)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_hidden" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        W.set_partition_spec(
+            root, [("lang", "identity"), ("doc_id", "bucket[8]")], ts_ms=1500
+        )
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        buckets = pc.cast(
+            [apply_transform("bucket[8]", v) for v in tbl["doc_id"].to_pylist()],
+            "int32",
+        )
+        files = []
+        for lang in sorted(set(tbl["lang"].to_pylist())):
+            for b in range(8):
+                part = tbl.filter(
+                    pc.and_(pc.equal(tbl["lang"], lang), pc.equal(buckets, b))
+                )
+                if part.num_rows == 0:
+                    continue
+                part = part.take(pc.sort_indices(part["doc_id"]))
+                f = root / "data" / f"p-{lang}-{b}.parquet"
+                pq.write_table(part, f)
+                files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        marker.write_text(_json.dumps(params))
+    probe = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    probe_id = int(
+        pc.min(probe.filter(pc.equal(probe["lang"], "en"))["doc_id"]).as_py()
+    )
+    paths, n_total = iceberg_scan_paths_pruned(
+        str(root), [("lang", "==", "en"), ("doc_id", "==", probe_id)]
+    )
+    df = spark.read.parquet(*paths).where(
+        (F.col("lang") == "en") & (F.col("doc_id") == probe_id)
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(len(paths)).cast("long").alias("files_scanned"),
+        F.lit(n_total).cast("long").alias("files_total"),
+    ).orderBy("doc_id")
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -4827,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_delete_read": iceberg_eq_delete_read,
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
+        "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -6691,6 +6785,17 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
                      AS n_new_words
             FROM dw GROUP BY source ORDER BY source
+        """,
+        "iceberg_hidden_partition_read": """
+            SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(1 AS BIGINT) AS files_scanned,
+                   (SELECT COUNT(DISTINCT lang) * 8 FROM documents)
+                     AS files_total
+            FROM documents
+            WHERE lang = 'en'
+              AND doc_id = (SELECT MIN(doc_id) FROM documents
+                            WHERE lang = 'en')
+            ORDER BY doc_id
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

@@ -296,6 +296,7 @@ def iceberg_scan_entries_static(
                     "path": _localize(df_rec["file_path"], root),
                     "seq": seq_of.get(e.get("snapshot_id"), 0),
                     "schema_id": df_rec.get("schema_id"),
+                    "partition": df_rec.get("partition"),
                     "lower_bounds": df_rec.get("lower_bounds"),
                     "upper_bounds": df_rec.get("upper_bounds"),
                 }
@@ -489,8 +490,47 @@ def iceberg_scan_paths_pruned(
     row-level, exactly like a real engine's residual filter)."""
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
     data = entries["data"]
-    kept = [e["path"] for e in data if _entry_matches(e, predicates)]
+    spec = _default_spec_fields(current_metadata(table_dir))
+    kept = [
+        e["path"]
+        for e in data
+        if _entry_matches(e, predicates)
+        and _partition_matches(e, spec, predicates)
+    ]
     return sorted(kept), len(data)
+
+
+def _default_spec_fields(meta: dict) -> list[dict]:
+    specs = meta.get("partition-specs")
+    if not specs:
+        return []
+    sid = meta.get("default-spec-id", specs[-1]["spec-id"])
+    return next(sp["fields"] for sp in specs if sp["spec-id"] == sid)
+
+
+def _partition_matches(entry: dict, spec: list[dict], predicates) -> bool:
+    """HIDDEN partitioning: derive partition predicates from ordinary
+    column predicates through the spec transforms (identity/truncate/time
+    transforms relax range predicates; bucket prunes equality). Files
+    without a recorded tuple (pre-spec commits) always survive."""
+    if not spec:
+        return True
+    tup = entry.get("partition") or {}
+    if not tup:
+        return True
+    from .iceberg_partition import partition_value_matches
+
+    by_source: dict[str, list[dict]] = {}
+    for f in spec:
+        by_source.setdefault(f["source-name"], []).append(f)
+    for col, op, value in predicates:
+        for f in by_source.get(col, ()):
+            pv = tup.get(f["name"])
+            if pv is None:
+                continue
+            if not partition_value_matches(f["transform"], pv, op, value):
+                return False
+    return True
 
 
 def iceberg_scan_paths(spark: SparkSession, identifier: str) -> list[str]:

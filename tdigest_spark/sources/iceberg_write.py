@@ -50,6 +50,7 @@ __all__ = [
     "add_column",
     "rename_column",
     "drop_column",
+    "set_partition_spec",
     "append_snapshot",
     "overwrite_snapshot",
     "delete_rows_snapshot",
@@ -81,6 +82,14 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {
                         "name": "schema_id",
                         "type": ["null", "int"],
+                        "default": None,
+                    },
+                    {
+                        "name": "partition",
+                        "type": [
+                            "null",
+                            {"type": "map", "values": ["long", "string"]},
+                        ],
                         "default": None,
                     },
                     {
@@ -235,6 +244,83 @@ def rename_column(
     return _evolve_schema(root, mutate, ts_ms)
 
 
+def set_partition_spec(
+    root: str | Path,
+    fields: list[tuple[str, str]],
+    ts_ms: int | None = None,
+) -> int:
+    """Declare the table's partition spec — ``fields`` is
+    ``[(source_column, transform), ...]`` with transforms from the spec's
+    set (identity, bucket[N], truncate[W], year/month/day/hour). A
+    METADATA-ONLY commit, like schema evolution: subsequent appends record
+    each data file's partition TUPLE in its manifest entry, and the static
+    planner prunes by deriving partition predicates from ordinary column
+    predicates (hidden partitioning — the user never names the partition
+    field). Returns the new spec id."""
+    from .iceberg_partition import parse_transform
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    for _, t in fields:
+        parse_transform(t)  # validate early
+    specs = list(meta.get("partition-specs", []))
+    new_id = max((sp["spec-id"] for sp in specs), default=-1) + 1
+    specs.append(
+        {
+            "spec-id": new_id,
+            "fields": [
+                {
+                    "name": f"{col}_{t.replace('[', '_').rstrip(']')}",
+                    "source-name": col,
+                    "transform": t,
+                    "field-id": 1000 + i,
+                }
+                for i, (col, t) in enumerate(fields)
+            ],
+        }
+    )
+    doc = dict(meta)
+    doc["partition-specs"] = specs
+    doc["default-spec-id"] = new_id
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return new_id
+
+
+def _default_spec(meta: dict) -> list[dict] | None:
+    specs = meta.get("partition-specs")
+    if not specs:
+        return None
+    sid = meta.get("default-spec-id", specs[-1]["spec-id"])
+    return next(sp["fields"] for sp in specs if sp["spec-id"] == sid)
+
+
+def _partition_tuple(path: Path, spec_fields: list[dict]) -> dict:
+    """The file's partition tuple, computed by applying each spec
+    transform over the file's rows and requiring PURITY (exactly one
+    transformed value per field) — a real Iceberg writer guarantees this
+    by construction because it routes rows to per-partition files; this
+    commit-time check is the static writer's equivalent enforcement."""
+    import pyarrow.parquet as pq
+
+    from .iceberg_partition import apply_transform
+
+    cols = [f["source-name"] for f in spec_fields]
+    tbl = pq.read_table(path, columns=cols)
+    out = {}
+    for f in spec_fields:
+        vals = {
+            apply_transform(f["transform"], v)
+            for v in tbl[f["source-name"]].to_pylist()
+        }
+        if len(vals) != 1:
+            raise ValueError(
+                f"{path.name} is not partition-pure on {f['name']} "
+                f"({len(vals)} distinct transformed values)"
+            )
+        out[f["name"]] = vals.pop()
+    return out
+
+
 def drop_column(root: str | Path, name: str, ts_ms: int | None = None) -> int:
     """DROP COLUMN evolution commit: the field id is retired, never
     reused; old files' data for it is simply no longer projected."""
@@ -372,6 +458,7 @@ def _file_entry(
             # the field-ids a real Iceberg writer embeds in the parquet
             # schema itself; read_table_evolved resolves columns by id
             "schema_id": schema_id,
+            "partition": None,
             "lower_bounds": bounds[0] if bounds else None,
             "upper_bounds": bounds[1] if bounds else None,
         },
@@ -458,11 +545,16 @@ def append_snapshot(
     )
     m = _meta_dir(root) / f"m-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]}.avro"
     cur_schema = meta.get("current-schema-id")
-    avro_lite.write_container(
-        m,
-        _MANIFEST_ENTRY_SCHEMA,
-        [_file_entry(p, 1, sid, schema_id=cur_schema) for p in data_files],
-    )
+    spec_fields = _default_spec(meta)
+    entries = []
+    for p in data_files:
+        e = _file_entry(p, 1, sid, schema_id=cur_schema)
+        if spec_fields:
+            e["data_file"]["partition"] = _partition_tuple(
+                Path(str(p)), spec_fields
+            )
+        entries.append(e)
+    avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
     rows = _current_manifests(root, meta) + [
         {
             "manifest_path": f"file://{m}",
