@@ -2513,6 +2513,105 @@ def iceberg_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table MAINTENANCE end to end — the nightly job every
+    production table runs: a three-commit history (append even doc_ids,
+    append odd, copy-on-write overwrite to lang='en') is expired down to
+    the current snapshot. Expiration deletes exactly the files reachable
+    only from expired snapshots (the two pre-overwrite data files — the
+    retained snapshot's tombstone entries do not pin them, readers skip
+    status 2) while the live file survives; the orphan scan then proves a
+    clean data dir (a planted never-committed stray is detected before
+    deletion). Without this job a 100 TB table's storage grows without
+    bound under churn. The post-maintenance read and every maintenance
+    counter are exact-oracled; the report is computed once at fixture
+    build and persisted (expiration is destructive — re-running it on an
+    already-expired table is a no-op by design)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_expire" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    report_file = root / "maintenance.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists() and report_file.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        en = tbl.filter(pc.equal(tbl["lang"], "en"))
+        f_even = root / "data" / "even.parquet"
+        f_odd = root / "data" / "odd.parquet"
+        f_en = root / "data" / "en.parquet"
+        pq.write_table(even, f_even)
+        pq.write_table(odd, f_odd)
+        pq.write_table(en, f_en)
+        W.append_snapshot(root, [f_even], snapshot_id=1, ts_ms=2000)
+        W.append_snapshot(root, [f_odd], snapshot_id=2, ts_ms=3000)
+        W.overwrite_snapshot(root, [f_en], snapshot_id=3, ts_ms=4000)
+        # a crashed writer's never-committed file: the orphan scan must
+        # see it, and expiration must NOT touch it
+        stray = root / "data" / "stray.parquet"
+        pq.write_table(even.slice(0, 1), stray)
+        rep = W.expire_snapshots(root, keep_last=1, ts_ms=5000)
+        orphans = W.orphan_files(root)
+        report = {
+            "n_expired": len(rep["expired"]),
+            "n_deleted_data": len(rep["deleted_data_files"]),
+            "n_orphans": len(orphans),
+            "live_survives": int((f_en).exists()),
+            "stray_survives": int(stray.exists()),
+        }
+        report_file.write_text(_json.dumps(report))
+        marker.write_text(_json.dumps(params))
+    rep = _json.loads(report_file.read_text())
+    df = read_sequences(spark, str(root))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            F.lit(rep["n_expired"]).cast("long").alias("n_expired"),
+            F.lit(rep["n_deleted_data"]).cast("long").alias("n_deleted_data"),
+            F.lit(rep["n_orphans"]).cast("long").alias("n_orphans"),
+            F.lit(rep["live_survives"] and rep["stray_survives"])
+            .cast("long")
+            .alias("maintenance_ok"),
+        )
+        .orderBy("source")
+    )
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -4921,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
+        "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -6796,6 +6896,17 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id = (SELECT MIN(doc_id) FROM documents
                             WHERE lang = 'en')
             ORDER BY doc_id
+        """,
+        "iceberg_expire_maintenance_read": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(2 AS BIGINT) AS n_expired,
+                   CAST(2 AS BIGINT) AS n_deleted_data,
+                   CAST(1 AS BIGINT) AS n_orphans,
+                   CAST(1 AS BIGINT) AS maintenance_ok
+            FROM documents WHERE lang = 'en'
+            GROUP BY source ORDER BY source
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

@@ -51,6 +51,8 @@ __all__ = [
     "rename_column",
     "drop_column",
     "set_partition_spec",
+    "expire_snapshots",
+    "orphan_files",
     "append_snapshot",
     "overwrite_snapshot",
     "delete_rows_snapshot",
@@ -695,6 +697,116 @@ def equality_delete_snapshot(
         }
     ]
     return _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+
+
+def _referenced_paths(
+    root: Path, snapshot_ids_subset, live_only: bool = False
+) -> tuple[set, set]:
+    """(manifest+manifest-list paths, data/delete file paths) referenced by
+    the given snapshots. With ``live_only`` only entries a reader would
+    scan count (status != DELETED) — a retained snapshot's status-2
+    TOMBSTONE entry does not pin the underlying file, because readers skip
+    it (expiration physically removes overwritten files while the
+    tombstone row stays in the manifest, Iceberg's own behavior); without
+    it every referenced path counts (the orphan-detection rule: a
+    committed-then-tombstoned file is expiration's job, not an orphan)."""
+    from .avro_lite import read_container
+    from .iceberg import _localize, current_metadata
+
+    meta = current_metadata(root)
+    snaps = {sn["snapshot-id"]: sn for sn in meta.get("snapshots", [])}
+    meta_paths: set = set()
+    file_paths: set = set()
+    for sid in snapshot_ids_subset:
+        ml = _localize(snaps[sid]["manifest-list"], root)
+        meta_paths.add(str(Path(ml).resolve()))
+        _, manifests = read_container(ml)
+        for m in manifests:
+            mp = _localize(m["manifest_path"], root)
+            meta_paths.add(str(Path(mp).resolve()))
+            _, entries = read_container(mp)
+            for e in entries:
+                if live_only and e.get("status", 0) == 2:
+                    continue
+                file_paths.add(
+                    str(Path(_localize(e["data_file"]["file_path"], root)).resolve())
+                )
+    return meta_paths, file_paths
+
+
+def expire_snapshots(
+    root: str | Path,
+    keep_last: int = 1,
+    ts_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Snapshot EXPIRATION (the table-maintenance commit every production
+    Iceberg table runs): retain the ``keep_last`` most recent snapshots
+    (the current one always survives), drop the rest from the snapshot
+    list/log, and physically delete every manifest list, manifest, and
+    data/delete file reachable ONLY from expired snapshots — computed as
+    (referenced by expired) − (referenced by retained), so a file that a
+    retained snapshot still references (even as a DELETED tombstone entry)
+    is never touched. Time travel to an expired id then raises, exactly
+    Iceberg's contract. Returns counts + the deleted paths; ``dry_run``
+    reports without deleting or committing."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda sn: sn.get("sequence-number", 0)
+    )
+    if not snaps:
+        return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
+    keep_last = max(1, int(keep_last))
+    retained = snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur not in {sn["snapshot-id"] for sn in retained}:
+        raise ValueError("expiration must retain the current snapshot")
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
+    keep_ids = [sn["snapshot-id"] for sn in retained]
+    drop_ids = [sn["snapshot-id"] for sn in expired]
+    keep_meta, keep_files = _referenced_paths(root, keep_ids, live_only=True)
+    drop_meta, drop_files = _referenced_paths(root, drop_ids)
+    dead_meta = sorted(drop_meta - keep_meta)
+    dead_files = sorted(drop_files - keep_files)
+    if not dry_run:
+        for pth in dead_meta + dead_files:
+            Path(pth).unlink(missing_ok=True)
+        drop_set = set(drop_ids)
+        doc = dict(meta)
+        doc["snapshots"] = [
+            sn for sn in meta.get("snapshots", [])
+            if sn["snapshot-id"] not in drop_set
+        ]
+        doc["snapshot-log"] = [
+            enty for enty in meta.get("snapshot-log", [])
+            if enty.get("snapshot-id") not in drop_set
+        ]
+        _commit_metadata_only(root, version, doc, ts_ms)
+    return {
+        "expired": drop_ids,
+        "deleted_data_files": dead_files,
+        "deleted_meta_files": dead_meta,
+    }
+
+
+def orphan_files(root: str | Path) -> list[str]:
+    """Files under data/ referenced by NO retained snapshot — what a crashed
+    writer leaves behind (data written, commit never happened). Detection
+    only; the caller decides on a deletion grace period, as Iceberg's
+    remove_orphan_files does (files younger than the newest in-flight
+    commit window must survive)."""
+    root = Path(str(root))
+    _, meta = _load_current(root)
+    ids = [sn["snapshot-id"] for sn in meta.get("snapshots", [])]
+    _, referenced = _referenced_paths(root, ids)
+    out = []
+    for p in sorted((root / "data").rglob("*")):
+        if p.is_file() and str(p.resolve()) not in referenced:
+            out.append(str(p))
+    return out
 
 
 def snapshot_ids(root: str | Path) -> list[int]:

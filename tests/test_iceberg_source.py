@@ -712,3 +712,79 @@ def test_hidden_partition_cells_occupied_all_sfs():
         cells = {(lang, apply_transform("bucket[8]", did)) for did, lang in rows}
         langs = {lang for _, lang in rows}
         assert len(cells) == len(langs) * 8, sf
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: snapshot expiration + orphan detection
+# ---------------------------------------------------------------------------
+
+
+def test_expire_snapshots_deletes_only_unreachable(table_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f_a = _pq(table_root / "data" / "a.parquet", [1, 2])
+    f_b = _pq(table_root / "data" / "b.parquet", [3])
+    f_c = _pq(table_root / "data" / "c.parquet", [9])
+    s1 = W.append_snapshot(table_root, [f_a], ts_ms=2000)
+    s2 = W.append_snapshot(table_root, [f_b], ts_ms=3000)
+    s3 = W.overwrite_snapshot(table_root, [f_c], ts_ms=4000)
+    # dry run: reports, touches nothing
+    rep = W.expire_snapshots(table_root, keep_last=1, dry_run=True)
+    assert rep["expired"] == [s1, s2] and f_a.exists() and f_b.exists()
+    # real expiration: a+b reachable only from expired snapshots -> gone;
+    # c (live in s3) survives
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=5000)
+    assert sorted(rep["expired"]) == [s1, s2]
+    assert [p.rsplit("/", 1)[1] for p in rep["deleted_data_files"]] == [
+        "a.parquet", "b.parquet",
+    ]
+    assert not f_a.exists() and not f_b.exists() and f_c.exists()
+    assert W.snapshot_ids(table_root) == [s3]
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [9]
+    with pytest.raises(KeyError):  # expired id no longer time-travelable
+        W.live_paths(table_root, s1)
+
+
+def test_expire_keeps_files_shared_with_retained(table_root):
+    """An append chain shares manifests: expiring the older snapshot must
+    NOT delete files the newer (retained) one still reads."""
+    from tdigest_spark.sources import iceberg_write as W
+
+    f_a = _pq(table_root / "data" / "a.parquet", [1])
+    f_b = _pq(table_root / "data" / "b.parquet", [2])
+    W.append_snapshot(table_root, [f_a], ts_ms=2000)
+    s2 = W.append_snapshot(table_root, [f_b], ts_ms=3000)
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=4000)
+    assert rep["deleted_data_files"] == []  # a.parquet is live in s2
+    assert f_a.exists()
+    assert sorted(
+        p.rsplit("/", 1)[1] for p in W.live_paths(table_root, s2)
+    ) == ["a.parquet", "b.parquet"]
+
+
+def test_expire_must_retain_current(table_root):
+    from tdigest_spark.sources import iceberg_write as W
+
+    W.append_snapshot(table_root, [_pq(table_root / "data" / "a.parquet", [1])])
+    assert W.expire_snapshots(table_root, keep_last=1)["expired"] == []
+    assert W.expire_snapshots(table_root, keep_last=5)["expired"] == []
+
+
+def test_orphan_files_detected(table_root):
+    from tdigest_spark.sources import iceberg_write as W
+
+    f_a = _pq(table_root / "data" / "a.parquet", [1])
+    W.append_snapshot(table_root, [f_a], ts_ms=2000)
+    # a crashed writer's file: written, never committed
+    _pq(table_root / "data" / "stray.parquet", [7])
+    orphans = W.orphan_files(table_root)
+    assert [p.rsplit("/", 1)[1] for p in orphans] == ["stray.parquet"]
+    # tombstoned-but-referenced files are NOT orphans
+    f_c = _pq(table_root / "data" / "c.parquet", [9])
+    W.overwrite_snapshot(table_root, [f_c], ts_ms=3000)
+    assert [p.rsplit("/", 1)[1] for p in W.orphan_files(table_root)] == [
+        "stray.parquet"
+    ]
