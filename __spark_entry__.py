@@ -2612,6 +2612,98 @@ def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO (upsert) as ONE atomic commit: v1 commits the
+    documents table; v2 upserts — every even doc_id gets a new row version
+    with doubled n_chars (WHEN MATCHED UPDATE) and one brand-new doc_id=-1
+    row is inserted (WHEN NOT MATCHED INSERT) — via a same-sequence
+    equality delete + data append (sources/iceberg_write.upsert_snapshot).
+    The reader's strict-smaller sequence rule performs the merge at scan
+    time: older copies tombstone, the new versions survive, nothing is
+    rewritten — the only write shape that holds up under continuous
+    updates at 100 TB. Oracle recomputes the merged state from the
+    documents view with a CASE + UNION ALL."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_upsert" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        cols = ["doc_id", "lang", "source", "n_chars"]
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+        base = root / "data" / "base.parquet"
+        pq.write_table(tbl, base)
+        W.append_snapshot(root, [base], snapshot_id=1, ts_ms=2000)
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        updated = even.set_column(
+            even.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.multiply(even["n_chars"], 2),
+        )
+        insert = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "lang": ["en"],
+                "source": ["src0"],
+                "n_chars": pa.array([777], pa.int64()),
+            }
+        )
+        newf = root / "data" / "upsert.parquet"
+        pq.write_table(
+            pa.concat_tables([updated, insert.cast(updated.schema)]), newf
+        )
+        keys = root / "data" / "upsert-keys.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            even["doc_id"].combine_chunks(),
+                            pa.array([-1], pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            keys,
+        )
+        W.upsert_snapshot(root, [newf], keys, snapshot_id=2, ts_ms=3000)
+        marker.write_text(_json.dumps(params))
+    df = read_sequences(spark, str(root))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -4485,6 +4577,77 @@ def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST into Iceberg with exactly-once table state — the
+    write edge of the north-rule pipeline: the events table, split into
+    two input files and streamed one file per micro-batch, lands in an
+    Iceberg table via foreachBatch (distributed per-batch parquet write +
+    one append snapshot per epoch, commit-guarded on the epoch-derived
+    snapshot id). After the drain, epoch 0 is RE-DELIVERED through the
+    same callback — Spark's at-least-once retry case — and the guard
+    proves idempotency: snapshot count unchanged, no duplicate rows. The
+    final table, read through the snapshot metadata walk, exactly equals
+    the source: per-type counts and floor-cents sums match the plain
+    events view, with n_snapshots/idempotent_ok exact-oracled literals."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+    from tdigest_spark.streaming import write_stream_to_iceberg
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    tmp = tempfile.mkdtemp(prefix="ice_sink_")
+    try:
+        from pathlib import Path
+
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q, process = write_stream_to_iceberg(stream, root, f"{tmp}/ckpt")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream did not drain within 300s")
+        n_drained = len(W.snapshot_ids(root))
+        # at-least-once retry: re-deliver epoch 0 through the SAME callback
+        process(spark.read.parquet(str(indir / "part1.parquet")), 0)
+        n_after_retry = len(W.snapshot_ids(root))
+        idempotent = int(n_after_retry == n_drained == 2)
+        df = read_sequences(spark, str(root))
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("value_cents"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "value_cents",
+                F.lit(n_after_retry).cast("long").alias("n_snapshots"),
+                F.lit(idempotent).cast("long").alias("idempotent_ok"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-source coverage (JSON Lines + CSV) with explicit schemas and
     PERMISSIVE corrupt-record capture — the other half of ingestion after
@@ -5021,6 +5184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
+        "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
         "bottomk_jaccard_event_types": bottomk_jaccard_event_types,
@@ -5067,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_attribution": events_stream_attribution,
         "events_stream_attribution_outer": events_stream_attribution_outer,
         "events_stream_dedup_counts": events_stream_dedup_counts,
+        "events_stream_iceberg_sink": events_stream_iceberg_sink,
         "events_stream_session_stats": events_stream_session_stats,
         "events_text_source_roundtrip": events_text_source_roundtrip,
         "events_stream_enriched_segments": events_stream_enriched_segments,
@@ -6907,6 +7072,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS maintenance_ok
             FROM documents WHERE lang = 'en'
             GROUP BY source ORDER BY source
+        """,
+        "iceberg_upsert_read": """
+            WITH merged AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 2 = 0 THEN n_chars * 2
+                          ELSE n_chars END AS n_chars
+              FROM documents
+              UNION ALL
+              SELECT -1 AS doc_id, 'src0' AS source, 777 AS n_chars
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM merged GROUP BY source ORDER BY source
+        """,
+        "events_stream_iceberg_sink": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents,
+                   CAST(2 AS BIGINT) AS n_snapshots,
+                   CAST(1 AS BIGINT) AS idempotent_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

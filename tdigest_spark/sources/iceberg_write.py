@@ -51,6 +51,7 @@ __all__ = [
     "rename_column",
     "drop_column",
     "set_partition_spec",
+    "upsert_snapshot",
     "expire_snapshots",
     "orphan_files",
     "append_snapshot",
@@ -697,6 +698,66 @@ def equality_delete_snapshot(
         }
     ]
     return _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+
+
+def upsert_snapshot(
+    root: str | Path,
+    data_files: list[str | Path],
+    keys_file: str | Path,
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """MERGE / UPSERT as ONE atomic commit — the write shape of
+    ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT``: an EQUALITY delete on the upserted keys plus the new
+    row versions, committed under the SAME sequence number. The spec's
+    strict-smaller sequence rule then does the merge at read time: the
+    delete tombstones every OLDER copy of the keys while the new data file
+    (equal sequence) survives — no read-modify-write of existing files, no
+    window where a key is absent. ``keys_file`` is a parquet whose columns
+    are the equality key set; ``data_files`` hold the new row versions
+    (they need not all match a key — unmatched rows are plain inserts)."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    cur_schema = meta.get("current-schema-id")
+    spec_fields = _default_spec(meta)
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
+    # data manifest (ADDED rows)
+    data_entries = []
+    for p in data_files:
+        e = _file_entry(p, 1, sid, schema_id=cur_schema)
+        if spec_fields:
+            e["data_file"]["partition"] = _partition_tuple(
+                Path(str(p)), spec_fields
+            )
+        data_entries.append(e)
+    m_data = _meta_dir(root) / f"m-{sid}-{tag}-data.avro"
+    avro_lite.write_container(m_data, _MANIFEST_ENTRY_SCHEMA, data_entries)
+    # equality-delete manifest (content 2) in the SAME snapshot
+    del_entry = _file_entry(keys_file, 1, sid)
+    del_entry["data_file"]["content"] = 2
+    m_del = _meta_dir(root) / f"m-{sid}-{tag}-del.avro"
+    avro_lite.write_container(m_del, _MANIFEST_ENTRY_SCHEMA, [del_entry])
+    manifest_rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m_data}",
+            "manifest_length": m_data.stat().st_size,
+            "content": 0,
+            "added_snapshot_id": sid,
+        },
+        {
+            "manifest_path": f"file://{m_del}",
+            "manifest_length": m_del.stat().st_size,
+            "content": 1,
+            "added_snapshot_id": sid,
+        },
+    ]
+    return _commit(root, version, meta, sid, manifest_rows, "overwrite", ts_ms)
 
 
 def _referenced_paths(

@@ -488,3 +488,50 @@ def incremental_build_grouped(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_to_iceberg(stream_df, table_root, checkpoint_dir):
+    """Structured-Streaming SINK into an Iceberg table with IDEMPOTENT
+    commits — the ingestion edge of the north-rule pipeline: each
+    micro-batch writes its rows as parquet under the table's data/ dir
+    (a distributed ``batch_df.write``, never a driver collect) and then
+    commits ONE append snapshot whose id derives from the batch epoch.
+    Spark's foreachBatch contract is at-least-once — a crashed batch is
+    re-delivered with the SAME epoch id — so the commit guard (skip when
+    the snapshot id already exists) plus the pre-commit ``overwrite`` of
+    the batch's data dir makes table state exactly-once: a retry rewrites
+    the same files and then observes its commit already present. Returns
+    ``(query, process)`` — ``process`` is the batch callback itself so
+    callers (and tests) can re-deliver an epoch and prove idempotency."""
+    from pathlib import Path
+
+    from ..sources import iceberg_write as W
+
+    root = Path(str(table_root))
+
+    def process(batch_df, batch_id: int) -> None:
+        sid = int(batch_id) + 1
+        if sid in set(W.snapshot_ids(root)):
+            return  # retried epoch: commit already durable
+        out = root / "data" / f"batch-{sid}"
+        batch_df.write.mode("overwrite").parquet(str(out))
+        import pyarrow.parquet as _pq
+
+        files = [
+            str(f)
+            for f in sorted(out.glob("*.parquet"))
+            # Spark writes a zero-row part file for an empty batch — an
+            # empty epoch must not commit a snapshot
+            if _pq.read_metadata(f).num_rows > 0
+        ]
+        if not files:
+            return
+        W.append_snapshot(root, files, snapshot_id=sid)
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, process

@@ -788,3 +788,47 @@ def test_orphan_files_detected(table_root):
     assert [p.rsplit("/", 1)[1] for p in W.orphan_files(table_root)] == [
         "stray.parquet"
     ]
+
+
+def test_upsert_single_commit_merge_semantics(table_root, spark):
+    """MERGE as one commit: same-sequence equality delete + new rows —
+    older copies tombstoned, new versions and plain inserts survive,
+    pre-upsert snapshot still time-travelable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f1 = table_root / "data" / "base.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": [10, 20, 30]}), f1
+    )
+    s1 = W.append_snapshot(table_root, [f1], ts_ms=2000)
+    # upsert: update k=2, insert k=4
+    newf = table_root / "data" / "upsert.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([2, 4], pa.int64()), "v": [21, 40]}), newf
+    )
+    keys = table_root / "data" / "upsert-keys.parquet"
+    pq.write_table(pa.table({"k": pa.array([2, 4], pa.int64())}), keys)
+    s2 = W.upsert_snapshot(table_root, [newf], keys, ts_ms=3000)
+    got = {
+        r.k: r.v for r in read_sequences(spark, str(table_root)).collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30, 4: 40}
+    # one snapshot, atomic: history has exactly two entries
+    assert W.snapshot_ids(table_root) == [s1, s2]
+    old = {
+        r.k: r.v
+        for r in read_sequences(spark, str(table_root), snapshot_id=s1).collect()
+    }
+    assert old == {1: 10, 2: 20, 3: 30}
+    # a second upsert of the SAME key wins again (sequence ordering)
+    newf2 = table_root / "data" / "upsert2.parquet"
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64()), "v": [22]}), newf2)
+    keys2 = table_root / "data" / "upsert2-keys.parquet"
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), keys2)
+    W.upsert_snapshot(table_root, [newf2], keys2, ts_ms=4000)
+    got = {r.k: r.v for r in read_sequences(spark, str(table_root)).collect()}
+    assert got == {1: 10, 2: 22, 3: 30, 4: 40}

@@ -791,3 +791,40 @@ def test_attribution_outer_watermark_margin():
             """
         ).fetchone()
         assert margin > 100_000, (sf, margin)
+
+
+def test_write_stream_to_iceberg_idempotent(spark, tmp_path):
+    """foreachBatch Iceberg sink: per-epoch snapshot commits; a re-delivered
+    epoch (Spark's at-least-once retry) must not double-commit or
+    double-count rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+    from tdigest_spark.streaming import write_stream_to_iceberg
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), indir / "a.parquet")
+    pq.write_table(pa.table({"x": pa.array([3], pa.int64())}), indir / "b.parquet")
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    stream = (
+        spark.readStream.schema("x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    q, process = write_stream_to_iceberg(stream, root, tmp_path / "ckpt")
+    assert q.awaitTermination(300), "stream did not drain"
+    assert len(W.snapshot_ids(root)) == 2
+    got = sorted(r.x for r in read_sequences(spark, str(root)).collect())
+    assert got == [1, 2, 3]
+    # retry epoch 0: same data, same id -> no new snapshot, no duplicates
+    process(spark.read.parquet(str(indir / "a.parquet")), 0)
+    assert len(W.snapshot_ids(root)) == 2
+    got = sorted(r.x for r in read_sequences(spark, str(root)).collect())
+    assert got == [1, 2, 3]
+    # an EMPTY epoch commits nothing
+    process(spark.read.parquet(str(indir / "a.parquet")).where("x > 99"), 7)
+    assert len(W.snapshot_ids(root)) == 2
