@@ -1118,6 +1118,32 @@ def orders_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one partitioned/ordered spec:
+    percent_rank, cume_dist, NTILE, first_value, nth_value, lead, lag
+    (with default) — every remaining ranking/navigation function in one
+    shuffle (single Window node; Spark evaluates all eight functions in
+    one pass over each sorted partition). event_id is unique within a
+    partition, so peer groups are singletons and the default
+    RANGE-to-current-row frame agrees between engines; the rank ratios
+    divide identical integers (IEEE-identical), rounded for safety."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("event_id").over(w).alias("first_id"),
+        F.nth_value("event_id", 3).over(w).alias("third_id"),
+        F.lead("event_id", 2).over(w).alias("lead2"),
+        F.lag("event_id", 1, -1).over(w).alias("lag1"),
+    ).orderBy("event_type", "event_id")
+
+
 def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator, built-in-absent in Spark): each
     purchase joined to the user's most recent prior-or-simultaneous view's
@@ -5134,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_grouping_sets": lineitem_grouping_sets,
         "events_json_props": events_json_props,
         "orders_ntile_quartiles": orders_ntile_quartiles,
+        "events_window_function_suite": events_window_function_suite,
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
         "events_user_trailing_hour": events_user_trailing_hour,
@@ -7094,6 +7121,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS n_snapshots,
                    CAST(1 AS BIGINT) AS idempotent_ok
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_window_function_suite": """
+            SELECT event_id, event_type,
+                   ROUND(percent_rank() OVER w, 6) AS pr,
+                   ROUND(cume_dist() OVER w, 6) AS cd,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   first_value(event_id) OVER w AS first_id,
+                   nth_value(event_id, 3) OVER w AS third_id,
+                   lead(event_id, 2) OVER w AS lead2,
+                   lag(event_id, 1, -1) OVER w AS lag1
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+            ORDER BY event_type, event_id
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs
