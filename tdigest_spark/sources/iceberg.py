@@ -490,7 +490,9 @@ def iceberg_scan_paths_pruned(
     row-level, exactly like a real engine's residual filter)."""
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
     data = entries["data"]
-    spec = _default_spec_fields(current_metadata(table_dir))
+    meta = current_metadata(table_dir)
+    predicates = _coerce_predicates(meta, predicates)
+    spec = _default_spec_fields(meta)
     kept = [
         e["path"]
         for e in data
@@ -498,6 +500,56 @@ def iceberg_scan_paths_pruned(
         and _partition_matches(e, spec, predicates)
     ]
     return sorted(kept), len(data)
+
+
+def _coerce_predicates(meta: dict, predicates) -> list[tuple]:
+    """Align predicate literal types with the table schema before pruning:
+    bounds carry no type tag, so a float literal against a long column (or
+    vice versa) would DECODE IN THE WRONG DOMAIN and could prune a matching
+    file — a correctness hazard, not an optimization miss. With a tracked
+    schema, integral floats coerce (3.0 -> 3 on a long column, 3 -> 3.0 on
+    a double column) and incompatible literals drop their predicate from
+    the PRUNING conjunction (the caller's row-level residual filter still
+    applies it). Schema-less tables pass through: the literal type is the
+    caller's contract, as documented."""
+    import datetime as _dt
+
+    schemas = meta.get("schemas")
+    if not schemas:
+        return list(predicates)
+    cur_id = meta.get("current-schema-id", schemas[-1]["schema-id"])
+    types = {
+        f["name"]: f["type"]
+        for sc in schemas
+        if sc["schema-id"] == cur_id
+        for f in sc["fields"]
+    }
+    out = []
+    for col, op, v in predicates:
+        t = types.get(col)
+        if t is None:
+            continue  # unknown column: nothing to prune on
+        if t in ("int", "long"):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            if isinstance(v, float):
+                if not v.is_integer():
+                    continue
+                v = int(v)
+        elif t in ("float", "double"):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            v = float(v)
+        elif t == "string":
+            if not isinstance(v, str):
+                continue
+        elif t == "timestamp":
+            if not isinstance(v, _dt.datetime):
+                continue
+        else:
+            continue  # un-prunable type
+        out.append((col, op, v))
+    return out
 
 
 def _default_spec_fields(meta: dict) -> list[dict]:

@@ -832,3 +832,43 @@ def test_upsert_single_commit_merge_semantics(table_root, spark):
     W.upsert_snapshot(table_root, [newf2], keys2, ts_ms=4000)
     got = {r.k: r.v for r in read_sequences(spark, str(table_root)).collect()}
     assert got == {1: 10, 2: 22, 3: 30, 4: 40}
+
+
+def test_pruning_literal_type_coercion(tmp_path):
+    """A mistyped predicate literal must never decode bounds in the wrong
+    domain: with a tracked schema, integral floats coerce and incompatible
+    literals drop out of the pruning conjunction (file kept)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    root = tmp_path / "tbl"
+    W.create_table(
+        root, ts_ms=1000, schema_fields=[("k", "long"), ("x", "double")]
+    )
+    for i in range(2):
+        f = root / "data" / f"f{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([i * 10 + j for j in range(10)], pa.int64()),
+                    "x": pa.array([float(i * 10 + j) for j in range(10)]),
+                }
+            ),
+            f,
+        )
+        W.append_snapshot(root, [f], ts_ms=2000 + i)
+    # float literal on the long column: integral coerces and PRUNES
+    paths, _ = iceberg_scan_paths_pruned(str(root), [("k", ">=", 10.0)])
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["f1.parquet"]
+    # non-integral float on a long column: dropped from pruning, both kept
+    paths, _ = iceberg_scan_paths_pruned(str(root), [("k", ">=", 9.5)])
+    assert len(paths) == 2
+    # int literal on the double column coerces and prunes
+    paths, _ = iceberg_scan_paths_pruned(str(root), [("x", ">", 9)])
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["f1.parquet"]
+    # string literal on a numeric column: dropped, never mis-decoded
+    paths, _ = iceberg_scan_paths_pruned(str(root), [("k", "==", "10")])
+    assert len(paths) == 2
