@@ -142,6 +142,10 @@ def partition_value_matches(transform: str, part_value, op: str, literal) -> boo
         t_lit = apply_transform(transform, literal)
     except (TypeError, ValueError):
         return True
+    if isinstance(t_lit, _dt.datetime):
+        # identity on a timestamp column: tuples store epoch micros
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=t_lit.tzinfo)
+        t_lit = int((t_lit - epoch) / _dt.timedelta(microseconds=1))
     if part_value is None or t_lit is None:
         return True
     if type(part_value) is not type(t_lit):

@@ -307,6 +307,8 @@ def _partition_tuple(path: Path, spec_fields: list[dict]) -> dict:
 
     from .iceberg_partition import apply_transform
 
+    import datetime as _dt
+
     cols = [f["source-name"] for f in spec_fields]
     tbl = pq.read_table(path, columns=cols)
     out = {}
@@ -320,7 +322,14 @@ def _partition_tuple(path: Path, spec_fields: list[dict]) -> dict:
                 f"{path.name} is not partition-pure on {f['name']} "
                 f"({len(vals)} distinct transformed values)"
             )
-        out[f["name"]] = vals.pop()
+        v = vals.pop()
+        if isinstance(v, _dt.datetime):
+            # identity on a timestamp column: tuples store epoch micros
+            # (the spec's representation; the planner converts literals
+            # the same way before comparing)
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = int((v - epoch) / _dt.timedelta(microseconds=1))
+        out[f["name"]] = v
     return out
 
 

@@ -872,3 +872,31 @@ def test_pruning_literal_type_coercion(tmp_path):
     # string literal on a numeric column: dropped, never mis-decoded
     paths, _ = iceberg_scan_paths_pruned(str(root), [("k", "==", "10")])
     assert len(paths) == 2
+
+
+def test_identity_partition_on_timestamp(table_root):
+    """identity(ts) tuples store epoch micros; literal predicates on the
+    raw timestamp column still prune exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    W.set_partition_spec(table_root, [("ts", "identity")], ts_ms=1500)
+    files = []
+    for d in (1, 2):
+        f = table_root / "data" / f"d{d}.parquet"
+        pq.write_table(
+            pa.table({"ts": [datetime.datetime(2021, 1, d)] * 3, "v": [d] * 3}),
+            f,
+        )
+        files.append(f)
+    W.append_snapshot(table_root, files, snapshot_id=1, ts_ms=2000)
+    paths, total = iceberg_scan_paths_pruned(
+        str(table_root), [("ts", "==", datetime.datetime(2021, 1, 2))]
+    )
+    assert total == 2
+    assert [p.rsplit("/", 1)[1] for p in paths] == ["d2.parquet"]
