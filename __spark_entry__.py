@@ -1073,6 +1073,32 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long reshaping, the inverse of events_type_pivot):
+    the pricing-summary rollup's three integer measures melt into
+    (measure, value) rows via ``DataFrame.unpivot`` — an Expand node over
+    the already-aggregated frame, so the reshape costs O(groups x
+    measures), never a second fact scan. All measures are exact bigints
+    (integer quantities, floor-cents prices, counts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        agg.unpivot(
+            ["l_returnflag", "l_linestatus"],
+            ["qty", "price_cents", "n_items"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_returnflag", "l_linestatus", "measure")
+    )
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function coverage (json/string/math/date): parse the props
     JSON column, bucket by k-decile and event month."""
@@ -5151,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_avg_correlated_subquery": part_avg_correlated_subquery,
         "order_fill_left_join": order_fill_left_join,
         "events_type_pivot": events_type_pivot,
+        "lineitem_unpivot_measures": lineitem_unpivot_measures,
         "embedding_posexplode": embedding_posexplode,
         "lineitem_cube_counts": lineitem_cube_counts,
         "nation_balance_full_join": nation_balance_full_join,
@@ -7135,6 +7162,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IN ('click', 'purchase')
             WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
             ORDER BY event_type, event_id
+        """,
+        "lineitem_unpivot_measures": """
+            WITH agg AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_items
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus, measure, value
+            FROM agg UNPIVOT (value FOR measure IN (qty, price_cents, n_items))
+            ORDER BY l_returnflag, l_linestatus, measure
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs
