@@ -3794,7 +3794,12 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.operators.text import word_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(word_tokens(F.lower(F.col("text"))).alias("t")).persist()
+    # localCheckpoint, not persist: the result is LAZY, so an unpersist
+    # before collection would undo the cache; GC-managed blocks instead
+    # (same pattern as operators/drift.py)
+    toks = docs.select(
+        word_tokens(F.lower(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     uni = (
         toks.select(F.explode("t").alias("word"))
         .where(F.col("word") != "")
@@ -3844,7 +3849,6 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
-    toks.unpersist()
     return out
 
 

@@ -157,6 +157,14 @@ AUDITS = {
     # Q20: red-part keys + qualifying-supplier rollup broadcast; the
     # LIKE prefix and date window push to their scans
     "q20_red_part_suppliers": (2, True, True),
+    # window suite: one Window node, no joins at all; the type filter
+    # pushes to the scan
+    "events_window_function_suite": (0, True, True),
+    # unpivot: Expand over the aggregated frame — no joins
+    "lineitem_unpivot_measures": (0, True, False),
+    # PMI: two wordcount aggregates + vocab joins (large-large SMJ ok) +
+    # 1-row total broadcasts; only forbid cartesian
+    "doc_pmi_collocations": (2, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
