@@ -900,3 +900,42 @@ def test_identity_partition_on_timestamp(table_root):
     )
     assert total == 2
     assert [p.rsplit("/", 1)[1] for p in paths] == ["d2.parquet"]
+
+
+def test_compaction_then_expire_reclaims_small_files(table_root, spark):
+    """The standard small-file lifecycle: bin-pack committed files into one
+    via a copy-on-write OVERWRITE (same rows), then expiration reclaims the
+    originals — reads identical throughout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    small = []
+    for i in range(4):
+        f = _pq(table_root / "data" / f"s{i}.parquet", [i * 10, i * 10 + 1])
+        small.append(f)
+    W.append_snapshot(table_root, small[:2], ts_ms=2000)
+    W.append_snapshot(table_root, small[2:], ts_ms=3000)
+    before = sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    )
+    # compact: one merged file, committed copy-on-write
+    merged = table_root / "data" / "compact.parquet"
+    pq.write_table(
+        pa.concat_tables([pq.read_table(f) for f in small]), merged
+    )
+    W.overwrite_snapshot(table_root, [merged], ts_ms=4000)
+    after = sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    )
+    assert after == before
+    assert all(f.exists() for f in small)  # history still time-travelable
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=5000)
+    assert len(rep["deleted_data_files"]) == 4
+    assert not any(f.exists() for f in small) and merged.exists()
+    assert W.orphan_files(table_root) == []
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == before
