@@ -248,3 +248,71 @@ def test_weighted_split_merge_consistent(pairs):
         # exact at the tracked extremes
         if p in (0.0, 1.0):
             assert qa == qo
+
+
+# ---------------------------------------------------------------------------
+# partition transform laws (hidden partitioning rests on these)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62), st.integers(1, 1000))
+def test_truncate_int_laws(v, w):
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    t = apply_transform(f"truncate[{w}]", v)
+    assert t <= v < t + w  # a floor: the value sits inside its bucket
+    assert t % w == 0  # bucket boundaries are multiples of the width
+    # idempotent and order-preserving
+    assert apply_transform(f"truncate[{w}]", t) == t
+
+
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(1, 1000),
+)
+def test_truncate_int_order_preserving(a, b, w):
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    ta = apply_transform(f"truncate[{w}]", a)
+    tb = apply_transform(f"truncate[{w}]", b)
+    if a <= b:
+        assert ta <= tb
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1), st.integers(1, 512))
+def test_bucket_range_and_determinism(v, n):
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    b = apply_transform(f"bucket[{n}]", v)
+    assert 0 <= b < n
+    assert b == apply_transform(f"bucket[{n}]", v)
+
+
+@given(st.text(max_size=40), st.integers(1, 16))
+def test_truncate_str_prefix_law(sv, w):
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    t = apply_transform(f"truncate[{w}]", sv)
+    assert sv.startswith(t) and len(t) <= w
+
+
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1901, 1, 1),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    )
+)
+def test_time_transform_hierarchy(ts):
+    """year/month/day/hour transforms must nest consistently (the spec's
+    transform-ordering property that lets a spec evolve to finer grains)."""
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    y = apply_transform("year", ts)
+    m = apply_transform("month", ts)
+    d = apply_transform("day", ts)
+    h = apply_transform("hour", ts)
+    assert m // 12 == y
+    assert h // 24 == d
+    # month of the day transform's date == month transform
+    assert (ts.year - 1970) * 12 + ts.month - 1 == m
