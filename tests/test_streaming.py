@@ -828,3 +828,46 @@ def test_write_stream_to_iceberg_idempotent(spark, tmp_path):
     # an EMPTY epoch commits nothing
     process(spark.read.parquet(str(indir / "a.parquet")).where("x > 99"), 7)
     assert len(W.snapshot_ids(root)) == 2
+
+
+def test_iceberg_sink_restart_continues_from_checkpoint(spark, tmp_path):
+    """Exactly-once ACROSS RESTARTS: a second availableNow run over the
+    same checkpoint processes only files that arrived after the first run,
+    appending new snapshots without touching the old ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+    from tdigest_spark.streaming import write_stream_to_iceberg
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), indir / "a.parquet")
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("x long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q, _ = write_stream_to_iceberg(stream, root, tmp_path / "ckpt")
+        assert q.awaitTermination(300), "stream did not drain"
+
+    run_once()
+    assert len(W.snapshot_ids(root)) == 1
+    # new data lands while the pipeline is down
+    pq.write_table(pa.table({"x": pa.array([3], pa.int64())}), indir / "b.parquet")
+    run_once()
+    ids = W.snapshot_ids(root)
+    assert len(ids) == 2  # one NEW snapshot; epoch 0 not re-committed
+    got = sorted(r.x for r in read_sequences(spark, str(root)).collect())
+    assert got == [1, 2, 3]
+    # and the pre-restart snapshot is still readable by id
+    first = sorted(
+        r.x
+        for r in read_sequences(spark, str(root), snapshot_id=ids[0]).collect()
+    )
+    assert first == [1, 2]
