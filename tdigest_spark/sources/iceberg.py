@@ -390,10 +390,14 @@ def read_table_evolved(
         )
     cur = schemas[int(meta["current-schema-id"])]
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
-    if entries["pos_deletes"] or entries["eq_deletes"]:
+    if entries["eq_deletes"]:
+        # equality-delete key files are column-NAME keyed; resolving them
+        # across renames needs per-delete-file schema ids this writer does
+        # not record — gated rather than silently wrong
         raise NotImplementedError(
-            "evolved read of tables with row-level deletes"
+            "evolved read of tables with EQUALITY deletes"
         )
+    pos_paths = [x["path"] for x in entries["pos_deletes"]]
     groups: dict[int | None, list[str]] = {}
     for e in entries["data"]:
         groups.setdefault(e.get("schema_id"), []).append(e["path"])
@@ -415,7 +419,13 @@ def read_table_evolved(
                 cols.append(F.lit(None).cast(t).alias(f["name"]))
             else:
                 cols.append(F.col(src["name"]).cast(t).alias(f["name"]))
-        parts.append(spark.read.parquet(*sorted(paths)).select(cols))
+        scan = spark.read.parquet(*sorted(paths))
+        if pos_paths:
+            # position deletes key on (file_path, row_index) — schema-name
+            # independent, so they compose with evolution by applying
+            # BEFORE the field-id projection (which drops _metadata)
+            scan = _apply_position_deletes(spark, scan, pos_paths)
+        parts.append(scan.select(cols))
     df = parts[0]
     for part in parts[1:]:
         df = df.unionByName(part)

@@ -939,3 +939,24 @@ def test_compaction_then_expire_reclaims_small_files(table_root, spark):
     assert sorted(
         r["x"] for r in read_sequences(spark, str(table_root)).collect()
     ) == before
+
+
+def test_evolved_read_composes_with_position_deletes(evolved_root, spark):
+    """Row-level position deletes (file, pos) are schema-name independent,
+    so they apply under evolution: tombstone one pre-rename row and one
+    post-rename row, the projected view drops exactly those."""
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    W.delete_rows_snapshot(
+        evolved_root,
+        {
+            str(evolved_root / "data" / "a.parquet"): [0],  # id=1
+            str(evolved_root / "data" / "b.parquet"): [0],  # id=3
+        },
+        ts_ms=6000,
+    )
+    rows = {r.id: (r.amount, r.note) for r in read_table_evolved(
+        spark, str(evolved_root)
+    ).collect()}
+    assert rows == {2: (20, None)}
