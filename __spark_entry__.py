@@ -2756,6 +2756,58 @@ def iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_python_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static Iceberg reader surfaced through SPARK'S OWN extension
+    point — the Python Data Source API (Spark 4): after
+    ``spark.dataSource.register``, the month-partitioned orders table
+    reads as ``spark.read.format("iceberg_static")`` and Catalyst pushes
+    the 12-month predicate into the source's planner
+    (``pushFilters`` -> manifest-stats pruning -> one InputPartition per
+    SURVIVING file), so the job runs 12 tasks instead of 80 while every
+    filter stays residual (partial pushdown — pruning can never change
+    results). files_scanned/files_total are the actual Spark partition
+    counts of the filtered and unfiltered loads, exact-oracled against
+    the distinct order months; workers stream Arrow batches straight from
+    pyarrow (single-threaded per task — the cores² trap, CLAUDE.md)."""
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    # reuse (and if needed build) the month-partitioned fixture
+    iceberg_stats_pruned_read(spark, sf_dir)
+    import os
+    from pathlib import Path
+
+    root = str(
+        Path(os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache"))
+        / "iceberg_stats"
+        / Path(sf_dir).name
+    )
+    spark.dataSource.register(IcebergStaticDataSource)
+    load = lambda: spark.read.format("iceberg_static").option("path", root).load()
+    filtered = load().where(
+        (F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    n_scanned = filtered.rdd.getNumPartitions()
+    n_total = load().rdd.getNumPartitions()
+    return (
+        filtered.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "price_cents",
+            F.lit(n_scanned).cast("long").alias("files_scanned"),
+            F.lit(n_total).cast("long").alias("files_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -5239,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
         "iceberg_eq_delete_read": iceberg_eq_delete_read,
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
+        "iceberg_python_datasource_read": iceberg_python_datasource_read,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7179,6 +7232,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, measure, value
             FROM agg UNPIVOT (value FOR measure IN (qty, price_cents, n_items))
             ORDER BY l_returnflag, l_linestatus, measure
+        """,
+        "iceberg_python_datasource_read": """
+            WITH m AS (
+              SELECT o_orderpriority,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+                AND o_orderdate < TIMESTAMP '1997-06-01'
+              GROUP BY 1
+            ), f AS (
+              SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                       FILTER (WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+                                 AND o_orderdate < TIMESTAMP '1997-06-01')
+                       AS files_scanned,
+                     COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                       AS files_total
+              FROM orders
+            )
+            SELECT o_orderpriority, n_orders, price_cents,
+                   files_scanned, files_total
+            FROM m, f ORDER BY o_orderpriority
         """,
         "iceberg_eq_delete_read": """
             SELECT 'v2' AS snapshot, lang, COUNT(*) AS n_docs

@@ -66,6 +66,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Python Data Source filter pushdown (sources/datasource.py plans
+        # manifest-pruned scans from pushed comparison predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local mode runs every executor thread inside the driver JVM, so
         # this heap is the ENTIRE engine's memory: at 8g the 32 tasks of a
         # join-heavy suite share ~150MB of execution memory each and GC
