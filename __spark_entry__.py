@@ -2808,6 +2808,161 @@ def iceberg_python_datasource_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def iceberg_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Iceberg WRITE through Spark's Python Data Source API
+    (sources/datasource.py:_StaticIcebergWriter): ``df.write.format(
+    "iceberg_static")`` fans the orders table out so each task streams its
+    partition's Arrow batches into ONE parquet data file and the driver
+    makes a single atomic ``append_snapshot`` commit referencing exactly
+    the successful attempts' files — the same task-files/driver-commit
+    split iceberg-spark itself uses, so the write is shuffle-free and the
+    commit is O(files) metadata work at any scale. Two appends (even then
+    odd order keys) produce snapshots 1 and 2; the read back is the same
+    data source, so snapshot 1 time-travels to exactly the even half
+    (snapshot1_rows) while the current read aggregates the full table.
+    n_snapshots is read from the committed metadata, exact-oracled 2."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_dsw_")
+    try:
+        root = str(Path(tmp) / "tbl")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        for parity in (0, 1):
+            (
+                orders.where(F.col("o_orderkey") % 2 == parity)
+                .repartition(4)
+                .write.format("iceberg_static")
+                .mode("append")
+                .option("path", root)
+                .save()
+            )
+        snap1_rows = (
+            spark.read.format("iceberg_static")
+            .option("path", root)
+            .option("snapshot_id", "1")
+            .load()
+            .count()
+        )
+        n_snapshots = len(W.snapshot_ids(root))
+        out = (
+            spark.read.format("iceberg_static")
+            .option("path", root)
+            .load()
+            .where(F.col("o_totalprice") > 50000)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).alias("price_cents"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_orders",
+                "price_cents",
+                F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+                F.lit(snap1_rows).cast("long").alias("snapshot1_rows"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def iceberg_datasource_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both STREAMING halves of the Python Data Source in one pipeline
+    (sources/datasource.py): events, staged as two input files and
+    streamed one file per micro-batch, land in an Iceberg table through
+    ``writeStream.format("iceberg_static")`` — the stream WRITER commits
+    one epoch-keyed snapshot per batch (exactly-once via the
+    snapshot-exists guard, proven in tests/test_datasource.py) — then the
+    stream READER tails the table back out (offsets = snapshot ids,
+    ``partitions(start, end)`` plans the incremental files of each
+    commit, workers stream them as Arrow batches) into a parquet sink.
+    The tailed rows must equal the source exactly: per-type counts and
+    floor-cents sums match the plain events view, with the committed
+    snapshot count exact-oracled at 2."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_dstail_")
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        root = Path(tmp) / "tbl"
+        schema = spark.read.parquet(str(indir / "part1.parquet")).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .writeStream.format("iceberg_static")
+            .option("path", str(root))
+            .option("checkpointLocation", f"{tmp}/ckpt_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("iceberg sink stream did not drain within 300s")
+        n_snapshots = len(W.snapshot_ids(root))
+        out_dir = f"{tmp}/tailed"
+        q2 = (
+            spark.readStream.format("iceberg_static")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt_tail")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q2.awaitTermination(300):
+            q2.stop()
+            raise TimeoutError("iceberg tail stream did not drain within 300s")
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("value_cents"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "value_cents",
+                F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg WRITE path + time travel (sources/iceberg_write.py): the
     documents table is committed as three real snapshots — append(even
@@ -5292,6 +5447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_delete_read": iceberg_eq_delete_read,
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
         "iceberg_python_datasource_read": iceberg_python_datasource_read,
+        "iceberg_datasource_write_read": iceberg_datasource_write_read,
+        "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7196,6 +7353,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM merged GROUP BY source ORDER BY source
+        """,
+        "iceberg_datasource_write_read": """
+            WITH m AS (
+              SELECT o_orderpriority,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS price_cents
+              FROM orders
+              WHERE o_totalprice > 50000
+              GROUP BY 1
+            ), f AS (
+              SELECT CAST(2 AS BIGINT) AS n_snapshots,
+                     COUNT(*) FILTER (WHERE o_orderkey % 2 = 0)
+                       AS snapshot1_rows
+              FROM orders
+            )
+            SELECT o_orderpriority, n_orders, price_cents,
+                   n_snapshots, snapshot1_rows
+            FROM m, f ORDER BY o_orderpriority
+        """,
+        "iceberg_datasource_stream_tail": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents,
+                   CAST(2 AS BIGINT) AS n_snapshots
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_stream_iceberg_sink": """
             SELECT event_type,

@@ -1,5 +1,5 @@
 """`iceberg_static` — a PySpark (4.x) Python Data Source for this repo's
-static Iceberg tables.
+static Iceberg tables: batch read, batch write, stream read, stream write.
 
 The static reader (sources/iceberg.py) plans scans from manifest metadata
 in pure Python. This module surfaces it through Spark's OWN extension
@@ -28,19 +28,50 @@ reason pruning can never change results. Snapshot pinning: ``partitions()``
 resolves the snapshot AT PLAN TIME, so a concurrent commit between plan
 and execution cannot tear the read (options: ``snapshot_id`` time-travels
 explicitly).
+
+The WRITE side maps the API's two-phase contract onto Iceberg's actual
+commit architecture (exactly how iceberg-spark itself splits the work):
+
+* each task's ``write()`` streams its partition's Arrow batches into ONE
+  parquet data file under ``data/`` with a task-ATTEMPT-unique name (a
+  zombie attempt's file is never referenced — its commit message is
+  discarded — and never collides with the retry's) and returns the path;
+* the driver's ``commit(messages)`` performs the single atomic metadata
+  commit (``append_snapshot`` / ``overwrite_snapshot``) referencing
+  exactly the successful attempts' files; ``abort()`` unlinks them. An
+  empty task writes NO file (Spark's native sinks emit zero-row part
+  files; a manifest must not reference one).
+
+``df.writeStream.format("iceberg_static")`` is the streaming sink:
+``commit(messages, batchId)`` keys the snapshot id off the epoch and
+skips (deleting the redelivered files) when that snapshot already exists
+— at-least-once delivery + idempotent commit = exactly-once table state.
+
+``spark.readStream.format("iceberg_static")`` is the streaming SOURCE:
+offsets are snapshot ids, ``partitions(start, end)`` plans the
+incremental files ADDED in ``(start, end]`` via
+``iceberg_incremental_paths``, and workers stream them with the same
+Arrow path as the batch read — a distributed CDC-style tail of the table.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Optional
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 __all__ = ["IcebergStaticDataSource", "arrow_schema_to_ddl"]
@@ -90,6 +121,23 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _read_parquet_batches(path: str):
+    """Worker-side Arrow streaming of one data file (single-threaded: a
+    per-process default pool inside ~cores python workers is cores²
+    runnable threads)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    yield from pf.iter_batches(use_threads=False)
+
+
+def _table_root(options) -> str:
+    root = options.get("path")
+    if not root:
+        raise ValueError("iceberg_static requires .option('path', <table root>)")
+    return root
+
+
 class _StaticIcebergReader(DataSourceReader):
     def __init__(self, options):
         self.root = options.get("path")
@@ -124,11 +172,177 @@ class _StaticIcebergReader(DataSourceReader):
         return [_FilePartition(p) for p in paths]
 
     def read(self, partition):
-        import pyarrow.parquet as pq
+        yield from _read_parquet_batches(partition.path)
 
-        pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches(use_threads=False):
-            yield batch
+
+@dataclass
+class _DataFileCommit(WriterCommitMessage):
+    path: Optional[str]
+    rows: int
+
+
+def _write_task_file(root: str, iterator) -> _DataFileCommit:
+    """One task -> at most one parquet data file, named by (partition id,
+    task attempt id) so concurrent attempts of the same task never collide
+    and an abandoned attempt's file is identifiable as an orphan."""
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from pathlib import Path
+
+    ctx = TaskContext.get()
+    name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.parquet"
+    path = Path(root) / "data" / name
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                path.parent.mkdir(parents=True, exist_ok=True)
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    except BaseException:
+        # a failed attempt cleans its own partial file (no message reaches
+        # abort() for it); anything that slips through is orphan_files() food
+        if writer is not None:
+            writer.close()
+            path.unlink(missing_ok=True)
+        raise
+    if writer is None:
+        # empty partition: NO zero-row part file (a manifest must never
+        # reference one — the foreachBatch sink had the same rule)
+        return _DataFileCommit(None, 0)
+    writer.close()
+    return _DataFileCommit(str(path), rows)
+
+
+def _unlink_files(messages) -> None:
+    from pathlib import Path
+
+    for m in messages:
+        if m is not None and m.path:
+            Path(m.path).unlink(missing_ok=True)
+
+
+def _ensure_table(root):
+    from pathlib import Path
+
+    from . import iceberg_write as W
+
+    r = Path(str(root))
+    if not (r / "metadata" / "version-hint.text").exists():
+        W.create_table(r)
+    return r
+
+
+class _StaticIcebergWriter(DataSourceArrowWriter):
+    """Batch write: tasks write data files, the driver makes ONE atomic
+    metadata commit referencing exactly the successful attempts' files."""
+
+    def __init__(self, options, overwrite: bool):
+        self.root = _table_root(options)
+        sid = options.get("snapshot_id")
+        self.snapshot_id = int(sid) if sid is not None else None
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_task_file(self.root, iterator)
+
+    def commit(self, messages):
+        from . import iceberg_write as W
+
+        root = _ensure_table(self.root)
+        files = [m.path for m in messages if m is not None and m.path]
+        if self.overwrite:
+            # zero files = truncate: live content becomes the empty set
+            W.overwrite_snapshot(root, files, snapshot_id=self.snapshot_id)
+        else:
+            W.append_snapshot(root, files, snapshot_id=self.snapshot_id)
+
+    def abort(self, messages):
+        _unlink_files(messages)
+
+
+class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: epoch-keyed snapshot ids make the at-least-once
+    foreachBatch-style redelivery idempotent — a retried epoch observes
+    its snapshot already committed and unlinks its duplicate files instead
+    of committing twice. The sink owns the table's snapshot-id space
+    (sid = batchId + 1), same contract as streaming.write_stream_to_iceberg."""
+
+    def __init__(self, options):
+        self.root = _table_root(options)
+
+    def write(self, iterator):
+        return _write_task_file(self.root, iterator)
+
+    def commit(self, messages, batchId: int):
+        from . import iceberg_write as W
+
+        root = _ensure_table(self.root)
+        files = [m.path for m in messages if m is not None and m.path]
+        sid = int(batchId) + 1
+        if sid in set(W.snapshot_ids(root)):
+            _unlink_files(messages)  # retried epoch: commit already durable
+            return
+        if files:  # an empty epoch must not commit a snapshot
+            W.append_snapshot(root, files, snapshot_id=sid)
+
+    def abort(self, messages, batchId: int):
+        _unlink_files(messages)
+
+
+class _StaticIcebergStreamReader(DataSourceStreamReader):
+    """Streaming SOURCE: offsets are snapshot ids; each micro-batch plans
+    the data files ADDED in ``(start, end]`` (incremental append scan —
+    delete/overwrite commits are not retracted, Iceberg's own limitation)
+    and reads them distributed, one InputPartition per file."""
+
+    def __init__(self, options):
+        self.root = _table_root(options)
+
+    def _current_snapshot_id(self) -> int:
+        from .iceberg import current_metadata
+
+        try:
+            meta = current_metadata(self.root)
+        except FileNotFoundError:
+            return 0  # table not created yet: nothing to read
+        sid = meta.get("current-snapshot-id", -1)
+        return 0 if sid is None or sid == -1 else int(sid)
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": self._current_snapshot_id()}
+
+    def partitions(self, start: dict, end: dict):
+        from .iceberg import iceberg_incremental_paths, iceberg_scan_paths_static
+
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if hi == 0 or lo == hi:
+            return []
+        if lo == 0:
+            # first batch: everything live at the end snapshot
+            paths = iceberg_scan_paths_static(self.root, snapshot_id=hi)
+        else:
+            # snapshot `lo` must still be retained — expiration policy must
+            # keep consumers' last committed offsets (Iceberg's own rule)
+            paths = iceberg_incremental_paths(self.root, lo, hi)
+        return [_FilePartition(p) for p in paths]
+
+    def read(self, partition):
+        yield from _read_parquet_batches(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is durable in Spark's checkpoint, not the table
+
+    def stop(self) -> None:
+        pass
 
 
 class IcebergStaticDataSource(DataSource):
@@ -156,3 +370,12 @@ class IcebergStaticDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _StaticIcebergReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _StaticIcebergWriter:
+        return _StaticIcebergWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> _StaticIcebergStreamWriter:
+        return _StaticIcebergStreamWriter(self.options)
+
+    def streamReader(self, schema) -> _StaticIcebergStreamReader:
+        return _StaticIcebergStreamReader(self.options)

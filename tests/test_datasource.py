@@ -138,6 +138,184 @@ def test_missing_path_and_non_iceberg_root_raise(registered, tmp_path):
         )
 
 
+# ---------------------------------------------------------------------------
+# write side: distributed task files + atomic driver commit
+# ---------------------------------------------------------------------------
+
+
+def test_batch_write_append_and_overwrite_roundtrip(registered, tmp_path):
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = str(tmp_path / "tbl")
+    df = registered.range(0, 100, 1, 4).withColumnRenamed("id", "v")
+    df.write.format("iceberg_static").mode("append").option("path", root).save()
+    load = lambda: (
+        registered.read.format("iceberg_static").option("path", root).load()
+    )
+    # one data file per (non-empty) task, one snapshot
+    assert load().rdd.getNumPartitions() == 4
+    assert sorted(r.v for r in load().collect()) == list(range(100))
+    df.write.format("iceberg_static").mode("append").option("path", root).save()
+    assert load().count() == 200
+    (
+        registered.range(5)
+        .withColumnRenamed("id", "v")
+        .write.format("iceberg_static")
+        .mode("overwrite")
+        .option("path", root)
+        .save()
+    )
+    assert sorted(r.v for r in load().collect()) == [0, 1, 2, 3, 4]
+    # overwrite tombstoned, didn't erase history: time travel still reads v2
+    assert W.snapshot_ids(root) == [1, 2, 3]
+    assert len(load().collect()) == 5
+    assert W.orphan_files(root) == []
+
+
+def test_empty_partitions_write_no_files(registered, tmp_path):
+    root = str(tmp_path / "tbl")
+    df = (
+        registered.range(0, 40, 1, 4)
+        .withColumnRenamed("id", "v")
+        .where("v < 10")  # all survivors sit in partition 0
+    )
+    df.write.format("iceberg_static").mode("append").option("path", root).save()
+    back = registered.read.format("iceberg_static").option("path", root).load()
+    assert back.rdd.getNumPartitions() == 1  # 3 empty tasks -> no files
+    assert back.count() == 10
+
+
+def test_failed_write_leaves_no_snapshot_or_files(registered, tmp_path):
+    from pyspark.sql import functions as F
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(v):
+        if v == 77:
+            raise ValueError("poison row")
+        return v
+
+    df = registered.range(0, 100, 1, 4).select(boom(F.col("id")).alias("v"))
+    with pytest.raises(Exception):
+        df.write.format("iceberg_static").mode("append").option(
+            "path", str(root)
+        ).save()
+    # the atomic contract: NOTHING was committed, so readers are unaffected
+    assert W.snapshot_ids(root) == []
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    assert iceberg_scan_paths_static(str(root)) == []
+    # leftover files are possible (a task killed after closing its file but
+    # before its commit message reached the driver has no message for
+    # abort() to unlink — the same window real Iceberg has) but every one
+    # must be DETECTED as an orphan, i.e. reclaimable by maintenance
+    leftovers = {str(p) for p in (root / "data").glob("*.parquet")}
+    assert leftovers == set(W.orphan_files(root))
+
+
+def test_abort_unlinks_reported_files(tmp_path):
+    """Driver-side unit check of abort(): reported files are unlinked,
+    None messages (failed tasks) are skipped."""
+    from tdigest_spark.sources.datasource import (
+        _DataFileCommit,
+        _StaticIcebergWriter,
+    )
+
+    f = tmp_path / "x.parquet"
+    f.write_bytes(b"stub")
+    w = _StaticIcebergWriter({"path": str(tmp_path)}, overwrite=False)
+    w.abort([_DataFileCommit(str(f), 1), None, _DataFileCommit(None, 0)])
+    assert not f.exists()
+
+
+def test_stream_sink_exactly_once_and_source_incremental(
+    registered, tmp_path
+):
+    """End-to-end through Spark's own streaming engine: the sink commits
+    one epoch-keyed snapshot per micro-batch; a REDELIVERED epoch is
+    detected and its duplicate files unlinked; the stream SOURCE then
+    tails the table incrementally — a restarted query with the same
+    checkpoint processes only snapshots committed after its offset."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import _DataFileCommit, _StaticIcebergStreamWriter
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = tmp_path / "tbl"
+    (
+        registered.range(0, 60, 1, 2)
+        .withColumnRenamed("id", "v")
+        .coalesce(1)
+        .write.parquet(str(src / "a"))
+    )
+    (
+        registered.range(60, 100, 1, 2)
+        .withColumnRenamed("id", "v")
+        .coalesce(1)
+        .write.parquet(str(src / "b"))
+    )
+    stream = (
+        registered.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.format("iceberg_static")
+        .option("path", str(root))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "sink stream did not drain"
+    assert W.snapshot_ids(root) == [1, 2]
+    assert W.orphan_files(root) == []
+
+    # at-least-once retry of epoch 0: same batchId, freshly-written file
+    dup = root / "data" / "redelivered.parquet"
+    pq.write_table(pq.read_table(sorted((root / "data").glob("*.parquet"))[0]), dup)
+    w = _StaticIcebergStreamWriter({"path": str(root)})
+    w.commit([_DataFileCommit(str(dup), 60)], batchId=0)
+    assert W.snapshot_ids(root) == [1, 2]  # guard held: no new snapshot
+    assert not dup.exists()  # duplicate files reclaimed, not orphaned
+
+    # stream SOURCE: first run drains both snapshots into a file sink
+    # (supports checkpoint recovery, unlike the memory sink)...
+    ckpt2 = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out")
+    tail = lambda: (
+        registered.readStream.format("iceberg_static")
+        .option("path", str(root))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = tail()
+    assert q2.awaitTermination(300), "source stream did not drain"
+    got = sorted(r.v for r in registered.read.parquet(out).collect())
+    assert got == list(range(100))
+    # ...then a new commit lands and a RESTART reads only the delta
+    extra = root / "data" / "late.parquet"
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"v": [1000, 1001]}), extra)
+    W.append_snapshot(root, [extra], ts_ms=5000)
+    q3 = tail()
+    assert q3.awaitTermination(300), "restarted source did not drain"
+    assert sorted(r.v for r in registered.read.parquet(out).collect()) == (
+        list(range(100)) + [1000, 1001]
+    )
+
+
 def test_arrow_schema_to_ddl_type_coverage():
     import pyarrow as pa
 
