@@ -2878,6 +2878,75 @@ def iceberg_datasource_write_read(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def iceberg_datasource_partitioned_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg FANOUT write through the Python Data Source
+    (sources/datasource.py:_write_task_file): the table declares a hidden
+    ``day(ts)`` partition spec, so each write task routes rows to one
+    file per partition tuple it sees — partition-pure files by
+    construction, which is what a real Iceberg writer guarantees and what
+    makes hidden partitioning WORK on read. The input is repartitioned by
+    the same day expression, so exactly one task sees each day and the
+    committed file count is exactly the distinct-day count
+    (files_total, exact-oracled). The read back filters only the SOURCE
+    column ``ts``; partition pruning (order-preserving day transform,
+    strict bounds relaxed to inclusive) composes with manifest
+    column-stats pruning (exact micros bounds) so the scanned file count
+    is exactly the days with a row inside the half-open range
+    (files_scanned, exact-oracled). At 100 TB this is the difference
+    between a 10-day query scanning 10 days and scanning the table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_fanout_")
+    try:
+        root = str(Path(tmp) / "tbl")
+        W.create_table(root, ts_ms=1000)
+        W.set_partition_spec(root, [("ts", "day")], ts_ms=1100)
+        ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+        (
+            ev.repartition(8, F.to_date("ts"))
+            .write.format("iceberg_static")
+            .mode("append")
+            .option("path", root)
+            .save()
+        )
+        load = lambda: (
+            spark.read.format("iceberg_static").option("path", root).load()
+        )
+        n_total = load().rdd.getNumPartitions()
+        lo = F.lit("2024-01-10").cast("timestamp_ntz")
+        hi = F.lit("2024-01-20").cast("timestamp_ntz")
+        filtered = load().where((F.col("ts") >= lo) & (F.col("ts") < hi))
+        n_scanned = filtered.rdd.getNumPartitions()
+        out = (
+            filtered.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("value_cents"),
+            )
+            .select(
+                "event_type",
+                "n_events",
+                "value_cents",
+                F.lit(n_scanned).cast("long").alias("files_scanned"),
+                F.lit(n_total).cast("long").alias("files_total"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_datasource_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both STREAMING halves of the Python Data Source in one pipeline
     (sources/datasource.py): events, staged as two input files and
@@ -5448,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_stats_pruned_read": iceberg_stats_pruned_read,
         "iceberg_python_datasource_read": iceberg_python_datasource_read,
         "iceberg_datasource_write_read": iceberg_datasource_write_read,
+        "iceberg_datasource_partitioned_write": iceberg_datasource_partitioned_write,
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
@@ -7372,6 +7442,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "iceberg_datasource_partitioned_write": """
+            WITH m AS (
+              SELECT event_type,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10'
+                AND ts < TIMESTAMP '2024-01-20'
+              GROUP BY 1
+            ), f AS (
+              -- one file per distinct day (fanout + repartition by day);
+              -- scanned = days with a row inside the half-open range
+              -- (stats pruning is exact on micros bounds and composes
+              -- with the relaxed day-transform partition pruning)
+              SELECT COUNT(DISTINCT CAST(ts AS DATE))
+                       FILTER (WHERE ts >= TIMESTAMP '2024-01-10'
+                                 AND ts < TIMESTAMP '2024-01-20')
+                       AS files_scanned,
+                     COUNT(DISTINCT CAST(ts AS DATE)) AS files_total
+              FROM events
+            )
+            SELECT event_type, n_events, value_cents,
+                   files_scanned, files_total
+            FROM m, f ORDER BY event_type
         """,
         "iceberg_datasource_stream_tail": """
             SELECT event_type,

@@ -177,54 +177,100 @@ class _StaticIcebergReader(DataSourceReader):
 
 @dataclass
 class _DataFileCommit(WriterCommitMessage):
-    path: Optional[str]
+    paths: list
     rows: int
 
 
-def _write_task_file(root: str, iterator) -> _DataFileCommit:
-    """One task -> at most one parquet data file, named by (partition id,
-    task attempt id) so concurrent attempts of the same task never collide
-    and an abandoned attempt's file is identifiable as an orphan."""
+def _write_task_file(root: str, iterator, spec_fields=None) -> _DataFileCommit:
+    """One task -> one parquet data file per PARTITION TUPLE it sees (the
+    Iceberg fanout writer: with no spec that is at most one file). Files
+    are named by (partition id, task attempt id, fanout seq) so concurrent
+    attempts of the same task never collide and an abandoned attempt's
+    files are identifiable as orphans. Partition-pure files by
+    construction are what make the commit-time purity check pass and
+    hidden-partition pruning effective on read."""
     import pyarrow.parquet as pq
     from pyspark import TaskContext
 
     from pathlib import Path
 
     ctx = TaskContext.get()
-    name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.parquet"
-    path = Path(root) / "data" / name
-    writer = None
+    stem = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+    data_dir = Path(root) / "data"
+    writers: dict = {}  # partition tuple -> (ParquetWriter, path)
     rows = 0
+
+    def sink_for(key, schema):
+        if key not in writers:
+            data_dir.mkdir(parents=True, exist_ok=True)
+            path = data_dir / f"{stem}-{len(writers)}.parquet"
+            writers[key] = (pq.ParquetWriter(path, schema), path)
+        return writers[key][0]
+
     try:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            if writer is None:
-                path.parent.mkdir(parents=True, exist_ok=True)
-                writer = pq.ParquetWriter(path, batch.schema)
-            writer.write_batch(batch)
             rows += batch.num_rows
+            if not spec_fields:
+                sink_for((), batch.schema).write_batch(batch)
+                continue
+            # fanout: route each row by its transformed partition tuple
+            from .iceberg_partition import apply_transform
+
+            import pyarrow as pa
+
+            per_field = [
+                [
+                    apply_transform(f["transform"], v)
+                    for v in batch.column(f["source-name"]).to_pylist()
+                ]
+                for f in spec_fields
+            ]
+            groups: dict = {}
+            for i, key in enumerate(zip(*per_field)):
+                groups.setdefault(key, []).append(i)
+            for key, idx in groups.items():
+                sub = batch.take(pa.array(idx, pa.int64()))
+                sink_for(key, batch.schema).write_batch(sub)
     except BaseException:
-        # a failed attempt cleans its own partial file (no message reaches
+        # a failed attempt cleans its own partial files (no message reaches
         # abort() for it); anything that slips through is orphan_files() food
-        if writer is not None:
-            writer.close()
+        for w, path in writers.values():
+            w.close()
             path.unlink(missing_ok=True)
         raise
-    if writer is None:
-        # empty partition: NO zero-row part file (a manifest must never
-        # reference one — the foreachBatch sink had the same rule)
-        return _DataFileCommit(None, 0)
-    writer.close()
-    return _DataFileCommit(str(path), rows)
+    # empty partition: NO zero-row part file (a manifest must never
+    # reference one — the foreachBatch sink had the same rule)
+    for w, _ in writers.values():
+        w.close()
+    return _DataFileCommit(sorted(str(p) for _, p in writers.values()), rows)
+
+
+def _committed_files(messages) -> list:
+    return [p for m in messages if m is not None for p in m.paths]
 
 
 def _unlink_files(messages) -> None:
     from pathlib import Path
 
     for m in messages:
-        if m is not None and m.path:
-            Path(m.path).unlink(missing_ok=True)
+        if m is not None:
+            for p in m.paths:
+                Path(p).unlink(missing_ok=True)
+
+
+def _load_spec_fields(root: str):
+    """The table's default partition spec at PLAN time (driver-side; the
+    field list is pickled to write tasks), or None for an unpartitioned /
+    not-yet-created table."""
+    from .iceberg import current_metadata
+    from .iceberg_write import _default_spec
+
+    try:
+        return _default_spec(current_metadata(root))
+    except FileNotFoundError:
+        return None
 
 
 def _ensure_table(root):
@@ -247,15 +293,16 @@ class _StaticIcebergWriter(DataSourceArrowWriter):
         sid = options.get("snapshot_id")
         self.snapshot_id = int(sid) if sid is not None else None
         self.overwrite = overwrite
+        self.spec_fields = _load_spec_fields(self.root)
 
     def write(self, iterator):
-        return _write_task_file(self.root, iterator)
+        return _write_task_file(self.root, iterator, self.spec_fields)
 
     def commit(self, messages):
         from . import iceberg_write as W
 
         root = _ensure_table(self.root)
-        files = [m.path for m in messages if m is not None and m.path]
+        files = _committed_files(messages)
         if self.overwrite:
             # zero files = truncate: live content becomes the empty set
             W.overwrite_snapshot(root, files, snapshot_id=self.snapshot_id)
@@ -275,15 +322,16 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options):
         self.root = _table_root(options)
+        self.spec_fields = _load_spec_fields(self.root)
 
     def write(self, iterator):
-        return _write_task_file(self.root, iterator)
+        return _write_task_file(self.root, iterator, self.spec_fields)
 
     def commit(self, messages, batchId: int):
         from . import iceberg_write as W
 
         root = _ensure_table(self.root)
-        files = [m.path for m in messages if m is not None and m.path]
+        files = _committed_files(messages)
         sid = int(batchId) + 1
         if sid in set(W.snapshot_ids(root)):
             _unlink_files(messages)  # retried epoch: commit already durable

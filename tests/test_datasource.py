@@ -229,8 +229,49 @@ def test_abort_unlinks_reported_files(tmp_path):
     f = tmp_path / "x.parquet"
     f.write_bytes(b"stub")
     w = _StaticIcebergWriter({"path": str(tmp_path)}, overwrite=False)
-    w.abort([_DataFileCommit(str(f), 1), None, _DataFileCommit(None, 0)])
+    w.abort([_DataFileCommit([str(f)], 1), None, _DataFileCommit([], 0)])
     assert not f.exists()
+
+
+def test_partitioned_fanout_write_then_hidden_partition_pruned_read(
+    registered, tmp_path
+):
+    """A table WITH a partition spec: each write task routes rows to one
+    file per partition tuple (fanout), so committed files are
+    partition-pure by construction and a later read through the data
+    source prunes on the HIDDEN partition (the query filters the source
+    column; the month transform is never named)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    W.set_partition_spec(root, [("ts", "month")], ts_ms=1100)
+    rows = [
+        (datetime.datetime(2001, 1 + (i % 6), 1 + (i % 27)), i)
+        for i in range(600)
+    ]
+    df = registered.createDataFrame(rows, "ts timestamp_ntz, v long").repartition(4)
+    df.write.format("iceberg_static").mode("append").option(
+        "path", str(root)
+    ).save()
+    load = lambda: (
+        registered.read.format("iceberg_static").option("path", str(root)).load()
+    )
+    # fanout: up to 4 tasks x 6 months files, all partition-pure (the
+    # commit's purity check would have raised otherwise)
+    n_files = load().rdd.getNumPartitions()
+    assert 6 <= n_files <= 24
+    # hidden partitioning: filtering the SOURCE column prunes files
+    feb = load().where(
+        (F.col("ts") >= F.lit("2001-02-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2001-03-01").cast("timestamp_ntz"))
+    )
+    assert feb.rdd.getNumPartitions() < n_files
+    assert feb.count() == sum(1 for ts, _ in rows if ts.month == 2)
+    assert sorted(r.v for r in load().collect()) == list(range(600))
 
 
 def test_stream_sink_exactly_once_and_source_incremental(
@@ -281,7 +322,7 @@ def test_stream_sink_exactly_once_and_source_incremental(
     dup = root / "data" / "redelivered.parquet"
     pq.write_table(pq.read_table(sorted((root / "data").glob("*.parquet"))[0]), dup)
     w = _StaticIcebergStreamWriter({"path": str(root)})
-    w.commit([_DataFileCommit(str(dup), 60)], batchId=0)
+    w.commit([_DataFileCommit([str(dup)], 60)], batchId=0)
     assert W.snapshot_ids(root) == [1, 2]  # guard held: no new snapshot
     assert not dup.exists()  # duplicate files reclaimed, not orphaned
 
