@@ -2947,6 +2947,115 @@ def iceberg_datasource_partitioned_write(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def events_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``transformWithStateInPandas`` (the typed-state successor
+    to applyInPandasWithState; streaming/transform_with_state_user_totals):
+    events stream in two micro-batches through a per-user ValueState
+    ``(n, cents)`` held in the RocksDB state store; each batch emits the
+    key's updated CUMULATIVE totals, so max_by(value_cents, n_events)
+    per user — the last emission — equals the exact whole-stream GROUP BY
+    (floor-cents integer sums are batching-order independent). Result is
+    the top 20 users by (n_events DESC, user_id ASC), exact-oracled."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="tws_")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        from pathlib import Path
+
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        out = transform_with_state_user_totals(stream, "user_id", "value")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("TWS stream did not drain within 300s")
+        res = (
+            spark.read.parquet(f"{tmp}/out")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("value_cents", "n_events").alias("value_cents"),
+            )
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20)
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type end-to-end: events rows are re-encoded as one
+    JSON document each (event_type + parsed props), ``parse_json`` turns
+    them into the binary VARIANT encoding, and typed path extraction does
+    the rest — ``variant_get('$.t','string')`` / ``variant_get('$.p.k',
+    'long')`` for present paths, ``try_variant_get`` returning NULL (not
+    an error) for a path no document has (n_missing, exact-oracled 0).
+    VARIANT is the shredded-JSON scale path: the binary form is decoded
+    once per row instead of re-parsing text per extraction, and every
+    expression here is JVM-side (no Python in the plan). Oracle extracts
+    the same values from the original JSON with DuckDB's -> operators."""
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.from_json("props", "k bigint").alias("p"),
+            )
+        )
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.variant_get(v, "$.t", "string").alias("event_type"),
+            F.variant_get(v, "$.p.k", "long").alias("k"),
+            F.try_variant_get(v, "$.nope", "long").alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("miss").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def iceberg_datasource_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both STREAMING halves of the Python Data Source in one pipeline
     (sources/datasource.py): events, staged as two input files and
@@ -5519,6 +5628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_write_read": iceberg_datasource_write_read,
         "iceberg_datasource_partitioned_write": iceberg_datasource_partitioned_write,
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
+        "events_variant_extract": events_variant_extract,
+        "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7442,6 +7553,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "events_stream_tws_user_totals": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events
+            GROUP BY user_id
+            ORDER BY n_events DESC, user_id ASC
+            LIMIT 20
+        """,
+        "events_variant_extract": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                     AS sum_k,
+                   CAST(0 AS BIGINT) AS n_missing
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "iceberg_datasource_partitioned_write": """
             WITH m AS (

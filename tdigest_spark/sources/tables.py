@@ -41,6 +41,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def _export_protobuf_shim() -> None:
+    """Make `google.protobuf` importable for JVM-launched python processes
+    (transformWithStateInPandas's state-server protocol) via the repo's
+    _pbshim package — must run BEFORE the JVM starts so the env inherits.
+    No-op when protobuf is already installed or the shim can't provide it."""
+    import importlib.util
+    import sys
+
+    def _has_pb() -> bool:
+        try:
+            return importlib.util.find_spec("google.protobuf") is not None
+        except ModuleNotFoundError:  # no 'google' parent package at all
+            return False
+
+    if _has_pb():
+        return
+    shim = str(Path(__file__).resolve().parents[1] / "_pbshim")
+    if not (Path(shim) / "google" / "__init__.py").exists():
+        return
+    if shim not in sys.path:
+        sys.path.insert(0, shim)
+    if not _has_pb():
+        return  # SDK runtime absent: leave everything untouched
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if shim not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([shim] + [p for p in parts if p])
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "tdigest-spark",
@@ -48,6 +76,7 @@ def get_spark(
 ) -> SparkSession:
     """Session tuned for this engine: AQE on (runtime re-plan + skew join),
     Arrow transfer on, sane shuffle parallelism for local mode."""
+    _export_protobuf_shim()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

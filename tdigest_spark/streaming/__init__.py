@@ -39,7 +39,60 @@ __all__ = [
     "enrich_stream",
     "interval_join_streams",
     "session_windows",
+    "transform_with_state_user_totals",
 ]
+
+
+def transform_with_state_user_totals(stream_df, key_col: str, value_col: str):
+    """Per-key running totals on Spark 4's ``transformWithStateInPandas``
+    — the successor stateful API to ``applyInPandasWithState`` (explicit
+    typed state variables held in the RocksDB state store, per-key
+    invocation, timer support). State here is one ValueState row
+    ``(n, cents)`` per key: each micro-batch the processor folds its
+    key's Arrow-batched rows into the running pair and EMITS the updated
+    cumulative totals, so the last emission per key equals the exact
+    whole-stream aggregate (floor-cents integer arithmetic — order
+    independent, hence exactly SQL-oracle-able). Requires the RocksDB
+    state store provider (caller sets
+    spark.sql.streaming.stateStore.providerClass) and `google.protobuf`
+    (the state-server protocol; sources/tables.get_spark exports the repo
+    shim when no runtime is installed).
+
+    Scale shape: state is O(keys) x 16 bytes in RocksDB (spillable, not
+    heap-bound), each batch shuffles only its own rows to the key's
+    partition, and emissions are one row per ACTIVE key per batch."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("agg", "n bigint, cents bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf[value_col].to_numpy() * 100).sum()
+                )
+            self.state.update((n, cents))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=f"{key_col} bigint, n_events bigint, value_cents bigint",
+        outputMode="append",
+        timeMode="none",
+    )
 
 
 def session_windows(

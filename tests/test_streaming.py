@@ -871,3 +871,71 @@ def test_iceberg_sink_restart_continues_from_checkpoint(spark, tmp_path):
         for r in read_sequences(spark, str(root), snapshot_id=ids[0]).collect()
     )
     assert first == [1, 2]
+
+
+def test_transform_with_state_restart_continues_totals(spark, tmp_path):
+    """transformWithStateInPandas per-key ValueState survives a query
+    RESTART: a second run with the same checkpoint folds newly-arrived
+    files into the running (n, cents) state, so the last emission per key
+    is the exact whole-history aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.streaming import transform_with_state_user_totals
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    pq.write_table(
+        pa.table({"user_id": [1, 1, 2], "value": [1.25, 2.5, 10.0]}),
+        indir / "a.parquet",
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run_once():
+            stream = (
+                spark.readStream.schema("user_id long, value double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(indir))
+            )
+            q = (
+                transform_with_state_user_totals(stream, "user_id", "value")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "TWS stream did not drain"
+
+        run_once()
+        # new data lands while the pipeline is down; user 1 recurs
+        pq.write_table(
+            pa.table({"user_id": [1, 3], "value": [0.75, 5.0]}),
+            indir / "b.parquet",
+        )
+        run_once()
+        final = {
+            r.user_id: (r.n_events, r.value_cents)
+            for r in (
+                spark.read.parquet(out)
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max_by("value_cents", "n_events").alias("value_cents"),
+                )
+                .collect()
+            )
+        }
+        # user 1: 125+250 from run 1, +75 across the restart
+        assert final == {1: (3, 450), 2: (1, 1000), 3: (1, 500)}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
