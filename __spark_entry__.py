@@ -3020,6 +3020,83 @@ def events_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE — streaming state as a queryable
+    DataFrame (observability/debugging surface): a two-micro-batch
+    streaming aggregation over events leaves its running per-user state
+    in the checkpoint; ``spark.read.format("statestore")`` reads that
+    state back (keys + aggregate buffers straight from the state files)
+    and ``format("state-metadata")`` describes the operator. The state
+    buffers must equal the exact whole-stream GROUP BY — counts and
+    integer floor-cents sums are batching-independent, so every column
+    (including the operator name and last committed batch id) is
+    exact-oracled. At scale this is how you audit a live pipeline's state
+    without stopping it: the reader scans state files directly, one
+    partition per state-store shard."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="sstore_")
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .select(
+                "user_id",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("state stream did not drain within 300s")
+        meta = (
+            spark.read.format("state-metadata")
+            .load(f"{tmp}/ckpt")
+            .select("operatorName", "maxBatchId")
+            .collect()[0]
+        )
+        res = (
+            spark.read.format("statestore")
+            .load(f"{tmp}/ckpt")
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                # state buffer fields carry the AGG FUNCTION names
+                # (count/sum), not the writer's aliases
+                F.col("value.count").alias("n_events"),
+                F.col("value.sum").alias("value_cents"),
+                F.lit(meta.operatorName).alias("operator_name"),
+                F.lit(meta.maxBatchId).cast("long").alias("last_batch"),
+            )
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20)
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT type end-to-end: events rows are re-encoded as one
     JSON document each (event_type + parsed props), ``parse_json`` turns
@@ -5630,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
         "events_variant_extract": events_variant_extract,
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
+        "events_statestore_inspect": events_statestore_inspect,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7553,6 +7631,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "events_statestore_inspect": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents,
+                   'stateStoreSave' AS operator_name,
+                   CAST(1 AS BIGINT) AS last_batch
+            FROM events
+            GROUP BY user_id
+            ORDER BY n_events DESC, user_id ASC
+            LIMIT 20
         """,
         "events_stream_tws_user_totals": """
             SELECT user_id,
