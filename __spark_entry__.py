@@ -3020,6 +3020,86 @@ def events_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def iceberg_datasource_stream_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC MERGE through the data source sink
+    (sources/datasource.py: option('upsert_keys', ...)): epoch 1 streams
+    every document, epoch 2 re-delivers the even doc_ids with doubled
+    n_chars; each epoch commits ONE snapshot holding a same-sequence
+    equality delete on its key set plus the new row versions, so the
+    table converges to last-writer-wins per key with no read-modify-write
+    of existing files. The read back is the SAME data source — its
+    merge-on-read path applies the strict-smaller-sequence rule per data
+    file — and the per-source aggregate must equal the CASE-merged
+    documents view exactly (n_snapshots exact-oracled 2). This is the
+    at-scale CDC shape: O(epoch) write amplification, O(deletes) extra
+    read work, one atomic commit per epoch."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_upsert_")
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        pq.write_table(tbl, indir / "part1.parquet")
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        even = even.set_column(
+            even.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.multiply(even["n_chars"], 2),
+        )
+        pq.write_table(even, indir / "part2.parquet")
+        root = Path(tmp) / "tbl"
+        q = (
+            spark.readStream.schema("doc_id long, source string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .writeStream.format("iceberg_static")
+            .option("path", str(root))
+            .option("upsert_keys", "doc_id")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("upsert sink did not drain within 300s")
+        n_snapshots = len(W.snapshot_ids(root))
+        out = (
+            spark.read.format("iceberg_static")
+            .option("path", str(root))
+            .load()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "sum_chars",
+                F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -5708,6 +5788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": events_variant_extract,
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "events_statestore_inspect": events_statestore_inspect,
+        "iceberg_datasource_stream_upsert": iceberg_datasource_stream_upsert,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7631,6 +7712,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "iceberg_datasource_stream_upsert": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * 2
+                                 ELSE n_chars END) AS BIGINT) AS sum_chars,
+                   CAST(2 AS BIGINT) AS n_snapshots
+            FROM documents GROUP BY source ORDER BY source
         """,
         "events_statestore_inspect": """
             SELECT user_id,

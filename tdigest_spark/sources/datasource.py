@@ -117,8 +117,24 @@ def arrow_schema_to_ddl(schema) -> str:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One data file plus the delete files that apply to it (resolved at
+    PLAN time against the pinned snapshot): ``pos_deletes`` are v2
+    position-delete parquets (file_path, pos) possibly covering many data
+    files; ``eq_deletes`` are the equality-delete parquets whose sequence
+    number is STRICTLY GREATER than this file's (the spec rule — a key
+    re-inserted by a later append survives)."""
+
+    def __init__(self, path: str, pos_deletes=(), eq_deletes=()):
         self.path = path
+        self.pos_deletes = tuple(pos_deletes)
+        self.eq_deletes = tuple(eq_deletes)
+
+
+def _norm_path(p: str) -> str:
+    """file:///x, file:/x and /x all spell the same local file."""
+    import re
+
+    return re.sub(r"^file:/+", "/", str(p))
 
 
 def _read_parquet_batches(path: str):
@@ -129,6 +145,47 @@ def _read_parquet_batches(path: str):
 
     pf = pq.ParquetFile(path)
     yield from pf.iter_batches(use_threads=False)
+
+
+def _read_partition_mor(partition: _FilePartition):
+    """Merge-on-read of one data file: subtract this file's tombstoned
+    ROW POSITIONS (position deletes are per original row index, so they
+    apply BEFORE anything reorders rows), then anti-join each batch
+    against the applicable equality-delete key sets. Delete files are tiny
+    next to the data they tombstone — per-task re-reads are the same cost
+    shape as the broadcast a JVM Iceberg planner uses."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pos: set = set()
+    me = _norm_path(partition.path)
+    for dp in partition.pos_deletes:
+        t = pq.read_table(dp, columns=["file_path", "pos"], use_threads=False)
+        fps = t.column("file_path").to_pylist()
+        ps = t.column("pos").to_pylist()
+        pos.update(p for f, p in zip(fps, ps) if _norm_path(f) == me)
+    keys = [
+        pq.read_table(dp, use_threads=False) for dp in partition.eq_deletes
+    ]
+    offset = 0
+    for batch in _read_parquet_batches(partition.path):
+        n = batch.num_rows
+        if pos:
+            mask = np.ones(n, dtype=bool)
+            hit = [p - offset for p in pos if offset <= p < offset + n]
+            if hit:
+                mask[hit] = False
+                batch = batch.take(pa.array(np.nonzero(mask)[0]))
+        offset += n
+        tbl = pa.Table.from_batches([batch])
+        for k in keys:
+            if k.num_rows:
+                tbl = tbl.join(
+                    k, keys=k.column_names, join_type="left anti"
+                ).select(tbl.column_names)
+        if tbl.num_rows:
+            yield from tbl.combine_chunks().to_batches()
 
 
 def _table_root(options) -> str:
@@ -164,15 +221,21 @@ class _StaticIcebergReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        from .iceberg import iceberg_scan_paths_pruned
+        from .iceberg import iceberg_scan_plan_mor
 
-        paths, _total = iceberg_scan_paths_pruned(
+        plan, _total = iceberg_scan_plan_mor(
             self.root, self.predicates, snapshot_id=self.snapshot_id
         )
-        return [_FilePartition(p) for p in paths]
+        return [
+            _FilePartition(p["path"], p["pos_deletes"], p["eq_deletes"])
+            for p in plan
+        ]
 
     def read(self, partition):
-        yield from _read_parquet_batches(partition.path)
+        if partition.pos_deletes or partition.eq_deletes:
+            yield from _read_partition_mor(partition)
+        else:
+            yield from _read_parquet_batches(partition.path)
 
 
 @dataclass
@@ -323,6 +386,10 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options):
         self.root = _table_root(options)
         self.spec_fields = _load_spec_fields(self.root)
+        ks = options.get("upsert_keys")
+        self.upsert_keys = (
+            [c.strip() for c in ks.split(",") if c.strip()] if ks else None
+        )
 
     def write(self, iterator):
         return _write_task_file(self.root, iterator, self.spec_fields)
@@ -336,7 +403,23 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
         if sid in set(W.snapshot_ids(root)):
             _unlink_files(messages)  # retried epoch: commit already durable
             return
-        if files:  # an empty epoch must not commit a snapshot
+        if not files:  # an empty epoch must not commit a snapshot
+            return
+        if self.upsert_keys:
+            # CDC sink: the epoch's distinct key set becomes a same-
+            # sequence equality delete, so the commit is MERGE semantics —
+            # older versions of these keys tombstone, this epoch's rows
+            # (equal sequence) and later re-inserts survive
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            keys = pa.concat_tables(
+                pq.read_table(f, columns=self.upsert_keys) for f in files
+            ).group_by(self.upsert_keys).aggregate([])
+            keys_file = root / "data" / f"keys-{sid}.parquet"
+            pq.write_table(keys, keys_file)
+            W.upsert_snapshot(root, files, keys_file, snapshot_id=sid)
+        else:
             W.append_snapshot(root, files, snapshot_id=sid)
 
     def abort(self, messages, batchId: int):

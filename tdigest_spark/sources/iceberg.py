@@ -512,6 +512,42 @@ def iceberg_scan_paths_pruned(
     return sorted(kept), len(data)
 
 
+def iceberg_scan_plan_mor(
+    table_dir: str,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+) -> tuple[list[dict], int]:
+    """Like :func:`iceberg_scan_paths_pruned` but returns a full
+    MERGE-ON-READ plan: one item per surviving data file with the delete
+    files that apply to it — ``{"path", "pos_deletes", "eq_deletes"}``.
+    Equality deletes attach per the spec's strict-smaller-sequence rule
+    (delete.seq > data.seq); position deletes are row-position keyed, so
+    every file gets the full (tiny) list and the reader filters by
+    file_path. Stats/partition pruning stays sound under deletes: deletes
+    only REMOVE rows, so a file that cannot match the predicate still
+    cannot match after subtraction."""
+    entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
+    data = entries["data"]
+    meta = current_metadata(table_dir)
+    predicates = _coerce_predicates(meta, predicates)
+    spec = _default_spec_fields(meta)
+    pos_paths = sorted(e["path"] for e in entries["pos_deletes"])
+    eqs = entries["eq_deletes"]
+    plan = [
+        {
+            "path": e["path"],
+            "pos_deletes": pos_paths,
+            "eq_deletes": sorted(
+                d["path"] for d in eqs if d["seq"] > e["seq"]
+            ),
+        }
+        for e in sorted(data, key=lambda x: x["path"])
+        if _entry_matches(e, predicates)
+        and _partition_matches(e, spec, predicates)
+    ]
+    return plan, len(data)
+
+
 def _coerce_predicates(meta: dict, predicates) -> list[tuple]:
     """Align predicate literal types with the table schema before pruning:
     bounds carry no type tag, so a float literal against a long column (or

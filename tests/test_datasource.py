@@ -357,6 +357,96 @@ def test_stream_sink_exactly_once_and_source_incremental(
     )
 
 
+def test_mor_read_applies_position_and_equality_deletes(table_root, registered):
+    """The data source read is MERGE-ON-READ: position deletes subtract
+    tombstoned row indices, equality deletes apply only to data files with
+    strictly smaller sequence numbers (a re-inserted key survives), and
+    the result matches the MOR-aware read_sequences reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    f1 = table_root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": ["a1", "a2", "a3"]}), f1)
+    W.append_snapshot(table_root, [f1], ts_ms=2000)  # seq 1
+    dk = table_root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"k": [2]}), dk)
+    W.equality_delete_snapshot(table_root, dk, ts_ms=3000)  # seq 2
+    f2 = table_root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": [2, 4], "v": ["b2", "b4"]}), f2)
+    W.append_snapshot(table_root, [f2], ts_ms=4000)  # seq 3: re-insert k=2
+    W.delete_rows_snapshot(table_root, {str(f1): [0]}, ts_ms=5000)  # k=1 out
+    df = (
+        registered.read.format("iceberg_static")
+        .option("path", str(table_root))
+        .load()
+    )
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == [(2, "b2"), (3, "a3"), (4, "b4")]
+    # pruning still composes: k >= 3 prunes nothing incorrectly
+    got2 = sorted(
+        (r.k, r.v) for r in df.where("k >= 3").collect()
+    )
+    assert got2 == [(3, "a3"), (4, "b4")]
+
+
+def test_stream_upsert_sink_last_writer_wins(registered, tmp_path):
+    """option('upsert_keys', ...) turns the streaming sink into a CDC
+    MERGE: each epoch commits a same-sequence equality delete on its key
+    set plus the new row versions, so the table converges to
+    last-writer-wins per key; a redelivered epoch is still detected and
+    dropped (its keys file never written, its data files unlinked)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import (
+        _DataFileCommit,
+        _StaticIcebergStreamWriter,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    root = tmp_path / "tbl"
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "v": ["x1", "x2", "x3"]}), indir / "a.parquet"
+    )
+    pq.write_table(
+        pa.table({"k": [2, 4], "v": ["y2", "y4"]}), indir / "b.parquet"
+    )
+    q = (
+        registered.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+        .writeStream.format("iceberg_static")
+        .option("path", str(root))
+        .option("upsert_keys", "k")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "upsert sink did not drain"
+    df = (
+        registered.read.format("iceberg_static")
+        .option("path", str(root))
+        .load()
+    )
+    assert sorted((r.k, r.v) for r in df.collect()) == [
+        (1, "x1"), (2, "y2"), (3, "x3"), (4, "y4"),
+    ]
+    assert W.snapshot_ids(root) == [1, 2]
+    # redelivered epoch 1: guard drops it and reclaims the duplicate file
+    dup = root / "data" / "redelivered.parquet"
+    pq.write_table(pa.table({"k": [2], "v": ["zz"]}), dup)
+    w = _StaticIcebergStreamWriter({"path": str(root), "upsert_keys": "k"})
+    w.commit([_DataFileCommit([str(dup)], 1)], batchId=0)
+    assert W.snapshot_ids(root) == [1, 2]
+    assert not dup.exists()
+    assert sorted(r.v for r in df.collect()) == ["x1", "x3", "y2", "y4"]
+    assert W.orphan_files(root) == []
+
+
 def test_arrow_schema_to_ddl_type_coverage():
     import pyarrow as pa
 
