@@ -3100,6 +3100,161 @@ def iceberg_datasource_stream_upsert(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def events_stream_tws_type_breakdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """transformWithStateInPandas with MAP state
+    (streaming/transform_with_state_type_breakdown): per-user per-type
+    running counts where the sub-key set (event types) is unknown upfront
+    — each (user, type) pair is its own RocksDB entry, so a batch touches
+    only the sub-keys it saw. Counts strictly increase per pair, so the
+    max emission equals the exact whole-stream GROUP BY (user, type)
+    count; result is the top 20 pairs, deterministically ordered."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_type_breakdown
+
+    tmp = tempfile.mkdtemp(prefix="twsmap_")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q = (
+            transform_with_state_type_breakdown(stream, "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("TWS map stream did not drain within 300s")
+        res = (
+            spark.read.parquet(f"{tmp}/out")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("n_events").alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("event_type"))
+            .limit(20)
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def events_stream_tws_inactivity_flush(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-time TIMERS (streaming/transform_with_state_inactivity_flush):
+    users flush their final (n, cents) exactly once, when inactive for 1
+    hour of EVENT time before the stream's final watermark — the
+    session-timeout shape windows can't express. Finalization rule proven
+    empirically (tests/test_streaming margin guard): a timer fires iff
+    floor_ms(max_user_ts) + gap <= floor_ms(max_global_ts) - delay, with
+    the INCLUSIVE boundary and millisecond flooring both pinned by probe;
+    the oracle reproduces that integer-ms arithmetic verbatim, so the
+    flushed SET (n_flushed) and the top-20 flushed users are exact."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_inactivity_flush
+
+    tmp = tempfile.mkdtemp(prefix="twsflush_")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+        )
+        half = tbl.num_rows // 2
+        pq.write_table(tbl.slice(0, half), indir / "part1.parquet")
+        pq.write_table(tbl.slice(half), indir / "part2.parquet")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "value",
+            )
+            .withWatermark("ts", "10 seconds")
+        )
+        q = (
+            transform_with_state_inactivity_flush(
+                stream, "user_id", "ts", "value", gap_ms=3_600_000
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("TWS timer stream did not drain within 300s")
+        flushed = spark.read.parquet(f"{tmp}/out")
+        n_flushed = flushed.count()
+        res = (
+            flushed.select(
+                "user_id",
+                "n_events",
+                "value_cents",
+                F.lit(n_flushed).cast("long").alias("n_flushed"),
+            )
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20)
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -5789,6 +5944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "events_statestore_inspect": events_statestore_inspect,
         "iceberg_datasource_stream_upsert": iceberg_datasource_stream_upsert,
+        "events_stream_tws_type_breakdown": events_stream_tws_type_breakdown,
+        "events_stream_tws_inactivity_flush": events_stream_tws_inactivity_flush,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7712,6 +7869,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "events_stream_tws_inactivity_flush": """
+            WITH wm AS (
+              SELECT (epoch_us(MAX(ts)) // 1000) - 10000 AS wm_ms FROM events
+            ), per_user AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents,
+                     (epoch_us(MAX(ts)) // 1000) + 3600000 AS expiry_ms
+              FROM events GROUP BY user_id
+            ), flushed AS (
+              SELECT p.user_id, p.n_events, p.value_cents
+              FROM per_user p, wm
+              WHERE p.expiry_ms <= wm.wm_ms
+            )
+            SELECT user_id, n_events, value_cents,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM flushed) AS n_flushed
+            FROM flushed
+            ORDER BY n_events DESC, user_id ASC
+            LIMIT 20
+        """,
+        "events_stream_tws_type_breakdown": """
+            SELECT user_id, event_type, COUNT(*) AS n_events
+            FROM events
+            GROUP BY user_id, event_type
+            ORDER BY n_events DESC, user_id ASC, event_type ASC
+            LIMIT 20
         """,
         "iceberg_datasource_stream_upsert": """
             SELECT source,

@@ -40,6 +40,8 @@ __all__ = [
     "interval_join_streams",
     "session_windows",
     "transform_with_state_user_totals",
+    "transform_with_state_type_breakdown",
+    "transform_with_state_inactivity_flush",
 ]
 
 
@@ -92,6 +94,136 @@ def transform_with_state_user_totals(stream_df, key_col: str, value_col: str):
         outputStructType=f"{key_col} bigint, n_events bigint, value_cents bigint",
         outputMode="append",
         timeMode="none",
+    )
+
+
+def transform_with_state_type_breakdown(stream_df, key_col: str, type_col: str):
+    """Per-key MAP state on ``transformWithStateInPandas``: a MapState
+    (sub-key = the type string, value = running count) maintained per
+    grouping key — the state variable shape for per-key breakdowns whose
+    sub-key set is unknown upfront (per-user event-type counts here; at
+    scale the map grows with DISTINCT sub-keys per key only, and the
+    store persists each (key, sub-key) pair as its own RocksDB entry, so
+    an update touches O(sub-keys seen this batch), never the whole map).
+    Each batch emits the updated cumulative count per touched sub-key;
+    counts strictly increase per (key, sub-key), so the max emission
+    equals the exact whole-stream GROUP BY count."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.counts = handle.getMapState("counts", "t string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from collections import Counter
+
+            upd: Counter = Counter()
+            for pdf in rows:
+                upd.update(pdf[type_col].value_counts().to_dict())
+            out_t, out_n = [], []
+            for t in sorted(upd):
+                cur = (
+                    self.counts.getValue((t,))[0]
+                    if self.counts.containsKey((t,))
+                    else 0
+                )
+                cur += int(upd[t])
+                self.counts.updateValue((t,), (cur,))
+                out_t.append(t)
+                out_n.append(cur)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_t),
+                    type_col: out_t,
+                    "n_events": out_n,
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TypeCounts(),
+        outputStructType=f"{key_col} bigint, {type_col} string, n_events bigint",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def transform_with_state_inactivity_flush(
+    stream_df, key_col: str, ts_col: str, value_col: str, gap_ms: int
+):
+    """Event-time TIMERS on ``transformWithStateInPandas``: each key's
+    running totals flush exactly once, when the key has been INACTIVE for
+    ``gap_ms`` of event time — the session-timeout / abandoned-cart shape
+    that needs per-key timers, not windows. Every batch re-arms the key's
+    single timer at ``floor_ms(max_ts_seen) + gap_ms``; Spark fires it
+    when the watermark (floor_ms(global max event time) - delay, proven
+    empirically incl. the INCLUSIVE <= boundary) passes it, and the
+    handler emits the final (n, cents) and clears state. A stale timer
+    that fires while the key has since seen newer events re-arms instead
+    of emitting (guard on the state's own expiry). The caller must apply
+    ``withWatermark`` on ``ts_col`` and use ``timeMode='eventTime'``
+    semantics end-to-end.
+
+    Scale shape: one timer + one 24-byte ValueState row per ACTIVE key;
+    flushing clears both, so state tracks live keys, not history."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _InactivityFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.h = handle
+            self.state = handle.getValueState(
+                "agg", "n bigint, cents bigint, last_ms bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, last = (
+                self.state.get() if self.state.exists() else (0, 0, None)
+            )
+            if last is not None:
+                for t in self.h.listTimers():
+                    self.h.deleteTimer(t)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.floor(pdf[value_col].to_numpy() * 100).sum())
+                mx = int(pdf[ts_col].max().value // 1_000_000)  # ns -> ms
+                last = mx if last is None else max(last, mx)
+            self.state.update((n, cents, last))
+            self.h.registerTimer(last + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self.state.exists():
+                return  # already flushed (defensive; single-timer protocol)
+            n, cents, last = self.state.get()
+            if last + gap_ms > timerValues.getCurrentWatermarkInMs():
+                # stale timer: newer activity moved the expiry — re-arm
+                self.h.registerTimer(last + gap_ms)
+                return
+            self.state.clear()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "value_cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_InactivityFlush(),
+        outputStructType=f"{key_col} bigint, n_events bigint, value_cents bigint",
+        outputMode="append",
+        timeMode="eventTime",
     )
 
 

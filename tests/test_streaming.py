@@ -939,3 +939,109 @@ def test_transform_with_state_restart_continues_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_tws_inactivity_flush_semantics(spark, tmp_path):
+    """Timer semantics pinned by construction: an idle key flushes once
+    with its full totals; a key active into the watermark horizon does
+    not; a key whose early timer went stale (newer events re-armed it)
+    neither double-emits nor emits prematurely."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_inactivity_flush
+    from pyspark.sql import functions as F
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return T0 + datetime.timedelta(seconds=sec)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # gap 60s, delay 10s; final max ts = 500s -> watermark 490s
+    # user 1: last 10s  -> expiry 70s  <= 490 -> flushes (n=2)
+    # user 2: last 500s -> expiry 560s >  490 -> stays open
+    # user 3: batch-1 last 20s (would expire 80s) but batch-2 event at 460s
+    #         re-arms to 520s > 490 -> must NOT emit (stale-timer guard)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": [1, 1, 2, 3],
+                "ts": [ts(0), ts(10), ts(0), ts(20)],
+                "value": [1.0, 2.0, 5.0, 7.0],
+            }
+        ),
+        indir / "a.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": [2, 3],
+                "ts": [ts(500), ts(460)],
+                "value": [5.0, 7.0],
+            }
+        ),
+        indir / "b.parquet",
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+            .withWatermark("ts", "10 seconds")
+        )
+        q = (
+            transform_with_state_inactivity_flush(
+                stream, "user_id", "ts", "value", gap_ms=60_000
+            )
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "timer stream did not drain"
+        rows = sorted(
+            (r.user_id, r.n_events, r.value_cents)
+            for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        )
+        assert rows == [(1, 2, 300)]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_tws_inactivity_flush_boundary_margin():
+    """The inactivity-flush oracle depends on the empirically-pinned rule
+    expiry_ms <= floor_ms(max_ts) - delay_ms (inclusive, ms-floored). Guard
+    that no user at any SF sits within 5 ms of the boundary, so a 1 ms
+    flooring difference could never flip the flushed set."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        gap_ms, delay_ms = 3_600_000, 10_000
+        rows = duckdb.sql(
+            f"""
+            WITH wm AS (
+              SELECT (epoch_us(MAX(ts)) // 1000) - {delay_ms} AS wm_ms
+              FROM '/root/testdata/sf{sf}/events.parquet'
+            )
+            SELECT MIN(ABS(((epoch_us(mx) // 1000) + {gap_ms}) - wm.wm_ms))
+            FROM (
+              SELECT user_id, MAX(ts) AS mx
+              FROM '/root/testdata/sf{sf}/events.parquet' GROUP BY user_id
+            ), wm
+            """
+        ).fetchone()
+        assert rows[0] > 5, f"sf{sf}: boundary margin {rows[0]}ms too small"
