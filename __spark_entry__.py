@@ -3255,6 +3255,54 @@ def events_stream_tws_inactivity_flush(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def orders_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (WITH RECURSIVE ... UNION ALL — the dialect's
+    recursion surface, new in 4.x): a 12-row month spine for 1996 is
+    GENERATED recursively, then LEFT-joined against monthly high-priority
+    order aggregates — the canonical densify-a-sparse-time-series pattern
+    where missing months must still appear (COALESCE to zero), which a
+    plain GROUP BY cannot produce. A window running total over the spine
+    proves downstream composition. Recursion depth is the spine length
+    (12), far under the engine's iteration limit; the spine is a 12-row
+    broadcast side at any data scale."""
+    months = spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months WHERE m < DATE '1996-12-01'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month FROM months
+        """
+    )
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        months.join(agg, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("cents"), F.lit(0))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .withColumn("running_cents", F.sum("revenue_cents").over(w))
+        .orderBy("month")
+    )
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -5946,6 +5994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_stream_upsert": iceberg_datasource_stream_upsert,
         "events_stream_tws_type_breakdown": events_stream_tws_type_breakdown,
         "events_stream_tws_inactivity_flush": events_stream_tws_inactivity_flush,
+        "orders_recursive_month_spine": orders_recursive_month_spine,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7869,6 +7918,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "orders_recursive_month_spine": """
+            WITH RECURSIVE months(m) AS (
+              SELECT DATE '1996-01-01'
+              UNION ALL
+              SELECT m + INTERVAL 1 MONTH FROM months
+              WHERE m < DATE '1996-12-01'
+            ), agg AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+              GROUP BY 1
+            )
+            SELECT strftime(m, '%Y-%m') AS month,
+                   CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(cents, 0) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(COALESCE(cents, 0)) OVER (
+                     ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS running_cents
+            FROM months LEFT JOIN agg ON strftime(m, '%Y-%m') = agg.month
+            ORDER BY month
         """,
         "events_stream_tws_inactivity_flush": """
             WITH wm AS (
