@@ -3303,6 +3303,97 @@ def orders_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas INITIAL STATE + LIST state
+    (streaming/transform_with_state_warm_start): per-user totals over the
+    even event_ids are aggregated as a BATCH table and seed each user's
+    ValueState in the first micro-batch (handleInitialState — the
+    pipeline-migration shape: warm-start a new streaming job from an
+    existing table, no replay); the odd event_ids then stream on top in
+    two micro-batches, while a ListState pruned to 3 entries tracks each
+    user's top-3 streamed event_ids (O(1) state per key). The last
+    emission per user must equal history + stream exactly: n/cents from
+    ALL events, top3_id_sum from odd event_ids only, users with no odd
+    events absent (no input rows -> no emission). Top 20 deterministic."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_warm_start
+
+    tmp = tempfile.mkdtemp(prefix="twswarm_")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+        )
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 1))
+        half = odd.num_rows // 2
+        pq.write_table(odd.slice(0, half), indir / "part1.parquet")
+        pq.write_table(odd.slice(half), indir / "part2.parquet")
+        history = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("event_id") % 2 == 0)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+        )
+        q = (
+            transform_with_state_warm_start(
+                stream, history, "user_id", "event_id", "value"
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("warm-start stream did not drain within 300s")
+        res = (
+            spark.read.parquet(f"{tmp}/out")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("value_cents", "n_events").alias("value_cents"),
+                F.max_by("top3_id_sum", "n_events").alias("top3_id_sum"),
+            )
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(20)
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -5995,6 +6086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tws_type_breakdown": events_stream_tws_type_breakdown,
         "events_stream_tws_inactivity_flush": events_stream_tws_inactivity_flush,
         "orders_recursive_month_spine": orders_recursive_month_spine,
+        "events_stream_tws_warm_start": events_stream_tws_warm_start,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -7918,6 +8010,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "events_stream_tws_warm_start": """
+            WITH per AS (
+              SELECT user_id,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+              FROM events GROUP BY user_id
+            ), top3 AS (
+              SELECT user_id, CAST(SUM(event_id) AS BIGINT) AS top3_id_sum
+              FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_id % 2 = 1
+              ) WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT p.user_id, p.n_events, p.value_cents, t.top3_id_sum
+            FROM per p JOIN top3 t USING (user_id)
+            ORDER BY n_events DESC, user_id ASC
+            LIMIT 20
         """,
         "orders_recursive_month_spine": """
             WITH RECURSIVE months(m) AS (

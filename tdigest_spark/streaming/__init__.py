@@ -42,6 +42,7 @@ __all__ = [
     "transform_with_state_user_totals",
     "transform_with_state_type_breakdown",
     "transform_with_state_inactivity_flush",
+    "transform_with_state_warm_start",
 ]
 
 
@@ -224,6 +225,74 @@ def transform_with_state_inactivity_flush(
         outputStructType=f"{key_col} bigint, n_events bigint, value_cents bigint",
         outputMode="append",
         timeMode="eventTime",
+    )
+
+
+def transform_with_state_warm_start(
+    stream_df, history_df, key_col: str, id_col: str, value_col: str
+):
+    """``transformWithStateInPandas`` with INITIAL STATE and LIST state —
+    the migration/warm-start shape: a batch table of per-key historical
+    totals seeds each key's ValueState in the first micro-batch
+    (``handleInitialState``), the stream folds on top, and a bounded
+    ListState tracks the key's top-3 ``id_col`` values seen on the STREAM
+    (list pruned to 3 on every update, so state stays O(1) per key no
+    matter the stream length). Emissions are cumulative; keys with no
+    stream rows never emit (their state just sits warm). Totals are
+    history + stream exactly (integer cents), so the last emission per
+    key is SQL-oracle-able."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _WarmStart(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.tot = handle.getValueState("tot", "n bigint, cents bigint")
+            self.top = handle.getListState("top", "e bigint")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self.tot.update(
+                (
+                    int(initialState["n"].iloc[0]),
+                    int(initialState["cents"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.tot.get() if self.tot.exists() else (0, 0)
+            ids: list = []
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.floor(pdf[value_col].to_numpy() * 100).sum())
+                ids.extend(int(v) for v in pdf[id_col].to_numpy())
+            cur = [r[0] for r in self.top.get()] if self.top.exists() else []
+            merged = sorted(cur + ids, reverse=True)[:3]
+            self.top.put([(e,) for e in merged])
+            self.tot.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "value_cents": [cents],
+                    "top3_id_sum": [sum(merged)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_WarmStart(),
+        outputStructType=(
+            f"{key_col} bigint, n_events bigint, value_cents bigint, "
+            "top3_id_sum bigint"
+        ),
+        outputMode="append",
+        timeMode="none",
+        initialState=history_df.groupBy(key_col),
     )
 
 

@@ -314,7 +314,7 @@ def test_stream_sink_exactly_once_and_source_incremental(
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "sink stream did not drain"
+    assert q.awaitTermination(540), "sink stream did not drain"
     assert W.snapshot_ids(root) == [1, 2]
     assert W.orphan_files(root) == []
 
@@ -341,7 +341,7 @@ def test_stream_sink_exactly_once_and_source_incremental(
         .start()
     )
     q2 = tail()
-    assert q2.awaitTermination(300), "source stream did not drain"
+    assert q2.awaitTermination(540), "source stream did not drain"
     got = sorted(r.v for r in registered.read.parquet(out).collect())
     assert got == list(range(100))
     # ...then a new commit lands and a RESTART reads only the delta
@@ -351,7 +351,7 @@ def test_stream_sink_exactly_once_and_source_incremental(
     pq.write_table(pa.table({"v": [1000, 1001]}), extra)
     W.append_snapshot(root, [extra], ts_ms=5000)
     q3 = tail()
-    assert q3.awaitTermination(300), "restarted source did not drain"
+    assert q3.awaitTermination(540), "restarted source did not drain"
     assert sorted(r.v for r in registered.read.parquet(out).collect()) == (
         list(range(100)) + [1000, 1001]
     )
@@ -426,7 +426,7 @@ def test_stream_upsert_sink_last_writer_wins(registered, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "upsert sink did not drain"
+    assert q.awaitTermination(540), "upsert sink did not drain"
     df = (
         registered.read.format("iceberg_static")
         .option("path", str(root))
