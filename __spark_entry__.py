@@ -3394,6 +3394,25 @@ def events_stream_tws_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def doc_unigram_logprob_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality filter (operators/drift.unigram_logprob_by_doc)
+    — the CCNet-style perplexity gate: every document is scored by the
+    mean ln p(word) under the corpus's OWN unigram distribution, and the
+    15 most improbable documents (lowest mean log-prob = perplexity
+    outliers: noise, boilerplate, out-of-distribution text) surface.
+    p(w) = c_w / n_total is exact-integer double division; ln ULPs and
+    summation order are absorbed by ROUND 6; ORDER BY the ROUNDED value
+    with doc_id tiebreak keeps the LIMIT deterministic (the
+    doc_pmi_collocations convention)."""
+    from tdigest_spark.operators.drift import unigram_logprob_by_doc
+
+    return (
+        unigram_logprob_by_doc(_t(spark, sf_dir, "documents"))
+        .orderBy(F.asc("logp"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -6087,6 +6106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tws_inactivity_flush": events_stream_tws_inactivity_flush,
         "orders_recursive_month_spine": orders_recursive_month_spine,
         "events_stream_tws_warm_start": events_stream_tws_warm_start,
+        "doc_unigram_logprob_rank": doc_unigram_logprob_rank,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8010,6 +8030,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "doc_unigram_logprob_rank": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                       AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ), ww AS (
+              SELECT * FROM w WHERE word <> ''
+            ), vocab AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w
+              FROM ww GROUP BY word
+            ), tot AS (
+              SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM vocab
+            )
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   ROUND(SUM(LN(CAST(c_w AS DOUBLE) / CAST(n_total AS DOUBLE)))
+                         / COUNT(*), 6) AS logp
+            FROM ww JOIN vocab USING (word) CROSS JOIN tot
+            GROUP BY doc_id, source
+            ORDER BY logp ASC, doc_id ASC
+            LIMIT 15
         """,
         "events_stream_tws_warm_start": """
             WITH per AS (

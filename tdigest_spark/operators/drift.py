@@ -227,3 +227,60 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+def unigram_logprob_by_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style quality/perplexity filter: documents
+    whose words are collectively improbable (low mean ln p(w)) are
+    out-of-distribution candidates (boilerplate, foreign text, noise).
+
+    Output: ``id_col``, ``group_col``, ``n_words`` (occurrences),
+    ``logp`` (mean nats, rounded to 6 dp). Blank documents and empty
+    tokens are excluded on both engines identically.
+
+    Scale shape: one corpus scan builds the VOCAB histogram — that small
+    aggregate is what gets materialized (localCheckpoint, same lifecycle
+    rationale as word_divergence_by_group; checkpointing the exploded
+    words themselves would persist O(corpus) — never do that) — then a
+    second scan explodes doc words and hash-joins them against the vocab,
+    then one per-doc aggregate. No per-doc UDF, no per-expression rescan.
+
+    Float caveat: p(w) = c_w / n_total is a division of exact-integer
+    doubles (IEEE-identical cross-engine); ln ULPs and summation order
+    are absorbed by ROUND(..., 6) — the doc_source_word_kl convention.
+    """
+    words = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("d"),
+            F.col(group_col).alias("g"),
+            F.explode(word_tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=False)
+    )
+    tot = vocab.agg(F.sum("c_w").alias("n_total"))
+    term = F.log(
+        F.col("c_w").cast("double") / F.col("n_total").cast("double")
+    )
+    return (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("d").alias(id_col), F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(term) / F.count(F.lit(1)), 6
+            ).alias("logp"),
+        )
+    )

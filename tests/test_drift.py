@@ -190,3 +190,28 @@ class TestCohortRetention:
             "week_offset": "bigint",
             "n_users": "bigint",
         }
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus where mean ln p(w) is hand-checkable: vocab counts
+    a=3, b=2, c=1 (n_total=6); doc 1 = 'a a b', doc 2 = 'c'."""
+    import math
+
+    from tdigest_spark.operators.drift import unigram_logprob_by_doc
+
+    df = spark.createDataFrame(
+        [(1, "s1", "A a  b"), (2, "s2", "c"), (3, "s1", "a B"), (4, "s2", "  ")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_by_doc(df).collect()}
+    # blank doc 4 excluded entirely
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_words == 3 and rows[3].n_words == 2
+    exp1 = round((2 * math.log(3 / 6) + math.log(2 / 6)) / 3, 6)
+    exp2 = round(math.log(1 / 6), 6)
+    exp3 = round((math.log(3 / 6) + math.log(2 / 6)) / 2, 6)
+    assert rows[1].logp == exp1
+    assert rows[2].logp == exp2
+    assert rows[3].logp == exp3
+    # the improbable single-'c' doc scores lowest
+    assert rows[2].logp < rows[3].logp < rows[1].logp
