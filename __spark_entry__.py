@@ -3413,6 +3413,82 @@ def doc_unigram_logprob_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_ref_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg REFS — tags and branches (iceberg_write.create_ref, branch
+    appends; resolved by the data source's ``ref`` option): odd documents
+    land as snapshot 1 and are TAGGED ``gold`` (the immutable
+    this-is-what-we-trained-on pointer), even documents complete main as
+    snapshot 2, and an experiment BRANCH then re-appends the even rows —
+    forking from main's head and moving ONLY the ref, so main is
+    untouched by experiment writes. One read per ref name proves the
+    isolation: tag < main < branch per source, all exact-oracled. Refs
+    also pin their snapshots against expire_snapshots (test-proven)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_refs_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        parity = pc.bit_wise_and(tbl["doc_id"], 1)
+        odd = tbl.filter(pc.equal(parity, 1))
+        even = tbl.filter(pc.equal(parity, 0))
+        f1 = root / "data" / "odd.parquet"
+        pq.write_table(odd, f1)
+        W.append_snapshot(root, [f1], ts_ms=2000)  # snap 1: odd docs
+        W.create_ref(root, "gold", kind="tag", ts_ms=2500)
+        f2 = root / "data" / "even.parquet"
+        pq.write_table(even, f2)
+        W.append_snapshot(root, [f2], ts_ms=3000)  # snap 2: main complete
+        f3 = root / "data" / "exp.parquet"
+        pq.write_table(even, f3)
+        W.append_snapshot(root, [f3], ts_ms=4000, branch="exp")
+
+        def counts(**opts):
+            return (
+                spark.read.format("iceberg_static")
+                .option("path", str(root))
+                .options(**opts)
+                .load()
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        out = (
+            counts()
+            .withColumnRenamed("n", "n_main")
+            .join(
+                counts(ref="gold").withColumnRenamed("n", "n_tag"),
+                "source",
+                "left",  # a source with only even docs is absent at the tag
+            )
+            .join(
+                counts(ref="exp").withColumnRenamed("n", "n_branch"), "source"
+            )
+            .select(
+                "source",
+                F.coalesce(F.col("n_tag"), F.lit(0)).cast("long").alias("n_tag"),
+                "n_main",
+                "n_branch",
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 state-store DATA SOURCE — streaming state as a queryable
     DataFrame (observability/debugging surface): a two-micro-batch
@@ -6107,6 +6183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_recursive_month_spine": orders_recursive_month_spine,
         "events_stream_tws_warm_start": events_stream_tws_warm_start,
         "doc_unigram_logprob_rank": doc_unigram_logprob_rank,
+        "iceberg_ref_reads": iceberg_ref_reads,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8030,6 +8107,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "iceberg_ref_reads": """
+            SELECT source,
+                   COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS n_tag,
+                   COUNT(*) AS n_main,
+                   COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 2 = 0)
+                     AS n_branch
+            FROM documents GROUP BY source ORDER BY source
         """,
         "doc_unigram_logprob_rank": r"""
             WITH w AS (

@@ -197,11 +197,20 @@ def _table_root(options) -> str:
 
 class _StaticIcebergReader(DataSourceReader):
     def __init__(self, options):
-        self.root = options.get("path")
-        if not self.root:
-            raise ValueError("iceberg_static requires .option('path', <table root>)")
+        self.root = _table_root(options)
         sid = options.get("snapshot_id")
-        self.snapshot_id = int(sid) if sid is not None else None
+        ref = options.get("ref")
+        if sid is not None and ref is not None:
+            raise ValueError("snapshot_id and ref options are mutually exclusive")
+        if ref is not None:
+            from .iceberg import iceberg_ref_snapshot
+
+            # refs resolve at PLAN time, like explicit snapshot pinning
+            self.snapshot_id: Optional[int] = iceberg_ref_snapshot(
+                self.root, ref
+            )
+        else:
+            self.snapshot_id = int(sid) if sid is not None else None
         self.predicates: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -486,15 +495,17 @@ class IcebergStaticDataSource(DataSource):
     def schema(self) -> str:
         import pyarrow.parquet as pq
 
-        from .iceberg import iceberg_scan_paths_static
+        from .iceberg import iceberg_ref_snapshot, iceberg_scan_paths_static
 
-        root = self.options.get("path")
-        if not root:
-            raise ValueError("iceberg_static requires .option('path', <table root>)")
+        root = _table_root(self.options)
         sid = self.options.get("snapshot_id")
-        paths = iceberg_scan_paths_static(
-            root, snapshot_id=int(sid) if sid is not None else None
+        ref = self.options.get("ref")
+        snapshot_id = (
+            iceberg_ref_snapshot(root, ref)
+            if ref is not None
+            else (int(sid) if sid is not None else None)
         )
+        paths = iceberg_scan_paths_static(root, snapshot_id=snapshot_id)
         if not paths:
             raise ValueError(f"Iceberg table {root!r} has no data files")
         return arrow_schema_to_ddl(pq.read_schema(paths[0]))

@@ -221,6 +221,19 @@ def current_metadata(table_dir: str) -> dict:
     return json.loads(meta_file.read_text())
 
 
+def iceberg_ref_snapshot(table_dir: str, name: str) -> int:
+    """Resolve a named ref (tag or branch) to its snapshot id — the read
+    half of iceberg_write.create_ref / branch appends."""
+    meta = current_metadata(table_dir)
+    ref = meta.get("refs", {}).get(name)
+    if ref is None:
+        raise KeyError(
+            f"ref {name!r} not found in {table_dir!r} "
+            f"(known: {sorted(meta.get('refs', {}))})"
+        )
+    return int(ref["snapshot-id"])
+
+
 def iceberg_scan_paths_static(
     table_dir: str, snapshot_id: int | None = None
 ) -> list[str]:

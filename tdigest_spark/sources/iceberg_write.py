@@ -485,8 +485,12 @@ def _commit(
     manifest_rows: list[dict],
     operation: str,
     ts_ms: int | None,
+    branch: str | None = None,
 ) -> int:
-    """Write manifest list + new metadata version + hint (in that order)."""
+    """Write manifest list + new metadata version + hint (in that order).
+    With ``branch``, the commit moves THAT ref's head instead of
+    ``current-snapshot-id`` — main is untouched (the Iceberg branch-write
+    contract; sequence numbers stay table-global)."""
     meta_dir = _meta_dir(root)
     ml = meta_dir / f"snap-{snapshot_id}-{version + 1}.avro"
     avro_lite.write_container(ml, _MANIFEST_FILE_SCHEMA, manifest_rows)
@@ -509,11 +513,19 @@ def _commit(
         {
             "last-sequence-number": seq,
             "last-updated-ms": now,
-            "current-snapshot-id": snapshot_id,
             "snapshots": snapshots,
             "snapshot-log": log,
         }
     )
+    if branch is None:
+        doc["current-snapshot-id"] = snapshot_id
+    else:
+        refs = dict(doc.get("refs", {}))
+        existing = refs.get(branch)
+        if existing is not None and existing.get("type") == "tag":
+            raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        doc["refs"] = refs
     new_version = version + 1
     (meta_dir / f"v{new_version}.metadata.json").write_text(
         json.dumps(doc, indent=1)
@@ -526,9 +538,17 @@ def _commit(
     return snapshot_id
 
 
-def _current_manifests(root: Path, meta: dict) -> list[dict]:
-    """The current snapshot's manifest-list rows (empty for a fresh table)."""
+def _current_manifests(
+    root: Path, meta: dict, branch: str | None = None
+) -> list[dict]:
+    """The head snapshot's manifest-list rows (empty for a fresh table).
+    With ``branch``: that ref's head; a not-yet-existing branch forks from
+    the current snapshot (Iceberg's implicit branch creation on write)."""
     snap_id = meta.get("current-snapshot-id")
+    if branch is not None:
+        ref = meta.get("refs", {}).get(branch)
+        if ref is not None:
+            snap_id = ref["snapshot-id"]
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     if snap_id is None or snap_id == -1 or snap_id not in snaps:
         return []
@@ -539,15 +559,64 @@ def _current_manifests(root: Path, meta: dict) -> list[dict]:
     return rows
 
 
+def create_ref(
+    root: str | Path,
+    name: str,
+    snapshot_id: int | None = None,
+    kind: str = "tag",
+    ts_ms: int | None = None,
+) -> int:
+    """Create a named REF — ``tag`` (immutable pointer, e.g. the snapshot
+    a model was trained on) or ``branch`` (movable head for isolated
+    writes) — as a METADATA-ONLY commit. Refs resolve on read (option
+    ``ref``/``iceberg_ref_snapshot``) and PIN their snapshots against
+    :func:`expire_snapshots`. Returns the pinned snapshot id."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref kind must be 'tag' or 'branch', got {kind!r}")
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = meta.get("current-snapshot-id") if snapshot_id is None else int(snapshot_id)
+    if sid is None or sid == -1:
+        raise ValueError("table has no snapshot to reference")
+    if sid not in {s["snapshot-id"] for s in meta.get("snapshots", [])}:
+        raise KeyError(f"snapshot {sid} not found")
+    refs = dict(meta.get("refs", {}))
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists (drop_ref first)")
+    refs[name] = {"snapshot-id": sid, "type": kind}
+    doc = dict(meta)
+    doc["refs"] = refs
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return sid
+
+
+def drop_ref(root: str | Path, name: str, ts_ms: int | None = None) -> None:
+    """Remove a named ref (metadata-only; the snapshot itself stays until
+    expiration decides its fate)."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise KeyError(f"ref {name!r} not found")
+    del refs[name]
+    doc = dict(meta)
+    doc["refs"] = refs
+    _commit_metadata_only(root, version, doc, ts_ms)
+
+
 def append_snapshot(
     root: str | Path,
     data_files: list[str | Path],
     snapshot_id: int | None = None,
     ts_ms: int | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit an APPEND snapshot referencing ``data_files`` (already written
     under the table's data/ dir by the caller). Previous manifests are
-    reused by reference — O(new files) metadata work."""
+    reused by reference — O(new files) metadata work. With ``branch``,
+    the append forks from / extends that ref's head and moves ONLY the
+    ref (main's current snapshot is untouched); a missing branch is
+    created implicitly from the current snapshot."""
     root = Path(str(root))
     version, meta = _load_current(root)
     sid = (
@@ -567,7 +636,7 @@ def append_snapshot(
             )
         entries.append(e)
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
-    rows = _current_manifests(root, meta) + [
+    rows = _current_manifests(root, meta, branch=branch) + [
         {
             "manifest_path": f"file://{m}",
             "manifest_length": m.stat().st_size,
@@ -575,7 +644,7 @@ def append_snapshot(
             "added_snapshot_id": sid,
         }
     ]
-    return _commit(root, version, meta, sid, rows, "append", ts_ms)
+    return _commit(root, version, meta, sid, rows, "append", ts_ms, branch=branch)
 
 
 def overwrite_snapshot(
@@ -828,11 +897,23 @@ def expire_snapshots(
     if not snaps:
         return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
     keep_last = max(1, int(keep_last))
-    retained = snaps[-keep_last:]
+    # refs PIN their snapshots: a tagged/branched snapshot never expires
+    # (Iceberg's retention contract — consumers address refs by name).
+    # The current snapshot is always pinned too: branch commits carry
+    # HIGHER sequence numbers than main's head, so "last N" alone could
+    # otherwise drop it.
+    pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
     cur = meta.get("current-snapshot-id")
+    if cur is not None and cur != -1:
+        pinned.add(cur)
+    retained = [
+        sn
+        for i, sn in enumerate(snaps)
+        if i >= len(snaps) - keep_last or sn["snapshot-id"] in pinned
+    ]
     if cur not in {sn["snapshot-id"] for sn in retained}:
         raise ValueError("expiration must retain the current snapshot")
-    expired = snaps[:-keep_last]
+    expired = [sn for sn in snaps if sn not in retained]
     if not expired:
         return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
     keep_ids = [sn["snapshot-id"] for sn in retained]

@@ -960,3 +960,107 @@ def test_evolved_read_composes_with_position_deletes(evolved_root, spark):
         spark, str(evolved_root)
     ).collect()}
     assert rows == {2: (20, None)}
+
+
+# ---------------------------------------------------------------------------
+# refs: tags, branches, expiration pinning
+# ---------------------------------------------------------------------------
+
+
+def test_refs_tag_branch_and_expire_pinning(table_root, spark):
+    """Tags pin history by name; branch appends move only the ref (main
+    untouched) and fork implicitly from current; expiration never deletes
+    a ref-pinned snapshot; tags are immutable; drop_ref unpins."""
+    from pathlib import Path
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_ref_snapshot,
+        iceberg_scan_paths_static,
+    )
+
+    import pytest as _pytest
+
+    f1 = _pq(table_root / "data" / "r1.parquet", [1, 2])
+    W.append_snapshot(table_root, [f1], ts_ms=2000)  # main: snap 1
+    W.create_ref(table_root, "v1-training", ts_ms=2500)  # tag on snap 1
+    f2 = _pq(table_root / "data" / "r2.parquet", [3])
+    W.append_snapshot(table_root, [f2], ts_ms=3000)  # main: snap 2
+
+    # branch append forks from CURRENT (snap 2), moves only the ref
+    f3 = _pq(table_root / "data" / "r3.parquet", [99])
+    W.append_snapshot(table_root, [f3], ts_ms=4000, branch="exp")
+    assert iceberg_ref_snapshot(str(table_root), "exp") == 3
+    main = set(iceberg_scan_paths_static(str(table_root)))
+    branch = set(
+        iceberg_scan_paths_static(str(table_root), snapshot_id=3)
+    )
+    assert str(f3.resolve()) not in {str(Path(p).resolve()) for p in main}
+    assert branch - main == {str(f3)}
+    # second branch append EXTENDS the branch head
+    f4 = _pq(table_root / "data" / "r4.parquet", [100])
+    W.append_snapshot(table_root, [f4], ts_ms=4500, branch="exp")
+    sid = iceberg_ref_snapshot(str(table_root), "exp")
+    b2 = set(iceberg_scan_paths_static(str(table_root), snapshot_id=sid))
+    assert {str(f3), str(f4)} <= b2
+
+    # tag is immutable: a branch-style commit to it must refuse
+    with _pytest.raises(ValueError):
+        W.append_snapshot(
+            table_root,
+            [_pq(table_root / "data" / "r5.parquet", [7])],
+            ts_ms=5000,
+            branch="v1-training",
+        )
+    with _pytest.raises(ValueError):
+        W.create_ref(table_root, "exp", ts_ms=5100)  # duplicate name
+
+    # expiration keeps the tag's snapshot 1 AND the branch head alive
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=6000)
+    assert 1 not in rep["expired"] and sid not in rep["expired"]
+    assert sorted(
+        r.x
+        for r in spark.read.parquet(
+            *iceberg_scan_paths_static(
+                str(table_root),
+                snapshot_id=iceberg_ref_snapshot(str(table_root), "v1-training"),
+            )
+        ).collect()
+    ) == [1, 2]
+
+    # dropping the tag unpins it; the next expiration reclaims snap 1
+    W.drop_ref(table_root, "v1-training", ts_ms=7000)
+    rep2 = W.expire_snapshots(table_root, keep_last=1, ts_ms=8000)
+    assert 1 in rep2["expired"]
+    with _pytest.raises(KeyError):
+        iceberg_ref_snapshot(str(table_root), "v1-training")
+
+
+def test_datasource_ref_option_reads_branch(table_root, spark):
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    W.append_snapshot(
+        table_root, [_pq(table_root / "data" / "m.parquet", [1, 2])], ts_ms=2000
+    )
+    W.append_snapshot(
+        table_root,
+        [_pq(table_root / "data" / "b.parquet", [50])],
+        ts_ms=3000,
+        branch="exp",
+    )
+    W.create_ref(table_root, "gold", snapshot_id=1, kind="tag", ts_ms=3500)
+    load = lambda **kw: (
+        spark.read.format("iceberg_static")
+        .option("path", str(table_root))
+        .options(**kw)
+        .load()
+    )
+    assert sorted(r.x for r in load().collect()) == [1, 2]  # main
+    assert sorted(r.x for r in load(ref="exp").collect()) == [1, 2, 50]
+    assert sorted(r.x for r in load(ref="gold").collect()) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load(ref="exp", snapshot_id="1").collect()
