@@ -365,6 +365,12 @@ class _StaticIcebergWriter(DataSourceArrowWriter):
         sid = options.get("snapshot_id")
         self.snapshot_id = int(sid) if sid is not None else None
         self.overwrite = overwrite
+        self.branch = options.get("branch")
+        if self.branch is not None and overwrite:
+            raise ValueError(
+                "branch writes are append-only (overwrite would rewrite a "
+                "ref whose history main still shares)"
+            )
         self.spec_fields = _load_spec_fields(self.root)
 
     def write(self, iterator):
@@ -379,7 +385,9 @@ class _StaticIcebergWriter(DataSourceArrowWriter):
             # zero files = truncate: live content becomes the empty set
             W.overwrite_snapshot(root, files, snapshot_id=self.snapshot_id)
         else:
-            W.append_snapshot(root, files, snapshot_id=self.snapshot_id)
+            W.append_snapshot(
+                root, files, snapshot_id=self.snapshot_id, branch=self.branch
+            )
 
     def abort(self, messages):
         _unlink_files(messages)

@@ -357,6 +357,45 @@ def test_stream_sink_exactly_once_and_source_incremental(
     )
 
 
+def test_branch_write_isolates_main(table_root, registered):
+    """option('branch', ...) on the batch write commits to the ref only:
+    main reads are untouched, the branch read sees main's fork point plus
+    the branch rows; overwrite on a branch refuses."""
+    from tdigest_spark.sources import iceberg_write as W
+
+    W.append_snapshot(
+        table_root, [_write(table_root, "m.parquet", "v", [1, 2])], ts_ms=2000
+    )
+    (
+        registered.range(50, 52)
+        .withColumnRenamed("id", "v")
+        .coalesce(1)
+        .write.format("iceberg_static")
+        .mode("append")
+        .option("path", str(table_root))
+        .option("branch", "exp")
+        .save()
+    )
+    load = lambda **kw: (
+        registered.read.format("iceberg_static")
+        .option("path", str(table_root))
+        .options(**kw)
+        .load()
+    )
+    assert sorted(r.v for r in load().collect()) == [1, 2]
+    assert sorted(r.v for r in load(ref="exp").collect()) == [1, 2, 50, 51]
+    with pytest.raises(Exception):
+        (
+            registered.range(1)
+            .withColumnRenamed("id", "v")
+            .write.format("iceberg_static")
+            .mode("overwrite")
+            .option("path", str(table_root))
+            .option("branch", "exp")
+            .save()
+        )
+
+
 def test_mor_read_applies_position_and_equality_deletes(table_root, registered):
     """The data source read is MERGE-ON-READ: position deletes subtract
     tombstoned row indices, equality deletes apply only to data files with
