@@ -3413,6 +3413,35 @@ def doc_unigram_logprob_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dynamic_pivot_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (functions/register_dynamic_pivot_udtf):
+    the pivot's output columns are computed at PLAN time by the UDTF's
+    ``analyze()`` from the type list — which is itself discovered from
+    the data (sorted distinct event types, a tiny driver collect) — so
+    the same function pivots any type domain without a static PIVOT
+    clause. TABLE(...) PARTITION BY (user_id) shuffles once; each
+    partition streams through one UDTF instance (O(#types) state) and
+    terminate() emits the pivoted row. First 25 users, exact-oracled
+    against per-type FILTER counts."""
+    from tdigest_spark.functions import register_dynamic_pivot_udtf
+
+    register_dynamic_pivot_udtf(spark)
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    ev.createOrReplaceTempView("dyn_pivot_events")
+    types = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    return spark.sql(
+        f"""
+        SELECT * FROM dynamic_pivot(
+          TABLE(SELECT user_id, event_type FROM dyn_pivot_events)
+            PARTITION BY (user_id),
+          '{",".join(types)}')
+        ORDER BY user_id LIMIT 25
+        """
+    )
+
+
 def iceberg_ref_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg REFS — tags and branches (iceberg_write.create_ref, branch
     appends; resolved by the data source's ``ref`` option): odd documents
@@ -6184,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tws_warm_start": events_stream_tws_warm_start,
         "doc_unigram_logprob_rank": doc_unigram_logprob_rank,
         "iceberg_ref_reads": iceberg_ref_reads,
+        "events_dynamic_pivot_udtf": events_dynamic_pivot_udtf,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8107,6 +8137,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "events_dynamic_pivot_udtf": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id LIMIT 25
         """,
         "iceberg_ref_reads": """
             SELECT source,

@@ -28,6 +28,7 @@ __all__ = [
     "bloom_might_contain_int",
     "cms_estimate_int",
     "register_digest_centroids_udtf",
+    "register_dynamic_pivot_udtf",
     "register_sql_functions",
     "digest_quantiles",
     "digest_cdfs",
@@ -300,6 +301,63 @@ def register_digest_centroids_udtf(spark, name: str = "digest_centroids"):
 
     spark.udtf.register(name, DigestCentroids)
     return DigestCentroids
+
+
+def register_dynamic_pivot_udtf(spark, name: str = "dynamic_pivot"):
+    """POLYMORPHIC Python UDTF (``analyze()``-based, Spark 4): a dynamic
+    PIVOT whose OUTPUT COLUMNS are derived at plan time from a constant
+    argument — the thing SQL's static PIVOT clause cannot express. Call
+    shape::
+
+        SELECT * FROM dynamic_pivot(
+          TABLE(SELECT user_id, event_type FROM ev) PARTITION BY (user_id),
+          'click,view')
+
+    ``analyze`` receives the arguments' types/values before execution and
+    returns the schema ``user_id, n_click, n_view`` (StructType built
+    directly — ``analyze`` runs in a plain worker process with no Spark
+    session, so DDL-string parsing is unavailable there); ``eval`` then
+    counts per partition and ``terminate`` emits one pivoted row per key.
+    Scale shape: TABLE ... PARTITION BY shuffles once on the key; each
+    partition streams through one UDTF instance with O(#types) state."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class DynamicPivot:
+        @staticmethod
+        def analyze(
+            table_arg: AnalyzeArgument, types_csv: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if types_csv.value is None:
+                raise ValueError("dynamic_pivot needs a constant type list")
+            types = [t.strip() for t in str(types_csv.value).split(",")]
+            fields = [StructField("user_id", LongType())] + [
+                StructField(f"n_{t}", LongType()) for t in types
+            ]
+            return AnalyzeResult(schema=StructType(fields))
+
+        def __init__(self):
+            self.key = None
+            self.counts: dict = {}
+            self.types = None
+
+        def eval(self, row, types_csv: str):
+            if self.types is None:
+                self.types = [t.strip() for t in types_csv.split(",")]
+            self.key = row[0]
+            t = row[1]
+            self.counts[t] = self.counts.get(t, 0) + 1
+
+        def terminate(self):
+            if self.key is not None:
+                yield (
+                    self.key,
+                    *[self.counts.get(t, 0) for t in self.types],
+                )
+
+    spark.udtf.register(name, udtf(DynamicPivot))
+    return DynamicPivot
 
 
 def digest_quantiles(state_col, ps: list[float]):
