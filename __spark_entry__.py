@@ -3062,6 +3062,13 @@ def iceberg_datasource_stream_upsert(
             pc.multiply(even["n_chars"], 2),
         )
         pq.write_table(even, indir / "part2.parquet")
+        # last-writer-wins depends on epoch ORDER; FileStreamSource orders
+        # files by mtime and same-tick writes tie arbitrarily — pin part1
+        # strictly older so the updated rows always land in epoch 2
+        import os
+
+        now = os.stat(indir / "part2.parquet").st_mtime
+        os.utime(indir / "part1.parquet", (now - 10, now - 10))
         root = Path(tmp) / "tbl"
         q = (
             spark.readStream.schema("doc_id long, source string, n_chars long")

@@ -445,6 +445,8 @@ def test_stream_upsert_sink_last_writer_wins(registered, tmp_path):
         _StaticIcebergStreamWriter,
     )
 
+    import os
+
     indir = tmp_path / "in"
     indir.mkdir()
     root = tmp_path / "tbl"
@@ -454,6 +456,11 @@ def test_stream_upsert_sink_last_writer_wins(registered, tmp_path):
     pq.write_table(
         pa.table({"k": [2, 4], "v": ["y2", "y4"]}), indir / "b.parquet"
     )
+    # last-writer-wins depends on EPOCH ORDER, and FileStreamSource orders
+    # by modification time — same-tick writes tie and the order becomes
+    # arbitrary. Pin distinct mtimes so epoch 1 is always a.parquet.
+    now = os.stat(indir / "b.parquet").st_mtime
+    os.utime(indir / "a.parquet", (now - 10, now - 10))
     q = (
         registered.readStream.schema("k long, v string")
         .option("maxFilesPerTrigger", "1")
