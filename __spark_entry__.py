@@ -3449,6 +3449,61 @@ def events_dynamic_pivot_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_scripted_median_bisect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE, spark.sql.scripting.
+    enabled): the exact discrete median of l_quantity found by BINARY
+    SEARCH — an inherently iterative algorithm expressed entirely in SQL,
+    no driver loop, no collect between steps. Each iteration runs ONE
+    pushed-down filtered COUNT (the predicate reaches the parquet scan),
+    so the whole median costs ceil(log2(50)) = 6 counting scans instead
+    of a full sort — the scale shape that matters when the sort would
+    shuffle 100 TB. The loop invariant (smallest v with cnt(<=v) >=
+    ceil(n/2)) is restated literally in the oracle, so the scripted
+    answer is exact, not approximate."""
+    _t(spark, sf_dir, "lineitem").select("l_quantity").createOrReplaceTempView(
+        "script_lineitem"
+    )
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE lo BIGINT DEFAULT 1;
+              DECLARE hi BIGINT DEFAULT 50;
+              DECLARE mid BIGINT;
+              DECLARE cnt BIGINT;
+              DECLARE n_total BIGINT;
+              DECLARE target BIGINT;
+              SET n_total = (SELECT COUNT(*) FROM script_lineitem);
+              SET target = CAST((n_total + 1) / 2 AS BIGINT);
+              WHILE lo < hi DO
+                SET mid = CAST((lo + hi) / 2 AS BIGINT);
+                SET cnt = (SELECT COUNT(*) FROM script_lineitem
+                           WHERE l_quantity <= mid);
+                IF cnt >= target THEN
+                  SET hi = mid;
+                ELSE
+                  SET lo = mid + 1;
+                END IF;
+              END WHILE;
+              SELECT lo AS median_q,
+                     (SELECT COUNT(*) FROM script_lineitem
+                      WHERE l_quantity <= lo) AS n_le,
+                     n_total AS n_total;
+            END
+            """
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+
+
 def iceberg_ref_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg REFS — tags and branches (iceberg_write.create_ref, branch
     appends; resolved by the data source's ``ref`` option): odd documents
@@ -6221,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob_rank": doc_unigram_logprob_rank,
         "iceberg_ref_reads": iceberg_ref_reads,
         "events_dynamic_pivot_udtf": events_dynamic_pivot_udtf,
+        "lineitem_scripted_median_bisect": lineitem_scripted_median_bisect,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8144,6 +8200,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "lineitem_scripted_median_bisect": """
+            WITH n AS (
+              SELECT COUNT(*) AS n_total,
+                     (COUNT(*) + 1) // 2 AS target
+              FROM lineitem
+            ), cand AS (
+              SELECT gs.v,
+                     (SELECT COUNT(*) FROM lineitem
+                      WHERE l_quantity <= gs.v) AS n_le
+              FROM (SELECT UNNEST(range(1, 51)) AS v) gs
+            ), best AS (
+              SELECT MIN(v) AS median_q FROM cand, n WHERE n_le >= target
+            )
+            SELECT CAST(b.median_q AS BIGINT) AS median_q,
+                   CAST((SELECT n_le FROM cand WHERE v = b.median_q)
+                        AS BIGINT) AS n_le,
+                   n.n_total
+            FROM best b, n
         """,
         "events_dynamic_pivot_udtf": """
             SELECT user_id,
