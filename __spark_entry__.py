@@ -3504,6 +3504,64 @@ def lineitem_scripted_median_bisect(
             spark.conf.set("spark.sql.scripting.enabled", old)
 
 
+def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CDC CHANGELOG (sources/iceberg.iceberg_changelog): after an
+    upsert commit (same-sequence equality delete + new row versions), the
+    changelog between the two snapshots is exactly one ``delete_key`` row
+    per upserted key (non-key columns NULL — the cheap variant; a
+    consumer wanting pre-images joins the keys against the FROM snapshot)
+    plus one ``insert`` row per new row version, each tagged with the
+    commit sequence for ordered replay. O(changed files) work — the point
+    of a changelog at 100 TB is that maintenance never rescans the table.
+    Aggregated per change type with id/char checksums, exact-oracled."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_changelog
+
+    tmp = tempfile.mkdtemp(prefix="ice_cdc_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+        )
+        f1 = root / "data" / "base.parquet"
+        pq.write_table(tbl, f1)
+        W.append_snapshot(root, [f1], ts_ms=2000)  # snap 1
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        even = even.set_column(
+            even.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.multiply(even["n_chars"], 2),
+        )
+        f2 = root / "data" / "upd.parquet"
+        pq.write_table(even, f2)
+        fk = root / "data" / "keys.parquet"
+        pq.write_table(even.select(["doc_id"]), fk)
+        W.upsert_snapshot(root, [f2], fk, ts_ms=3000)  # snap 2: MERGE
+        out = (
+            iceberg_changelog(spark, str(root), 1, 2)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("doc_id").alias("id_sum"),
+                F.coalesce(F.sum("n_chars"), F.lit(0))
+                .cast("long")
+                .alias("chars_sum"),
+            )
+            .orderBy("change_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_ref_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg REFS — tags and branches (iceberg_write.create_ref, branch
     appends; resolved by the data source's ``ref`` option): odd documents
@@ -6277,6 +6335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_ref_reads": iceberg_ref_reads,
         "events_dynamic_pivot_udtf": events_dynamic_pivot_udtf,
         "lineitem_scripted_median_bisect": lineitem_scripted_median_bisect,
+        "iceberg_changelog_read": iceberg_changelog_read,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8200,6 +8259,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "iceberg_changelog_read": """
+            SELECT 'delete_key' AS change_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(0 AS BIGINT) AS chars_sum
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'insert' AS change_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_chars * 2) AS BIGINT) AS chars_sum
+            FROM documents WHERE doc_id % 2 = 0
+            ORDER BY change_type
         """,
         "lineitem_scripted_median_bisect": """
             WITH n AS (

@@ -1064,3 +1064,39 @@ def test_datasource_ref_option_reads_branch(table_root, spark):
 
     with _pytest.raises(Exception):
         load(ref="exp", snapshot_id="1").collect()
+
+
+def test_changelog_between_snapshots(table_root, spark):
+    """Changelog emits exactly the range's added data rows (insert) and
+    equality-delete key tuples (delete_key, non-keys NULL), tagged with
+    commit sequence; commits at or before the FROM snapshot are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_changelog
+
+    f1 = table_root / "data" / "c1.parquet"
+    pq.write_table(pa.table({"k": [1, 2], "v": ["a", "b"]}), f1)
+    W.append_snapshot(table_root, [f1], ts_ms=2000)  # snap 1
+    f2 = table_root / "data" / "c2.parquet"
+    pq.write_table(pa.table({"k": [3], "v": ["c"]}), f2)
+    W.append_snapshot(table_root, [f2], ts_ms=3000)  # snap 2
+    f3 = table_root / "data" / "c3.parquet"
+    pq.write_table(pa.table({"k": [2], "v": ["B"]}), f3)
+    fk = table_root / "data" / "ck.parquet"
+    pq.write_table(pa.table({"k": [2]}), fk)
+    W.upsert_snapshot(table_root, [f3], fk, ts_ms=4000)  # snap 3: MERGE
+
+    rows = sorted(
+        (r._change_type, r._commit_seq, r.k, r.v)
+        for r in iceberg_changelog(spark, str(table_root), 1, 3).collect()
+    )
+    assert rows == [
+        ("delete_key", 3, 2, None),  # pre-image not read: v is NULL
+        ("insert", 2, 3, "c"),
+        ("insert", 3, 2, "B"),
+    ]
+    # range excluding the upsert sees only the snap-2 append
+    only2 = iceberg_changelog(spark, str(table_root), 1, 2).collect()
+    assert [(r._change_type, r.k) for r in only2] == [("insert", 3)]
