@@ -3504,6 +3504,46 @@ def lineitem_scripted_median_bisect(
             spark.conf.set("spark.sql.scripting.enabled", old)
 
 
+def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training round 1: count ADJACENT CHARACTER PAIRS
+    across the corpus, weighted by word frequency — the argmax pair is
+    the first merge a byte-pair encoder would learn. Two-stage shape that
+    holds at 100 TB: the corpus first collapses to its (word, count)
+    histogram (vocab-sized, the classic BPE preprocessing step), then
+    pairs are derived from the VOCAB — per-word work never re-touches the
+    corpus. Pair extraction is pure codegen: transform(sequence(1,
+    len-1), i -> substr(w, i, 2)) exploded; no Python in the plan. Top
+    25 pairs by weighted count, pair/count ordering deterministic."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.length("w") >= 2)
+    )
+    # bind the lambda var ONCE (HOFs are interpreted; no CSE across
+    # branches — CLAUDE.md): sequence -> substr pairs
+    pairs = words.select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n_weighted"))
+        .orderBy(F.desc("n_weighted"), F.asc("pair"))
+        .limit(25)
+    )
+
+
 def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg CDC CHANGELOG (sources/iceberg.iceberg_changelog): after an
     upsert commit (same-sequence equality delete + new row versions), the
@@ -6336,6 +6376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dynamic_pivot_udtf": events_dynamic_pivot_udtf,
         "lineitem_scripted_median_bisect": lineitem_scripted_median_bisect,
         "iceberg_changelog_read": iceberg_changelog_read,
+        "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -8259,6 +8300,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, n_orders, price_cents,
                    n_snapshots, snapshot1_rows
             FROM m, f ORDER BY o_orderpriority
+        """,
+        "doc_bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (
+                SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                         AS w
+                FROM documents WHERE TRIM(text) <> ''
+              ) WHERE w <> '' GROUP BY w
+            ), pairs AS (
+              SELECT substr(w, i, 2) AS pair, c
+              FROM words, UNNEST(range(1, length(w))) AS t(i)
+              WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(SUM(c) AS BIGINT) AS n_weighted
+            FROM pairs GROUP BY pair
+            ORDER BY n_weighted DESC, pair ASC
+            LIMIT 25
         """,
         "iceberg_changelog_read": """
             SELECT 'delete_key' AS change_type,
