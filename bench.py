@@ -216,6 +216,10 @@ def run_headline(spark) -> dict[str, float]:
         # the PMI collocation double-join
         "q2_min_cost_supplier",
         "doc_pmi_collocations",
+        # round-3 session-5: the unigram-LM corpus-join quality scorer and
+        # the BPE pair count (both full-corpus text analytics)
+        "doc_unigram_logprob_rank",
+        "doc_bpe_pair_counts",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
