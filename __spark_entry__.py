@@ -2472,6 +2472,104 @@ def iceberg_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def iceberg_evolved_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg EQUALITY-DELETE UPSERT composed with SCHEMA EVOLUTION — the
+    intersection that used to be gated: v1 commits the even doc_ids under
+    schema 0 (doc_id, n_chars, source); an UPSERT (same-sequence equality
+    delete + new row versions, sources/iceberg_write.upsert_snapshot)
+    bumps n_chars by 1e6 for the doc_id%10==0 docs; the table then
+    RENAMES doc_id -> doc_key and n_chars -> doc_len (metadata-only), and
+    v3 appends the odd docs under the new names.  The evolved read
+    (sources/iceberg.read_table_evolved) resolves BOTH sides by FIELD ID:
+    data files project onto the current names, and the delete file's keys
+    — recorded under the OLD column name with its write-time schema id —
+    re-resolve to the current schema, so the tombstones still land on the
+    right rows through the rename.  At 100 TB this is the contract that
+    lets a table be upserted AND evolved without rewriting a byte of
+    data.  The oracle replays the merge arithmetic on the documents
+    view."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_evo_upsert" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(
+            root,
+            ts_ms=1000,
+            schema_fields=[
+                ("doc_id", "long"), ("n_chars", "long"), ("source", "string")
+            ],
+        )
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "source"],
+        )
+        odd_mask = pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1)
+        even = tbl.filter(pc.invert(odd_mask))
+        f1 = root / "data" / "even.parquet"
+        pq.write_table(even, f1)
+        W.append_snapshot(root, [f1], ts_ms=2000)  # seq 1, schema 0
+        import pyarrow as _pa
+
+        upd = even.filter(
+            _pa.array(even["doc_id"].to_numpy() % 10 == 0)
+        )
+        upd = upd.set_column(
+            1, "n_chars", pc.add(upd["n_chars"], 1_000_000)
+        )
+        f2 = root / "data" / "upd.parquet"
+        pq.write_table(upd, f2)
+        fk = root / "data" / "upd_keys.parquet"
+        pq.write_table(upd.select(["doc_id"]), fk)
+        # seq 2: MERGE — delete keys recorded under schema 0's names
+        W.upsert_snapshot(root, [f2], fk, ts_ms=3000)
+        W.rename_column(root, "doc_id", "doc_key", ts_ms=4000)
+        W.rename_column(root, "n_chars", "doc_len", ts_ms=5000)
+        odd = tbl.filter(odd_mask).rename_columns(
+            ["doc_key", "doc_len", "source"]
+        )
+        f3 = root / "data" / "odd.parquet"
+        pq.write_table(odd, f3)
+        W.append_snapshot(root, [f3], ts_ms=6000)  # seq 3, schema 2
+        marker.write_text(_json.dumps(params))
+    df = read_table_evolved(spark, str(root))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").alias("sum_len"),
+            F.sum(
+                F.when(F.col("doc_key") % 10 == 0, 1).otherwise(0)
+            ).alias("n_updated"),
+        )
+        .orderBy("source")
+    )
+
+
 def iceberg_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg HIDDEN PARTITIONING end to end: documents is committed under
     the partition spec (identity(lang), bucket[8](doc_id)) — one data file
@@ -6378,6 +6476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_changelog_read": iceberg_changelog_read,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
+        "iceberg_evolved_upsert_read": iceberg_evolved_upsert_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
@@ -8199,6 +8298,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang,
                    COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
                      AS n_distinct_lang
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "iceberg_evolved_upsert_read": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_id % 10 = 0
+                                 THEN n_chars + 1000000
+                                 ELSE n_chars END) AS BIGINT) AS sum_len,
+                   CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_updated
             FROM documents GROUP BY source ORDER BY source
         """,
         "doc_pmi_collocations": """

@@ -120,14 +120,19 @@ class _FilePartition(InputPartition):
     """One data file plus the delete files that apply to it (resolved at
     PLAN time against the pinned snapshot): ``pos_deletes`` are v2
     position-delete parquets (file_path, pos) possibly covering many data
-    files; ``eq_deletes`` are the equality-delete parquets whose sequence
-    number is STRICTLY GREATER than this file's (the spec rule — a key
-    re-inserted by a later append survives)."""
+    files; ``eq_deletes`` are ``(path, key_map)`` pairs — equality-delete
+    parquets whose sequence number is STRICTLY GREATER than this file's
+    (the spec rule — a key re-inserted by a later append survives), with
+    the field-id rename map that projects their key columns onto the
+    table's current schema. ``mapping`` is the file's own field-id
+    projection onto the current schema (``None`` for schema-less tables:
+    raw batches)."""
 
-    def __init__(self, path: str, pos_deletes=(), eq_deletes=()):
+    def __init__(self, path: str, pos_deletes=(), eq_deletes=(), mapping=None):
         self.path = path
         self.pos_deletes = tuple(pos_deletes)
         self.eq_deletes = tuple(eq_deletes)
+        self.mapping = mapping
 
 
 def _norm_path(p: str) -> str:
@@ -147,13 +152,80 @@ def _read_parquet_batches(path: str):
     yield from pf.iter_batches(use_threads=False)
 
 
+def _arrow_type(ice_t: str):
+    """Arrow type for an Iceberg primitive (the tracked-schema subset)."""
+    import pyarrow as pa
+
+    return {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }[ice_t]
+
+
+def _project_batch(batch, mapping):
+    """Apply a field-id evolution mapping ``[(current_name, iceberg_type,
+    source_name|None)]`` to one Arrow batch: rename by field id, NULL-fill
+    added columns, cast promotions (int->long). Identity mappings return
+    the batch untouched (the common unevolved case — zero copies)."""
+    import pyarrow as pa
+
+    fields = [(name, _arrow_type(t)) for name, t, _ in mapping]
+    target = pa.schema(fields)
+    if batch.schema == target and all(src == name for name, _, src in mapping):
+        return batch
+    arrays = []
+    for (name, at), (_, _, src) in zip(fields, mapping):
+        idx = -1 if src is None else batch.schema.get_field_index(src)
+        if idx < 0:
+            arrays.append(pa.nulls(batch.num_rows, at))
+        else:
+            col = batch.column(idx)
+            arrays.append(col if col.type == at else col.cast(at))
+    return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+def _resolve_key_table(path: str, key_map):
+    """Read an equality-delete key file and project its columns onto the
+    CURRENT schema via the field-id rename map recorded at plan time. A
+    key column the current schema no longer carries cannot be resolved —
+    raise rather than silently resurrect rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    k = pq.read_table(path, use_threads=False)
+    if key_map is None:
+        return k
+    names, cols = [], []
+    for name in k.column_names:
+        if name not in key_map:
+            raise ValueError(
+                f"equality delete {path!r} keys on column {name!r} which "
+                "the current schema no longer carries"
+            )
+        tgt, ice_t = key_map[name]
+        at = _arrow_type(ice_t)
+        col = k.column(name)
+        cols.append(col if col.type == at else col.cast(at))
+        names.append(tgt)
+    return pa.table(cols, names=names)
+
+
 def _read_partition_mor(partition: _FilePartition):
     """Merge-on-read of one data file: subtract this file's tombstoned
     ROW POSITIONS (position deletes are per original row index, so they
-    apply BEFORE anything reorders rows), then anti-join each batch
-    against the applicable equality-delete key sets. Delete files are tiny
-    next to the data they tombstone — per-task re-reads are the same cost
-    shape as the broadcast a JVM Iceberg planner uses."""
+    apply BEFORE anything reorders rows), project onto the current schema
+    by field id, then anti-join each batch against the applicable
+    equality-delete key sets (themselves field-id-resolved, so evolution
+    composes). Delete files are tiny next to the data they tombstone —
+    per-task re-reads are the same cost shape as the broadcast a JVM
+    Iceberg planner uses."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -166,7 +238,7 @@ def _read_partition_mor(partition: _FilePartition):
         ps = t.column("pos").to_pylist()
         pos.update(p for f, p in zip(fps, ps) if _norm_path(f) == me)
     keys = [
-        pq.read_table(dp, use_threads=False) for dp in partition.eq_deletes
+        _resolve_key_table(dp, key_map) for dp, key_map in partition.eq_deletes
     ]
     offset = 0
     for batch in _read_parquet_batches(partition.path):
@@ -178,6 +250,8 @@ def _read_partition_mor(partition: _FilePartition):
                 mask[hit] = False
                 batch = batch.take(pa.array(np.nonzero(mask)[0]))
         offset += n
+        if partition.mapping is not None:
+            batch = _project_batch(batch, partition.mapping)
         tbl = pa.Table.from_batches([batch])
         for k in keys:
             if k.num_rows:
@@ -186,6 +260,47 @@ def _read_partition_mor(partition: _FilePartition):
                 ).select(tbl.column_names)
         if tbl.num_rows:
             yield from tbl.combine_chunks().to_batches()
+
+
+def _plan_file_partitions(root, predicates, snapshot_id):
+    """Driver-side scan plan shared by the batch reader and the streaming
+    source's initial batch: a predicate/partition-pruned MOR plan with the
+    field-id evolution mappings attached, so workers read files written
+    under ANY schema version (and their equality deletes) correctly
+    projected onto the table's current schema."""
+    from .iceberg import (
+        current_metadata,
+        evolution_mapping,
+        iceberg_scan_plan_mor,
+        rename_mapping,
+    )
+
+    plan, _total = iceberg_scan_plan_mor(
+        root, predicates, snapshot_id=snapshot_id
+    )
+    meta = current_metadata(root)
+    ev_cache: dict = {}
+    rn_cache: dict = {}
+
+    def ev(sid):
+        if sid not in ev_cache:
+            ev_cache[sid] = evolution_mapping(meta, sid)
+        return ev_cache[sid]
+
+    def rn(sid):
+        if sid not in rn_cache:
+            rn_cache[sid] = rename_mapping(meta, sid)
+        return rn_cache[sid]
+
+    return [
+        _FilePartition(
+            p["path"],
+            p["pos_deletes"],
+            [(dp, rn(dsid)) for dp, dsid in p["eq_deletes"]],
+            mapping=ev(p["schema_id"]),
+        )
+        for p in plan
+    ]
 
 
 def _table_root(options) -> str:
@@ -230,19 +345,20 @@ class _StaticIcebergReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        from .iceberg import iceberg_scan_plan_mor
-
-        plan, _total = iceberg_scan_plan_mor(
-            self.root, self.predicates, snapshot_id=self.snapshot_id
+        return _plan_file_partitions(
+            self.root, self.predicates, self.snapshot_id
         )
-        return [
-            _FilePartition(p["path"], p["pos_deletes"], p["eq_deletes"])
-            for p in plan
-        ]
 
     def read(self, partition):
+        # filters can prune EVERY file; PySpark substitutes [None] for an
+        # empty partition list, so None means "empty result", not a bug
+        if partition is None:
+            return
         if partition.pos_deletes or partition.eq_deletes:
             yield from _read_partition_mor(partition)
+        elif partition.mapping is not None:
+            for batch in _read_parquet_batches(partition.path):
+                yield _project_batch(batch, partition.mapping)
         else:
             yield from _read_parquet_batches(partition.path)
 
@@ -253,21 +369,28 @@ class _DataFileCommit(WriterCommitMessage):
     rows: int
 
 
-def _write_task_file(root: str, iterator, spec_fields=None) -> _DataFileCommit:
+def _write_task_file(
+    root: str, iterator, spec_fields=None, write_uuid: str = ""
+) -> _DataFileCommit:
     """One task -> one parquet data file per PARTITION TUPLE it sees (the
     Iceberg fanout writer: with no spec that is at most one file). Files
-    are named by (partition id, task attempt id, fanout seq) so concurrent
-    attempts of the same task never collide and an abandoned attempt's
-    files are identifiable as orphans. Partition-pure files by
-    construction are what make the commit-time purity check pass and
-    hidden-partition pruning effective on read."""
+    are named by (writer uuid, partition id, task attempt id, fanout seq):
+    concurrent attempts of the same task never collide, an abandoned
+    attempt's files are identifiable as orphans, and — the reason real
+    Iceberg writers carry an operation UUID — task-attempt ids reset per
+    SparkContext, so a query RESTARTED from checkpoint replaying an
+    already-committed epoch must not regenerate a committed file's name
+    (ParquetWriter would truncate data a live snapshot references).
+    Partition-pure files by construction are what make the commit-time
+    purity check pass and hidden-partition pruning effective on read."""
     import pyarrow.parquet as pq
     from pyspark import TaskContext
 
     from pathlib import Path
 
     ctx = TaskContext.get()
-    stem = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+    tag = f"{write_uuid}-" if write_uuid else ""
+    stem = f"part-{tag}{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
     data_dir = Path(root) / "data"
     writers: dict = {}  # partition tuple -> (ParquetWriter, path)
     rows = 0
@@ -372,9 +495,16 @@ class _StaticIcebergWriter(DataSourceArrowWriter):
                 "ref whose history main still shares)"
             )
         self.spec_fields = _load_spec_fields(self.root)
+        import uuid as _uuid
+
+        # driver-generated per-writer uuid, pickled to tasks: file names
+        # stay unique across SparkContexts (see _write_task_file)
+        self.write_uuid = _uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        return _write_task_file(self.root, iterator, self.spec_fields)
+        return _write_task_file(
+            self.root, iterator, self.spec_fields, self.write_uuid
+        )
 
     def commit(self, messages):
         from . import iceberg_write as W
@@ -407,9 +537,19 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
         self.upsert_keys = (
             [c.strip() for c in ks.split(",") if c.strip()] if ks else None
         )
+        import uuid as _uuid
+
+        # per-writer-instance uuid (driver-side, pickled to tasks): a
+        # restarted query replaying a committed epoch generates FRESH
+        # names — task-attempt ids alone repeat across SparkContexts, and
+        # a name collision would truncate a file the committed snapshot
+        # still references before the sid-exists guard can skip the epoch
+        self.write_uuid = _uuid.uuid4().hex[:12]
 
     def write(self, iterator):
-        return _write_task_file(self.root, iterator, self.spec_fields)
+        return _write_task_file(
+            self.root, iterator, self.spec_fields, self.write_uuid
+        )
 
     def commit(self, messages, batchId: int):
         from . import iceberg_write as W
@@ -469,22 +609,52 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": self._current_snapshot_id()}
 
     def partitions(self, start: dict, end: dict):
-        from .iceberg import iceberg_incremental_paths, iceberg_scan_paths_static
+        from .iceberg import (
+            current_metadata,
+            evolution_mapping,
+            iceberg_incremental_paths,
+            iceberg_scan_entries_static,
+        )
 
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
         if hi == 0 or lo == hi:
             return []
         if lo == 0:
-            # first batch: everything live at the end snapshot
-            paths = iceberg_scan_paths_static(self.root, snapshot_id=hi)
-        else:
-            # snapshot `lo` must still be retained — expiration policy must
-            # keep consumers' last committed offsets (Iceberg's own rule)
-            paths = iceberg_incremental_paths(self.root, lo, hi)
-        return [_FilePartition(p) for p in paths]
+            # first batch: everything live at the end snapshot, read
+            # MERGE-ON-READ — tailing a table whose history holds upsert/
+            # delete commits (e.g. this module's own upsert_keys sink
+            # output) must NOT resurrect deleted rows; the batch read's
+            # MOR path and this one see the same table state
+            return _plan_file_partitions(self.root, [], hi)
+        # incremental: files ADDED in (lo, hi] — append-only semantics
+        # (rows removed in the range are not retracted, Iceberg's own
+        # incremental-scan limitation); snapshot `lo` must still be
+        # retained, i.e. expiration policy keeps consumers' offsets
+        paths = iceberg_incremental_paths(self.root, lo, hi)
+        meta = current_metadata(self.root)
+        sid_of = {
+            e["path"]: e.get("schema_id")
+            for e in iceberg_scan_entries_static(self.root, snapshot_id=hi)[
+                "data"
+            ]
+        }
+        return [
+            _FilePartition(
+                p, mapping=evolution_mapping(meta, sid_of.get(p))
+            )
+            for p in paths
+        ]
 
     def read(self, partition):
-        yield from _read_parquet_batches(partition.path)
+        if partition is None:
+            return
+        if partition.pos_deletes or partition.eq_deletes:
+            yield from _read_partition_mor(partition)
+        elif partition.mapping is not None:
+            for batch in _read_parquet_batches(partition.path):
+                yield _project_batch(batch, partition.mapping)
+        else:
+            yield from _read_parquet_batches(partition.path)
 
     def commit(self, end: dict) -> None:
         pass  # progress is durable in Spark's checkpoint, not the table
@@ -503,9 +673,25 @@ class IcebergStaticDataSource(DataSource):
     def schema(self) -> str:
         import pyarrow.parquet as pq
 
-        from .iceberg import iceberg_ref_snapshot, iceberg_scan_paths_static
+        from .iceberg import (
+            _ICE_TO_SPARK,
+            current_metadata,
+            iceberg_ref_snapshot,
+            iceberg_scan_paths_static,
+        )
 
         root = _table_root(self.options)
+        # a tracked Iceberg schema is authoritative (field-id evolution:
+        # files written under older schemas are projected at read time)
+        # and works for empty / fully-pruned tables too
+        meta = current_metadata(root)
+        schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+        if schemas:
+            cur = schemas[int(meta["current-schema-id"])]
+            return ", ".join(
+                f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+                for f in cur["fields"]
+            )
         sid = self.options.get("snapshot_id")
         ref = self.options.get("ref")
         snapshot_id = (

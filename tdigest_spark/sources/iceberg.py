@@ -379,6 +379,48 @@ _ICE_TO_SPARK = {
 }
 
 
+def evolution_mapping(
+    meta: dict, file_schema_id
+) -> list[tuple[str, str, str | None]] | None:
+    """Field-id projection of a file written under ``file_schema_id`` onto
+    the table's CURRENT schema, as plain picklable data a worker can apply
+    to Arrow batches: ``[(current_name, iceberg_type, source_name|None)]``
+    — ``None`` source means the column was added after the file was
+    written (reads NULL). Returns ``None`` when the table tracks no
+    schemas (raw read, no projection). Files without a recorded schema id
+    are assumed current-schema — the leap a name-based reader always
+    makes."""
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+    if not schemas:
+        return None
+    cur = schemas[int(meta["current-schema-id"])]
+    file_schema = schemas.get(file_schema_id, cur)
+    by_id = {f["id"]: f["name"] for f in file_schema["fields"]}
+    return [(f["name"], f["type"], by_id.get(f["id"])) for f in cur["fields"]]
+
+
+def rename_mapping(
+    meta: dict, file_schema_id
+) -> dict[str, tuple[str, str]] | None:
+    """Resolve a file's write-time column NAMES to the current schema by
+    field id: ``{write_time_name: (current_name, iceberg_type)}``. Columns
+    since dropped are absent from the map (the caller decides whether that
+    is an error — for equality-delete keys it must be). ``None`` when the
+    table tracks no schemas."""
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+    if not schemas:
+        return None
+    cur = schemas[int(meta["current-schema-id"])]
+    file_schema = schemas.get(file_schema_id, cur)
+    cur_by_id = {f["id"]: f for f in cur["fields"]}
+    out = {}
+    for f in file_schema["fields"]:
+        tgt = cur_by_id.get(f["id"])
+        if tgt is not None:
+            out[f["name"]] = (tgt["name"], tgt["type"])
+    return out
+
+
 def read_table_evolved(
     spark: SparkSession, table_dir: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -391,7 +433,19 @@ def read_table_evolved(
     data file by this repo's writer; a real Iceberg writer embeds the ids
     in the parquet schema), each group is projected id-by-id onto the
     current schema, and the groups union. At scale the projection is a
-    zero-cost column alias in the scan — evolution never rewrites data."""
+    zero-cost column alias in the scan — evolution never rewrites data.
+
+    EQUALITY deletes compose with evolution: each delete entry carries the
+    schema id current at DELETE time (recorded by this repo's writer), so
+    its key columns resolve to FIELD IDS and re-resolve to the current
+    names — a key column renamed after an upsert still tombstones the
+    right rows. Both sides are first projected onto the current schema
+    (data by field-id aliasing, keys by field-id rename + type-promotion
+    cast), then anti-joined under the spec's strict-smaller-sequence rule.
+    A delete whose key column was since DROPPED cannot be resolved and
+    raises rather than silently resurrecting rows."""
+    from collections import defaultdict
+
     from pyspark.sql import functions as F
 
     meta = current_metadata(table_dir)
@@ -402,23 +456,47 @@ def read_table_evolved(
             "schema-less tables"
         )
     cur = schemas[int(meta["current-schema-id"])]
+    cur_by_id = {f["id"]: f for f in cur["fields"]}
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
-    if entries["eq_deletes"]:
-        # equality-delete key files are column-NAME keyed; resolving them
-        # across renames needs per-delete-file schema ids this writer does
-        # not record — gated rather than silently wrong
-        raise NotImplementedError(
-            "evolved read of tables with EQUALITY deletes"
-        )
     pos_paths = [x["path"] for x in entries["pos_deletes"]]
-    groups: dict[int | None, list[str]] = {}
+    eqs = entries["eq_deletes"]
+    # (file schema id, applicable delete set) -> data paths; a key
+    # re-inserted by a later-sequence append survives (spec rule)
+    groups: dict[tuple, list[str]] = defaultdict(list)
     for e in entries["data"]:
-        groups.setdefault(e.get("schema_id"), []).append(e["path"])
+        applicable = tuple(
+            (d["path"], d.get("schema_id")) for d in eqs if d["seq"] > e["seq"]
+        )
+        groups[(e.get("schema_id"), applicable)].append(e["path"])
     if not groups:
         raise ValueError(f"Iceberg table {table_dir!r} has no data files")
+
+    def current_keys(delete_path: str, del_sid):
+        """The delete file's key columns projected onto the CURRENT schema:
+        write-time name -> field id (via the delete's recorded schema) ->
+        current name + type."""
+        del_schema = schemas.get(del_sid, cur)
+        id_of = {f["name"]: f["id"] for f in del_schema["fields"]}
+        keys = spark.read.parquet(delete_path)
+        cols = []
+        for name in keys.columns:
+            fid = id_of.get(name)
+            tgt = cur_by_id.get(fid) if fid is not None else None
+            if tgt is None:
+                raise ValueError(
+                    f"equality delete {delete_path!r} keys on column "
+                    f"{name!r} (field id {fid}) which the current schema "
+                    "no longer carries — rows cannot be safely resolved"
+                )
+            cols.append(
+                F.col(name).cast(_ICE_TO_SPARK[tgt["type"]]).alias(tgt["name"])
+            )
+        return keys.select(cols)
+
     parts = []
-    for sid, paths in sorted(
-        groups.items(), key=lambda kv: (-1 if kv[0] is None else kv[0])
+    for (sid, applicable), paths in sorted(
+        groups.items(),
+        key=lambda kv: (-1 if kv[0][0] is None else kv[0][0], kv[0][1]),
     ):
         # files without a recorded schema (foreign metadata) are assumed
         # current-schema — the same leap a name-based reader always makes
@@ -438,7 +516,13 @@ def read_table_evolved(
             # independent, so they compose with evolution by applying
             # BEFORE the field-id projection (which drops _metadata)
             scan = _apply_position_deletes(spark, scan, pos_paths)
-        parts.append(scan.select(cols))
+        part = scan.select(cols)
+        for dp, del_sid in applicable:
+            keys = current_keys(dp, del_sid)
+            part = part.join(
+                F.broadcast(keys), on=keys.columns, how="left_anti"
+            )
+        parts.append(part)
     df = parts[0]
     for part in parts[1:]:
         df = df.unionByName(part)
@@ -574,9 +658,27 @@ def iceberg_changelog(
                 inserts.append((path, seq_of[sid]))
             elif df_rec.get("content", 0) == 2:
                 del_keys.append((path, seq_of[sid]))
-    if not inserts:
-        raise ValueError("changelog range added no data files")
-    full_schema_df = spark.read.parquet(inserts[0][0])
+    if not inserts and not del_keys:
+        raise ValueError("changelog range added no data or delete files")
+    if inserts:
+        schema_src = inserts[0][0]
+    else:
+        # delete-only range (pure key retractions — a legitimate CDC
+        # case): pad the delete keys against the full-row schema of any
+        # LIVE data file at the range's end (falling back to the start)
+        for sid_probe in (to_id, from_snapshot_id):
+            live = iceberg_scan_entries_static(
+                table_dir, snapshot_id=sid_probe
+            )["data"]
+            if live:
+                schema_src = live[0]["path"]
+                break
+        else:
+            raise ValueError(
+                "changelog range is delete-only and no retained snapshot "
+                "holds a data file to derive the full-row schema from"
+            )
+    full_schema_df = spark.read.parquet(schema_src)
     parts = []
     for path, seq in inserts:
         parts.append(
@@ -613,13 +715,15 @@ def iceberg_scan_plan_mor(
 ) -> tuple[list[dict], int]:
     """Like :func:`iceberg_scan_paths_pruned` but returns a full
     MERGE-ON-READ plan: one item per surviving data file with the delete
-    files that apply to it — ``{"path", "pos_deletes", "eq_deletes"}``.
-    Equality deletes attach per the spec's strict-smaller-sequence rule
-    (delete.seq > data.seq); position deletes are row-position keyed, so
-    every file gets the full (tiny) list and the reader filters by
-    file_path. Stats/partition pruning stays sound under deletes: deletes
-    only REMOVE rows, so a file that cannot match the predicate still
-    cannot match after subtraction."""
+    files that apply to it — ``{"path", "schema_id", "pos_deletes",
+    "eq_deletes"}`` where ``eq_deletes`` is ``[(path, schema_id), ...]``
+    (the schema ids let a reader resolve columns by field id across
+    schema evolution). Equality deletes attach per the spec's
+    strict-smaller-sequence rule (delete.seq > data.seq); position
+    deletes are row-position keyed, so every file gets the full (tiny)
+    list and the reader filters by file_path. Stats/partition pruning
+    stays sound under deletes: deletes only REMOVE rows, so a file that
+    cannot match the predicate still cannot match after subtraction."""
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
     data = entries["data"]
     meta = current_metadata(table_dir)
@@ -630,9 +734,12 @@ def iceberg_scan_plan_mor(
     plan = [
         {
             "path": e["path"],
+            "schema_id": e.get("schema_id"),
             "pos_deletes": pos_paths,
             "eq_deletes": sorted(
-                d["path"] for d in eqs if d["seq"] > e["seq"]
+                (d["path"], d.get("schema_id"))
+                for d in eqs
+                if d["seq"] > e["seq"]
             ),
         }
         for e in sorted(data, key=lambda x: x["path"])

@@ -762,7 +762,10 @@ def equality_delete_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
-    entry = _file_entry(keys_file, 1, sid)
+    # the schema current at DELETE time: read_table_evolved resolves the
+    # key columns by FIELD ID through it, so renames after (or before)
+    # this commit cannot mis-key the tombstones
+    entry = _file_entry(keys_file, 1, sid, schema_id=meta.get("current-schema-id"))
     entry["data_file"]["content"] = 2  # equality deletes
     tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
@@ -816,8 +819,10 @@ def upsert_snapshot(
         data_entries.append(e)
     m_data = _meta_dir(root) / f"m-{sid}-{tag}-data.avro"
     avro_lite.write_container(m_data, _MANIFEST_ENTRY_SCHEMA, data_entries)
-    # equality-delete manifest (content 2) in the SAME snapshot
-    del_entry = _file_entry(keys_file, 1, sid)
+    # equality-delete manifest (content 2) in the SAME snapshot; the
+    # recorded schema id lets evolved reads resolve the key columns by
+    # field id across later renames
+    del_entry = _file_entry(keys_file, 1, sid, schema_id=cur_schema)
     del_entry["data_file"]["content"] = 2
     m_del = _meta_dir(root) / f"m-{sid}-{tag}-del.avro"
     avro_lite.write_container(m_del, _MANIFEST_ENTRY_SCHEMA, [del_entry])

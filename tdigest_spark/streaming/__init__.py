@@ -46,6 +46,30 @@ __all__ = [
 ]
 
 
+def _require_protobuf() -> None:
+    """``transformWithStateInPandas`` speaks the state-server protocol
+    over protobuf in EVERY python worker. When neither a protobuf runtime
+    nor the repo shim (tdigest_spark/_pbshim, mounted by
+    sources/tables.get_spark before the JVM starts) is available, the
+    query does not fail cleanly — workers die mid-handshake and the
+    stream can hang. Fail FAST on the driver with a clear message
+    instead."""
+    import importlib.util
+
+    try:
+        found = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        found = False
+    if not found:
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "state-server protocol) and neither a protobuf runtime nor "
+            "the tdigest_spark._pbshim mount is available — build the "
+            "session via tdigest_spark.sources.tables.get_spark, or "
+            "install protobuf"
+        )
+
+
 def transform_with_state_user_totals(stream_df, key_col: str, value_col: str):
     """Per-key running totals on Spark 4's ``transformWithStateInPandas``
     — the successor stateful API to ``applyInPandasWithState`` (explicit
@@ -64,6 +88,7 @@ def transform_with_state_user_totals(stream_df, key_col: str, value_col: str):
     Scale shape: state is O(keys) x 16 bytes in RocksDB (spillable, not
     heap-bound), each batch shuffles only its own rows to the key's
     partition, and emissions are one row per ACTIVE key per batch."""
+    _require_protobuf()
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -109,6 +134,7 @@ def transform_with_state_type_breakdown(stream_df, key_col: str, type_col: str):
     Each batch emits the updated cumulative count per touched sub-key;
     counts strictly increase per (key, sub-key), so the max emission
     equals the exact whole-stream GROUP BY count."""
+    _require_protobuf()
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -174,6 +200,7 @@ def transform_with_state_inactivity_flush(
 
     Scale shape: one timer + one 24-byte ValueState row per ACTIVE key;
     flushing clears both, so state tracks live keys, not history."""
+    _require_protobuf()
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -241,6 +268,7 @@ def transform_with_state_warm_start(
     stream rows never emit (their state just sits warm). Totals are
     history + stream exactly (integer cents), so the last emission per
     key is SQL-oracle-able."""
+    _require_protobuf()
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -518,3 +518,154 @@ def test_arrow_schema_to_ddl_type_coverage():
     )
     with pytest.raises(TypeError):
         arrow_schema_to_ddl(pa.schema([("k", pa.decimal128(10, 2))]))
+
+
+def test_prune_to_zero_files_returns_empty(table_root, registered):
+    """A pushed filter that prunes EVERY data file must return an empty
+    result, not crash: PySpark substitutes [None] when partitions() is
+    empty, so read(None) has to mean 'no rows'."""
+    from tdigest_spark.sources import iceberg_write as W
+
+    W.append_snapshot(
+        table_root,
+        [_write(table_root, "z.parquet", "v", list(range(10)))],
+        ts_ms=2000,
+    )
+    df = (
+        registered.read.format("iceberg_static")
+        .option("path", str(table_root))
+        .load()
+        .where("v > 1000")
+    )
+    assert df.count() == 0
+    assert df.collect() == []
+
+
+def test_write_file_names_carry_per_writer_uuid(registered, tmp_path):
+    """Data file names embed a driver-generated per-writer uuid: task
+    attempt ids reset per SparkContext, so a restarted streaming query
+    replaying an already-committed epoch (or a second batch write from a
+    fresh session) must never regenerate a committed file's name —
+    ParquetWriter would TRUNCATE data the live snapshot references."""
+    import re
+
+    from tdigest_spark.sources.datasource import _StaticIcebergStreamWriter
+
+    root = tmp_path / "tbl"
+    write = lambda lo, hi: (
+        registered.range(lo, hi)
+        .withColumnRenamed("id", "v")
+        .coalesce(1)
+        .write.format("iceberg_static")
+        .mode("append")
+        .option("path", str(root))
+        .save()
+    )
+    write(0, 5)
+    write(5, 10)
+    names = sorted(p.name for p in (root / "data").glob("*.parquet"))
+    pat = re.compile(r"^part-([0-9a-f]{12})-\d{5}-\d+-\d+\.parquet$")
+    tags = [pat.match(n) for n in names]
+    assert all(tags), names
+    # two writer instances -> two distinct uuids -> no collision window
+    assert len({m.group(1) for m in tags}) == 2
+    w1 = _StaticIcebergStreamWriter({"path": str(root)})
+    w2 = _StaticIcebergStreamWriter({"path": str(root)})
+    assert w1.write_uuid != w2.write_uuid
+
+
+def test_stream_source_initial_batch_merges_deletes(registered, tmp_path):
+    """Tailing a table WITH delete history from scratch: the first
+    micro-batch (offset 0) must plan merge-on-read like the batch reader —
+    deleted/upserted-away rows must not resurrect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": ["a1", "a2", "a3"]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)  # seq 1
+    dk = root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"k": [2]}), dk)
+    W.equality_delete_snapshot(root, dk, ts_ms=3000)  # seq 2: k=2 out
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": [4], "v": ["b4"]}), f2)
+    W.append_snapshot(root, [f2], ts_ms=4000)  # seq 3
+    W.delete_rows_snapshot(root, {str(f1): [0]}, ts_ms=5000)  # k=1 out
+    out = str(tmp_path / "out")
+    q = (
+        registered.readStream.format("iceberg_static")
+        .option("path", str(root))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(540), "source stream did not drain"
+    got = sorted((r.k, r.v) for r in registered.read.parquet(out).collect())
+    # matches the batch MOR read exactly: k=1 (pos delete) and k=2
+    # (equality delete) are gone, k=3 and the later k=4 remain
+    assert got == [(3, "a3"), (4, "b4")]
+
+
+def test_datasource_reads_evolved_schema_by_field_id(registered, tmp_path):
+    """The data source resolves files written under OLDER schemas by
+    field id: schema() reports the table's CURRENT schema, old files read
+    with renamed columns, int->long promotion, and NULL for columns added
+    after they were written — and equality deletes recorded before a
+    rename still tombstone the right rows after it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(
+        root, ts_ms=1000, schema_fields=[("id", "long"), ("val", "long")]
+    )
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "val": pa.array([10, 20], pa.int32()),  # int->long promotes
+            }
+        ),
+        f1,
+    )
+    W.append_snapshot(root, [f1], snapshot_id=1, ts_ms=2000)
+    dk = root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dk)
+    W.equality_delete_snapshot(root, dk, ts_ms=2500)  # keys under OLD name
+    W.rename_column(root, "id", "key", ts_ms=3000)
+    W.rename_column(root, "val", "amount", ts_ms=3500)
+    W.add_column(root, "note", "string", ts_ms=4000)
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array([3], pa.int64()),
+                "amount": pa.array([30], pa.int64()),
+                "note": ["hi"],
+            }
+        ),
+        f2,
+    )
+    W.append_snapshot(root, [f2], ts_ms=5000)
+    df = (
+        registered.read.format("iceberg_static")
+        .option("path", str(root))
+        .load()
+    )
+    assert df.columns == ["key", "amount", "note"]
+    assert dict(df.dtypes)["amount"] == "bigint"
+    rows = {r.key: (r.amount, r.note) for r in df.collect()}
+    # id=2 tombstoned through the rename; old file projected by field id
+    assert rows == {1: (10, None), 3: (30, "hi")}
+    # pushdown composes with evolution (predicate on the CURRENT name)
+    assert {r.key for r in df.where("key >= 3").collect()} == {3}

@@ -1100,3 +1100,103 @@ def test_changelog_between_snapshots(table_root, spark):
     # range excluding the upsert sees only the snap-2 append
     only2 = iceberg_changelog(spark, str(table_root), 1, 2).collect()
     assert [(r._change_type, r.k) for r in only2] == [("insert", 3)]
+
+
+def test_changelog_delete_only_range(table_root, spark):
+    """A range whose only commits are key retractions (pure equality
+    deletes) is a legitimate CDC case: the changelog derives the full-row
+    padding schema from a LIVE data file instead of failing, and emits
+    just the delete_key rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_changelog
+
+    f1 = table_root / "data" / "d1.parquet"
+    pq.write_table(pa.table({"k": [1, 2], "v": ["a", "b"]}), f1)
+    W.append_snapshot(table_root, [f1], ts_ms=2000)  # snap 1
+    dk = table_root / "data" / "dk.parquet"
+    pq.write_table(pa.table({"k": [2]}), dk)
+    W.equality_delete_snapshot(table_root, dk, ts_ms=3000)  # snap 2
+    rows = [
+        (r._change_type, r._commit_seq, r.k, r.v)
+        for r in iceberg_changelog(spark, str(table_root), 1, 2).collect()
+    ]
+    assert rows == [("delete_key", 2, 2, None)]
+    # an empty range still raises (no changes at all is a caller bug)
+    dk2 = table_root / "data" / "dk2.parquet"
+    pq.write_table(pa.table({"k": [99]}), dk2)
+    W.equality_delete_snapshot(table_root, dk2, ts_ms=4000)  # snap 3
+    with _pytest.raises(ValueError):
+        iceberg_changelog(spark, str(table_root), 2, 2)
+
+
+def test_evolved_read_with_equality_deletes_across_rename(evolved_root, spark):
+    """Equality deletes compose with schema evolution: the delete entry's
+    recorded schema id resolves its key columns by FIELD ID, so a delete
+    committed BEFORE a rename still tombstones through the rename, a
+    delete committed AFTER it (keys under the new name) reaches files
+    written under the old name, and the strict-smaller-sequence rule
+    keeps later re-inserts alive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    # evolved_root state: schema now (id, amount, note); files a.parquet
+    # (ids 1,2 under old names id/val int32) and b.parquet (id 3)
+    dk = evolved_root / "data" / "ek.parquet"
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dk)
+    W.equality_delete_snapshot(evolved_root, dk, ts_ms=6000)
+    W.rename_column(evolved_root, "id", "key", ts_ms=7000)
+    df = read_table_evolved(spark, str(evolved_root))
+    assert df.columns == ["key", "amount", "note"]
+    rows = {r.key: (r.amount, r.note) for r in df.collect()}
+    assert rows == {1: (10, None), 3: (30, "hi")}  # id=2 tombstoned
+
+    # delete AFTER the rename, keyed under the NEW name: must reach
+    # a.parquet (written with column 'id' int64) by field id
+    dk2 = evolved_root / "data" / "ek2.parquet"
+    pq.write_table(pa.table({"key": pa.array([1], pa.int64())}), dk2)
+    W.equality_delete_snapshot(evolved_root, dk2, ts_ms=8000)
+    rows = {r.key for r in read_table_evolved(spark, str(evolved_root)).collect()}
+    assert rows == {3}
+
+    # re-insert key=1 in a later commit: strictly-smaller-sequence rule
+    f3 = evolved_root / "data" / "c.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array([1], pa.int64()),
+                "amount": pa.array([100], pa.int64()),
+                "note": ["back"],
+            }
+        ),
+        f3,
+    )
+    W.append_snapshot(evolved_root, [f3], ts_ms=9000)
+    rows = {r.key: r.amount for r in read_table_evolved(spark, str(evolved_root)).collect()}
+    assert rows == {1: 100, 3: 30}
+
+
+def test_evolved_read_delete_on_dropped_column_raises(evolved_root, spark):
+    """A delete keyed on a column the current schema no longer carries
+    cannot be resolved — the read must raise, not resurrect rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    dk = evolved_root / "data" / "nk.parquet"
+    pq.write_table(pa.table({"note": ["hi"]}), dk)
+    W.equality_delete_snapshot(evolved_root, dk, ts_ms=6000)
+    rows = {r.id for r in read_table_evolved(spark, str(evolved_root)).collect()}
+    assert rows == {1, 2}  # note='hi' tombstones id 3
+    W.drop_column(evolved_root, "note", ts_ms=7000)
+    with _pytest.raises(ValueError, match="no longer carries"):
+        read_table_evolved(spark, str(evolved_root)).collect()

@@ -1045,3 +1045,32 @@ def test_tws_inactivity_flush_boundary_margin():
             """
         ).fetchone()
         assert rows[0] > 5, f"sf{sf}: boundary margin {rows[0]}ms too small"
+
+
+def test_tws_without_protobuf_fails_fast(monkeypatch):
+    """When neither a protobuf runtime nor the _pbshim mount is available
+    the TWS helpers must raise a clear driver-side error BEFORE building
+    the query — workers dying mid-state-server-handshake can hang the
+    stream otherwise."""
+    import importlib.util
+
+    import pytest
+
+    from tdigest_spark import streaming as S
+
+    real = importlib.util.find_spec
+
+    def fake(name, *a, **k):
+        if name == "google.protobuf":
+            return None
+        return real(name, *a, **k)
+
+    monkeypatch.setattr(importlib.util, "find_spec", fake)
+    for fn, args in [
+        (S.transform_with_state_user_totals, (None, "user_id", "value")),
+        (S.transform_with_state_type_breakdown, (None, "user_id", "event_type")),
+        (S.transform_with_state_inactivity_flush, (None, "u", "ts", "v", 1000)),
+        (S.transform_with_state_warm_start, (None, None, "u", "id", "v")),
+    ]:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            fn(*args)
