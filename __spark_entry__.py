@@ -6136,6 +6136,56 @@ def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_ann_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at SCALE — the plan a 100 TB curation pipeline
+    actually ships: candidate pairs come from BANDED hyperplane LSH
+    (operators/similarity.bucketed_cosine_dup_pairs) — 8 independent
+    hash tables of 6 sign bits each (band 0 = the pruned ANN index
+    planes), one Arrow matmul pass to sign, and the exact-cosine
+    verification gram runs WITHIN a (band, bucket) group only: total
+    verify FLOPs ~ 8·N²/64 and ONE shuffle of O(N·bands) rows, vs
+    semantic_dedup_keep_best's exact all-pairs baseline (quadratic
+    compute, kept as the documented baseline). Pairs found by several
+    bands collapse by id, then flow through the same connected-
+    components + keep-best-by-label policy. Recall is the classic LSH
+    amplification 1-(1-p^6)^8 — a pair no band agrees on is missed —
+    and the ORACLE replays the SAME band assignments from inlined plane
+    literals (sign margins test-guarded in tests/test_ann_index.py), so
+    the result is still exactly SQL-reproducible. At 100× the corpus,
+    n_planes rises (n_bands with the target recall) to hold bucket
+    sizes — and per-task gram memory — constant."""
+    from tdigest_spark.operators.graph import dup_groups
+    from tdigest_spark.operators.similarity import bucketed_cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = bucketed_cosine_dup_pairs(
+        emb,
+        0.42,
+        n_bands=8,
+        n_planes=_ANN_PLANES,
+        seed=_ANN_SEED,
+        dim=_ANN_DIM,
+    ).select("id_a", "id_b")
+    groups = dup_groups(pairs, "id_a", "id_b")
+    members = groups.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("label"), F.col("doc_id")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("canonical_id").alias("group_id"),
+            F.col("doc_id").alias("kept_id"),
+            F.col("label").alias("kept_label"),
+            "group_size",
+        )
+        .orderBy("group_id")
+    )
+
+
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN path end-to-end (k-means coarse quantizer -> list assignment
     -> probed exact rerank) run at full probe, which must equal brute-force
@@ -6538,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
         "semantic_dedup_keep_best": semantic_dedup_keep_best,
+        "semantic_dedup_ann_keep_best": semantic_dedup_ann_keep_best,
     }
 
 
@@ -6846,6 +6897,72 @@ def _ann_recall_oracle_sql(
         )
         {union}
         ORDER BY probe_hamming
+    """
+
+
+def _semantic_ann_oracle_sql(
+    threshold: float = 0.42,
+    n_bands: int = 8,
+    n_planes: int = _ANN_PLANES,
+    seed: int = _ANN_SEED,
+    dim: int = _ANN_DIM,
+) -> str:
+    """SQL twin of semantic_dedup_ann_keep_best: recompute every band's
+    LSH bucket from the SAME plane constants (band k seeded ``seed+k``,
+    inlined as double literals), take the UNION of per-band same-bucket
+    exact-cosine pairs, then the identical transitive closure +
+    keep-best ROW_NUMBER pick."""
+    from tdigest_spark.operators.similarity import _plane_matrix
+
+    bucket_cols = []
+    for k in range(n_bands):
+        P = _plane_matrix(dim, n_planes, seed + k)
+        terms = []
+        for p in range(n_planes):
+            lits = ",".join(repr(float(x)) for x in P[:, p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(terms) + f" AS b{k}")
+    band_joins = "\n          UNION ALL\n".join(
+        f"""          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sigs a JOIN sigs b
+            ON a.b{k} = b.b{k} AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= {threshold!r}"""
+        for k in range(n_bands)
+    )
+    return f"""
+        WITH RECURSIVE sigs AS (
+          SELECT vec_id, embedding, label, {", ".join(bucket_cols)}
+          FROM embeddings
+        ), pairs AS (
+          SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+          )
+        ), edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS group_id
+          FROM reach GROUP BY u
+        ), sized AS (
+          SELECT c.group_id, c.doc_id, e.label,
+                 COUNT(*) OVER (PARTITION BY c.group_id) AS group_size,
+                 ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                    ORDER BY e.label DESC, c.doc_id) AS rn
+          FROM comp c JOIN embeddings e ON e.vec_id = c.doc_id
+        )
+        SELECT group_id, doc_id AS kept_id, label AS kept_label,
+               group_size
+        FROM sized WHERE rn = 1 ORDER BY group_id
     """
 
 
@@ -9731,6 +9848,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id <> 0
             ORDER BY rank LIMIT 10
         """,
+        "semantic_dedup_ann_keep_best": _semantic_ann_oracle_sql(),
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
         "ann_recall_at_k": _ann_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),

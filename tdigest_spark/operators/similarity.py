@@ -31,6 +31,7 @@ __all__ = [
     "lsh_index_topk",
     "build_ivf_index",
     "ivf_index_topk",
+    "bucketed_cosine_dup_pairs",
 ]
 
 
@@ -389,6 +390,121 @@ def ivf_topk(
     assigned = ivf_assign(df, C, vec_col)
     cands = assigned.where(F.col("list_id").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col)
+
+
+def bucketed_cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 8,
+    n_planes: int = 6,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate candidate pairs from BANDED hyperplane
+    LSH — the scale-safe pair plan a curation pipeline ships, vs
+    :func:`cosine_dup_pairs`'s exact all-pairs baseline.
+
+    ``n_bands`` independent hash tables of ``n_planes`` sign bits each
+    (band k's plane matrix is seeded ``seed + k``, so band 0 matches the
+    pruned ANN index planes): one Arrow matmul pass signs every vector
+    into all bands, each (band, bucket) group computes only its own
+    (n_b choose 2) exact-cosine gram, and pairs found by several bands
+    collapse with an id-pair groupBy. A pair is a candidate iff SOME
+    band agrees on all its bits — recall 1-(1-p^r)^b for per-plane
+    agreement p = 1 - theta/pi, the classic LSH amplification — while
+    total verify FLOPs stay ~ b*N^2/2^r instead of N^2 and data
+    movement is O(N*b) rows through ONE shuffle. At 100x the corpus,
+    n_planes rises (and n_bands with the target recall) to hold bucket
+    sizes — and so per-task gram memory — constant. The plane matrices
+    derive from (dim, n_planes, seed+k) alone, so the bucket columns
+    (and therefore the whole candidate set) are exactly reproducible in
+    SQL from inlined plane literals (the ann_pruned_topk technique).
+
+    The pair cosine is aggregated with MAX across the bands that found
+    it: BLAS blocking may round the same dot product differently in
+    different group shapes, and a nondeterministic pick would leak into
+    downstream orderings."""
+    import pandas as pd
+
+    if dim is None:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            raise ValueError(
+                f"cannot infer {vec_col!r} dimension from an empty input; "
+                "pass dim= explicitly"
+            )
+        dim = int(dim_row["d"])
+    P = np.concatenate(
+        [_plane_matrix(dim, n_planes, seed + k) for k in range(n_bands)],
+        axis=1,
+    )
+    weights = 1 << np.arange(n_planes)
+
+    def sign_bands(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            emb = tbl.column("_v").combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            bits = flat.astype(np.float64) @ P > 0
+            for k in range(n_bands):
+                bucket = bits[:, k * n_planes : (k + 1) * n_planes] @ weights
+                tbl = tbl.append_column(
+                    f"bucket_{k}", pa.array(bucket.astype(np.int32), pa.int32())
+                )
+            yield from tbl.to_batches()
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sig_schema = StructType(
+        list(base.schema.fields)
+        + [StructField(f"bucket_{k}", IntegerType()) for k in range(n_bands)]
+    )
+    sigs = base.mapInArrow(sign_bands, sig_schema)
+    rep = sigs.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col(f"bucket_{k}").alias("bucket"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def pairs(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        ii, jj = np.triu_indices(len(ids), 1)
+        vals = (V @ V.T)[ii, jj]
+        keep = vals >= threshold
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": vals[keep],
+            }
+        )
+
+    return (
+        rep.groupBy("band", "bucket")
+        .applyInPandas(pairs, out_schema)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 
 def cosine_dup_pairs(

