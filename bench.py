@@ -51,11 +51,30 @@ def make_spark(cpus: int):
     from tdigest_spark.sources.tables import get_spark
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
-    return get_spark(
+    spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"tdigest-spark-bench-{cpus}",
         shuffle_partitions=max(cpus, 8),
     )
+    # BENCH_r03's tail carried a DAGScheduler.updateAccumulators stack: a
+    # task completing after its job finished reports to an already-GC'd
+    # driver-side accumulator (weak-ref registry), which Spark logs at
+    # ERROR — benign (the job's results were already returned) but it
+    # lands on stderr and into the driver's bench-tail capture. The race
+    # only shows up under this harness's session churn (interleaved
+    # local[1]/local[4] scaling sessions in one Python process, so driver
+    # GC runs between jobs). Pin that one logger to FATAL for bench
+    # sessions; everything else keeps the normal level so real failures
+    # still surface.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # log4j2 API unavailable => keep default logging
+    return spark
 
 
 def bench_table_path() -> Path:
@@ -184,6 +203,24 @@ def accuracy_vs_exact(path: Path, sketches) -> dict:
     return out
 
 
+# the exact set BENCH_r03 timed: their sum is emitted as shared_subtotal so
+# round-over-round comparison is one field, not hand arithmetic (the timed
+# set grows every round, so headline totals are never comparable directly)
+R3_TIMED = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "events_type_stats", "events_top_users_window",
+    "tdigest_quantity_quantiles", "discrete_quantile_quantity",
+    "hll_distinct_check", "cms_topk_quantity", "doc_exact_dedup",
+    "minhash_lsh_pairs", "ann_topk_cosine", "doc_source_word_kl",
+    "events_weekly_retention", "ddsketch_price_quantiles",
+    "theta_event_audience_ops", "ann_pruned_topk",
+    "events_user_trailing_hour", "semantic_dedup_keep_best",
+    "doc_contamination_report", "q2_min_cost_supplier",
+    "doc_pmi_collocations", "doc_unigram_logprob_rank",
+    "doc_bpe_pair_counts", "token_sketch_build", "per_source_digest_build",
+]
+
+
 def run_headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -220,6 +257,10 @@ def run_headline(spark) -> dict[str, float]:
         # the BPE pair count (both full-corpus text analytics)
         "doc_unigram_logprob_rank",
         "doc_bpe_pair_counts",
+        # round-4: the scale-safe (banded-LSH) semantic dedup replacing the
+        # all-pairs plan, and the full 6-merge BPE training loop
+        "semantic_dedup_ann_keep_best",
+        "doc_bpe_merges",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -329,6 +370,7 @@ def main() -> None:
         # interleaved pairs — bounded, and always best-of, never cherry-
         # picking a single lucky run.
         results = {lo_cpus: 0.0, hi_cpus: 0.0}
+        attempts_log: list[dict] = []
 
         def sample_pair():
             # One attempt = both levels measured back-to-back, so they share
@@ -350,9 +392,20 @@ def main() -> None:
                     results[cpus] = max(results[cpus], pair[cpus])
                 s.stop()
                 time.sleep(1)
-            return min(
+            pair_eff = min(
                 (pair[hi_cpus] / pair[lo_cpus]) / (hi_cpus / lo_cpus), 1.0
             )
+            # per-attempt transparency (VERDICT r3 item 5): the artifact
+            # shows the paired readings the max was taken over, so a noisy
+            # round is distinguishable from a real scaling regression
+            attempts_log.append(
+                {
+                    "tokens_per_sec_lo": round(pair[lo_cpus]),
+                    "tokens_per_sec_hi": round(pair[hi_cpus]),
+                    "efficiency": round(pair_eff, 3),
+                }
+            )
+            return pair_eff
 
         eff = sample_pair()
         attempts = 1
@@ -371,6 +424,7 @@ def main() -> None:
             "efficiency_global_best": round(
                 (results[hi_cpus] / results[lo_cpus]) / (hi_cpus / lo_cpus), 3
             ),
+            "attempts": attempts_log,
         }
 
     spark = make_spark(CPUS)
@@ -413,6 +467,9 @@ def main() -> None:
     queries["token_sketch_build"] = round(hi_s, 3)
     queries["per_source_digest_build"] = round(grouped_s, 3)
     total = round(sum(queries.values()), 3)
+    shared_subtotal = round(
+        sum(queries[k] for k in R3_TIMED if k in queries), 3
+    )
 
     sf = 0.1
     try:
@@ -425,6 +482,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        # sum over the queries BENCH_r03 also timed (round-over-round
+        # comparable; the full `value` is not, the timed set grows)
+        "shared_subtotal": shared_subtotal,
         "sf": sf,
         "tokens": n_tokens,
         "tokens_per_sec": round(tokens_per_sec),

@@ -22,6 +22,9 @@ __all__ = [
     "PII_PATTERNS",
     "pii_match_count",
     "redact_pii",
+    "bpe_encode",
+    "bpe_pairs",
+    "bpe_train",
 ]
 
 # PII scrub patterns (the pre-training hygiene pass next to dedup and
@@ -220,3 +223,98 @@ def fingerprint(col, ngram: int = 5) -> Column:
         ),
     ).otherwise(F.array(_md5_lower64_hex(F.concat_ws(" ", words))))
     return F.array_min(grams)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the full loop, not just merge round 1)
+# ---------------------------------------------------------------------------
+#
+# Classic byte-pair-encoding training (Sennrich et al. 2016): collapse the
+# corpus to its (word, count) histogram ONCE, then iterate "count adjacent
+# symbol pairs -> merge the argmax pair" over vocab-sized state. At 100 TB
+# the corpus pass is the only heavy stage; every merge iteration touches
+# only the histogram (millions of rows at web scale), so N merges cost N
+# vocab-sized Spark jobs plus a one-row collect each — the corpus is never
+# re-read. Symbol sequences are encoded as "(s1)(s2)..." strings so that
+# merge application is a single codegen `replace(enc, '(a)(b)', '(ab)')`:
+# parens cannot occur inside symbols (words are pre-filtered to [a-z]+),
+# so the delimiters anchor both symbol boundaries, and because each symbol
+# carries its own full "(sym)" wrapper, left-to-right non-overlapping
+# string replacement is EXACTLY BPE's greedy merge application (no shared
+# separator is consumed between adjacent matches — "(a)(a)(a)(a)" merges
+# to "(aa)(aa)", not "(aa)(a)(a)"). DuckDB's replace() has the same
+# semantics, which is what makes the training loop exactly SQL-checkable.
+
+
+def bpe_encode(word_col) -> Column:
+    """Wrap every character as its own "(sym)" symbol (codegen regexp)."""
+    return F.regexp_replace(word_col, "(.)", r"($1)")
+
+
+def bpe_pairs(enc_col) -> Column:
+    """Adjacent symbol pairs of an encoded word as array<struct<lhs,rhs>>.
+
+    Counts OVERLAPPING occurrences ("(a)(a)(a)" yields (a,a) twice), matching
+    how BPE trainers count pairs from the adjacent-symbol list. The symbol
+    array is bound ONCE via the single-element-array trick (Spark HOFs are
+    interpreted with no CSE across references — CLAUDE.md)."""
+    inner = enc_col.substr(F.lit(2), F.length(enc_col) - 2)
+    syms = F.split(inner, r"\)\(")
+    empty = F.array().cast("array<struct<lhs:string,rhs:string>>")
+    return F.flatten(
+        F.transform(
+            F.array(syms),
+            lambda s: F.when(
+                F.size(s) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.struct(
+                        F.element_at(s, i).alias("lhs"),
+                        F.element_at(s, i + F.lit(1)).alias("rhs"),
+                    ),
+                ),
+            ).otherwise(empty),
+        )
+    )
+
+
+def bpe_train(spark, vocab: DataFrame, n_merges: int, word_col: str = "w",
+              count_col: str = "c") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a (word, count) histogram.
+
+    ``vocab`` must contain lowercase [a-z]{2,} words (the paren encoding
+    relies on parens never appearing inside symbols). Each iteration runs
+    one vocab-sized aggregation (argmax pair by weighted count, ties broken
+    lexicographically by lhs then rhs) and one codegen replace; the running
+    vocab is localCheckpoint(eager=False)'d per iteration so iteration k
+    replays one replace, not k, and blocks stay GC-managed in a shared
+    session. Returns a DataFrame (merge_rank, lhs, rhs, merged, n_weighted)
+    ordered by merge_rank — deterministic for any input layout (integer
+    counts, total-order tie-break)."""
+    v = vocab.select(
+        F.col(count_col).alias("c"), bpe_encode(F.col(word_col)).alias("enc")
+    ).localCheckpoint(eager=False)
+    out: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            v.select("c", F.explode(bpe_pairs(F.col("enc"))).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("c").alias("n_weighted"))
+            .orderBy(F.desc("n_weighted"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        out.append((rank, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n_weighted)))
+        pat = f"({b.lhs})({b.rhs})"
+        rep = f"({b.lhs}{b.rhs})"
+        v = v.select(
+            "c", F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        out,
+        "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "
+        "n_weighted BIGINT",
+    )

@@ -153,3 +153,69 @@ def test_pmi_round_boundary_margin():
         # 1e-6 scaled units = 1e-12 absolute — ~1000x a 1-ulp ln
         # disagreement at |lnr| <= 16, the cross-engine risk being guarded
         assert dist.min() > 1e-6, (sf, dist.min())
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Textbook BPE trainer (Sennrich et al. 2016) over a histogram:
+    symbol lists, overlapping pair counts, greedy left-to-right merge."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lhs, rhs), n = best
+        merges.append((rank, lhs, rhs, lhs + rhs, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from tdigest_spark.operators.text import bpe_train
+
+    # 'aaaa' exercises overlap counting (pair (a,a) counted 3x per word)
+    # and greedy application ((aa)(aa), NOT (aa)(a)(a)); 'abab'/'ab' give
+    # a multi-word merge cascade.
+    hist = {"aaaa": 5, "abab": 3, "ab": 4, "banana": 2, "bandana": 1}
+    vocab = spark.createDataFrame(list(hist.items()), "w string, c long")
+    got = [tuple(r) for r in bpe_train(spark, vocab, n_merges=5).collect()]
+    assert got == _reference_bpe(hist, 5)
+
+
+def test_bpe_train_tie_break_lexicographic(spark):
+    from tdigest_spark.operators.text import bpe_train
+
+    # (a,b) and (c,d) both have weighted count 2 -> lhs ASC picks (a,b).
+    vocab = spark.createDataFrame([("ab", 2), ("cd", 2)], "w string, c long")
+    rows = bpe_train(spark, vocab, n_merges=1).collect()
+    assert [(r.lhs, r.rhs, r.n_weighted) for r in rows] == [("a", "b", 2)]
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    from tdigest_spark.operators.text import bpe_train
+
+    # 'ab' collapses to a single symbol after merge 1; merge 2 impossible.
+    vocab = spark.createDataFrame([("ab", 3)], "w string, c long")
+    rows = bpe_train(spark, vocab, n_merges=4).collect()
+    assert len(rows) == 1 and rows[0].merged == "ab"
