@@ -1482,6 +1482,38 @@ def tdigest_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "p double, q double").orderBy("p")
 
 
+def tdigest_weighted_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED weighted ingest (VERDICT r3 item 6 — the global
+    build_weighted_digest now composes with the monitoring shape): one
+    weighted t-digest per l_returnflag, l_quantity weighted by
+    l_linenumber mass, built two-phase (per-partition-per-key partials,
+    state-only shuffle). l_quantity is duplicate-heavy so every group's
+    centroids stay singleton-per-value and the weighted interpolation has
+    a closed-form SQL mirror with SUM(weight) per (flag, value) —
+    exact-by-construction, per group."""
+    from tdigest_spark.operators.aggregate import build_weighted_digest_grouped
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    states = build_weighted_digest_grouped(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_linenumber",
+        0.01,
+    ).collect()
+    ps = [0.25, 0.5, 0.75, 0.9]
+    rows = []
+    for r in sorted(states, key=lambda r: r["l_returnflag"]):
+        d = TDigest.from_bytes(bytes(r["state"]))
+        for p in ps:
+            rows.append(
+                (r["l_returnflag"], p, float(np.round(d.quantile(p), 6)))
+            )
+    return spark.createDataFrame(
+        rows, "flag string, p double, q double"
+    ).orderBy("flag", "p")
+
+
 def discrete_quantile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete-mode digest (exact map, Nearest-Rank quantiles —
     tdigest.js:277-280) over l_quantity, built distributed."""
@@ -6552,6 +6584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantity_quantiles": tdigest_quantity_quantiles,
         "lineitem_quantile_buckets": lineitem_quantile_buckets,
         "tdigest_weighted_quantiles": tdigest_weighted_quantiles,
+        "tdigest_weighted_by_flag": tdigest_weighted_by_flag,
         "tdigest_summary": tdigest_summary,
         "tdigest_tree_merged_quantiles": tdigest_tree_merged_quantiles,
         "tdigest_checkpoint_resume": tdigest_checkpoint_resume,
@@ -7965,6 +7998,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p AS DOUBLE) AS p,
                    ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo)) * (p * n - mc_lo), 6) AS q
             FROM brackets ORDER BY p
+        """,
+        "tdigest_weighted_by_flag": """
+            WITH cent AS (
+              SELECT l_returnflag AS flag,
+                     CAST(l_quantity AS DOUBLE) AS mean,
+                     CAST(SUM(l_linenumber) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ), cum AS (
+              SELECT flag, mean, w,
+                     SUM(w) OVER (PARTITION BY flag ORDER BY mean) - w / 2
+                       AS mc,
+                     SUM(w) OVER (PARTITION BY flag) AS n
+              FROM cent
+            ), ps AS (
+              SELECT * FROM (VALUES (0.25),(0.5),(0.75),(0.9)) t(p)
+            ), brackets AS (
+              SELECT flag, p,
+                     MAX(CASE WHEN mc <= p * n THEN mc END) AS mc_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mc END) AS mc_hi,
+                     MAX(CASE WHEN mc <= p * n THEN mean END) AS m_lo,
+                     MIN(CASE WHEN mc >  p * n THEN mean END) AS m_hi,
+                     ANY_VALUE(n) AS n
+              FROM ps, cum GROUP BY flag, p
+            )
+            SELECT flag, CAST(p AS DOUBLE) AS p,
+                   ROUND(m_lo + ((m_hi - m_lo) / (mc_hi - mc_lo))
+                         * (p * n - mc_lo), 6) AS q
+            FROM brackets ORDER BY flag, p
         """,
         "discrete_quantile_quantity": """
             WITH cum AS (

@@ -54,6 +54,7 @@ __all__ = [
     "build_sketch",
     "build_sketch_grouped",
     "build_weighted_digest",
+    "build_weighted_digest_grouped",
     "weighted_digest_partials",
     "partials_df",
     "merge_partials",
@@ -494,6 +495,84 @@ def build_weighted_digest(
     rows = weighted_digest_partials(df, value_col, weight_col, delta).collect()
     merged = merge_partials(rows, ["s"], {"s": spec})
     return spec.from_bytes(merged["s"])
+
+
+def build_weighted_digest_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    delta: float = 0.01,
+) -> DataFrame:
+    """Grouped form of the weighted ingest (VERDICT r3 item 6): one
+    weighted t-digest per key, two-phase like ``build_sketch_grouped`` —
+    per-(partition, key) partials built in a vectorized pandas pass, then
+    only O(16 KB) states shuffle to the per-key deterministic fold. Raw
+    rows never shuffle, so weighted quantile monitoring composes with the
+    grouped shape at 100 TB (exchange = #partitions x #keys x state size).
+
+    Returns DataFrame[group_cols..., state binary, rows long]; states
+    deserialize with ``TDigest.from_bytes``."""
+    import pandas as pd
+
+    from ..sketch.tdigest import TDigest
+
+    spec = _mk_tdigest(delta)
+    sel = df.select(*group_cols, value_col, weight_col)
+    part_schema = (
+        ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+        )
+        + ", state binary, rows long"
+    )
+
+    def partial(pdfs: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict[tuple, Any] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in pdfs:
+            for kr, sub in pdf.groupby(group_cols, sort=False, dropna=False):
+                if not isinstance(kr, tuple):
+                    kr = (kr,)
+                # value/weight nulls must drop JOINTLY (same rule as the
+                # global weighted_digest_partials) or the arrays misalign
+                v = pd.to_numeric(sub[value_col], errors="coerce").to_numpy(
+                    np.float64, copy=False
+                )
+                w = pd.to_numeric(sub[weight_col], errors="coerce").to_numpy(
+                    np.float64, copy=False
+                )
+                keep = ~(np.isnan(v) | np.isnan(w))
+                if not keep.all():
+                    v, w = v[keep], w[keep]
+                if kr not in acc:
+                    acc[kr] = TDigest(delta)
+                    counts[kr] = 0
+                if v.shape[0]:
+                    acc[kr].push(v, w)
+                    counts[kr] += v.shape[0]
+        if acc:
+            ks = list(acc.keys())
+            out = {
+                c: [
+                    None if (k[i] is None or k[i] != k[i]) else k[i]
+                    for k in ks
+                ]
+                for i, c in enumerate(group_cols)
+            }
+            out["state"] = [acc[k].to_bytes() for k in ks]
+            out["rows"] = [counts[k] for k in ks]
+            yield pd.DataFrame(out)
+
+    parts = sel.mapInPandas(partial, part_schema)
+
+    def final_merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged = fold_states([bytes(b) for b in pdf["state"]], spec)
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["state"] = [merged]
+        out["rows"] = [int(pdf["rows"].sum())]
+        return pd.DataFrame(out)
+
+    return parts.groupBy(*group_cols).applyInPandas(final_merge, part_schema)
 
 
 def tree_merge_states(

@@ -339,3 +339,45 @@ def test_grouped_keys_keep_native_types(spark):
         d = TDigest.from_bytes(r["state"])
         assert r["rows"] == len(exact)
         assert d.n == len(exact)
+
+
+def test_build_weighted_digest_grouped(spark):
+    """Per-key weighted digests: mass = SUM(weight) per key, value/weight
+    nulls drop jointly, and duplicate-heavy values give exact weighted
+    quantiles per group (singleton-value centroids)."""
+    import numpy as np
+
+    from tdigest_spark.operators.aggregate import build_weighted_digest_grouped
+
+    rows = []
+    for i in range(600):
+        g = "g%d" % (i % 3)
+        v = float(i % 5 + 1)
+        w = float(i % 4 + 1)
+        # sprinkle nulls on each side: those rows contribute nothing
+        if i % 31 == 0:
+            v = None
+        if i % 37 == 0:
+            w = None
+        rows.append((g, v, w))
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = build_weighted_digest_grouped(df, ["g"], "v", "w", 0.01).collect()
+    assert {r["g"] for r in out} == {"g0", "g1", "g2"}
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    for r in out:
+        live = [
+            (v, w) for g, v, w in rows
+            if g == r["g"] and v is not None and w is not None
+        ]
+        d = TDigest.from_bytes(bytes(r["state"]))
+        assert r["rows"] == len(live)
+        assert d.n == sum(w for _, w in live)
+        # exact weighted median via the same mid-rank convention
+        vals = np.array(sorted(set(v for v, _ in live)))
+        wts = np.array(
+            [sum(w for v2, w in live if v2 == v) for v in vals], float
+        )
+        mc = np.cumsum(wts) - wts / 2.0
+        q50 = float(np.interp(0.5 * wts.sum(), mc, vals))
+        assert abs(d.quantile(0.5) - q50) < 1e-9
