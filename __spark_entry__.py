@@ -6435,6 +6435,107 @@ def ann_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_RECALL_PROBES = (0, 1, 2, 6)
 
 
+# IVF twin of the LSH recall curve (VERDICT r3 item 7): fixed seeded
+# spherical codebook (data-independent => the list assignment replays from
+# inlined centroid literals in SQL; margins guarded in tests/test_ivf.py:
+# min top-2 assignment gap 1.7e-6 at sf0.1, ~7 orders above float64
+# summation-order noise)
+_IVF_LISTS = 16
+_IVF_SEED = 11
+_IVF_RECALL_PROBES = (1, 2, 4, 16)
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached) the list_id-partitioned IVF index over this
+    SF's embeddings with the FIXED codebook. Marker-validated like
+    _ensure_ann_index."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    from tdigest_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_fixed_centroids,
+    )
+
+    root = Path(os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache"))
+    path = root / "ann_index" / (
+        f"{Path(sf_dir).name}_ivf_l{_IVF_LISTS}_s{_IVF_SEED}"
+    )
+    marker = path / "_built.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "n_lists": _IVF_LISTS,
+        "seed": _IVF_SEED,
+        "dim": _ANN_DIM,
+        "src": _src_sig(f"{sf_dir}/embeddings.parquet"),
+    }
+    if marker.exists():
+        try:
+            if json.loads(marker.read_text()) == params:
+                return str(path)
+        except Exception:
+            pass
+        marker.unlink()
+    if path.exists():
+        shutil.rmtree(path)
+    build_ivf_index(
+        _t(spark, sf_dir, "embeddings"),
+        str(path),
+        ivf_fixed_centroids(_ANN_DIM, _IVF_LISTS, _IVF_SEED),
+    )
+    marker.write_text(json.dumps(params))
+    return str(path)
+
+
+def ivf_recall_at_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall/cost curve (the ann_recall_at_k twin, so BOTH index
+    families carry their own correctness endpoint): recall@10 of the
+    pruned-storage IVF probe vs exact brute force at n_probe 1/2/4/16,
+    alongside candidates scanned. n_probe = n_lists must reach recall
+    1.0. The codebook is the fixed seeded one, so every list assignment
+    — and therefore every measured recall value — is exactly reproduced
+    by the DuckDB oracle from inlined centroid literals. Each probe is a
+    partition-pruned read of the materialized index (no re-assignment)."""
+    from tdigest_spark.operators.similarity import (
+        ivf_fixed_centroids,
+        ivf_index_topk,
+        topk_cosine,
+    )
+
+    path = _ensure_ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    exact = topk_cosine(emb, query, k=10, exclude_id=0).select("vec_id")
+    exact.persist()
+    n_corpus = emb.where(F.col("vec_id") != 0).count()
+    idx = spark.read.parquet(path)
+    C = ivf_fixed_centroids(_ANN_DIM, _IVF_LISTS, _IVF_SEED)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe_order = np.argsort(-(C @ q), kind="stable")
+    rows = []
+    for npb in _IVF_RECALL_PROBES:
+        approx = ivf_index_topk(
+            spark, path, query, k=10, n_probe=npb, exclude_id=0
+        ).select("vec_id")
+        n_hits = approx.join(exact, "vec_id", "left_semi").count()
+        probes = [int(x) for x in probe_order[:npb]]
+        n_cand = idx.where(
+            F.col("list_id").isin(probes) & (F.col("vec_id") != 0)
+        ).count()
+        rows.append((npb, 10, n_hits, n_cand, n_corpus, n_hits / 10.0))
+    exact.unpersist()
+    assert rows[-1][5] == 1.0, rows[-1]  # full probe == brute force
+    return spark.createDataFrame(
+        rows,
+        "n_probe int, k int, n_hits long, n_candidates long, "
+        "n_corpus long, recall double",
+    ).orderBy("n_probe")
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement — the recall/cost TRADEOFF CURVE every ANN
     deployment tunes on: recall@10 of the LSH probe vs the exact
@@ -6700,6 +6801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_pruned_topk": ann_pruned_topk,
         "ann_recall_at_k": ann_recall_at_k,
+        "ivf_recall_at_probe": ivf_recall_at_probe,
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -6956,6 +7058,77 @@ def _ann_pruned_oracle_sql(
           AND bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT)))
               <= {probe_hamming}{label_pred}
         ORDER BY rank LIMIT {k}
+    """
+
+
+def _ivf_recall_oracle_sql(
+    n_lists: int = _IVF_LISTS,
+    seed: int = _IVF_SEED,
+    dim: int = _ANN_DIM,
+    k: int = 10,
+) -> str:
+    """SQL twin of ivf_recall_at_probe: rebuild every vector's list
+    assignment (argmax centroid dot, first-max tie-break = ROW_NUMBER by
+    dot DESC, list_id ASC) and the query's probe ordering from the SAME
+    inlined centroid literals, then measure each n_probe's top-k overlap
+    with exact brute force — the whole recall/cost curve is exact.
+    Normalizing the vector before the dot (Spark side) cannot change the
+    argmax; top-2 gaps are margin-guarded in tests/test_ivf.py."""
+    from tdigest_spark.operators.similarity import ivf_fixed_centroids
+
+    C = ivf_fixed_centroids(dim, n_lists, seed)
+    cent_rows = ",\n            ".join(
+        f"({j}, CAST([{', '.join(repr(float(x)) for x in C[j])}]"
+        f" AS DOUBLE[]))"
+        for j in range(n_lists)
+    )
+    blocks = []
+    for npb in _IVF_RECALL_PROBES:
+        blocks.append(f"""
+        SELECT CAST({npb} AS INTEGER) AS n_probe, CAST({k} AS INTEGER) AS k,
+               (SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM cand WHERE pr <= {npb}
+                  ORDER BY cos DESC, vec_id LIMIT {k}
+                ) WHERE vec_id IN (SELECT vec_id FROM exact)) AS n_hits,
+               (SELECT COUNT(*) FROM cand WHERE pr <= {npb}) AS n_candidates,
+               (SELECT COUNT(*) FROM cand) AS n_corpus,
+               CAST((SELECT COUNT(*) FROM (
+                  SELECT vec_id FROM cand WHERE pr <= {npb}
+                  ORDER BY cos DESC, vec_id LIMIT {k}
+                ) WHERE vec_id IN (SELECT vec_id FROM exact))
+                 AS DOUBLE) / {float(k)} AS recall""")
+    union = "\n        UNION ALL\n".join(blocks)
+    return f"""
+        WITH cents(list_id, cv) AS (VALUES {cent_rows}),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        lrank AS (
+          SELECT list_id, ROW_NUMBER() OVER (
+            ORDER BY list_dot_product(CAST(q.qe AS DOUBLE[]), cv) DESC,
+                     list_id) AS pr
+          FROM cents, q
+        ),
+        assign AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, c.list_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               c.cv) DESC,
+                              c.list_id) AS rn
+            FROM embeddings e, cents c
+          ) WHERE rn = 1
+        ),
+        cand AS (
+          SELECT e.vec_id, l.pr,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])) AS cos
+          FROM embeddings e
+          JOIN assign a ON a.vec_id = e.vec_id
+          JOIN lrank l ON l.list_id = a.list_id
+          CROSS JOIN q
+          WHERE e.vec_id <> 0
+        ),
+        exact AS (SELECT vec_id FROM cand ORDER BY cos DESC, vec_id LIMIT {k})
+        SELECT * FROM ({union}) ORDER BY n_probe
     """
 
 
@@ -9996,5 +10169,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_ann_keep_best": _semantic_ann_oracle_sql(),
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
         "ann_recall_at_k": _ann_recall_oracle_sql(),
+        "ivf_recall_at_probe": _ivf_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
     }

@@ -25,6 +25,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_fixed_centroids",
     "lsh_probe_buckets",
     "build_lsh_index",
     "append_lsh_index",
@@ -76,6 +77,19 @@ def topk_cosine(
 def _plane_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes))
+
+
+def ivf_fixed_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    """Deterministic data-INDEPENDENT spherical codebook: ``n_lists``
+    seeded Gaussian directions, L2-normalized. A trained k-means codebook
+    (:func:`ivf_centroids`) packs lists tighter, but its centroids depend
+    on the data — a fixed codebook makes the list assignment replayable
+    from inlined literals by an independent SQL engine (the same property
+    the LSH plane matrix has), which is what lets the IVF recall/cost
+    curve be exactly oracled rather than asserted."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((n_lists, dim))
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
 
 def hyperplane_buckets(
@@ -301,7 +315,9 @@ def ivf_index_topk(
     )[order]
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    probes = [int(x) for x in np.argsort(-(C @ q))[:n_probe]]
+    # stable: equal-similarity lists order by index, matching the SQL
+    # oracle's (dot DESC, list_id ASC) probe ranking
+    probes = [int(x) for x in np.argsort(-(C @ q), kind="stable")[:n_probe]]
     cands = spark.read.parquet(path).where(F.col("list_id").isin(probes))
     return topk_cosine(cands, query, k, vec_col, id_col, exclude_id=exclude_id)
 
@@ -385,7 +401,7 @@ def ivf_topk(
     C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    order = np.argsort(-(C @ q))
+    order = np.argsort(-(C @ q), kind="stable")
     probes = [int(x) for x in order[:n_probe]]
     assigned = ivf_assign(df, C, vec_col)
     cands = assigned.where(F.col("list_id").isin(probes))

@@ -73,3 +73,53 @@ def test_assignment_covers_all_and_prunes(clustered):
     # no megalist)
     counts = sorted(r["count"] for r in sizes)
     assert counts[0] > 0 and counts[-1] <= 3 * 100
+
+
+def test_ivf_fixed_codebook_margins_all_sfs():
+    """ivf_recall_at_probe's DuckDB oracle replays list assignments from
+    inlined centroid literals; exactness needs (a) every vector's top-2
+    centroid-dot gap and (b) the query's probe-order gaps far above
+    float64 summation-order noise (~1e-12 for 64-term dots). Guards the
+    margins at every SF (measured: assign gap 1.7e-6 at sf0.1)."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.similarity import ivf_fixed_centroids
+
+    C = ivf_fixed_centroids(64, 16, 11)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        V = np.stack(
+            [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+        )
+        D = V @ C.T
+        S = np.sort(D, axis=1)
+        assert (S[:, -1] - S[:, -2]).min() > 1e-9, sf
+        qv = V[tbl["vec_id"].to_numpy() == 0][0]
+        dq = np.sort(C @ (qv / np.linalg.norm(qv)))
+        assert np.diff(dq).min() > 1e-9, sf
+
+
+def test_ivf_fixed_assignment_matches_numpy(spark):
+    """Spark's ivf_assign (normalized argmax) equals the raw-dot argmax the
+    SQL oracle computes — normalization by a positive scalar cannot move
+    the argmax, and the margins above keep float rounding out of it."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fixed_centroids,
+    )
+
+    C = ivf_fixed_centroids(64, 16, 11)
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in ivf_assign(df, C).select("vec_id", "list_id").collect()
+    }
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    V = np.stack(
+        [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    want = np.argmax(V @ C.T, axis=1)
+    ids = tbl["vec_id"].to_numpy()
+    assert got == {int(i): int(l) for i, l in zip(ids, want)}
