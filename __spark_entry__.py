@@ -3702,6 +3702,72 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, vocab, n_merges=6)
 
 
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE pass — the other half of the tokenizer lifecycle (train
+    with doc_bpe_merges, then ENCODE the corpus with the learned merges):
+    per-source token statistics after applying the 6 learned merges.
+    Scale shape: training touches only the global vocab histogram; the
+    encode needs no join at all — the per-(source, word) histogram gets
+    the merge chain applied IN PLACE as 6 codegen replaces (the merges
+    ride in the plan as literals), token count = '(' occurrences in the
+    encoding, and per-source sums weight by word count. The corpus is
+    read once for the histogram; everything after is vocab-sized.
+    Integer sums are exact; the two ratios are single IEEE divisions of
+    exact integers, identical in both engines (ROUND 6 for discipline)."""
+    from tdigest_spark.operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w").rlike("^[a-z]{2,}$"))
+    )
+    hist = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    merges = bpe_train(
+        spark,
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("c")),
+        n_merges=6,
+    ).collect()
+    enc = bpe_encode(F.col("w"))
+    for m in merges:
+        enc = F.replace(
+            enc, F.lit(f"({m.lhs})({m.rhs})"), F.lit(f"({m.merged})")
+        )
+    toks = F.length(enc) - F.length(F.replace(enc, F.lit("("), F.lit("")))
+    return (
+        hist.select(
+            "source",
+            F.col("c"),
+            (F.col("c") * toks).alias("t"),
+            (F.col("c") * F.length("w")).alias("ch"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("ch").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def _bpe_oracle_sql(n_merges: int = 6) -> str:
     """SQL twin of doc_bpe_merges: the same training loop statically
     unrolled — v0 is the encoded histogram, each round k computes the
@@ -3753,6 +3819,89 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
         + "\nSELECT * FROM (\n"
         + "\nUNION ALL\n".join(selects)
         + "\n) ORDER BY merge_rank"
+    )
+
+
+def _bpe_stats_oracle_sql(n_merges: int = 6) -> str:
+    """SQL twin of doc_bpe_token_stats: replay the training loop (same
+    unrolled CTE chain as _bpe_oracle_sql), then encode the per-source
+    histogram with the learned merges as nested replace() scalar-subquery
+    calls and aggregate — token count is '(' occurrences."""
+    pair_count = """
+  SELECT lhs, rhs,
+         '(' || lhs || ')(' || rhs || ')' AS pat,
+         '(' || lhs || rhs || ')' AS rep
+  FROM (
+    SELECT s.syms[t.i] AS lhs, s.syms[t.i+1] AS rhs,
+           CAST(SUM(s.c) AS BIGINT) AS n_weighted
+    FROM (SELECT c, string_split(substr(enc, 2, length(enc)-2), ')(') AS syms
+          FROM {src}) s,
+         UNNEST(range(1, len(s.syms))) AS t(i)
+    GROUP BY 1, 2
+  )
+  ORDER BY n_weighted DESC, lhs ASC, rhs ASC
+  LIMIT 1
+"""
+    ctes = [
+        r"""v0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c,
+         regexp_replace(w, '(.)', '(\1)', 'g') AS enc
+  FROM (SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+          AS w
+        FROM documents WHERE TRIM(text) <> '')
+  WHERE regexp_matches(w, '^[a-z]{2,}$')
+  GROUP BY w
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"m{k} AS ({pair_count.format(src=f'v{k - 1}')})")
+        if k < n_merges:
+            ctes.append(
+                f"""v{k} AS (
+  SELECT c, replace(enc, (SELECT pat FROM m{k}),
+                    (SELECT rep FROM m{k})) AS enc
+  FROM v{k - 1}
+)"""
+            )
+    enc_expr = r"regexp_replace(w, '(.)', '(\1)', 'g')"
+    for k in range(1, n_merges + 1):
+        enc_expr = (
+            f"replace({enc_expr},\n             (SELECT pat FROM m{k}),"
+            f" (SELECT rep FROM m{k}))"
+        )
+    ctes.append(
+        r"""shist AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+        FROM documents WHERE TRIM(text) <> '')
+  WHERE regexp_matches(w, '^[a-z]{2,}$')
+  GROUP BY source, w
+)"""
+    )
+    ctes.append(
+        f"""senc AS (
+  SELECT source, w, c,
+         {enc_expr} AS enc
+  FROM shist
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * (length(enc) - length(replace(enc, '(', ''))))
+            AS BIGINT) AS n_tokens,
+       CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(c * (length(enc) - length(replace(enc, '(', ''))))
+                  AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS tokens_per_word,
+       ROUND(CAST(SUM(c * length(w)) AS DOUBLE)
+             / CAST(SUM(c * (length(enc) - length(replace(enc, '(', ''))))
+                    AS DOUBLE), 6) AS chars_per_token
+FROM senc GROUP BY source ORDER BY source"""
     )
 
 
@@ -6742,6 +6891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_changelog_read": iceberg_changelog_read,
         "doc_bpe_pair_counts": doc_bpe_pair_counts,
         "doc_bpe_merges": doc_bpe_merges,
+        "doc_bpe_token_stats": doc_bpe_token_stats,
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_evolved_upsert_read": iceberg_evolved_upsert_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
@@ -9270,6 +9420,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation_funnel": _curation_funnel_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
         "doc_bpe_merges": _bpe_oracle_sql(n_merges=6),
+        "doc_bpe_token_stats": _bpe_stats_oracle_sql(n_merges=6),
         "dedup_group_resolution": _dedup_groups_oracle_sql(
             k=32, bands=8, threshold=0.5
         ),
