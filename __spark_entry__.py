@@ -2695,6 +2695,97 @@ def iceberg_hidden_partition_read(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("doc_id")
 
 
+def iceberg_partition_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION end to end: documents is committed in two
+    generations — even doc_ids under spec identity(source), odd doc_ids
+    under the EVOLVED spec identity(lang) — and one query with predicates
+    on BOTH columns is planned against the mixed snapshot. Each manifest
+    entry records the spec it was written under, so the planner prunes
+    every file with ITS OWN spec (gen-1 by source, gen-2 by lang): the
+    layout changed without rewriting a byte or breaking the query, which
+    is the point of spec evolution on a 100 TB table. files_scanned /
+    files_total are exact in SQL (identity tuples mirror per-file column
+    bounds: a generation's file survives iff it exists and its other
+    column's min/max bracket the predicate literal); the row aggregate
+    covers every matching row because each matching row's holder file is
+    kept. Mechanism isolation (bucket specs, where bounds can't help) is
+    pinned in tests/test_iceberg_source.py."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_specevo" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        # generation 1: partitioned by source
+        W.set_partition_spec(root, [("source", "identity")], ts_ms=1500)
+        g1 = []
+        for s in sorted(set(even["source"].to_pylist())):
+            part = even.filter(pc.equal(even["source"], s))
+            f = root / "data" / f"g1-{s}.parquet"
+            pq.write_table(part, f)
+            g1.append(f)
+        W.append_snapshot(root, g1, snapshot_id=1, ts_ms=2000)
+        # generation 2 (EVOLVED): partitioned by lang
+        W.set_partition_spec(root, [("lang", "identity")], ts_ms=2500)
+        g2 = []
+        for lg in sorted(set(odd["lang"].to_pylist())):
+            part = odd.filter(pc.equal(odd["lang"], lg))
+            f = root / "data" / f"g2-{lg}.parquet"
+            pq.write_table(part, f)
+            g2.append(f)
+        W.append_snapshot(root, g2, snapshot_id=2, ts_ms=3000)
+        marker.write_text(_json.dumps(params))
+    paths, n_total = iceberg_scan_paths_pruned(
+        str(root), [("source", "==", "src3"), ("lang", "==", "en")]
+    )
+    df = spark.read.parquet(*paths).where(
+        (F.col("source") == "src3") & (F.col("lang") == "en")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    ).select(
+        "n_docs",
+        "chars_sum",
+        "id_sum",
+        F.lit(len(paths)).cast("long").alias("files_scanned"),
+        F.lit(n_total).cast("long").alias("files_total"),
+    )
+
+
 def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg table MAINTENANCE end to end — the nightly job every
     production table runs: a three-commit history (append even doc_ids,
@@ -6895,6 +6986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution_read": iceberg_schema_evolution_read,
         "iceberg_evolved_upsert_read": iceberg_evolved_upsert_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
+        "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
@@ -8939,6 +9031,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
                      AS n_new_words
             FROM dw GROUP BY source ORDER BY source
+        """,
+        "iceberg_partition_evolution_read": """
+            WITH even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            odd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            g1 AS (  -- gen-1 'web' file: kept iff it exists and its lang
+                     -- bounds bracket 'en' (identity tuple prunes source)
+              SELECT CASE WHEN COUNT(*) > 0
+                          AND MIN(lang) <= 'en' AND MAX(lang) >= 'en'
+                     THEN 1 ELSE 0 END AS k
+              FROM even WHERE source = 'src3'
+            ), g2 AS (  -- gen-2 'en' file: kept iff source bounds bracket
+              SELECT CASE WHEN COUNT(*) > 0
+                          AND MIN(source) <= 'src3' AND MAX(source) >= 'src3'
+                     THEN 1 ELSE 0 END AS k
+              FROM odd WHERE lang = 'en'
+            ), hit AS (
+              SELECT * FROM documents WHERE source = 'src3' AND lang = 'en'
+            )
+            SELECT (SELECT COUNT(*) FROM hit) AS n_docs,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM hit)
+                     AS chars_sum,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM hit) AS id_sum,
+                   CAST((SELECT k FROM g1) + (SELECT k FROM g2) AS BIGINT)
+                     AS files_scanned,
+                   CAST((SELECT COUNT(DISTINCT source) FROM even)
+                        + (SELECT COUNT(DISTINCT lang) FROM odd) AS BIGINT)
+                     AS files_total
         """,
         "iceberg_hidden_partition_read": """
             SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,

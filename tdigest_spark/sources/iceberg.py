@@ -309,6 +309,7 @@ def iceberg_scan_entries_static(
                     "path": _localize(df_rec["file_path"], root),
                     "seq": seq_of.get(e.get("snapshot_id"), 0),
                     "schema_id": df_rec.get("schema_id"),
+                    "spec_id": df_rec.get("spec_id"),
                     "partition": df_rec.get("partition"),
                     "lower_bounds": df_rec.get("lower_bounds"),
                     "upper_bounds": df_rec.get("upper_bounds"),
@@ -600,11 +601,12 @@ def iceberg_scan_paths_pruned(
     meta = current_metadata(table_dir)
     predicates = _coerce_predicates(meta, predicates)
     spec = _default_spec_fields(meta)
+    by_id = _specs_by_id(meta)
     kept = [
         e["path"]
         for e in data
         if _entry_matches(e, predicates)
-        and _partition_matches(e, spec, predicates)
+        and _partition_matches(e, spec, predicates, by_id)
     ]
     return sorted(kept), len(data)
 
@@ -729,6 +731,7 @@ def iceberg_scan_plan_mor(
     meta = current_metadata(table_dir)
     predicates = _coerce_predicates(meta, predicates)
     spec = _default_spec_fields(meta)
+    by_id = _specs_by_id(meta)
     pos_paths = sorted(e["path"] for e in entries["pos_deletes"])
     eqs = entries["eq_deletes"]
     plan = [
@@ -744,7 +747,7 @@ def iceberg_scan_plan_mor(
         }
         for e in sorted(data, key=lambda x: x["path"])
         if _entry_matches(e, predicates)
-        and _partition_matches(e, spec, predicates)
+        and _partition_matches(e, spec, predicates, by_id)
     ]
     return plan, len(data)
 
@@ -807,11 +810,31 @@ def _default_spec_fields(meta: dict) -> list[dict]:
     return next(sp["fields"] for sp in specs if sp["spec-id"] == sid)
 
 
-def _partition_matches(entry: dict, spec: list[dict], predicates) -> bool:
+def _specs_by_id(meta: dict) -> dict[int, list[dict]]:
+    return {
+        sp["spec-id"]: sp["fields"]
+        for sp in meta.get("partition-specs", [])
+    }
+
+
+def _partition_matches(
+    entry: dict,
+    spec: list[dict],
+    predicates,
+    specs_by_id: dict[int, list[dict]] | None = None,
+) -> bool:
     """HIDDEN partitioning: derive partition predicates from ordinary
     column predicates through the spec transforms (identity/truncate/time
     transforms relax range predicates; bucket prunes equality). Files
-    without a recorded tuple (pre-spec commits) always survive."""
+    without a recorded tuple (pre-spec commits) always survive.
+
+    PARTITION-SPEC EVOLUTION: a snapshot can mix files written under
+    different specs; each entry's tuple must be interpreted by the spec
+    it was WRITTEN under (its recorded ``spec_id``), falling back to the
+    table default for legacy entries without one — pruning a bucket[16]
+    tuple with a bucket[8] rule would drop matching files."""
+    if specs_by_id is not None and entry.get("spec_id") is not None:
+        spec = specs_by_id.get(entry["spec_id"], spec)
     if not spec:
         return True
     tup = entry.get("partition") or {}

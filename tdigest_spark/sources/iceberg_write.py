@@ -88,6 +88,11 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "default": None,
                     },
                     {
+                        "name": "spec_id",
+                        "type": ["null", "int"],
+                        "default": None,
+                    },
+                    {
                         "name": "partition",
                         "type": [
                             "null",
@@ -470,6 +475,12 @@ def _file_entry(
             # the field-ids a real Iceberg writer embeds in the parquet
             # schema itself; read_table_evolved resolves columns by id
             "schema_id": schema_id,
+            # the partition spec the tuple below was written under: spec
+            # EVOLUTION means a snapshot can mix files of different specs,
+            # and the planner must prune each file with ITS OWN spec (a
+            # real manifest records spec-id in its header; this per-entry
+            # form is the flat-file equivalent)
+            "spec_id": None,
             "partition": None,
             "lower_bounds": bounds[0] if bounds else None,
             "upper_bounds": bounds[1] if bounds else None,
@@ -634,6 +645,7 @@ def append_snapshot(
             e["data_file"]["partition"] = _partition_tuple(
                 Path(str(p)), spec_fields
             )
+            e["data_file"]["spec_id"] = meta.get("default-spec-id")
         entries.append(e)
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
     rows = _current_manifests(root, meta, branch=branch) + [
@@ -816,6 +828,7 @@ def upsert_snapshot(
             e["data_file"]["partition"] = _partition_tuple(
                 Path(str(p)), spec_fields
             )
+            e["data_file"]["spec_id"] = meta.get("default-spec-id")
         data_entries.append(e)
     m_data = _meta_dir(root) / f"m-{sid}-{tag}-data.avro"
     avro_lite.write_container(m_data, _MANIFEST_ENTRY_SCHEMA, data_entries)

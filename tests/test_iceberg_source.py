@@ -1200,3 +1200,67 @@ def test_evolved_read_delete_on_dropped_column_raises(evolved_root, spark):
     W.drop_column(evolved_root, "note", ts_ms=7000)
     with _pytest.raises(ValueError, match="no longer carries"):
         read_table_evolved(spark, str(evolved_root)).collect()
+
+
+def test_partition_spec_evolution_per_file_pruning(tmp_path):
+    """PARTITION-SPEC EVOLUTION: files written under an older spec keep
+    pruning under THEIR OWN spec after the table's default changes (each
+    manifest entry records its spec_id; the planner resolves the tuple by
+    it). Bucket transforms isolate the mechanism: column bounds of a
+    bucket-pure file span the id range, so only the murmur bucket match
+    can prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+    from tdigest_spark.sources.iceberg_partition import apply_transform
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    ids = list(range(200))
+
+    def bucket_files(n_buckets, tag, id_subset):
+        out = []
+        for b in range(n_buckets):
+            sub = [
+                i for i in id_subset
+                if apply_transform(f"bucket[{n_buckets}]", i) == b
+            ]
+            if not sub:
+                continue
+            f = root / "data" / f"{tag}-{b}.parquet"
+            pq.write_table(
+                pa.table({"doc_id": pa.array(sub, pa.int64())}), f
+            )
+            out.append(f)
+        return out
+
+    # generation 1: bucket[4], even ids
+    W.set_partition_spec(root, [("doc_id", "bucket[4]")], ts_ms=1500)
+    g1 = bucket_files(4, "g1", [i for i in ids if i % 2 == 0])
+    W.append_snapshot(root, g1, snapshot_id=1, ts_ms=2000)
+    # generation 2 (EVOLVED): bucket[16], odd ids
+    W.set_partition_spec(root, [("doc_id", "bucket[16]")], ts_ms=2500)
+    g2 = bucket_files(16, "g2", [i for i in ids if i % 2 == 1])
+    W.append_snapshot(root, g2, snapshot_id=2, ts_ms=3000)
+
+    for probe in (7, 42, 199, 100):
+        want = {
+            f"g1-{apply_transform('bucket[4]', probe)}.parquet",
+            f"g2-{apply_transform('bucket[16]', probe)}.parquet",
+        }
+        kept, total = iceberg_scan_paths_pruned(
+            str(root), [("doc_id", "==", probe)]
+        )
+        names = {p.rsplit("/", 1)[1] for p in kept}
+        assert total == len(g1) + len(g2)
+        # pruning power: nothing outside the two own-spec bucket matches
+        assert names <= want, (probe, names)
+        # correctness: the file actually holding the probe row survives
+        holder = f"g{1 if probe % 2 == 0 else 2}-" + str(
+            apply_transform(
+                "bucket[4]" if probe % 2 == 0 else "bucket[16]", probe
+            )
+        ) + ".parquet"
+        assert holder in names, (probe, names)
