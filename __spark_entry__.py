@@ -2786,6 +2786,78 @@ def iceberg_partition_evolution_read(
     )
 
 
+def iceberg_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE FROM ... WHERE (iceberg_write.delete_where) — the
+    GDPR/data-retention DML a lakehouse needs: ``DELETE WHERE n_chars <
+    60`` over a per-source-file documents table is PLANNED from manifest
+    stats alone (only files whose min(n_chars) < 60 are read — exact in
+    SQL as a per-source HAVING), matching row positions are committed as
+    ONE merge-on-read position-delete snapshot, and no data file is
+    rewritten. The post-delete MOR read plus every planning counter is
+    exact-oracled. The delete runs once at fixture build (deletes are
+    commits, not idempotent fixtures) and its report is persisted."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_delwhere" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        files = []
+        for s in sorted(set(tbl["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        n_del, scanned, total = W.delete_where(
+            root, [("n_chars", "<", 60)], snapshot_id=2, ts_ms=3000
+        )
+        report = {"n_deleted": n_del, "scanned": scanned, "total": total}
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    survivors = read_sequences(spark, str(root))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    ).select(
+        "n_docs",
+        "chars_sum",
+        "id_sum",
+        F.lit(report["n_deleted"]).cast("long").alias("n_deleted"),
+        F.lit(report["scanned"]).cast("long").alias("files_scanned"),
+        F.lit(report["total"]).cast("long").alias("files_total"),
+    )
+
+
 def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg table MAINTENANCE end to end — the nightly job every
     production table runs: a three-commit history (append even doc_ids,
@@ -6987,6 +7059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolved_upsert_read": iceberg_evolved_upsert_read,
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
+        "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
@@ -9031,6 +9104,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
                      AS n_new_words
             FROM dw GROUP BY source ORDER BY source
+        """,
+        "iceberg_delete_where_read": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 60)
+                     AS n_docs,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE n_chars >= 60) AS chars_sum,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+                    WHERE n_chars >= 60) AS id_sum,
+                   (SELECT COUNT(*) FROM documents WHERE n_chars < 60)
+                     AS n_deleted,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                      SELECT source FROM documents
+                      GROUP BY source HAVING MIN(n_chars) < 60))
+                     AS files_scanned,
+                   (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+                    FROM documents) AS files_total
         """,
         "iceberg_partition_evolution_read": """
             WITH even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

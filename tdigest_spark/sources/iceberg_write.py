@@ -57,6 +57,7 @@ __all__ = [
     "append_snapshot",
     "overwrite_snapshot",
     "delete_rows_snapshot",
+    "delete_where",
     "equality_delete_snapshot",
     "snapshot_ids",
     "live_paths",
@@ -751,6 +752,65 @@ def delete_rows_snapshot(
         }
     ]
     return _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+
+
+def delete_where(
+    root: str | Path,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> tuple[int, int, int]:
+    """Row-level ``DELETE FROM ... WHERE`` over the static table — the
+    GDPR / data-retention shape: plan the candidate files from MANIFEST
+    METADATA ALONE (column-stats + per-spec partition pruning, O(manifest)
+    not O(data)), read ONLY those files (and only the predicate columns),
+    and commit the matching row POSITIONS as one merge-on-read
+    position-delete snapshot. No data file is rewritten — at 100 TB a
+    predicate delete touches the pruned candidate set once and writes
+    kilobytes. ``predicates`` is the planner's conjunction form
+    ``[(column, op, literal), ...]`` with op in ``== != >= > <= <``.
+
+    Returns ``(n_deleted, files_scanned, files_total)``. Rows matched in
+    files already carrying tombstones are tombstoned again — position
+    deletes are a set, so re-deleting is idempotent."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .iceberg import iceberg_scan_paths_pruned
+
+    root = Path(str(root))
+    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
+    cols = sorted({c for c, _, _ in predicates})
+    ops = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">=": pc.greater_equal,
+        ">": pc.greater,
+        "<=": pc.less_equal,
+        "<": pc.less,
+    }
+    positions: dict[str, list[int]] = {}
+    n_deleted = 0
+    for p in paths:
+        # worker-side read discipline: no nested thread pool
+        # (use_threads=False — CLAUDE.md), predicate columns only
+        tbl = pq.read_table(p, columns=cols, use_threads=False)
+        mask = None
+        for c, op, lit in predicates:
+            m = ops[op](tbl[c], lit)
+            mask = m if mask is None else pc.and_(mask, m)
+        idx = np.nonzero(
+            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        )[0]
+        if idx.shape[0]:
+            positions[str(p)] = [int(i) for i in idx]
+            n_deleted += int(idx.shape[0])
+    if positions:
+        delete_rows_snapshot(
+            root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms
+        )
+    return n_deleted, len(paths), total
 
 
 def equality_delete_snapshot(

@@ -1264,3 +1264,43 @@ def test_partition_spec_evolution_per_file_pruning(tmp_path):
             )
         ) + ".parquet"
         assert holder in names, (probe, names)
+
+
+def test_delete_where_plans_prunes_and_commits(tmp_path, spark):
+    """delete_where: stats-pruned planning (only candidate files read),
+    matching positions committed as ONE MOR position-delete snapshot,
+    no-match = no commit, and re-running is idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    for s in range(4):
+        f = root / "data" / f"s{s}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(range(s * 10, (s + 1) * 10), pa.int64()),
+                    "v": pa.array(
+                        [i * 3 for i in range(s * 10, (s + 1) * 10)],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            f,
+        )
+        W.append_snapshot(root, [f], ts_ms=2000 + s)
+    n, scanned, total = W.delete_where(root, [("v", "<", 45)])
+    assert (n, scanned, total) == (15, 2, 4)  # ids 0..14 live in s0+s1
+    got = sorted(r.id for r in read_sequences(spark, str(root)).collect())
+    assert got == list(range(15, 40))
+    # no-match predicate: nothing deleted, NO new snapshot committed
+    before = len(W.snapshot_ids(root))
+    n2, scanned2, _ = W.delete_where(root, [("v", ">", 10_000)])
+    assert n2 == 0 and len(W.snapshot_ids(root)) == before
+    # re-delete the same predicate: positions are a set — still 25 rows
+    W.delete_where(root, [("v", "<", 45)])
+    assert read_sequences(spark, str(root)).count() == 25
