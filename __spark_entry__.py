@@ -1258,6 +1258,65 @@ def events_user_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def events_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL with last-observation-carried-forward — the
+    resampling shape every metrics/feature pipeline needs: per user, an
+    hourly spine from first to last purchase (sequence + explode, pure
+    codegen), the hour's LAST observed purchase value joined on, and gaps
+    filled with ``last(value, ignorenulls=True)`` over an ordered running
+    frame. One shuffle on user_id; spine rows are bounded by users x
+    active-hours, never events x events. Exactness: hours are integer
+    ``unix_micros div 3.6e9``, observations are floor-cents longs, the
+    spine starts AT the first observation so the carried value is never
+    null, and per-user sums of longs are order-independent. The LOCF
+    frame is ROWS (not RANGE): spine hours are unique per user, and
+    DuckDB's last_value(x IGNORE NULLS) has identical semantics."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+        )
+        .withColumn("h", F.expr("us div 3600000000"))
+    )
+    rn = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "cents")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h"),
+    )
+    locf = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "cents",
+        F.last("cents", ignorenulls=True).over(locf).alias("carried"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count("cents").alias("n_observed"),
+            (F.count(F.lit(1)) - F.count("cents")).alias("n_filled"),
+            F.sum("carried").alias("carried_cents_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def discrete_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation COMPOSED from two digest passes: the
     Nearest-Rank median of l_quantity (discrete digest — exact map state,
@@ -6990,6 +7049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_asof_view": purchases_asof_view,
         "events_sessionized": events_sessionized,
         "events_user_trailing_hour": events_user_trailing_hour,
+        "events_user_value_locf": events_user_value_locf,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
@@ -8247,6 +8307,41 @@ def oracle_sql() -> dict[str, str]:
         # RANGE frame: DuckDB's RANGE BETWEEN has the identical
         # peers-by-ordering-value semantics; integer µs ordering + integer
         # floor-cents summand make the frame boundary and the sum exact
+        "events_user_value_locf": """
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     epoch_us(ts) // 3600000000 AS h,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            ), hourly AS (
+              SELECT user_id, h, cents FROM (
+                SELECT user_id, h, cents,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, h
+                                          ORDER BY us DESC, event_id DESC)
+                         AS rn
+                FROM ev
+              ) WHERE rn = 1
+            ), bounds AS (
+              SELECT user_id, MIN(h) AS h_lo, MAX(h) AS h_hi
+              FROM ev GROUP BY user_id
+            ), spine AS (
+              SELECT user_id, UNNEST(range(h_lo, h_hi + 1)) AS h FROM bounds
+            ), filled AS (
+              SELECT s.user_id, ho.cents,
+                     last_value(ho.cents IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS carried
+              FROM spine s LEFT JOIN hourly ho USING (user_id, h)
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_hours,
+                   COUNT(cents) AS n_observed,
+                   COUNT(*) - COUNT(cents) AS n_filled,
+                   CAST(SUM(carried) AS BIGINT) AS carried_cents_sum
+            FROM filled GROUP BY user_id ORDER BY user_id
+        """,
         "events_user_trailing_hour": """
             SELECT event_id,
                    COUNT(*) OVER w AS n_in_hour,
