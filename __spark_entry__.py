@@ -5863,6 +5863,112 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (operators/sample.py
+    leakage_safe_split): duplicate documents must land in the SAME split
+    or held-out eval is contaminated — so the split is decided by the
+    hash of each content-group's representative (min doc_id), never the
+    row's own. 8/1/1 over md5-shard 10. Per-split doc/group/char counts
+    plus a measured leaked_groups column (content hashes spanning >1
+    split — zero by construction; the Spark side COUNTS it, the oracle
+    pins it at 0, so any mechanism break hash-mismatches). Every
+    assignment replays in SQL via md5_number_lower."""
+    from tdigest_spark.operators.sample import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    a = leakage_safe_split(docs, "text", "doc_id", seed=1)
+    a = a.join(docs.select("doc_id", F.col("n_chars").cast("long")), "doc_id")
+    a.persist()
+    leaked = (
+        a.groupBy("_th")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    out = (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_th").alias("n_groups"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            "chars_sum",
+            F.lit(leaked).cast("long").alias("leaked_groups"),
+        )
+        .orderBy("split")
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    a.unpersist()
+    return out
+
+
+def doc_quality_importance_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-weighted IMPORTANCE SAMPLING (the DCLM-style resampling
+    pass): documents are bucketed by a quality proxy (length), each
+    bucket gets an acceptance probability (long 1.0 / mid 0.5 / short
+    0.1), the keep decision is the deterministic content-hash rule
+    (md5_lower64(seed:doc_id) < p*2^64 — layout- and engine-independent,
+    codegen filter at the scan), and every kept row carries its inverse-
+    probability weight so downstream stats stay unbiased. Output reports
+    the Horvitz-Thompson estimates (sum w, sum n_chars*w) next to the
+    true totals per bucket — the estimator's machinery is exact-oracled,
+    not asserted. All HT terms are integers scaled by 1/p (1/0.5 and
+    1/0.1 are the same correctly-rounded doubles in both engines; the
+    products stay exact integers in double, so sums are order-free)."""
+    from tdigest_spark.operators.sample import md5_lower64
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    bucket = (
+        F.when(F.col("n_chars") >= 300, F.lit("long"))
+        .when(F.col("n_chars") >= 150, F.lit("mid"))
+        .otherwise(F.lit("short"))
+    )
+    p = (
+        F.when(F.col("bucket") == "long", F.lit(1.0))
+        .when(F.col("bucket") == "mid", F.lit(0.5))
+        .otherwise(F.lit(0.1))
+    )
+    from decimal import Decimal
+
+    u64 = 1 << 64
+    thresh = (
+        F.when(F.col("bucket") == "long", F.lit(Decimal(u64)))
+        .when(F.col("bucket") == "mid", F.lit(Decimal(u64 // 2)))
+        .otherwise(F.lit(Decimal(int(0.1 * u64))))
+    )
+    b = docs.withColumn("bucket", bucket).withColumn("p", p)
+    kept = md5_lower64(F.concat(F.lit("2:"), F.col("doc_id").cast("string"))) < thresh
+    w = F.lit(1.0) / F.col("p")
+    return (
+        b.withColumn("kept", kept)
+        .groupBy("bucket")
+        .agg(
+            F.first("p").alias("p"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_sampled"),
+            F.round(F.sum(F.when(F.col("kept"), w).otherwise(0.0)), 6).alias(
+                "ht_docs"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept"), F.col("n_chars") * w).otherwise(0.0)
+                ),
+                6,
+            ).alias("ht_chars"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def doc_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (rolling-hash analogue): per doc the min
     md5-lower-64 over word 5-grams — a 1-permutation minhash, entirely
@@ -7164,6 +7270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid_counts": doc_langid_counts,
         "doc_token_counts": doc_token_counts,
         "doc_fingerprint_clusters": doc_fingerprint_clusters,
+        "doc_leakage_safe_split": doc_leakage_safe_split,
+        "doc_quality_importance_sample": doc_quality_importance_sample,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_attribution": events_stream_attribution,
         "events_stream_attribution_outer": events_stream_attribution_outer,
@@ -10418,6 +10526,56 @@ def oracle_sql() -> dict[str, str]:
         # 16-hex-char little-endian string (byte-reversed lower half of the
         # md5 hex) — identical on both engines, min-lexicographic == min-
         # numeric on fixed-width lowercase hex.
+        "doc_quality_importance_sample": """
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN n_chars >= 300 THEN 'long'
+                          WHEN n_chars >= 150 THEN 'mid'
+                          ELSE 'short' END AS bucket,
+                     md5_number_lower('2:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), k AS (
+              SELECT *,
+                     CASE bucket WHEN 'long' THEN CAST(1.0 AS DOUBLE)
+                                 WHEN 'mid' THEN CAST(0.5 AS DOUBLE)
+                                 ELSE CAST(0.1 AS DOUBLE) END AS p,
+                     CASE bucket WHEN 'long' THEN TRUE
+                                 WHEN 'mid' THEN h < 9223372036854775808
+                                 ELSE h < 1844674407370955264 END AS kept
+              FROM b
+            )
+            SELECT bucket, ANY_VALUE(p) AS p, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sampled,
+                   ROUND(SUM(CASE WHEN kept THEN 1.0 / p ELSE 0.0 END), 6)
+                     AS ht_docs,
+                   ROUND(SUM(CASE WHEN kept THEN n_chars * (1.0 / p)
+                             ELSE 0.0 END), 6) AS ht_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+            FROM k GROUP BY bucket ORDER BY bucket
+        """,
+        "doc_leakage_safe_split": """
+            WITH g AS (
+              SELECT md5_number_lower(text) AS th, MIN(doc_id) AS rep,
+                     COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY th
+            ), s AS (
+              SELECT n, chars,
+                     CASE WHEN shard = 8 THEN 'val'
+                          WHEN shard = 9 THEN 'test'
+                          ELSE 'train' END AS split
+              FROM (SELECT *,
+                           md5_number_lower('1:' || CAST(rep AS VARCHAR))
+                             % 10 AS shard
+                    FROM g)
+            )
+            SELECT split,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_groups,
+                   CAST(SUM(chars) AS BIGINT) AS chars_sum,
+                   CAST(0 AS BIGINT) AS leaked_groups
+            FROM s GROUP BY split ORDER BY split
+        """,
         "doc_fingerprint_clusters": f"""
             WITH {_grams_cte(5)}, hv AS (
               SELECT doc_id, md5(g) AS h FROM grams

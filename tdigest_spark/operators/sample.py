@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["md5_lower64", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "md5_lower64",
+    "hash_sample",
+    "stratified_hash_sample",
+    "leakage_safe_split",
+]
 
 _U64 = 1 << 64
 
@@ -101,3 +106,42 @@ def stratified_hash_sample(
     return joined.where(
         md5_lower64(_keyed(F.col(key_col), seed)) < thresh
     ).drop("_thresh")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    n_shards: int = 10,
+    val_shard: int = 8,
+    test_shard: int = 9,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: rows are grouped by CONTENT hash (md5-lower-64 of the text),
+    and the split is decided by the hash of the group REPRESENTATIVE
+    (min id), never the row — so every copy of a duplicated document
+    lands in the same split, the invariant that keeps held-out eval
+    uncontaminated. A naive per-row hash split sends ~p*(1-p) of each
+    duplicate pair across the train/test boundary.
+
+    Two codegen hash passes + one shuffle on the 64-bit content hash (the
+    group agg); the rep->split decision is the same engine-independent
+    md5 rule as :func:`hash_sample`, so the whole assignment replays in
+    closed-form SQL. Returns DataFrame[id_col, _th, rep, split]."""
+    keyed = df.select(
+        F.col(id_col), md5_lower64(F.col(text_col)).alias("_th")
+    )
+    reps = keyed.groupBy("_th").agg(F.min(id_col).alias("rep"))
+    shard = F.pmod(
+        md5_lower64(_keyed(F.col("rep"), seed)), F.lit(n_shards)
+    ).cast("int")
+    assigned = reps.select(
+        "_th",
+        "rep",
+        F.when(shard == val_shard, F.lit("val"))
+        .when(shard == test_shard, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return keyed.join(assigned, "_th").select(id_col, "_th", "rep", "split")

@@ -87,3 +87,40 @@ def test_stratified_fractions_and_default(keyed):
 def test_stratified_schema_unchanged(keyed):
     out = stratified_hash_sample(keyed, "id", "src", {"web": 0.5})
     assert out.columns == ["src", "id"] or set(out.columns) == {"id", "src"}
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """Every copy of a duplicated text shares its group's split; coverage
+    is total; and with many duplicate groups a PER-ROW hash split would
+    have leaked at least one pair (sanity that the invariant is doing
+    work, not vacuous)."""
+    from tdigest_spark.operators.sample import leakage_safe_split, md5_lower64
+    from pyspark.sql import functions as F
+
+    rows = []
+    for g in range(60):
+        for copy in range(3):  # 3 copies of each text, ids interleaved
+            rows.append((g + 60 * copy, f"duplicated text number {g}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = leakage_safe_split(df, "text", "doc_id", seed=1)
+    got = a.collect()
+    assert len(got) == len(rows)  # total coverage
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["rep"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no leakage
+    assert {r["split"] for r in got} >= {"train"}  # 8/10 shards are train
+    # the naive per-row rule WOULD leak: at least one group's rows hash
+    # to different shards when sharded by their own doc_id
+    naive = df.select(
+        "doc_id",
+        "text",
+        F.pmod(
+            md5_lower64(F.concat(F.lit("1:"), F.col("doc_id").cast("string"))),
+            F.lit(10),
+        ).alias("shard"),
+    ).collect()
+    shards_by_text = {}
+    for r in naive:
+        shards_by_text.setdefault(r["text"], set()).add(int(r["shard"]))
+    assert any(len(s) > 1 for s in shards_by_text.values())
