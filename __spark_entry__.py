@@ -1317,6 +1317,109 @@ def events_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
+    analytics stack runs): per user, first signup, then the first
+    purchase AT OR AFTER it; converted = within 24h. Two tiny aggregates
+    + one user_id join — never an event×event self-join; at 100 TB both
+    aggregates are map-side-partial shuffles on user_id and the join is
+    user-cardinality. Exactness: integer microsecond arithmetic, counts,
+    and one identically-spelled division chain (ROUND 6)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).where(F.col("user_id").isNotNull())
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.first("s_us").alias("s_us"))
+    )
+    conv = p.where(F.col("p_us") - F.col("s_us") <= 24 * 3_600_000_000)
+    n_signup = s.count()
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum(F.col("p_us") - F.col("s_us")).alias("d_us"),
+    ).collect()[0]
+    n_conv, d_us = int(agg["n_converted"]), int(agg["d_us"] or 0)
+    rate = round(n_conv / n_signup, 6) if n_signup else 0.0
+    avg_min = round((d_us / n_conv) / 60_000_000.0, 6) if n_conv else 0.0
+    return spark.createDataFrame(
+        [(n_signup, n_conv, rate, avg_min)],
+        "n_signup_users long, n_converted long, conv_rate double, "
+        "avg_minutes_to_convert double",
+    )
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RETRIEVAL scoring (k1=1.2, b=0.75) — the lexical-search rank
+    function a RAG corpus is probed with — for a fixed 3-term query over
+    the documents table. Shape that holds at 100 TB: one word-explode
+    pass filtered TO THE QUERY TERMS at the scan (term dictionary is a
+    literal IN-list — no full posting build), per-(doc, term) tf counts,
+    idf from corpus-level doc frequencies (3-row broadcast), score =
+    sum over matched terms. Exactness: tf/df/doc-length are exact
+    integers; the BM25 formula is spelled per-term identically in both
+    engines (single-rounding double ops), ROUND 6 absorbs summation
+    order; ties broken by doc_id. Top 25."""
+    terms = ["the", "data", "model"]
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    avgdl_row = dl.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()[0]
+    # avgdl as ONE division of exact integers (IEEE-identical in SQL)
+    avgdl = int(avgdl_row["s"]) / int(avgdl_row["c"])
+    tf = (
+        words.where(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+                    )
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(25)
+
+
 def discrete_quantity_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation COMPOSED from two digest passes: the
     Nearest-Rank median of l_quantity (discrete digest — exact map state,
@@ -7156,6 +7259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": events_sessionized,
         "events_user_trailing_hour": events_user_trailing_hour,
         "events_user_value_locf": events_user_value_locf,
+        "events_funnel_conversion": events_funnel_conversion,
+        "doc_bm25_topk": doc_bm25_topk,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
@@ -8449,6 +8554,61 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) - COUNT(cents) AS n_filled,
                    CAST(SUM(carried) AS BIGINT) AS carried_cents_sum
             FROM filled GROUP BY user_id ORDER BY user_id
+        """,
+        "events_funnel_conversion": """
+            WITH s AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+              WHERE event_type = 'signup' AND user_id IS NOT NULL
+              GROUP BY user_id
+            ), p AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us,
+                     ANY_VALUE(s.s_us) AS s_us
+              FROM events e JOIN s USING (user_id)
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+              GROUP BY e.user_id
+            ), conv AS (SELECT * FROM p WHERE p_us - s_us <= 86400000000)
+            SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
+                   (SELECT COUNT(*) FROM conv) AS n_converted,
+                   ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM s), 6) AS conv_rate,
+                   ROUND((CAST((SELECT SUM(p_us - s_us) FROM conv)
+                               AS DOUBLE)
+                          / (SELECT COUNT(*) FROM conv)) / 60000000.0, 6)
+                     AS avg_minutes_to_convert
+        """,
+        "doc_bm25_topk": """
+            WITH words AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                  '\s+')) AS w
+              FROM documents
+            ), words2 AS (SELECT * FROM words WHERE w <> ''),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM words2
+                   GROUP BY doc_id),
+            stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                      FROM dl),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words2
+                   WHERE w IN ('the', 'data', 'model')
+                   GROUP BY doc_id, w),
+            dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+            parts AS (
+              SELECT t.doc_id,
+                     ln((CAST(n.n_docs AS DOUBLE) - d.df
+                         + CAST(0.5 AS DOUBLE))
+                        / (d.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE))
+                     * (t.tf * CAST(2.2 AS DOUBLE))
+                     / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl)))
+                       AS part
+              FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id),
+                   n, stats s
+            )
+            SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+            FROM parts GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 25
         """,
         "events_user_trailing_hour": """
             SELECT event_id,

@@ -219,3 +219,41 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
     vocab = spark.createDataFrame([("ab", 3)], "w string, c long")
     rows = bpe_train(spark, vocab, n_merges=4).collect()
     assert len(rows) == 1 and rows[0].merged == "ab"
+
+
+def test_bm25_round_boundary_margin():
+    """doc_bm25_topk rounds per-doc score sums to 6 dp in both engines;
+    exact hash-match needs every pre-round sum to sit far from a rounding
+    boundary relative to ln/summation ULP noise (~1e-15 at score ~5).
+    Measured min boundary distance ~4e-10 across SFs; guard 1e-12."""
+    import duckdb
+
+    q = r"""
+    WITH words AS (SELECT doc_id,
+           UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+')) AS w
+           FROM documents),
+    words2 AS (SELECT * FROM words WHERE w <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words2 GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words2
+           WHERE w IN ('the','data','model') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    parts AS (SELECT t.doc_id,
+        ln((CAST(n.n_docs AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+           / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * (t.tf * CAST(2.2 AS DOUBLE))
+        / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+           + CAST(0.75 AS DOUBLE) * (l.dl / s.avgdl))) AS part
+      FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id), n, stats s),
+    sums AS (SELECT doc_id, SUM(part) AS s FROM parts GROUP BY doc_id)
+    SELECT MIN(ABS(s*1e6 - ROUND(s*1e6))) FROM sums
+    """
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        margin = con.execute(q).fetchone()[0]
+        assert margin * 1e-6 > 1e-12, (sf, margin)
