@@ -165,6 +165,15 @@ AUDITS = {
     # PMI: two wordcount aggregates + vocab joins (large-large SMJ ok) +
     # 1-row total broadcasts; only forbid cartesian
     "doc_pmi_collocations": (2, False, False),
+    # LOCF gap fill: spine/hourly/window all shuffle on user_id (the join
+    # may be SMJ — both sides large at scale); ts/type filter pushes
+    "events_user_value_locf": (0, False, True),
+    # BM25: the 3-row idf dim must BROADCAST; the query-term IN-list
+    # filter and the text projection push to the scan
+    "doc_bm25_topk": (1, False, True),
+    # importance sampling: pure map-side bucket/threshold logic + one
+    # group agg — no joins at all
+    "doc_quality_importance_sample": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
