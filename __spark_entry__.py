@@ -3020,6 +3020,92 @@ def iceberg_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH + ROLLBACK — the two pointer-move workflows
+    production tables live by. WAP: even doc_ids land on main, odd ids
+    are STAGED on branch 'audit' (no reader of main ever sees them),
+    then publishing is one metadata-only fast-forward of main to the
+    branch head. Rollback: a bad copy-on-write overwrite (zh-only) is
+    then undone by pointing main back at the published snapshot —
+    nothing deleted, the bad snapshot stays in history. The query reads
+    all four states (pre-publish, staged, bad commit, final-after-
+    rollback) through the same static walk; final == staged is the
+    rollback proof, and every state is recomputed exactly from the
+    documents view."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_wap" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    sids = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                sids = doc["sids"]
+        except Exception:
+            sids = None
+    if sids is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        f1 = root / "data" / "even.parquet"
+        pq.write_table(even, f1)
+        s_pre = W.append_snapshot(root, [f1], snapshot_id=1, ts_ms=2000)
+        f2 = root / "data" / "odd.parquet"
+        pq.write_table(odd, f2)
+        s_staged = W.append_snapshot(
+            root, [f2], snapshot_id=2, ts_ms=3000, branch="audit"
+        )
+        published = W.fast_forward(root, "audit", ts_ms=4000)
+        assert published == s_staged
+        zh = tbl.filter(pc.equal(tbl["lang"], "zh"))
+        f3 = root / "data" / "bad.parquet"
+        pq.write_table(zh, f3)
+        s_bad = W.overwrite_snapshot(root, [f3], snapshot_id=3, ts_ms=5000)
+        W.rollback_to_snapshot(root, published, ts_ms=6000)
+        sids = {"pre_publish": s_pre, "staged": s_staged, "bad_commit": s_bad}
+        marker.write_text(_json.dumps({"params": params, "sids": sids}))
+    outs = []
+    for label, sid in (
+        ("1_pre_publish", sids["pre_publish"]),
+        ("2_staged", sids["staged"]),
+        ("3_bad_commit", sids["bad_commit"]),
+        ("4_final", None),  # current == rolled-back == staged
+    ):
+        df = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+            ).select(F.lit(label).alias("state"), "n_docs", "id_sum")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("state")
+
+
 def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg table MAINTENANCE end to end — the nightly job every
     production table runs: a three-commit history (append even doc_ids,
@@ -7331,6 +7417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
+        "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
@@ -9467,6 +9554,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
                      AS n_new_words
             FROM dw GROUP BY source ORDER BY source
+        """,
+        "iceberg_wap_rollback_read": """
+            SELECT '1_pre_publish' AS state, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT '2_staged', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT '3_bad_commit', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents WHERE lang = 'zh'
+            UNION ALL
+            SELECT '4_final', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            ORDER BY state
         """,
         "iceberg_delete_where_read": """
             SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 60)

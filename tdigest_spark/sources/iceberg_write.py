@@ -59,6 +59,8 @@ __all__ = [
     "delete_rows_snapshot",
     "delete_where",
     "equality_delete_snapshot",
+    "rollback_to_snapshot",
+    "fast_forward",
     "snapshot_ids",
     "live_paths",
 ]
@@ -569,6 +571,58 @@ def _current_manifests(
     ml = _localize(snaps[snap_id]["manifest-list"], root)
     _, rows = avro_lite.read_container(ml)
     return rows
+
+
+def rollback_to_snapshot(
+    root: str | Path, snapshot_id: int, ts_ms: int | None = None
+) -> int:
+    """ROLLBACK the table to an earlier snapshot — the undo button after a
+    bad commit: a METADATA-ONLY commit that points current-snapshot-id
+    back at ``snapshot_id``. Nothing is deleted and the bad snapshots
+    stay in history (readable by id, reapable by expire_snapshots), so
+    rollback is itself reversible until expiration. Branch refs are
+    untouched — only main moves."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    snaps = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise KeyError(f"snapshot {snapshot_id} not found (retained: {sorted(snaps)})")
+    doc = dict(meta)
+    doc["current-snapshot-id"] = int(snapshot_id)
+    log = list(doc.get("snapshot-log", []))
+    log.append(
+        {"snapshot-id": int(snapshot_id), "timestamp-ms": _now_ms(ts_ms)}
+    )
+    doc["snapshot-log"] = log
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return int(snapshot_id)
+
+
+def fast_forward(
+    root: str | Path, branch: str, ts_ms: int | None = None
+) -> int:
+    """PUBLISH a branch: fast-forward main to the branch head — the
+    write-audit-publish (WAP) pattern's final step. Writers stage
+    commits on an isolated branch (``append_snapshot(branch=...)``), an
+    audit job validates the branch head, then publishing is this single
+    METADATA-ONLY pointer move: atomic, nothing rewritten, and until it
+    runs no reader of main ever saw the staged data. The branch ref
+    survives (drop it separately once the audit trail is archived)."""
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    ref = meta.get("refs", {}).get(branch)
+    if ref is None:
+        raise KeyError(f"branch {branch!r} not found")
+    if ref.get("type") != "branch":
+        raise ValueError(f"ref {branch!r} is a {ref.get('type')}, not a branch")
+    head = int(ref["snapshot-id"])
+    doc = dict(meta)
+    doc["current-snapshot-id"] = head
+    log = list(doc.get("snapshot-log", []))
+    log.append({"snapshot-id": head, "timestamp-ms": _now_ms(ts_ms)})
+    doc["snapshot-log"] = log
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return head
 
 
 def create_ref(

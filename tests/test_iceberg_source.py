@@ -1304,3 +1304,48 @@ def test_delete_where_plans_prunes_and_commits(tmp_path, spark):
     # re-delete the same predicate: positions are a set — still 25 rows
     W.delete_where(root, [("v", "<", 45)])
     assert read_sequences(spark, str(root)).count() == 25
+
+
+def test_rollback_and_wap_fast_forward(tmp_path):
+    """rollback_to_snapshot: main points back, nothing deleted, the bad
+    snapshot stays readable by id (rollback is reversible until
+    expiration). fast_forward publishes a staged branch atomically;
+    non-branch refs and unknown names are rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"id": [1, 2]}), f1)
+    s1 = W.append_snapshot(root, [f1], ts_ms=2000)
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"id": [3]}), f2)
+    s2 = W.append_snapshot(root, [f2], ts_ms=3000)
+    W.rollback_to_snapshot(root, s1, ts_ms=3500)
+    assert len(iceberg_scan_paths_static(str(root))) == 1
+    assert len(iceberg_scan_paths_static(str(root), snapshot_id=s2)) == 2
+    # roll forward again (rollback is itself reversible)
+    W.rollback_to_snapshot(root, s2, ts_ms=3600)
+    assert len(iceberg_scan_paths_static(str(root))) == 2
+    with _pytest.raises(KeyError):
+        W.rollback_to_snapshot(root, 999)
+    # WAP: stage on a branch; main can't see it until fast_forward
+    f3 = root / "data" / "c.parquet"
+    pq.write_table(pa.table({"id": [4, 5]}), f3)
+    W.append_snapshot(root, [f3], ts_ms=4000, branch="audit")
+    assert len(iceberg_scan_paths_static(str(root))) == 2
+    head = W.fast_forward(root, "audit", ts_ms=5000)
+    assert len(iceberg_scan_paths_static(str(root))) == 3
+    from tdigest_spark.sources.iceberg import current_metadata
+
+    assert current_metadata(str(root))["current-snapshot-id"] == head
+    W.create_ref(root, "pin", kind="tag", ts_ms=5500)
+    with _pytest.raises(ValueError):
+        W.fast_forward(root, "pin")
+    with _pytest.raises(KeyError):
+        W.fast_forward(root, "nope")
