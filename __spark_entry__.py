@@ -1317,6 +1317,73 @@ def events_user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET pair mining (the co-occurrence/lift shape behind
+    recommendations and data-mixing diagnostics): distinct (order, part)
+    pairs self-join WITHIN an order with p1 < p2 — fanout bounded by
+    items-per-order squared (TPC-H ≤ 7 -> ≤ 21 pair rows per order),
+    never order-count squared — then pair counts rank the top 25 and
+    ONLY those 25 join back (broadcast) to part supports for lift =
+    n_ab·n_orders / (n_a·n_b). Counts exact; lift is one double product
+    chain over exact ints (ROUND 6); ordering by (n_ab DESC, p1, p2) is
+    total."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li.persist()
+    n_orders = li.select("l_orderkey").distinct().count()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.desc("n_ab"), F.asc("p1"), F.asc("p2"))
+        .limit(25)
+    )
+    support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    # broadcast the 25-ROW pair table into the part-support joins (support
+    # is part-cardinality — the big side at 100 TB); re-hint after the
+    # first join so the second one broadcasts the small side too
+    j1 = F.broadcast(pairs).join(
+        support.withColumnRenamed("l_partkey", "p1").withColumnRenamed(
+            "n_p", "n_a"
+        ),
+        "p1",
+    )
+    out = (
+        F.broadcast(j1)
+        .join(
+            support.withColumnRenamed("l_partkey", "p2")
+            .withColumnRenamed("n_p", "n_b"),
+            "p2",
+        )
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n_orders)
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("p1"), F.asc("p2"))
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    li.unpersist()
+    return out
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -7345,6 +7412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": events_sessionized,
         "events_user_trailing_hour": events_user_trailing_hour,
         "events_user_value_locf": events_user_value_locf,
+        "lineitem_market_basket": lineitem_market_basket,
         "events_funnel_conversion": events_funnel_conversion,
         "doc_bm25_topk": doc_bm25_topk,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
@@ -8641,6 +8709,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) - COUNT(cents) AS n_filled,
                    CAST(SUM(carried) AS BIGINT) AS carried_cents_sum
             FROM filled GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_market_basket": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     COUNT(*) AS n_ab
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              ORDER BY n_ab DESC, p1, p2 LIMIT 25
+            ), support AS (
+              SELECT l_partkey, COUNT(*) AS n_p FROM li GROUP BY l_partkey
+            ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+            SELECT p1, p2, n_ab,
+                   ROUND(CAST(n_ab AS DOUBLE) * n.n_orders
+                         / (sa.n_p * sb.n_p), 6) AS lift
+            FROM pairs
+            JOIN support sa ON sa.l_partkey = p1
+            JOIN support sb ON sb.l_partkey = p2
+            CROSS JOIN n
+            ORDER BY n_ab DESC, p1, p2
         """,
         "events_funnel_conversion": """
             WITH s AS (
