@@ -1384,6 +1384,55 @@ def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust ANOMALY DETECTION on user activity (median/MAD, the
+    outlier-resistant z-score every monitoring stack reaches for):
+    hourly spend per user (exact floor-cents longs), per-user median,
+    deviations, per-user MAD, flag hours with |x − med| > 3·MAD. Two
+    user_id shuffles + two user-cardinality joins — per-hour data never
+    self-joins. Exactness: medians of integers interpolate to .5 quanta,
+    MAD to .25 quanta, 3·MAD to .75 quanta — all exact in double in both
+    engines (Spark median == DuckDB quantile_cont(0.5)), so the flag
+    comparisons are deterministic."""
+    h = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("c").alias("cents"))
+    )
+    h.persist()
+    med = h.groupBy("user_id").agg(
+        F.median("cents").alias("med"), F.count(F.lit(1)).alias("n_hours")
+    )
+    d = h.join(med, "user_id").select(
+        "user_id", "n_hours", "med", F.abs(F.col("cents") - F.col("med")).alias("dev")
+    )
+    mad = d.groupBy("user_id").agg(F.median("dev").alias("mad"))
+    out = (
+        d.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("n_hours").alias("n_hours"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_anomalous"),
+        )
+        .orderBy("user_id")
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    h.unpersist()
+    return out
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -7414,6 +7463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_value_locf": events_user_value_locf,
         "lineitem_market_basket": lineitem_market_basket,
         "events_funnel_conversion": events_funnel_conversion,
+        "events_user_hour_anomalies": events_user_hour_anomalies,
         "doc_bm25_topk": doc_bm25_topk,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
@@ -8732,6 +8782,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN support sb ON sb.l_partkey = p2
             CROSS JOIN n
             ORDER BY n_ab DESC, p1, p2
+        """,
+        "events_user_hour_anomalies": """
+            WITH h AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id, epoch_us(ts) // 3600000000
+            ), med AS (
+              SELECT user_id, median(cents) AS med,
+                     COUNT(*) AS n_hours
+              FROM h GROUP BY user_id
+            ), d AS (
+              SELECT h.user_id, m.n_hours, m.med,
+                     ABS(h.cents - m.med) AS dev
+              FROM h JOIN med m USING (user_id)
+            ), mad AS (
+              SELECT user_id, median(dev) AS mad FROM d GROUP BY user_id
+            )
+            SELECT d.user_id, ANY_VALUE(d.n_hours) AS n_hours,
+                   ANY_VALUE(d.med) AS med, ANY_VALUE(mad.mad) AS mad,
+                   CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_anomalous
+            FROM d JOIN mad USING (user_id)
+            GROUP BY d.user_id ORDER BY d.user_id
         """,
         "events_funnel_conversion": """
             WITH s AS (
