@@ -1384,6 +1384,39 @@ def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE ANTI JOIN — the classic ``NOT IN (subquery)`` trap: one
+    NULL in the subquery makes the predicate never-TRUE (three-valued
+    logic), silently emptying the result. The subquery side plants a
+    deterministic NULL (NULLIF on the minimum purchase user), so the
+    query reports the trap (raw NOT IN -> 0 rows) NEXT TO the fix
+    (IS NOT NULL in the subquery -> the real count). Spark plans the raw
+    form as a null-aware BroadcastHashJoin (isNullAware) — a correctness
+    feature the engine must carry, exercised here end-to-end; DuckDB's
+    standard three-valued semantics make the oracle the same SQL."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_naaj_v")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT DISTINCT user_id FROM events_naaj_v
+          WHERE event_type = 'error'
+        ), sub AS (
+          SELECT NULLIF(user_id,
+                        (SELECT MIN(user_id) FROM events_naaj_v
+                         WHERE event_type = 'purchase')) AS u
+          FROM events_naaj_v WHERE event_type = 'purchase'
+        )
+        SELECT
+          (SELECT COUNT(*) FROM probe) AS n_probe,
+          (SELECT COUNT(*) FROM probe
+           WHERE user_id NOT IN (SELECT u FROM sub)) AS n_not_in_raw,
+          (SELECT COUNT(*) FROM probe
+           WHERE user_id NOT IN (SELECT u FROM sub WHERE u IS NOT NULL))
+            AS n_not_in_fixed
+        """
+    )
+
+
 def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust ANOMALY DETECTION on user activity (median/MAD, the
     outlier-resistant z-score every monitoring stack reaches for):
@@ -7464,6 +7497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_market_basket": lineitem_market_basket,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
+        "events_null_aware_not_in": events_null_aware_not_in,
         "doc_bm25_topk": doc_bm25_topk,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
@@ -8782,6 +8816,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN support sb ON sb.l_partkey = p2
             CROSS JOIN n
             ORDER BY n_ab DESC, p1, p2
+        """,
+        "events_null_aware_not_in": """
+            WITH probe AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error'
+            ), sub AS (
+              SELECT NULLIF(user_id,
+                            (SELECT MIN(user_id) FROM events
+                             WHERE event_type = 'purchase')) AS u
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT
+              (SELECT COUNT(*) FROM probe) AS n_probe,
+              (SELECT COUNT(*) FROM probe
+               WHERE user_id NOT IN (SELECT u FROM sub)) AS n_not_in_raw,
+              (SELECT COUNT(*) FROM probe
+               WHERE user_id NOT IN
+                 (SELECT u FROM sub WHERE u IS NOT NULL))
+                AS n_not_in_fixed
         """,
         "events_user_hour_anomalies": """
             WITH h AS (
