@@ -6736,6 +6736,77 @@ def events_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def events_stream_attribution_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join-flavor matrix (inner + left outer already covered): unconverted
+    clicks AND orphan purchases both emit with nulls once the watermark
+    proves no partner can still arrive. Emission rules (empirically
+    pinned, same methodology as the left-outer case): unmatched left
+    emits iff click_ts + horizon < final_wm; unmatched RIGHT emits iff
+    purchase_ts < final_wm, where final_wm = min(max_click, max_purchase)
+    − delay — a right row only waits for earlier-or-equal clicks, so its
+    eviction needs no horizon term. Both sets are deterministic functions
+    of the data; the batch oracle reproduces matched + both expired
+    unmatched sides (−1 stand-ins for NULL keys). Margins test-guarded."""
+    import time as _time
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(etype: str, prefix: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias(ts_name),
+            )
+        )
+
+    joined = interval_join_streams(
+        _stream("click", "click", "click_ts"),
+        _stream("purchase", "purchase", "purchase_ts"),
+        ["user_id"],
+        "click_ts",
+        "purchase_ts",
+        horizon="2 hours",
+        max_delay="1 second",
+        how="full_outer",
+    )
+    qname = f"ev_attr_fo_{int(_time.time() * 1000)}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return (
+        spark.table(qname)
+        .select(
+            F.coalesce("click_id", F.lit(-1).cast("long")).alias("click_id"),
+            F.coalesce("purchase_id", F.lit(-1).cast("long")).alias(
+                "purchase_id"
+            ),
+            F.when(
+                F.col("click_id").isNull(), F.lit("orphan_purchase")
+            )
+            .when(F.col("purchase_id").isNull(), F.lit("unconverted_click"))
+            .otherwise(F.lit("attributed"))
+            .alias("kind"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def events_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon: the events file
     stream unioned with ITSELF (every event delivered twice — the at-least-
@@ -7619,6 +7690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_attribution": events_stream_attribution,
         "events_stream_attribution_outer": events_stream_attribution_outer,
+        "events_stream_attribution_full": events_stream_attribution_full,
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_iceberg_sink": events_stream_iceberg_sink,
         "events_stream_session_stats": events_stream_session_stats,
@@ -11153,6 +11225,34 @@ def oracle_sql() -> dict[str, str]:
         # unmatched clicks (null emission == state eviction at
         # click_ts + horizon < min-watermark); -1 stands in for NULL so
         # both engines sort/hash identically. Boundary margin test-guarded.
+        "events_stream_attribution_full": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+              FROM events WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT c.click_id, p.purchase_id
+              FROM c JOIN p ON c.user_id = p.user_id
+               AND p.pus >= c.cus AND p.pus <= c.cus + 7200000000
+            ), wm AS (
+              SELECT LEAST((SELECT MAX(cus) FROM c),
+                           (SELECT MAX(pus) FROM p)) - 1000000 AS w
+            )
+            SELECT click_id, purchase_id, 'attributed' AS kind FROM m
+            UNION ALL
+            SELECT c.click_id, CAST(-1 AS BIGINT), 'unconverted_click'
+            FROM c, wm
+            WHERE c.click_id NOT IN (SELECT click_id FROM m)
+              AND c.cus + 7200000000 < wm.w
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), p.purchase_id, 'orphan_purchase'
+            FROM p, wm
+            WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+              AND p.pus < wm.w
+            ORDER BY click_id, purchase_id
+        """,
         "events_stream_attribution_outer": """
             WITH c AS (
               SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus

@@ -1074,3 +1074,113 @@ def test_tws_without_protobuf_fails_fast(monkeypatch):
     ]:
         with pytest.raises(RuntimeError, match="protobuf"):
             fn(*args)
+
+
+def test_attribution_full_right_watermark_margin():
+    """events_stream_attribution_full additionally keys ORPHAN-PURCHASE
+    emission on purchase_ts <?> min(max_click, max_purchase) - 1s (a
+    right row only waits for earlier-or-equal clicks — no horizon term,
+    empirically pinned): no unmatched purchase may sit near that
+    boundary at any SF."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        (margin,) = con.execute(
+            """
+            WITH c AS (
+              SELECT user_id, epoch_us(ts) AS cus
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+              FROM events WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT DISTINCT p.purchase_id
+              FROM c JOIN p ON c.user_id = p.user_id
+               AND p.pus >= c.cus AND p.pus <= c.cus + 7200000000
+            ), wm AS (
+              SELECT LEAST((SELECT MAX(cus) FROM c),
+                           (SELECT MAX(pus) FROM p)) - 1000000 AS w
+            )
+            SELECT MIN(ABS(p.pus - wm.w))
+            FROM p, wm
+            WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+            """
+        ).fetchone()
+        assert margin > 100_000, (sf, margin)
+
+
+def test_full_outer_interval_join_semantics(spark, tmp_path):
+    """Deterministic micro-case pinning BOTH emission rules of the
+    full-outer stream-stream interval join: matched pair, expired
+    unmatched left (click_ts + horizon < wm), withheld recent left,
+    expired unmatched rights (purchase_ts < wm), withheld right beyond
+    the watermark."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + datetime.timedelta(minutes=m)
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "click_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "click_ts": pa.array(
+                    [ts(0), ts(10), ts(200)], pa.timestamp("us")
+                ),
+            }
+        ),
+        ldir / "l.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "purchase_id": pa.array([11, 12, 13, 14], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+                "purchase_ts": pa.array(
+                    [ts(5), ts(90), ts(199), ts(210)], pa.timestamp("us")
+                ),
+            }
+        ),
+        rdir / "r.parquet",
+    )
+    l = spark.readStream.schema(
+        "click_id long, user_id long, click_ts timestamp"
+    ).parquet(str(ldir))
+    r = spark.readStream.schema(
+        "purchase_id long, user_id long, purchase_ts timestamp"
+    ).parquet(str(rdir))
+    j = interval_join_streams(
+        l, r, ["user_id"], "click_ts", "purchase_ts",
+        horizon="1 hour", max_delay="1 second", how="full_outer",
+    )
+    q = (
+        j.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName("fo_sem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = sorted(
+        [(r_.click_id, r_.purchase_id) for r_ in spark.table("fo_sem").collect()],
+        key=lambda t: (t[0] or -9, t[1] or -9),
+    )
+    # wm = min(200, 210) - 1s. click3 (200) and purchase14 (210) withheld.
+    assert got == [(None, 12), (None, 13), (1, 11), (2, None)]
