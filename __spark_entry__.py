@@ -1507,6 +1507,66 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT over the corpus vocabulary — the distributional
+    health check run on every new ingest source (natural text slopes
+    ~−1; a far-off slope flags boilerplate or spam): least-squares slope
+    of ln(freq) on ln(rank) over the TOP-1000 words. The word histogram
+    is the only corpus-sized stage; ranking and the five regression sums
+    are vocab-bounded. Exactness: the top-1000 cut is a total order
+    (count DESC, word); restricting the ln-sums to 1000 terms keeps
+    summation-order noise ~1e-12 — absorbed by ROUND 6 (the same budget
+    doc_pmi_collocations proved out); slope/intercept are spelled as the
+    identical closed forms in both engines."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        words.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .alias("r"),
+        )
+        .where(F.col("r") <= 1000)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") - ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+            * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 RETRIEVAL scoring (k1=1.2, b=0.75) — the lexical-search rank
     function a RAG corpus is probed with — for a fixed 3-term query over
@@ -7570,6 +7630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_null_aware_not_in": events_null_aware_not_in,
         "doc_bm25_topk": doc_bm25_topk,
+        "doc_zipf_slope": doc_zipf_slope,
         "purchase_prior_events_range_join": purchase_prior_events_range_join,
         "bloom_join_pruning": bloom_join_pruning,
         "tdigest_quantity_centroids": tdigest_quantity_centroids,
@@ -8954,6 +9015,34 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE)
                           / (SELECT COUNT(*) FROM conv)) / 60000000.0, 6)
                      AS avg_minutes_to_convert
+        """,
+        "doc_zipf_slope": """
+            WITH words AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                  '\s+')) AS w
+              FROM documents WHERE TRIM(text) <> ''
+            ), freq AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+              WHERE w <> '' GROUP BY w
+            ), top AS (
+              SELECT ln(CAST(r AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y
+              FROM (SELECT c, w,
+                           ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+                    FROM freq)
+              WHERE r <= 1000
+            ), s AS (
+              SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM top
+            )
+            SELECT n,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     AS slope,
+                   ROUND((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n, 6)
+                     AS intercept
+            FROM s
         """,
         "doc_bm25_topk": """
             WITH words AS (

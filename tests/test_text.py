@@ -257,3 +257,36 @@ def test_bm25_round_boundary_margin():
         )
         margin = con.execute(q).fetchone()[0]
         assert margin * 1e-6 > 1e-12, (sf, margin)
+
+
+def test_zipf_slope_round_boundary_margin():
+    """doc_zipf_slope rounds the regression outputs to 6 dp in both
+    engines; the pre-round values must sit far from a rounding boundary
+    relative to 1000-term ln-sum noise (~1e-12). Measured min margin
+    1.76e-8; guard 1e-10."""
+    import duckdb
+
+    q = r"""
+    WITH words AS (SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                       '\s+')) AS w
+                   FROM documents WHERE TRIM(text) <> ''),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words
+             WHERE w <> '' GROUP BY w),
+    top AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+            FROM (SELECT c, w,
+                         ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+                  FROM freq) WHERE r <= 1000),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM top)
+    SELECT (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
+           (sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n AS icept FROM s
+    """
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        )
+        sl, ic = con.execute(q).fetchone()
+        for v in (sl, ic):
+            assert abs(v * 1e6 - round(v * 1e6)) * 1e-6 > 1e-10, (sf, v)
