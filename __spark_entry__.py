@@ -7482,6 +7482,64 @@ def ivf_recall_at_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_probe")
 
 
+# PQ parameters: 8 subspaces x 16 centroids over the 64-dim embeddings —
+# vectors compress 256 float32 bytes -> 8 code bytes (32x). Codebooks are
+# seeded data-independent (SQL-replayable from literals); margins guarded
+# in tests/test_ivf.py: min per-subspace code gap 1.2e-6 at sf0.1, min
+# ADC 6dp round margin 1.1e-10 — both orders above float noise.
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SEED = 23
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION search — the memory-bound ANN family (the
+    third, next to LSH and IVF): vectors encode to 8 subspace codes (32x
+    smaller than float32), the query builds a 8x16 lookup table once,
+    and the scan ranks candidates by asymmetric distance = 8 int lookups
+    per row — the float vectors are never read during the scan, which is
+    what lets a 100 TB corpus' index live in RAM. Top-10 by (ADC rounded
+    to 6dp, vec_id) with an in_exact flag against brute-force cosine —
+    the quantization loss is measured, not asserted. The DuckDB oracle
+    replays normalization, every code assignment (first-min argmin over
+    inlined centroid literals) and the ADC ranking exactly."""
+    from tdigest_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_scan,
+        pq_codebooks,
+        pq_encode,
+        topk_cosine,
+    )
+
+    C = pq_codebooks(_ANN_DIM, _PQ_M, _PQ_K, _PQ_SEED)
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    codes = pq_encode(emb, C).select("vec_id", "codes")
+    scored = (
+        pq_adc_scan(codes, pq_adc_lut(query, C))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", F.round("adc", 6).alias("adc6"))
+        .orderBy(F.asc("adc6"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.asc("adc6"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    exact = topk_cosine(emb, query, k=10, exclude_id=0).select(
+        "vec_id", F.lit(True).alias("in_exact")
+    )
+    return (
+        ranked.join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "adc6",
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        )
+        .orderBy("rank")
+    )
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement — the recall/cost TRADEOFF CURVE every ANN
     deployment tunes on: recall@10 of the LSH probe vs the exact
@@ -7761,6 +7819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_pruned_topk": ann_pruned_topk,
         "ann_recall_at_k": ann_recall_at_k,
+        "pq_adc_topk": pq_adc_topk,
         "ivf_recall_at_probe": ivf_recall_at_probe,
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -8089,6 +8148,84 @@ def _ivf_recall_oracle_sql(
         ),
         exact AS (SELECT vec_id FROM cand ORDER BY cos DESC, vec_id LIMIT {k})
         SELECT * FROM ({union}) ORDER BY n_probe
+    """
+
+
+def _pq_oracle_sql(
+    m: int = _PQ_M, k: int = _PQ_K, seed: int = _PQ_SEED, dim: int = _ANN_DIM
+) -> str:
+    """SQL twin of pq_adc_topk: re-normalize every vector, replay each
+    subspace's code assignment (first-min argmin of L2 distance to the
+    inlined centroid literals), rebuild the query's ADC lookup table from
+    the same literals, and rank by ROUND(ADC, 6) with vec_id tie-break.
+    Distance spellings differ across engines only in summation order —
+    absorbed by the margin-guarded ROUND (tests/test_ivf.py)."""
+    from tdigest_spark.operators.similarity import pq_codebooks
+
+    C = pq_codebooks(dim, m, k, seed)
+    dsub = dim // m
+    rows = []
+    for j in range(m):
+        for c in range(k):
+            lits = ", ".join(repr(float(x)) for x in C[j][c])
+            rows.append(f"({j}, {c}, CAST([{lits}] AS DOUBLE[]))")
+    cent_rows = ",\n            ".join(rows)
+    return f"""
+        WITH cents(j, c, cv) AS (VALUES {cent_rows}),
+        ve AS (
+          SELECT vec_id,
+                 list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(
+                          CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])))) AS e
+          FROM embeddings
+        ),
+        dists AS (
+          SELECT v.vec_id, t.j, t.c,
+                 list_dot_product(t.s, t.s)
+                   - 2 * list_dot_product(t.s, t.cv)
+                   + list_dot_product(t.cv, t.cv) AS d2
+          FROM ve v, LATERAL (
+            SELECT c2.j, c2.c, c2.cv,
+                   v.e[(c2.j * {dsub} + 1):(c2.j * {dsub} + {dsub})] AS s
+            FROM cents c2
+          ) t
+        ),
+        codes AS (
+          SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2 ASC, c ASC) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        qd AS (
+          SELECT d.j, d.c, d.d2 AS ld
+          FROM dists d JOIN embeddings q ON q.vec_id = 0
+                                         AND d.vec_id = 0
+        ),
+        adc AS (
+          SELECT co.vec_id, ROUND(SUM(qd.ld), 6) AS adc6
+          FROM codes co JOIN qd USING (j, c)
+          WHERE co.vec_id <> 0
+          GROUP BY co.vec_id
+        ),
+        topa AS (
+          SELECT vec_id, adc6,
+                 ROW_NUMBER() OVER (ORDER BY adc6 ASC, vec_id ASC) AS rank
+          FROM adc ORDER BY adc6 ASC, vec_id ASC LIMIT 10
+        ),
+        exact AS (
+          SELECT e.vec_id
+          FROM ve e, ve q
+          WHERE q.vec_id = 0 AND e.vec_id <> 0
+          ORDER BY list_cosine_similarity(e.e, q.e) DESC, e.vec_id
+          LIMIT 10
+        )
+        SELECT CAST(t.rank AS INTEGER) AS rank, t.vec_id, t.adc6,
+               t.vec_id IN (SELECT vec_id FROM exact) AS in_exact
+        FROM topa t ORDER BY rank
     """
 
 
@@ -11452,6 +11589,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_ann_keep_best": _semantic_ann_oracle_sql(),
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
         "ann_recall_at_k": _ann_recall_oracle_sql(),
+        "pq_adc_topk": _pq_oracle_sql(),
         "ivf_recall_at_probe": _ivf_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
     }

@@ -26,6 +26,10 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "ivf_fixed_centroids",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_adc_lut",
+    "pq_adc_scan",
     "lsh_probe_buckets",
     "build_lsh_index",
     "append_lsh_index",
@@ -597,3 +601,111 @@ def cosine_dup_pairs(
         .applyInPandas(pairs, out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN family — vectors compress
+# to m subspace codes (here 64 dims -> 8 codes = 32x smaller than float32),
+# and search scans CODES with a per-query lookup table instead of floats.
+# At 100 TB this is the index you hold in RAM when the vectors themselves
+# cannot be: ADC scan cost is m table lookups per candidate, and the
+# re-rank touches only the top candidates' full vectors.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, k: int = 16, seed: int = 23
+) -> np.ndarray:
+    """Deterministic data-INDEPENDENT product codebooks: ``m`` subspaces
+    of dim/m dims, each with ``k`` seeded Gaussian centroids scaled to
+    the unit-normalized-vector regime (per-coordinate std ~ 1/sqrt(dim)).
+    Trained (k-means) codebooks quantize tighter; a fixed codebook makes
+    every code assignment replayable from inlined literals by the SQL
+    oracle — the same property ivf_fixed_centroids has."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dim // m)) / np.sqrt(dim)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``codes`` (array<int>, length m): per subspace the L2-nearest
+    centroid of the UNIT-NORMALIZED vector's slice, ties to the lowest
+    index (argmin first-min — margin-guarded in tests). One numpy pass
+    per Arrow batch; codebooks ride the closure (KBs)."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    dim = m * dsub
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            emb = tbl.column(vec_col).combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            V = flat.astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                sub = V[:, j * dsub : (j + 1) * dsub]
+                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; ||v||^2 is
+                # constant per row, so argmin over (-2 v.c + ||c||^2)
+                d2 = -2.0 * (sub @ C[j].T) + (C[j] * C[j]).sum(axis=1)
+                codes[:, j] = np.argmin(d2, axis=1)
+            out = tbl.append_column(
+                "codes", pa.array(codes.tolist(), pa.list_(pa.int32()))
+            )
+            yield from out.to_batches()
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("codes", ArrayType(IntegerType()))]
+    )
+    return df.mapInArrow(enc, out_schema)
+
+
+def pq_adc_lut(query: list[float], codebooks: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup table for one query: LUT[j][c] =
+    ||q_j − C[j][c]||² of the unit-normalized query's j-th slice. ADC
+    distance of a coded vector is then sum_j LUT[j][codes[j]] — m array
+    lookups, no float vector touched."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, k, dsub = C.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, k))
+    for j in range(m):
+        diff = q[j * dsub : (j + 1) * dsub][None, :] - C[j]
+        lut[j] = (diff * diff).sum(axis=1)
+    return lut
+
+
+def pq_adc_scan(
+    df_codes: DataFrame, lut: np.ndarray, codes_col: str = "codes"
+) -> DataFrame:
+    """Append ``adc`` = sum_j LUT[j][codes[j]] (asymmetric distance) to a
+    coded table: the PQ search scan — m int lookups per row, the float
+    vectors are never read. One numpy gather per Arrow batch."""
+    L = np.asarray(lut, dtype=np.float64)
+    m = L.shape[0]
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            codes = tbl.column(codes_col).combine_chunks()
+            flat = codes.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+            adc = L[np.arange(m)[None, :], flat].sum(axis=1)
+            out = tbl.append_column("adc", pa.array(adc, pa.float64()))
+            yield from out.to_batches()
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df_codes.schema.fields) + [StructField("adc", DoubleType())]
+    )
+    return df_codes.mapInArrow(scan, out_schema)

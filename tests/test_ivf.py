@@ -123,3 +123,63 @@ def test_ivf_fixed_assignment_matches_numpy(spark):
     want = np.argmax(V @ C.T, axis=1)
     ids = tbl["vec_id"].to_numpy()
     assert got == {int(i): int(l) for i, l in zip(ids, want)}
+
+
+def test_pq_margins_all_sfs():
+    """pq_adc_topk's oracle replays code assignments and the rounded-ADC
+    ranking from inlined codebook literals; exactness needs (a) every
+    (vector, subspace) top-2 distance gap and (b) every candidate's ADC
+    distance-to-rounding-boundary far above float noise (~1e-15).
+    Measured: code gap 1.2e-6, ADC margin 1.1e-10 at sf0.1."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.similarity import pq_adc_lut, pq_codebooks
+
+    C = pq_codebooks(64, 8, 16, 23)
+    m, k, dsub = C.shape
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        V = np.stack(
+            [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+        )
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        codes = np.empty((V.shape[0], m), np.int32)
+        for j in range(m):
+            sub = V[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * (sub @ C[j].T) + (C[j] * C[j]).sum(axis=1)
+            s = np.sort(d2, axis=1)
+            assert (s[:, 1] - s[:, 0]).min() > 1e-9, (sf, j)
+            codes[:, j] = np.argmin(d2, axis=1)
+        qv = V[tbl["vec_id"].to_numpy() == 0][0]
+        lut = pq_adc_lut([float(x) for x in qv], C)
+        adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        margin = np.abs(adc * 1e6 - np.round(adc * 1e6)).min()
+        assert margin * 1e-6 > 1e-12, (sf, margin)
+
+
+def test_pq_encode_matches_numpy(spark):
+    """Spark's pq_encode equals the plain numpy argmin the SQL oracle
+    replays (first-min tie-break), and codes round-trip through the
+    Arrow array column."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.similarity import pq_codebooks, pq_encode
+
+    C = pq_codebooks(64, 8, 16, 23)
+    m, k, dsub = C.shape
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, C).select("vec_id", "codes").collect()
+    }
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    V = np.stack(
+        [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+    )
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy()
+    for j in range(m):
+        sub = V[:, j * dsub : (j + 1) * dsub]
+        d2 = -2.0 * (sub @ C[j].T) + (C[j] * C[j]).sum(axis=1)
+        want = np.argmin(d2, axis=1)
+        assert all(got[int(i)][j] == int(w) for i, w in zip(ids, want)), j
