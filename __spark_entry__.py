@@ -3770,6 +3770,139 @@ def events_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def iceberg_stream_mv_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the full composition a
+    lakehouse runs in production, every stage through this repo's own
+    machinery: an Iceberg SOURCE table is tailed by the Python Data
+    Source's streaming reader (offsets = snapshot ids), a STREAMING
+    AGGREGATION (update mode, state in the checkpoint) maintains per-type
+    totals, and the data source's streaming SINK upserts the changed
+    aggregate rows per epoch (same-sequence equality-delete MERGE =
+    last-writer-wins per key) into a second Iceberg table — the MV. Then
+    the source gets a NEW snapshot and the stream RESTARTS from its
+    checkpoint: only the delta is planned (snapshot-range offsets), the
+    aggregation state carries forward, and the MV converges to the
+    full-table totals WITHOUT ever rescanning the source — the property
+    that makes an MV affordable at 100 TB. Both MV states (after the
+    initial load = even event_ids, after the increment = all events) are
+    read back through the data source's merge-on-read path and are exact
+    in SQL."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_mv_")
+    try:
+        src_root = Path(tmp) / "src"
+        mv_root = Path(tmp) / "mv"
+        W.create_table(src_root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 1))
+        f1 = src_root / "data" / "even.parquet"
+        pq.write_table(even, f1)
+        W.append_snapshot(src_root, [f1], snapshot_id=1, ts_ms=2000)
+
+        W.create_table(mv_root, ts_ms=1500)
+
+        def upsert_epoch(bdf, epoch_id):
+            # exactly-once MERGE per epoch: snapshot id = f(epoch), the
+            # exists-guard absorbs foreachBatch redelivery (same pattern
+            # as streaming.write_stream_to_iceberg / the datasource sink);
+            # epoch ids keep increasing across checkpoint restarts, so
+            # snapshot ids stay a valid (strictly increasing) sequence.
+            # Update-mode rows are the CHANGED aggregates only — the
+            # equality-delete MERGE keyed on event_type makes the MV
+            # last-writer-wins per key.
+            import pyarrow as _pa
+
+            rows = bdf.collect()  # changed aggregate rows: <= #types
+            if not rows:
+                return
+            sid = int(epoch_id) + 1
+            if sid in W.snapshot_ids(mv_root):
+                return  # epoch already committed (redelivery)
+            data = _pa.table(
+                {
+                    "event_type": _pa.array(
+                        [r["event_type"] for r in rows], _pa.string()
+                    ),
+                    "n_events": _pa.array(
+                        [r["n_events"] for r in rows], _pa.int64()
+                    ),
+                    "value_cents": _pa.array(
+                        [r["value_cents"] for r in rows], _pa.int64()
+                    ),
+                }
+            )
+            df_file = mv_root / "data" / f"mv-{sid}.parquet"
+            pq.write_table(data, df_file)
+            keys = mv_root / "data" / f"mv-{sid}-keys.parquet"
+            pq.write_table(data.select(["event_type"]), keys)
+            W.upsert_snapshot(
+                mv_root, [df_file], keys, snapshot_id=sid,
+                ts_ms=10_000 + sid,
+            )
+
+        def run_maintenance():
+            agg = (
+                spark.readStream.format("iceberg_static")
+                .option("path", str(src_root))
+                .load()
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.floor(F.col("value") * 100).cast("long")
+                    ).alias("value_cents"),
+                )
+            )
+            q = (
+                agg.writeStream.foreachBatch(upsert_epoch)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("MV maintenance did not drain within 300s")
+
+        def read_mv(phase: str):
+            return (
+                spark.read.format("iceberg_static")
+                .option("path", str(mv_root))
+                .load()
+                .select(F.lit(phase).alias("phase"), "event_type",
+                        "n_events", "value_cents")
+            )
+
+        run_maintenance()
+        initial = read_mv("1_initial")
+        initial = spark.createDataFrame(initial.collect(), initial.schema)
+        f2 = src_root / "data" / "odd.parquet"
+        pq.write_table(odd, f2)
+        W.append_snapshot(src_root, [f2], snapshot_id=2, ts_ms=3000)
+        run_maintenance()  # restart from checkpoint: plans ONLY snapshot 2
+        final = read_mv("2_after_increment")
+        final = spark.createDataFrame(final.collect(), final.schema)
+        return initial.unionByName(final).orderBy("phase", "event_type")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_datasource_stream_upsert(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7742,6 +7875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "events_statestore_inspect": events_statestore_inspect,
         "iceberg_datasource_stream_upsert": iceberg_datasource_stream_upsert,
+        "iceberg_stream_mv_maintenance": iceberg_stream_mv_maintenance,
         "events_stream_tws_type_breakdown": events_stream_tws_type_breakdown,
         "events_stream_tws_inactivity_flush": events_stream_tws_inactivity_flush,
         "orders_recursive_month_spine": orders_recursive_month_spine,
@@ -10349,6 +10483,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, event_type
             ORDER BY n_events DESC, user_id ASC, event_type ASC
             LIMIT 20
+        """,
+        "iceberg_stream_mv_maintenance": """
+            SELECT '1_initial' AS phase, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
+            FROM events WHERE event_id % 2 = 0
+            GROUP BY event_type
+            UNION ALL
+            SELECT '2_after_increment', event_type, COUNT(*),
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+            FROM events GROUP BY event_type
+            ORDER BY phase, event_type
         """,
         "iceberg_datasource_stream_upsert": """
             SELECT source,
