@@ -1417,6 +1417,51 @@ def events_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral MARKOV CHAIN: per-user event-type transition counts and
+    row-normalized probabilities — the sequence model behind next-action
+    prediction and bot detection. One user_id shuffle + a linear lag()
+    window pass (never an event x event self-join); the transition matrix
+    is #types² rows. Ordering within a user is total ((ts µs, event_id)),
+    counts exact, probabilities one double division of exact ints
+    (ROUND 6)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust ANOMALY DETECTION on user activity (median/MAD, the
     outlier-resistant z-score every monitoring stack reaches for):
@@ -3313,6 +3358,67 @@ def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("state")
+
+
+def iceberg_metadata_tables_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INSPECTION tables (the ``table.files`` / ``.snapshots`` /
+    ``.manifests`` surface every operator dashboard queries): a two-commit
+    table (one file per source, then one odd-docs file) is summarized
+    ENTIRELY from its metadata walk — no data file opened — and the
+    numbers are exact in SQL: file count = sources + 1, record totals,
+    sequence range, snapshot count/ops, current snapshot's manifest
+    count (append reuses the prior manifest — O(new files) commits)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_metadata_df
+
+    tmp = tempfile.mkdtemp(prefix="ice_meta_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        files = []
+        for s in sorted(set(even["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(even.filter(pc.equal(even["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        f2 = root / "data" / "odd.parquet"
+        pq.write_table(odd, f2)
+        W.append_snapshot(root, [f2], snapshot_id=2, ts_ms=3000)
+        fdf = iceberg_metadata_df(spark, str(root), "files")
+        sdf = iceberg_metadata_df(spark, str(root), "snapshots")
+        mdf = iceberg_metadata_df(spark, str(root), "manifests")
+        row = (
+            fdf.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("record_count").alias("total_records"),
+                F.min("sequence_number").alias("seq_min"),
+                F.max("sequence_number").alias("seq_max"),
+            )
+            .crossJoin(
+                sdf.agg(
+                    F.count(F.lit(1)).alias("n_snapshots"),
+                    F.concat_ws(
+                        ",", F.sort_array(F.collect_list("operation"))
+                    ).alias("ops"),
+                )
+            )
+            .crossJoin(mdf.agg(F.count(F.lit(1)).alias("n_manifests")))
+        )
+        return spark.createDataFrame(row.collect(), row.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7819,6 +7925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_market_basket": lineitem_market_basket,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
+        "events_type_markov_transitions": events_type_markov_transitions,
         "events_null_aware_not_in": events_null_aware_not_in,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_zipf_slope": doc_zipf_slope,
@@ -7894,6 +8001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
+        "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
@@ -9240,6 +9348,26 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT u FROM sub WHERE u IS NOT NULL))
                 AS n_not_in_fixed
         """,
+        "events_type_markov_transitions": """
+            WITH seq AS (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS from_type,
+                     event_type AS to_type
+              FROM events WHERE user_id IS NOT NULL
+            ), trans AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM seq WHERE from_type IS NOT NULL
+              GROUP BY from_type, to_type
+            ), totals AS (
+              SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+              FROM trans GROUP BY from_type
+            )
+            SELECT t.from_type, t.to_type, t.n,
+                   ROUND(CAST(t.n AS DOUBLE) / tt.n_from, 6) AS p
+            FROM trans t JOIN totals tt USING (from_type)
+            ORDER BY from_type, to_type
+        """,
         "events_user_hour_anomalies": """
             WITH h AS (
               SELECT user_id, epoch_us(ts) // 3600000000 AS h,
@@ -10206,6 +10334,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE word NOT IN (SELECT word FROM v1w))
                      AS n_new_words
             FROM dw GROUP BY source ORDER BY source
+        """,
+        "iceberg_metadata_tables_read": """
+            SELECT (SELECT COUNT(DISTINCT source) FROM documents
+                    WHERE doc_id % 2 = 0) + 1 AS n_files,
+                   (SELECT COUNT(*) FROM documents) AS total_records,
+                   CAST(1 AS BIGINT) AS seq_min,
+                   CAST(2 AS BIGINT) AS seq_max,
+                   CAST(2 AS BIGINT) AS n_snapshots,
+                   'append,append' AS ops,
+                   CAST(2 AS BIGINT) AS n_manifests
         """,
         "iceberg_wap_rollback_read": """
             SELECT '1_pre_publish' AS state, COUNT(*) AS n_docs,

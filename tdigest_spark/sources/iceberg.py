@@ -46,6 +46,7 @@ __all__ = [
     "iceberg_scan_entries_static",
     "iceberg_incremental_paths",
     "iceberg_scan_paths_pruned",
+    "iceberg_metadata_df",
     "read_table_evolved",
     "current_metadata",
 ]
@@ -310,6 +311,8 @@ def iceberg_scan_entries_static(
                     "seq": seq_of.get(e.get("snapshot_id"), 0),
                     "schema_id": df_rec.get("schema_id"),
                     "spec_id": df_rec.get("spec_id"),
+                    "record_count": df_rec.get("record_count"),
+                    "file_size": df_rec.get("file_size_in_bytes"),
                     "partition": df_rec.get("partition"),
                     "lower_bounds": df_rec.get("lower_bounds"),
                     "upper_bounds": df_rec.get("upper_bounds"),
@@ -318,6 +321,67 @@ def iceberg_scan_entries_static(
     for v in out.values():
         v.sort(key=lambda x: (x["seq"], x["path"]))
     return out
+
+
+def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):
+    """Iceberg INSPECTION (metadata) tables — the ``table.files`` /
+    ``.snapshots`` / ``.manifests`` surface operators live on: everything
+    comes from the metadata walk alone (O(manifest), no data file is
+    opened), returned as a DataFrame so table health checks compose with
+    ordinary SQL. ``kind`` in {"files", "snapshots", "manifests"}."""
+    root = Path(str(table_dir))
+    meta = current_metadata(table_dir)
+    if kind == "files":
+        entries = iceberg_scan_entries_static(table_dir)["data"]
+        rows = [
+            (
+                Path(e["path"]).name,
+                int(e["seq"]),
+                int(e.get("record_count") or -1),
+                int(e.get("file_size") or -1),
+                e.get("spec_id"),
+            )
+            for e in entries
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_name string, sequence_number long, record_count long, "
+            "file_size long, spec_id int",
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("sequence-number", 0)),
+                str(s.get("summary", {}).get("operation", "append")),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, sequence_number long, operation string"
+        )
+    if kind == "manifests":
+        from . import avro_lite
+
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        cur = meta.get("current-snapshot-id")
+        if cur is None or cur not in snaps:
+            rows = []
+        else:
+            ml = _localize(snaps[cur]["manifest-list"], root)
+            _, manifests = avro_lite.read_container(ml)
+            rows = [
+                (
+                    Path(str(m["manifest_path"])).name,
+                    int(m["manifest_length"]),
+                    int(m.get("content", 0)),
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows, "manifest_name string, length long, content int"
+        )
+    raise ValueError(f"unknown metadata table kind {kind!r}")
 
 
 def iceberg_incremental_paths(
