@@ -261,6 +261,10 @@ def run_headline(spark) -> dict[str, float]:
         # all-pairs plan, and the full 6-merge BPE training loop
         "semantic_dedup_ann_keep_best",
         "doc_bpe_merges",
+        # round-4 second half: PQ coded-scan ANN (encode + ADC rank) and
+        # BM25 lexical retrieval (scan-filtered postings)
+        "pq_adc_topk",
+        "doc_bm25_topk",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
