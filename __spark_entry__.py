@@ -7366,6 +7366,48 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def minhash_recall_at_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding RECALL/COST curve — the dedup twin of
+    ann_recall_at_k / ivf_recall_at_probe: verified near-dup pairs and
+    raw candidate counts at 1/2/4/8 bands of the shipped configuration
+    (k=32, 4 slots per band; the permutation constants are a prefix
+    family, so b bands of k=4b IS the first b bands of the 8-band
+    config — asserted in code). Candidate sets grow monotonically with
+    b, so recall (vs the full 8-band verified set) is monotone and the
+    b=8 endpoint is exactly 1.0 — the curve carries its own correctness
+    endpoint, and every point is exact in SQL via the md5-lower-64
+    signature chain. n_candidates quantifies the verification cost each
+    extra band buys its recall with."""
+    import numpy as np
+
+    from tdigest_spark.operators.dedup import MINHASH_A, lsh_candidate_pairs
+
+    assert np.array_equal(MINHASH_A(32)[:4], MINHASH_A(4))  # prefix family
+    docs = _t(spark, sf_dir, "documents")
+    rows = []
+    for b in (1, 2, 4, 8):
+        verified = lsh_candidate_pairs(
+            docs, "text", "doc_id", k=4 * b, bands=b,
+            jaccard_threshold=0.5, persist_base=True,
+        ).count()
+        candidates = lsh_candidate_pairs(
+            docs, "text", "doc_id", k=4 * b, bands=b,
+            jaccard_threshold=0.0, persist_base=True,
+        ).count()
+        rows.append((b, verified, candidates))
+    np8 = rows[-1][1]
+    # recall stays UNROUNDED: a single division of exact small ints is
+    # correctly rounded to the same double in both engines, while
+    # ROUND(x, 6) can land on a .5 tie (250/256 = 0.9765625 — banker's
+    # vs half-up rounding disagrees across engines)
+    out = [(b, v, c, v / np8 if np8 else 0.0) for b, v, c in rows]
+    assert out[-1][3] == 1.0, out[-1]
+    return spark.createDataFrame(
+        out,
+        "n_bands int, n_pairs long, n_candidates long, recall double",
+    ).orderBy("n_bands")
+
+
 def dedup_group_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP assignment from MinHash-LSH verified pairs: candidate
     pairs are edges, the unit a pipeline deletes is the connected
@@ -8015,6 +8057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_counts": doc_lang_counts,
         "ngram_jaccard_dup_pairs": ngram_jaccard_dup_pairs,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "minhash_recall_at_bands": minhash_recall_at_bands,
         "dedup_group_resolution": dedup_group_resolution,
         "simhash_dup_candidates": simhash_dup_candidates,
         "media_decode_stats": media_decode_stats,
@@ -8153,6 +8196,36 @@ def _minhash_cte_chain(k: int = 32, bands: int = 8, threshold: float = 0.5) -> s
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}
         )"""
+
+
+def _minhash_recall_oracle_sql(threshold: float = 0.5) -> str:
+    """SQL twin of minhash_recall_at_bands: one full signature chain per
+    band count (k=4b, bands=b — the prefix property makes that the first
+    b bands of the shipped config), verified-pair and raw-candidate
+    counts as scalar subqueries, recall normalized by the 8-band count."""
+    def cnt(b: int, thr: float) -> str:
+        return (
+            "(WITH "
+            + _minhash_cte_chain(k=4 * b, bands=b, threshold=thr)
+            + "\n SELECT COUNT(*) FROM dup_pairs)"
+        )
+
+    blocks = []
+    for b in (1, 2, 4, 8):
+        blocks.append(
+            f"SELECT CAST({b} AS INTEGER) AS n_bands,\n"
+            f"       CAST({cnt(b, threshold)} AS BIGINT) AS n_pairs,\n"
+            f"       CAST({cnt(b, 0.0)} AS BIGINT) AS n_candidates"
+        )
+    union = "\n            UNION ALL\n            ".join(blocks)
+    return f"""
+        WITH t AS (
+            {union}
+        ), tot AS (SELECT n_pairs AS np8 FROM t WHERE n_bands = 8)
+        SELECT n_bands, n_pairs, n_candidates,
+               CAST(n_pairs AS DOUBLE) / tot.np8 AS recall
+        FROM t, tot ORDER BY n_bands
+    """
 
 
 def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
@@ -10895,6 +10968,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_curation_funnel": _curation_funnel_oracle_sql(),
         "minhash_lsh_pairs": _minhash_oracle_sql(k=32, bands=8, threshold=0.5),
+        "minhash_recall_at_bands": _minhash_recall_oracle_sql(threshold=0.5),
         "doc_bpe_merges": _bpe_oracle_sql(n_merges=6),
         "doc_bpe_token_stats": _bpe_stats_oracle_sql(n_merges=6),
         "dedup_group_resolution": _dedup_groups_oracle_sql(
