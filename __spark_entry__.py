@@ -1417,6 +1417,55 @@ def events_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_3day_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING-WINDOW DISTINCT via sketch mergeability over TIME — the
+    dashboard query ("trailing 3-day active users per day") that exact
+    COUNT(DISTINCT) makes quadratic at scale: per-day bottom-k/theta
+    states build in ONE grouped pass (states shuffle, rows don't), and
+    every trailing window is a driver-side UNION of three ~KB states —
+    days never rescan each other. Exact by construction: k=4096 exceeds
+    any window's cardinality, so every sketch stays in exact mode
+    (theta == 2^64, asserted) and the union estimate IS the distinct
+    count. The day axis is integer epoch-days; only days present in the
+    data appear (same on both sides)."""
+    from tdigest_spark.operators.aggregate import (
+        BOTTOMK_INTS,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.theta import ThetaSketch
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            "user_id",
+        )
+    )
+    per_day = build_sketch_grouped(
+        ev, ["day"], "user_id", BOTTOMK_INTS(4096)
+    ).collect()
+    sk = {
+        int(r["day"]): ThetaSketch.from_bottomk_bytes(bytes(r["state"]))
+        for r in per_day
+    }
+    rows = []
+    for day in sorted(sk):
+        window = [d for d in (day - 2, day - 1, day) if d in sk]
+        u = sk[window[0]]
+        for d in window[1:]:
+            u = u.union(sk[d])
+        assert u.theta == 2**64, (day, u.theta)  # exact mode holds
+        rows.append((day, len(window), int(u.estimate())))
+    return spark.createDataFrame(
+        rows, "day long, n_days_in_window int, n_active long"
+    ).orderBy("day")
+
+
 def events_type_markov_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7968,6 +8017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
+        "events_rolling_3day_distinct": events_rolling_3day_distinct,
         "events_null_aware_not_in": events_null_aware_not_in,
         "doc_bm25_topk": doc_bm25_topk,
         "doc_zipf_slope": doc_zipf_slope,
@@ -9420,6 +9470,20 @@ def oracle_sql() -> dict[str, str]:
                WHERE user_id NOT IN
                  (SELECT u FROM sub WHERE u IS NOT NULL))
                 AS n_not_in_fixed
+        """,
+        "events_rolling_3day_distinct": """
+            WITH d AS (
+              SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+              FROM events WHERE user_id IS NOT NULL
+            ), days AS (SELECT DISTINCT day FROM d)
+            SELECT days.day,
+                   CAST((SELECT COUNT(DISTINCT d2.day) FROM d d2
+                         WHERE d2.day BETWEEN days.day - 2 AND days.day)
+                        AS INTEGER) AS n_days_in_window,
+                   (SELECT COUNT(DISTINCT d3.user_id) FROM d d3
+                    WHERE d3.day BETWEEN days.day - 2 AND days.day)
+                     AS n_active
+            FROM days ORDER BY day
         """,
         "events_type_markov_transitions": """
             WITH seq AS (
