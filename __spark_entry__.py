@@ -2039,6 +2039,61 @@ def discrete_chars_by_source_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("source")
 
 
+def discrete_chars_cube_from_merges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full two-dimension CUBE of quantiles from ONE grouped sketch build
+    — mergeability replaces Spark's Expand+rescan: (source, lang) cell
+    digests build in a single pass, then every margin (per-source,
+    per-lang, grand total) is a driver-side MERGE of cell states — the
+    corpus is scanned once for all 4 grouping sets, vs CUBE's row
+    replication per set. Exact map state (discrete digest) => Nearest-
+    Rank medians reproducible per cell AND per margin in SQL (DuckDB
+    GROUP BY CUBE). '__all__' marks margins. Restricted to 3 sources for
+    output size; cells, margins and counts all exact-oracled."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST_DISCRETE,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    cells = build_sketch_grouped(
+        docs, ["source", "lang"], "n_chars", TDIGEST_DISCRETE()
+    ).collect()
+    states: dict[tuple, DiscreteDigest] = {}
+    for r in cells:
+        states[(r["source"], r["lang"])] = DiscreteDigest.from_bytes(
+            bytes(r["state"])
+        )
+
+    def merged(keys):
+        out = DiscreteDigest()
+        for t in keys:
+            out.merge(states[t])
+        return out
+
+    rows = []
+    sources = sorted({s for s, _ in states})
+    langs = sorted({l for _, l in states})
+    for s, lg in sorted(states):
+        d = states[(s, lg)]
+        rows.append((s, lg, int(d.n), float(d.quantile(0.5))))
+    for s in sources:  # per-source margins (merge across langs)
+        d = merged([t for t in states if t[0] == s])
+        rows.append((s, "__all__", int(d.n), float(d.quantile(0.5))))
+    for lg in langs:  # per-lang margins (merge across sources)
+        d = merged([t for t in states if t[1] == lg])
+        rows.append(("__all__", lg, int(d.n), float(d.quantile(0.5))))
+    d = merged(list(states))  # grand total
+    rows.append(("__all__", "__all__", int(d.n), float(d.quantile(0.5))))
+    return spark.createDataFrame(
+        rows, "source string, lang string, n long, p50 double"
+    ).orderBy("source", "lang")
+
+
 def autodigest_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-mode Digest semantics distributed (tdigest.js:372-388): stays
     exact-discrete on low-cardinality l_quantity, auto-switches to t-digest
@@ -8037,6 +8092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
         "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
+        "discrete_chars_cube_from_merges": discrete_chars_cube_from_merges,
         "autodigest_modes": autodigest_modes,
         "kll_rank_error_check": kll_rank_error_check,
         "ddsketch_price_quantiles": ddsketch_price_quantiles,
@@ -9920,6 +9976,26 @@ def oracle_sql() -> dict[str, str]:
                    ) AS tmean
             FROM wins, cum
             GROUP BY lo, hi ORDER BY lo
+        """,
+        "discrete_chars_cube_from_merges": """
+            WITH base AS (
+              SELECT source, lang, CAST(n_chars AS DOUBLE) AS v
+              FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            ), cells AS (
+              SELECT COALESCE(source, '__all__') AS source,
+                     COALESCE(lang, '__all__') AS lang,
+                     v, COUNT(*) AS w
+              FROM base GROUP BY CUBE(source, lang), v
+            ), cum AS (
+              SELECT source, lang, v,
+                     SUM(w) OVER (PARTITION BY source, lang
+                                  ORDER BY v) AS c,
+                     SUM(w) OVER (PARTITION BY source, lang) AS n
+              FROM cells
+            )
+            SELECT source, lang, CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(CASE WHEN c >= 0.5 * n THEN v END) AS p50
+            FROM cum GROUP BY source, lang ORDER BY source, lang
         """,
         "discrete_chars_by_source_rollup": """
             WITH cum AS (
