@@ -1560,6 +1560,42 @@ def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of per-user activity — the engagement-inequality
+    metric (is the corpus/product carried by a few power users?). One
+    user_id count aggregate, one ranked pass over USER-cardinality data:
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over counts sorted by (count,
+    user_id) — a total order, so the rank-weighted sum is deterministic;
+    every term is an exact integer and the two divisions are spelled
+    identically in both engines (ROUND 6)."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = counts.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        "n",
+        "sx",
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1)) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -8069,6 +8105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_trailing_hour": events_user_trailing_hour,
         "events_user_value_locf": events_user_value_locf,
         "lineitem_market_basket": lineitem_market_basket,
+        "events_user_gini": events_user_gini,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
@@ -9586,6 +9623,24 @@ def oracle_sql() -> dict[str, str]:
                      AS n_anomalous
             FROM d JOIN mad USING (user_id)
             GROUP BY d.user_id ORDER BY d.user_id
+        """,
+        "events_user_gini": """
+            WITH counts AS (
+              SELECT user_id, COUNT(*) AS x FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id
+            ), ranked AS (
+              SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, user_id ASC)
+                       AS i
+              FROM counts
+            ), s AS (
+              SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(i * x) AS BIGINT) AS six
+              FROM ranked
+            )
+            SELECT n, sx,
+                   ROUND(2.0 * six / (n * sx)
+                         - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+            FROM s
         """,
         "events_funnel_conversion": """
             WITH s AS (
