@@ -1562,28 +1562,74 @@ def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GINI COEFFICIENT of per-user activity — the engagement-inequality
-    metric (is the corpus/product carried by a few power users?). One
-    user_id count aggregate, one ranked pass over USER-cardinality data:
-    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over counts sorted by (count,
-    user_id) — a total order, so the rank-weighted sum is deterministic;
-    every term is an exact integer and the two divisions are spelled
-    identically in both engines (ROUND 6)."""
+    metric (is the corpus/product carried by a few power users?).
+    G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with i ranking users by (count,
+    user_id). DISTRIBUTED rank (no global row_number — a billion-user
+    rank must never land in one task): within an equal-count block the
+    ranks are s+1..s+c regardless of the user_id tie order, so
+    Σ i·x_i = Σ_v v·(c_v·s_v + c_v(c_v+1)/2) needs only per-VALUE counts
+    plus the prefix s_v = #users with smaller count. The prefix is
+    computed as (bucket offset) + (within-bucket running sum): values
+    bucket by their BIT LENGTH (≤63 buckets, order-preserving, exact
+    integer arithmetic via conv(x,10,2)), bucket totals collect to the
+    driver (≤63 rows — bounded by the word size, not the data) and
+    broadcast-join back; the within-bucket window partitions by bucket,
+    so no Exchange SinglePartition feeds any Window (explain_audit
+    asserts this). Value cardinality ≤ max per-user count, and bucket b
+    holds ≤ 2^(b−1) distinct values. Every term is an exact integer and
+    the two divisions are spelled identically in both engines (ROUND 6);
+    the oracle keeps the straightforward global-rank formulation."""
     counts = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    ranked = counts.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy(F.asc("x"), F.asc("user_id")))
-        .alias("i"),
+    g = (
+        counts.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "b", F.length(F.conv(F.col("x").cast("string"), 10, 2))
+        )
     )
-    agg = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+    # one pass materializes the (value, count, bucket) table; both the
+    # bucket-total job and the main aggregate read the checkpointed
+    # blocks (value-cardinality — tiny) instead of re-scanning events
+    g = g.localCheckpoint(eager=False)
+    btotals = sorted(
+        (r["b"], r["cb"])
+        for r in g.groupBy("b").agg(F.sum("c").alias("cb")).collect()
+    )
+    offs, running = [], 0
+    for b, cb in btotals:
+        offs.append((b, running))
+        running += cb
+    offdf = spark.createDataFrame(offs or [], "b int, off long")
+    w = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = g.join(F.broadcast(offdf), "b").select(
+        "x",
+        "c",
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("off")).alias(
+            "s"
+        ),
+    )
+    agg = pre.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("x")
+            * (
+                F.col("c") * F.col("s")
+                # c·(c+1) is even — DIV keeps the whole chain in exact
+                # 64-bit integers (a double intermediate would round
+                # past 2^53 at extreme cardinalities)
+                + F.expr("(c * (c + 1)) DIV 2")
+            )
+        ).alias("six"),
     )
     return agg.select(
         "n",
@@ -1603,7 +1649,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one user_id join — never an event×event self-join; at 100 TB both
     aggregates are map-side-partial shuffles on user_id and the join is
     user-cardinality. Exactness: integer microsecond arithmetic, counts,
-    and one identically-spelled division chain (ROUND 6)."""
+    and identically-spelled divisions of exact integers — left
+    UNROUNDED, because IEEE division is bit-identical across engines
+    while Python round() (banker's) vs DuckDB ROUND (half-up) diverge on
+    genuine .5 ties of small-int ratios (the 250/256 lesson)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1628,8 +1677,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_us") - F.col("s_us")).alias("d_us"),
     ).collect()[0]
     n_conv, d_us = int(agg["n_converted"]), int(agg["d_us"] or 0)
-    rate = round(n_conv / n_signup, 6) if n_signup else 0.0
-    avg_min = round((d_us / n_conv) / 60_000_000.0, 6) if n_conv else 0.0
+    rate = n_conv / n_signup if n_signup else 0.0
+    avg_min = (d_us / n_conv) / 60_000_000.0 if n_conv else 0.0
     return spark.createDataFrame(
         [(n_signup, n_conv, rate, avg_min)],
         "n_signup_users long, n_converted long, conv_rate double, "
@@ -9656,11 +9705,11 @@ def oracle_sql() -> dict[str, str]:
             ), conv AS (SELECT * FROM p WHERE p_us - s_us <= 86400000000)
             SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
                    (SELECT COUNT(*) FROM conv) AS n_converted,
-                   ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
-                         / (SELECT COUNT(*) FROM s), 6) AS conv_rate,
-                   ROUND((CAST((SELECT SUM(p_us - s_us) FROM conv)
+                   CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM s) AS conv_rate,
+                   (CAST((SELECT SUM(p_us - s_us) FROM conv)
                                AS DOUBLE)
-                          / (SELECT COUNT(*) FROM conv)) / 60000000.0, 6)
+                          / (SELECT COUNT(*) FROM conv)) / 60000000.0
                      AS avg_minutes_to_convert
         """,
         "doc_zipf_slope": """

@@ -174,6 +174,11 @@ AUDITS = {
     # importance sampling: pure map-side bucket/threshold logic + one
     # group agg — no joins at all
     "doc_quality_importance_sample": (0, True, False),
+    # distributed Gini rank: the bucket-offset dim must BROADCAST and no
+    # Window may sit on an Exchange SinglePartition (see NO_GLOBAL_WINDOW
+    # — the unpartitioned row_number formulation is the scale regression
+    # this query exists to avoid)
+    "events_user_gini": (1, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -183,6 +188,22 @@ PARTITION_PRUNED = {"ann_pruned_topk", "ann_pruned_filtered_topk"}
 # queries whose executed plan must contain a ShuffledHashJoin whose join
 # keys include the salt column (the skew-spread mechanism)
 SALTED = {"skewed_key_join"}
+
+# queries whose plan must not rank/window over a single partition: no
+# Window node may have an Exchange SinglePartition within its subtree
+# prefix (plan text is parent-first, so the child exchange prints within
+# the next few lines)
+NO_GLOBAL_WINDOW = {"events_user_gini"}
+
+
+def _window_on_single_partition(plan: str) -> bool:
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window " in ln:
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    return True
+    return False
 
 
 def main() -> int:
@@ -239,6 +260,10 @@ def main() -> int:
             and (
                 name not in SALTED
                 or ("ShuffledHashJoin" in plan and "_salt" in plan)
+            )
+            and (
+                name not in NO_GLOBAL_WINDOW
+                or not _window_on_single_partition(plan)
             )
         )
         status = "OK  " if ok else "BAD "
