@@ -52,3 +52,22 @@ def test_every_oracle_key_has_a_query():
     q = set(mod.queries().keys())
     o = set(mod.oracle_sql().keys())
     assert o <= q, f"oracle_sql keys with no queries() entry: {sorted(o - q)}"
+
+
+def test_readme_query_count_matches_queries():
+    """README's advertised operator count is generated, never hand-counted
+    (round-4 audit caught a stale "198" vs an actual 194): the number
+    after the <!--QUERY_COUNT--> marker must equal len(queries())."""
+    import importlib.util
+    import re
+
+    spec = importlib.util.spec_from_file_location("__spark_entry__", ENTRY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    readme = (ENTRY.parent / "README.md").read_text()
+    m = re.search(r"<!--QUERY_COUNT-->(\d+)", readme)
+    assert m, "README.md lost its <!--QUERY_COUNT--> marker"
+    assert int(m.group(1)) == len(mod.queries()), (
+        f"README claims {m.group(1)} queries; len(queries()) is "
+        f"{len(mod.queries())} — update the marker line"
+    )
