@@ -627,20 +627,34 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
             # MOR path and this one see the same table state
             return _plan_file_partitions(self.root, [], hi)
         # incremental: files ADDED in (lo, hi] — append-only semantics
-        # (rows removed in the range are not retracted, Iceberg's own
-        # incremental-scan limitation); snapshot `lo` must still be
-        # retained, i.e. expiration policy keeps consumers' offsets
+        # for PRIOR batches (rows removed in the range from files emitted
+        # before `lo` are not retracted, Iceberg's own incremental-scan
+        # limitation); snapshot `lo` must still be retained, i.e.
+        # expiration policy keeps consumers' offsets. WITHIN the range,
+        # though, position deletes committed in (lo, hi] attach to the
+        # added files (the reader filters by file_path, so a delete
+        # aimed at an older file is a no-op here) — a row added and then
+        # pos-deleted inside one range never existed at offset `hi` and
+        # must not be emitted as live.
         paths = iceberg_incremental_paths(self.root, lo, hi)
         meta = current_metadata(self.root)
-        sid_of = {
-            e["path"]: e.get("schema_id")
-            for e in iceberg_scan_entries_static(self.root, snapshot_id=hi)[
-                "data"
-            ]
+        snaps = {
+            s["snapshot-id"]: s.get("sequence-number", 0)
+            for s in meta.get("snapshots", [])
         }
+        lo_seq, hi_seq = snaps.get(lo, 0), snaps.get(hi, 0)
+        entries = iceberg_scan_entries_static(self.root, snapshot_id=hi)
+        sid_of = {e["path"]: e.get("schema_id") for e in entries["data"]}
+        range_pos = tuple(
+            e["path"]
+            for e in entries["pos_deletes"]
+            if lo_seq < e["seq"] <= hi_seq
+        )
         return [
             _FilePartition(
-                p, mapping=evolution_mapping(meta, sid_of.get(p))
+                p,
+                pos_deletes=range_pos,
+                mapping=evolution_mapping(meta, sid_of.get(p)),
             )
             for p in paths
         ]

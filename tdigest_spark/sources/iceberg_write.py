@@ -511,15 +511,26 @@ def _commit(
     now = _now_ms(ts_ms)
     seq = int(meta.get("last-sequence-number", 0)) + 1
     snapshots = list(meta.get("snapshots", []))
-    snapshots.append(
-        {
-            "snapshot-id": snapshot_id,
-            "sequence-number": seq,
-            "timestamp-ms": now,
-            "manifest-list": f"file://{ml}",
-            "summary": {"operation": operation},
-        }
-    )
+    # the spec's parent pointer: a branch commit forks from the BRANCH
+    # head (implicit creation forks from main); it is what makes
+    # ancestry — and so fast_forward's not-fast-forwardable check —
+    # decidable from metadata alone
+    if branch is not None and branch in meta.get("refs", {}):
+        parent = meta["refs"][branch]["snapshot-id"]
+    else:
+        parent = meta.get("current-snapshot-id")
+    if parent == -1:
+        parent = None
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now,
+        "manifest-list": f"file://{ml}",
+        "summary": {"operation": operation},
+    }
+    if parent is not None:
+        snap["parent-snapshot-id"] = int(parent)
+    snapshots.append(snap)
     log = list(meta.get("snapshot-log", []))
     log.append({"snapshot-id": snapshot_id, "timestamp-ms": now})
     doc = dict(meta)
@@ -607,7 +618,13 @@ def fast_forward(
     audit job validates the branch head, then publishing is this single
     METADATA-ONLY pointer move: atomic, nothing rewritten, and until it
     runs no reader of main ever saw the staged data. The branch ref
-    survives (drop it separately once the audit trail is archived)."""
+    survives (drop it separately once the audit trail is archived).
+
+    Like Iceberg's ``fast_forward`` procedure this REFUSES a non-fast-
+    forward move: main's current snapshot must be an ancestor of the
+    branch head (or null). If main advanced after the branch forked,
+    silently repointing would unpublish those commits — raise instead
+    (the caller must rebase/merge the branch first)."""
     root = Path(str(root))
     version, meta = _load_current(root)
     ref = meta.get("refs", {}).get(branch)
@@ -616,6 +633,20 @@ def fast_forward(
     if ref.get("type") != "branch":
         raise ValueError(f"ref {branch!r} is a {ref.get('type')}, not a branch")
     head = int(ref["snapshot-id"])
+    current = meta.get("current-snapshot-id")
+    if current is not None and current != -1:
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        ancestors, cursor = set(), head
+        while cursor is not None and cursor in snaps:
+            ancestors.add(cursor)
+            cursor = snaps[cursor].get("parent-snapshot-id")
+        if int(current) not in ancestors:
+            raise ValueError(
+                f"cannot fast-forward main to branch {branch!r}: current "
+                f"snapshot {current} is not an ancestor of branch head "
+                f"{head} (main advanced after the fork — not "
+                "fast-forwardable)"
+            )
     doc = dict(meta)
     doc["current-snapshot-id"] = head
     log = list(doc.get("snapshot-log", []))
@@ -825,16 +856,34 @@ def delete_where(
     ``[(column, op, literal), ...]`` with op in ``== != >= > <= <``.
 
     Returns ``(n_deleted, files_scanned, files_total)``. Rows matched in
-    files already carrying tombstones are tombstoned again — position
-    deletes are a set, so re-deleting is idempotent."""
+    files already carrying position tombstones are tombstoned again
+    (position deletes are a set, so re-deleting is idempotent) but are
+    NOT counted in ``n_deleted`` — the report is rows newly removed, not
+    rows matched. Caveat: rows hidden by EQUALITY deletes are still
+    counted (deciding whether an eq-delete covers a row means replaying
+    the key join per row — the read side does that, this counter does
+    not), so ``n_deleted`` can over-report on tables with prior
+    equality-delete commits."""
+    import re
+
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from .iceberg import iceberg_scan_paths_pruned
+    from .iceberg import iceberg_scan_entries_static, iceberg_scan_paths_pruned
 
     root = Path(str(root))
     paths, total = iceberg_scan_paths_pruned(str(root), predicates)
+    # positions already tombstoned: don't double-count them as deleted
+    already: set[tuple[str, int]] = set()
+    for e in iceberg_scan_entries_static(str(root))["pos_deletes"]:
+        dt = pq.read_table(
+            e["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, pos in zip(
+            dt["file_path"].to_pylist(), dt["pos"].to_pylist()
+        ):
+            already.add((re.sub(r"^file:/+", "/", fp), int(pos)))
     cols = sorted({c for c, _, _ in predicates})
     ops = {
         "==": pc.equal,
@@ -859,7 +908,10 @@ def delete_where(
         )[0]
         if idx.shape[0]:
             positions[str(p)] = [int(i) for i in idx]
-            n_deleted += int(idx.shape[0])
+            norm = re.sub(r"^file:/+", "/", f"file://{Path(str(p)).resolve()}")
+            n_deleted += sum(
+                1 for i in idx if (norm, int(i)) not in already
+            )
     if positions:
         delete_rows_snapshot(
             root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms

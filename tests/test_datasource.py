@@ -669,3 +669,47 @@ def test_datasource_reads_evolved_schema_by_field_id(registered, tmp_path):
     assert rows == {1: (10, None), 3: (30, "hi")}
     # pushdown composes with evolution (predicate on the CURRENT name)
     assert {r.key for r in df.where("key >= 3").collect()} == {3}
+
+
+def test_stream_incremental_batch_applies_within_range_pos_deletes(
+    registered, tmp_path
+):
+    """A row appended AND position-deleted within one incremental range
+    never existed at the batch's end offset — it must not be emitted as
+    live. Deletes aimed at files from PRIOR batches stay non-retracted
+    (append-only incremental semantics, documented)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": ["a1", "a2", "a3"]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            registered.readStream.format("iceberg_static")
+            .option("path", str(root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(540), "source stream did not drain"
+
+    drain()  # first batch: k=1,2,3
+    # second range: append f2, then pos-delete f2's middle row (k=5) and
+    # a row of the ALREADY-EMITTED f1 (k=1) in the same range
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": [4, 5, 6], "v": ["b4", "b5", "b6"]}), f2)
+    W.append_snapshot(root, [f2], ts_ms=3000)
+    W.delete_rows_snapshot(root, {str(f2): [1], str(f1): [0]}, ts_ms=4000)
+    drain()  # incremental: f2 minus k=5; f1's delete is NOT retracted
+    got = sorted((r.k, r.v) for r in registered.read.parquet(out).collect())
+    assert got == [(1, "a1"), (2, "a2"), (3, "a3"), (4, "b4"), (6, "b6")]

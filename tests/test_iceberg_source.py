@@ -1301,9 +1301,17 @@ def test_delete_where_plans_prunes_and_commits(tmp_path, spark):
     before = len(W.snapshot_ids(root))
     n2, scanned2, _ = W.delete_where(root, [("v", ">", 10_000)])
     assert n2 == 0 and len(W.snapshot_ids(root)) == before
-    # re-delete the same predicate: positions are a set — still 25 rows
-    W.delete_where(root, [("v", "<", 45)])
+    # re-delete the same predicate: positions are a set — still 25 rows,
+    # and n_deleted reports only NEWLY removed rows (0 here: every match
+    # was already tombstoned by the first commit)
+    n3, _, _ = W.delete_where(root, [("v", "<", 45)])
+    assert n3 == 0
     assert read_sequences(spark, str(root)).count() == 25
+    # partial overlap: v < 60 matches ids 0..19 but 0..14 are already
+    # gone — only the 5 new rows count
+    n4, _, _ = W.delete_where(root, [("v", "<", 60)])
+    assert n4 == 5
+    assert read_sequences(spark, str(root)).count() == 20
 
 
 def test_rollback_and_wap_fast_forward(tmp_path):
@@ -1349,3 +1357,39 @@ def test_rollback_and_wap_fast_forward(tmp_path):
         W.fast_forward(root, "pin")
     with _pytest.raises(KeyError):
         W.fast_forward(root, "nope")
+
+
+def test_fast_forward_refuses_diverged_main(tmp_path):
+    """fast_forward must FAIL when main advanced after the branch forked
+    (Iceberg's not-fast-forwardable rule): silently repointing would
+    unpublish main's post-fork commits. Re-forking from the new head
+    makes it publishable again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_static
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"id": [1]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    # fork a staging branch, then let main advance independently
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"id": [2]}), f2)
+    W.append_snapshot(root, [f2], ts_ms=3000, branch="stage")
+    f3 = root / "data" / "c.parquet"
+    pq.write_table(pa.table({"id": [3]}), f3)
+    W.append_snapshot(root, [f3], ts_ms=4000)  # main moves past the fork
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        W.fast_forward(root, "stage")
+    # main unchanged by the refused publish
+    assert len(iceberg_scan_paths_static(str(root))) == 2
+    # staging on a fresh branch forked from the NEW main head publishes
+    f4 = root / "data" / "d.parquet"
+    pq.write_table(pa.table({"id": [4]}), f4)
+    W.append_snapshot(root, [f4], ts_ms=5000, branch="stage2")
+    W.fast_forward(root, "stage2", ts_ms=6000)
+    assert len(iceberg_scan_paths_static(str(root))) == 3
