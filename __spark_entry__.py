@@ -3463,6 +3463,116 @@ def iceberg_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST REWRITE (Iceberg's rewrite_manifests maintenance
+    procedure) — the metadata-side compaction a 100 TB table needs:
+    every commit appends a manifest, so a 1000-commit table plans every
+    read through 1000 manifest files; this consolidates the head
+    snapshot's manifest list to one manifest per content kind in a
+    METADATA-ONLY replace commit (zero data files touched). The fixture
+    commits 6 manifests (4 per-source appends over src0..src3, one
+    equality delete of doc_id%7==0, one position delete of the 3
+    smallest src0 doc_ids — files sorted by doc_id so positions are
+    SQL-addressable), captures stats-pruned planning for
+    doc_id < min(src2)+1 BEFORE the rewrite, rewrites (6 -> 2), and
+    re-plans AFTER: the counts must be identical (entries carry their
+    bounds/sequences verbatim into the compacted manifests). The
+    post-rewrite MOR read (count + doc_id checksum) and every counter
+    are exact in SQL."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_metadata_df,
+        iceberg_scan_paths_pruned,
+        read_sequences,
+    )
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_rewrite" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        srcs = ["src0", "src1", "src2", "src3"]
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        tbl = tbl.filter(pc.is_in(tbl["source"], value_set=pa.array(srcs)))
+        src0_path = None
+        for i, s in enumerate(srcs):
+            part = tbl.filter(pc.equal(tbl["source"], s)).sort_by("doc_id")
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(part, f)
+            if s == "src0":
+                src0_path = f
+            W.append_snapshot(root, [f], snapshot_id=i + 1, ts_ms=2000 + i)
+        ids = tbl["doc_id"].to_numpy()
+        keys = np.sort(ids[ids % 7 == 0])
+        dk = root / "data" / "eq-keys.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keys, type=tbl["doc_id"].type)}),
+            dk,
+        )
+        W.equality_delete_snapshot(root, dk, snapshot_id=5, ts_ms=3000)
+        W.delete_rows_snapshot(
+            root, {str(src0_path): [0, 1, 2]}, snapshot_id=6, ts_ms=4000
+        )
+        k = int(
+            pc.min(tbl.filter(pc.equal(tbl["source"], "src2"))["doc_id"]).as_py()
+        ) + 1
+        pre, total = iceberg_scan_paths_pruned(
+            str(root), [("doc_id", "<", k)]
+        )
+        nb, na = W.rewrite_manifests(root, ts_ms=5000)
+        post, _ = iceberg_scan_paths_pruned(str(root), [("doc_id", "<", k)])
+        report = {
+            "n_before": nb,
+            "n_after": na,
+            "pre": len(pre),
+            "post": len(post),
+            "total": total,
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    survivors = read_sequences(spark, str(root))
+    n_after_measured = iceberg_metadata_df(spark, str(root), "manifests").count()
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    ).select(
+        F.lit(report["n_before"]).cast("long").alias("n_manifests_before"),
+        F.lit(n_after_measured).cast("long").alias("n_manifests_after"),
+        "n_rows",
+        "sum_doc_id",
+        F.lit(report["pre"]).cast("long").alias("files_scanned_pre"),
+        F.lit(report["post"]).cast("long").alias("files_scanned_post"),
+        F.lit(report["total"]).cast("long").alias("files_total"),
+    )
+
+
 def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE-AUDIT-PUBLISH + ROLLBACK — the two pointer-move workflows
     production tables live by. WAP: even doc_ids land on main, odd ids
@@ -8234,6 +8344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
+        "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -10692,6 +10803,33 @@ def oracle_sql() -> dict[str, str]:
                      AS files_scanned,
                    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
                     FROM documents) AS files_total
+        """,
+        "iceberg_rewrite_manifests_read": """
+            WITH live AS (
+              SELECT doc_id, source FROM documents
+              WHERE source IN ('src0','src1','src2','src3')
+            ), pos3 AS (
+              SELECT doc_id FROM live WHERE source = 'src0'
+              ORDER BY doc_id LIMIT 3
+            ), kept AS (
+              SELECT doc_id FROM live
+              WHERE doc_id % 7 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM pos3)
+            ), mins AS (
+              SELECT source, MIN(doc_id) AS mn FROM live GROUP BY source
+            ), k AS (
+              SELECT MIN(doc_id) + 1 AS kk FROM live WHERE source = 'src2'
+            )
+            SELECT CAST(6 AS BIGINT) AS n_manifests_before,
+                   CAST(2 AS BIGINT) AS n_manifests_after,
+                   (SELECT COUNT(*) FROM kept) AS n_rows,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+                     AS sum_doc_id,
+                   (SELECT COUNT(*) FROM mins, k WHERE mn < kk)
+                     AS files_scanned_pre,
+                   (SELECT COUNT(*) FROM mins, k WHERE mn < kk)
+                     AS files_scanned_post,
+                   CAST(4 AS BIGINT) AS files_total
         """,
         "iceberg_partition_evolution_read": """
             WITH even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

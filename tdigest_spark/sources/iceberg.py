@@ -308,7 +308,14 @@ def iceberg_scan_entries_static(
             out[bucket].append(
                 {
                     "path": _localize(df_rec["file_path"], root),
-                    "seq": seq_of.get(e.get("snapshot_id"), 0),
+                    # prefer the entry's explicit sequence number (spec
+                    # field, survives snapshot expiration); legacy
+                    # entries fall back to the add-snapshot join
+                    "seq": (
+                        int(e["sequence_number"])
+                        if e.get("sequence_number") is not None
+                        else seq_of.get(e.get("snapshot_id"), 0)
+                    ),
                     "schema_id": df_rec.get("schema_id"),
                     "spec_id": df_rec.get("spec_id"),
                     "record_count": df_rec.get("record_count"),
@@ -418,10 +425,14 @@ def iceberg_incremental_paths(
         for e in entries:
             if e.get("status", 0) != 1:  # only ADDED entries carry changes
                 continue
-            sid = e.get("snapshot_id")
-            if sid is None or sid not in seq_of:
-                continue
-            if not (lo < seq_of[sid] <= hi):
+            if e.get("sequence_number") is not None:
+                eseq = int(e["sequence_number"])
+            else:
+                sid = e.get("snapshot_id")
+                if sid is None or sid not in seq_of:
+                    continue
+                eseq = seq_of[sid]
+            if not (lo < eseq <= hi):
                 continue
             df_rec = e["data_file"]
             if df_rec.get("content", 0) != 0:

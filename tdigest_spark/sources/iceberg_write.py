@@ -61,6 +61,7 @@ __all__ = [
     "equality_delete_snapshot",
     "rollback_to_snapshot",
     "fast_forward",
+    "rewrite_manifests",
     "snapshot_ids",
     "live_paths",
 ]
@@ -74,6 +75,15 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        # the spec's per-entry data sequence number. Recording it
+        # EXPLICITLY (not deriving it from snapshot_id at read time)
+        # is what keeps delete-applicability correct after snapshot
+        # EXPIRATION: once the add-time snapshot leaves the metadata, a
+        # derived lookup collapses every sequence to 0 and equality
+        # deletes silently stop applying (found by the rewrite_manifests
+        # test). Readers fall back to the snapshot-id join for legacy
+        # entries without the field.
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
         {
             "name": "data_file",
             "type": {
@@ -454,7 +464,11 @@ def _column_bounds(path: Path) -> tuple[dict, dict] | None:
 
 
 def _file_entry(
-    path: str | Path, status: int, snapshot_id: int, schema_id: int | None = None
+    path: str | Path,
+    status: int,
+    snapshot_id: int,
+    schema_id: int | None = None,
+    sequence_number: int | None = None,
 ) -> dict:
     p = Path(str(path))
     bounds = None
@@ -468,6 +482,7 @@ def _file_entry(
     return {
         "status": status,
         "snapshot_id": snapshot_id,
+        "sequence_number": sequence_number,
         "data_file": {
             "content": 0,
             "file_path": f"file://{p}",
@@ -656,6 +671,101 @@ def fast_forward(
     return head
 
 
+def rewrite_manifests(
+    root: str | Path,
+    ts_ms: int | None = None,
+    target_entries_per_manifest: int = 100_000,
+) -> tuple[int, int]:
+    """Consolidate the head snapshot's manifest files — Iceberg's
+    ``rewrite_manifests`` maintenance procedure. Every commit appends one
+    (or two) manifests to the list, so a 1000-commit table plans every
+    read through 1000 small manifest files: the metadata walk, not the
+    data, becomes the bottleneck at operation cadence. This rewrites the
+    CURRENT manifest list as one compacted manifest per content kind
+    (data / deletes; ``target_entries_per_manifest`` splits bigger
+    tables into ceil(n/target) files) and commits it as a METADATA-ONLY
+    ``replace`` snapshot. Zero data files are touched.
+
+    Live entries are copied VERBATIM — status, add-time ``snapshot_id``
+    (which drives the sequence-number delete-applicability rules and the
+    incremental scan), schema/spec ids, partition tuples and column
+    bounds all survive byte-for-byte, so reads, stats/partition pruning
+    and MOR delete attachment replay identically from the compacted
+    metadata. Status-2 TOMBSTONE entries are dropped (readers skip them;
+    prior snapshots keep their own manifest lists, so history/changelog
+    and time travel are untouched — the old manifests stay on disk for
+    them until :func:`expire_snapshots` reaps). Returns
+    ``(n_manifests_before, n_manifests_after)``."""
+    from . import avro_lite as _avro
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        return (0, 0)
+    before_rows = _current_manifests(root, meta)
+    # bucket live entries by manifest-file content kind: data manifests
+    # (entry data_file.content == 0) vs delete manifests (1 = positional,
+    # 2 = equality — both live in content-1 manifest files)
+    from .iceberg import _localize
+
+    buckets: dict[int, list[dict]] = {0: [], 1: []}
+    seq_of = {
+        s["snapshot-id"]: s.get("sequence-number", 0)
+        for s in meta.get("snapshots", [])
+    }
+    dropped = stamped = 0
+    for mrow in before_rows:
+        mp = _localize(mrow["manifest_path"], root)
+        _, entries = _avro.read_container(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                dropped += 1
+                continue  # tombstone: no live content to carry forward
+            if e.get("sequence_number") is None:
+                # sequence INHERITANCE at rewrite: stamp legacy entries
+                # while their add-snapshot is still in the metadata, so
+                # the compacted manifests are self-contained across
+                # future expirations
+                e = dict(
+                    e, sequence_number=seq_of.get(e.get("snapshot_id"), 0)
+                )
+                stamped += 1
+            kind = 0 if e["data_file"].get("content", 0) == 0 else 1
+            buckets[kind].append(e)
+    n_chunks = sum(
+        -(-len(v) // max(1, int(target_entries_per_manifest)))
+        for v in buckets.values()
+        if v
+    )
+    if n_chunks == len(before_rows) and dropped == 0 and stamped == 0:
+        # already compact: no metadata churn, no empty commit
+        return (len(before_rows), len(before_rows))
+    sid = int(meta.get("last-sequence-number", 0)) + 1
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"rewrite-{sid}").hex[:8]
+    chunk = max(1, int(target_entries_per_manifest))
+    new_rows = []
+    for kind in (0, 1):
+        entries = buckets[kind]
+        if not entries:
+            continue
+        for i in range(0, len(entries), chunk):
+            m = _meta_dir(root) / f"m-{sid}-{tag}-c{kind}-{i // chunk}.avro"
+            _avro.write_container(
+                m, _MANIFEST_ENTRY_SCHEMA, entries[i : i + chunk]
+            )
+            new_rows.append(
+                {
+                    "manifest_path": f"file://{m}",
+                    "manifest_length": m.stat().st_size,
+                    "content": kind,
+                    "added_snapshot_id": sid,
+                }
+            )
+    _commit(root, version, meta, sid, new_rows, "replace", ts_ms)
+    return (len(before_rows), len(new_rows))
+
+
 def create_ref(
     root: str | Path,
     name: str,
@@ -721,12 +831,15 @@ def append_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
     m = _meta_dir(root) / f"m-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]}.avro"
     cur_schema = meta.get("current-schema-id")
     spec_fields = _default_spec(meta)
     entries = []
     for p in data_files:
-        e = _file_entry(p, 1, sid, schema_id=cur_schema)
+        e = _file_entry(
+            p, 1, sid, schema_id=cur_schema, sequence_number=eseq
+        )
         if spec_fields:
             e["data_file"]["partition"] = _partition_tuple(
                 Path(str(p)), spec_fields
@@ -765,12 +878,14 @@ def overwrite_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
     old_live = iceberg_scan_paths_static(root)
     tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
     cur_schema = meta.get("current-schema-id")
     entries = [
-        _file_entry(p, 1, sid, schema_id=cur_schema) for p in data_files
-    ] + [_file_entry(p, 2, sid) for p in old_live]
+        _file_entry(p, 1, sid, schema_id=cur_schema, sequence_number=eseq)
+        for p in data_files
+    ] + [_file_entry(p, 2, sid, sequence_number=eseq) for p in old_live]
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
     rows = [
@@ -808,6 +923,7 @@ def delete_rows_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
     rows = sorted(
         (f"file://{Path(str(p)).resolve()}", int(i))
         for p, idxs in positions.items()
@@ -824,7 +940,7 @@ def delete_rows_snapshot(
         ),
         del_file,
     )
-    entry = _file_entry(del_file, 1, sid)
+    entry = _file_entry(del_file, 1, sid, sequence_number=eseq)
     entry["data_file"]["content"] = 1  # position deletes
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, [entry])
@@ -940,10 +1056,17 @@ def equality_delete_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
     # the schema current at DELETE time: read_table_evolved resolves the
     # key columns by FIELD ID through it, so renames after (or before)
     # this commit cannot mis-key the tombstones
-    entry = _file_entry(keys_file, 1, sid, schema_id=meta.get("current-schema-id"))
+    entry = _file_entry(
+        keys_file,
+        1,
+        sid,
+        schema_id=meta.get("current-schema-id"),
+        sequence_number=eseq,
+    )
     entry["data_file"]["content"] = 2  # equality deletes
     tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
     m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
@@ -983,13 +1106,16 @@ def upsert_snapshot(
         if snapshot_id is not None
         else int(meta.get("last-sequence-number", 0)) + 1
     )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
     cur_schema = meta.get("current-schema-id")
     spec_fields = _default_spec(meta)
     tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
     # data manifest (ADDED rows)
     data_entries = []
     for p in data_files:
-        e = _file_entry(p, 1, sid, schema_id=cur_schema)
+        e = _file_entry(
+            p, 1, sid, schema_id=cur_schema, sequence_number=eseq
+        )
         if spec_fields:
             e["data_file"]["partition"] = _partition_tuple(
                 Path(str(p)), spec_fields
@@ -1001,7 +1127,9 @@ def upsert_snapshot(
     # equality-delete manifest (content 2) in the SAME snapshot; the
     # recorded schema id lets evolved reads resolve the key columns by
     # field id across later renames
-    del_entry = _file_entry(keys_file, 1, sid, schema_id=cur_schema)
+    del_entry = _file_entry(
+        keys_file, 1, sid, schema_id=cur_schema, sequence_number=eseq
+    )
     del_entry["data_file"]["content"] = 2
     m_del = _meta_dir(root) / f"m-{sid}-{tag}-del.avro"
     avro_lite.write_container(m_del, _MANIFEST_ENTRY_SCHEMA, [del_entry])

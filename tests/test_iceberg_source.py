@@ -1393,3 +1393,104 @@ def test_fast_forward_refuses_diverged_main(tmp_path):
     W.append_snapshot(root, [f4], ts_ms=5000, branch="stage2")
     W.fast_forward(root, "stage2", ts_ms=6000)
     assert len(iceberg_scan_paths_static(str(root))) == 3
+
+
+def test_rewrite_manifests_consolidates_metadata(tmp_path, spark):
+    """rewrite_manifests: a 6-commit table (4 appends + eq-delete +
+    pos-delete = 6 manifest files) compacts to 2 manifests (data +
+    deletes) in one metadata-only replace commit. Reads, stats pruning,
+    incremental scans and time travel are IDENTICAL before/after; a
+    following expiration reaps the 6 stale manifests while the table
+    still reads the same."""
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_incremental_paths,
+        iceberg_metadata_df,
+        iceberg_scan_paths_pruned,
+        read_sequences,
+    )
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    for s in range(4):
+        f = root / "data" / f"s{s}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(range(s * 10, s * 10 + 10), pa.int64())}),
+            f,
+        )
+        W.append_snapshot(root, [f], snapshot_id=s + 1, ts_ms=2000 + s)
+    dk = root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"k": pa.array([5, 15], pa.int64())}), dk)
+    W.equality_delete_snapshot(root, dk, snapshot_id=5, ts_ms=3000)
+    W.delete_rows_snapshot(
+        root, {str(root / "data" / "s2.parquet"): [0, 1]},
+        snapshot_id=6, ts_ms=4000,
+    )  # k=20,21 out
+
+    def state():
+        rows = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+        pruned = iceberg_scan_paths_pruned(str(root), [("k", "<", 15)])
+        tt = sorted(
+            r.k
+            for r in read_sequences(spark, str(root), snapshot_id=2).collect()
+        )
+        inc = sorted(
+            Path(p).name for p in iceberg_incremental_paths(str(root), 1, 4)
+        )
+        return rows, pruned, tt, inc
+
+    before = state()
+    assert before[0] == sorted(set(range(40)) - {5, 15, 20, 21})
+    n_before, n_after = W.rewrite_manifests(root, ts_ms=5000)
+    assert (n_before, n_after) == (6, 2)
+    assert state() == before
+    mdf = iceberg_metadata_df(spark, str(root), "manifests")
+    assert mdf.count() == 2
+    assert sorted(r.content for r in mdf.collect()) == [0, 1]
+    # idempotent: nothing left to consolidate
+    assert W.rewrite_manifests(root, ts_ms=6000) == (2, 2)
+    # expiration reaps the stale manifests; reads unchanged
+    meta_dir = root / "metadata"
+    n_avro_before = len(list(meta_dir.glob("m-*.avro")))
+    W.expire_snapshots(root, keep_last=1, ts_ms=7000)
+    assert len(list(meta_dir.glob("m-*.avro"))) < n_avro_before
+    rows = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+    assert rows == before[0]
+
+
+def test_equality_deletes_survive_snapshot_expiration(tmp_path, spark):
+    """Regression (found by the rewrite_manifests test): per-entry
+    sequence numbers used to be DERIVED from the add-snapshot id, so
+    expiring those snapshots collapsed every sequence to 0 and equality
+    deletes silently stopped applying — deleted rows resurrected. The
+    explicit spec-field sequence_number keeps MOR semantics intact after
+    expiration, with no rewrite needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    dk = root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), dk)
+    W.equality_delete_snapshot(root, dk, ts_ms=3000)
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": pa.array([2, 4], pa.int64())}), f2)
+    W.append_snapshot(root, [f2], ts_ms=4000)  # re-insert of k=2 survives
+    assert sorted(
+        r.k for r in read_sequences(spark, str(root)).collect()
+    ) == [1, 2, 3, 4]
+    W.expire_snapshots(root, keep_last=1, ts_ms=5000)
+    assert sorted(
+        r.k for r in read_sequences(spark, str(root)).collect()
+    ) == [1, 2, 3, 4]
