@@ -4175,6 +4175,120 @@ def events_stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def events_stream_tws_ttl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE TTL on ``transformWithStateInPandas`` (streaming/
+    transform_with_state_ttl_counts) — the expiry knob that bounds state
+    for UNBOUNDED key spaces (per-key state with no TTL is the slow leak
+    that kills a 100 TB stream at billions of keys). Two per-user
+    ValueState counters fold the same rows: one with a 2s TTL, one with
+    a 1h TTL. Events split by event_id parity into two staged files; the
+    driver waits for the first batch's emissions, then enforces a
+    wall-clock gap STRICTLY greater than the short TTL (monotonic-clock
+    loop — TTL expiry is pinned to the updating batch's processing time,
+    so elapsed > ttl guarantees expiry; the 1h TTL cannot elapse inside
+    the driver's own timeout) before staging the second file. The short
+    counter therefore restarts at the second batch while the long one
+    carries through — both exact in SQL: per user, n_long = total
+    events, n_short = odd-half events (or the even-half count for users
+    the second batch never touches). TTL is processing-time based, and
+    BOTH the availableNow trigger and processAllAvailable() hang
+    forever under timeMode='processingTime' (empty batches keep
+    ticking, so the no-more-data condition never holds) — the query
+    runs a continuous trigger and uses the exact expected emission
+    count as its drain signal before stopping."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_ttl_counts
+
+    tmp = tempfile.mkdtemp(prefix="tws_ttl_")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        from pathlib import Path
+
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+        ).filter(pc.is_valid(pc.field("user_id")))
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["event_id"], 1), 1))
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        pq.write_table(even, indir / "part1.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, event_id long")
+            .parquet(str(indir))
+        )
+        out = transform_with_state_ttl_counts(
+            stream, "user_id", ttl_short_ms=2000, ttl_long_ms=3_600_000
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+
+        def _outcount() -> int:
+            try:
+                return spark.read.parquet(f"{tmp}/out").count()
+            except Exception:
+                return 0
+
+        n_even_users = len(pc.unique(even["user_id"]))
+        n_odd_users = len(pc.unique(odd["user_id"]))
+        deadline = _time.monotonic() + 300
+        while _outcount() < n_even_users:
+            if _time.monotonic() > deadline:
+                q.stop()
+                raise TimeoutError("TTL stream: first batch did not land")
+            _time.sleep(0.5)
+        # the short state expires ttl ms after the batch that updated it
+        # finished BEFORE its output became visible — so waiting 2.6s
+        # from here guarantees > 2000ms elapsed at the second batch
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < 2.6:
+            _time.sleep(0.1)
+        pq.write_table(odd, indir / "part2.parquet")
+        # the emission-count target IS the drain signal: both
+        # processAllAvailable() and trigger(availableNow) hang forever
+        # under timeMode='processingTime' (empty batches keep ticking)
+        while _outcount() < n_even_users + n_odd_users:
+            if _time.monotonic() > deadline:
+                q.stop()
+                raise TimeoutError("TTL stream: second batch did not land")
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        res = (
+            spark.read.parquet(f"{tmp}/out")
+            .groupBy("user_id")
+            .agg(
+                F.max_by("n_short", "n_long").alias("n_short"),
+                F.max("n_long").alias("n_long"),
+            )
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_stream_mv_maintenance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8324,6 +8438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
         "events_variant_extract": events_variant_extract,
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
+        "events_stream_tws_ttl_counts": events_stream_tws_ttl_counts,
         "events_statestore_inspect": events_statestore_inspect,
         "iceberg_datasource_stream_upsert": iceberg_datasource_stream_upsert,
         "iceberg_stream_mv_maintenance": iceberg_stream_mv_maintenance,
@@ -11109,6 +11224,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
             ORDER BY n_events DESC, user_id ASC
             LIMIT 20
+        """,
+        "events_stream_tws_ttl_counts": """
+            WITH agg AS (
+              SELECT user_id,
+                     SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS n_even,
+                     SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS n_odd
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(CASE WHEN n_odd > 0 THEN n_odd ELSE n_even END
+                        AS BIGINT) AS n_short,
+                   CAST(n_even + n_odd AS BIGINT) AS n_long
+            FROM agg
         """,
         "events_stream_tws_user_totals": """
             SELECT user_id,

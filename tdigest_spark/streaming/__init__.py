@@ -324,6 +324,66 @@ def transform_with_state_warm_start(
     )
 
 
+def transform_with_state_ttl_counts(
+    stream_df, key_col: str, ttl_short_ms: int, ttl_long_ms: int
+):
+    """State TTL on ``transformWithStateInPandas`` — the knob that keeps
+    an UNBOUNDED key space from growing state forever (the thing that
+    kills a 100 TB stream: per-key state with no expiry is a slow leak
+    at billions of keys). Two per-key ValueState counters fold the same
+    rows; one carries ``ttl_short_ms``, the other ``ttl_long_ms``. TTL
+    is PROCESSING-time based (Spark requires timeMode='processingTime'
+    for TTL'd state): a value expires ``ttl`` ms after the batch that
+    last UPDATED it, and an expired value reads as absent — so after a
+    real-time gap longer than ``ttl_short_ms`` between two runs, the
+    short counter restarts from zero while the long one continues.
+    Emissions are (key, n_short, n_long) per batch; determinism comes
+    from the CALLER enforcing the wall-clock gap between runs to sit
+    strictly between the two TTLs (sleep > short, total runtime < long),
+    which makes both counters exact-oracle-able: n_long = all rows per
+    key, n_short = rows of the post-gap run only.
+
+    Scale shape: RocksDB persists a TTL index alongside the values;
+    expired entries are dropped by the store's cleanup, so state size
+    tracks ACTIVE keys within the TTL horizon, not key history."""
+    _require_protobuf()
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TtlCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.short = handle.getValueState(
+                "short", "n bigint", ttlDurationMs=int(ttl_short_ms)
+            )
+            self.long = handle.getValueState(
+                "long", "n bigint", ttlDurationMs=int(ttl_long_ms)
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = sum(len(pdf) for pdf in rows)
+            n_s = (self.short.get()[0] if self.short.exists() else 0) + n_new
+            n_l = (self.long.get()[0] if self.long.exists() else 0) + n_new
+            self.short.update((n_s,))
+            self.long.update((n_l,))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_short": [n_s], "n_long": [n_l]}
+            )
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TtlCounts(),
+        outputStructType=f"{key_col} bigint, n_short bigint, n_long bigint",
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
 def session_windows(
     stream_df,
     key_col: str,

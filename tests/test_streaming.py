@@ -1184,3 +1184,78 @@ def test_full_outer_interval_join_semantics(spark, tmp_path):
     )
     # wm = min(200, 210) - 1s. click3 (200) and purchase14 (210) withheld.
     assert got == [(None, 12), (None, 13), (1, 11), (2, None)]
+
+
+def test_tws_state_ttl_short_expires_long_survives(spark, tmp_path):
+    """State TTL semantics pinned by construction: a ValueState updated
+    at batch 1 with ttl=2s reads as ABSENT at a batch processed >2s of
+    wall-clock later (expiry is anchored to the UPDATING batch's
+    processing time, so a driver-enforced monotonic gap strictly above
+    the TTL guarantees expiry), while a 1h-TTL twin fed the same rows
+    carries through. Neither availableNow nor processAllAvailable()
+    terminates under timeMode='processingTime' (empty batches keep
+    ticking) — the expected emission count is the drain signal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.streaming import transform_with_state_ttl_counts
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "out")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        pq.write_table(
+            pa.table({"k": pa.array([1, 1, 2], pa.int64())}),
+            indir / "p1.parquet",
+        )
+        stream = spark.readStream.schema("k long").parquet(str(indir))
+        q = (
+            transform_with_state_ttl_counts(
+                stream, "k", ttl_short_ms=2000, ttl_long_ms=3_600_000
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+        def outcount():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        deadline = time.monotonic() + 300
+        while outcount() < 2:
+            assert time.monotonic() < deadline, "batch 1 did not land"
+            time.sleep(0.5)
+        # enforce elapsed > ttl_short since the batch-1 update finished
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 2.6:
+            time.sleep(0.1)
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2, 2, 2], pa.int64())}),
+            indir / "p2.parquet",
+        )
+        while outcount() < 4:
+            assert time.monotonic() < deadline, "batch 2 did not land"
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+        rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+        # batch 1: cumulative (2,2)/(1,1); batch 2: short RESTARTED
+        # (k=1 -> 1, k=2 -> 3) while long accumulated (3 and 4)
+        assert rows == [(1, 1, 3), (1, 2, 2), (2, 1, 1), (2, 3, 4)]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
