@@ -40,6 +40,8 @@ __all__ = [
     "encode_png",
     "decode_wav",
     "encode_wav",
+    "decode_y4m",
+    "encode_y4m",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -55,6 +57,8 @@ def sniff(data: bytes) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:10] == b"YUV4MPEG2 ":
+        return "y4m"
     return None
 
 
@@ -315,3 +319,79 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, uncompressed planar video) — the stdlib-parseable video
+# container (ffmpeg's raw interchange format): a text header, then per
+# frame a "FRAME\n" marker + three full planes. C444 keeps every plane
+# at full (w*h) resolution so encode/decode round-trips BYTE-EXACT (no
+# chroma subsampling, no colorspace math — the planes carry the caller's
+# channels verbatim; this module never converts).
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Parse a YUV4MPEG2 C444 stream to (frames (n,h,w,3) uint8,
+    (fps_num, fps_den)). Strict: unknown magic, a non-C444 colorspace,
+    or a truncated frame raises ValueError (the caller's stub path)."""
+    data = bytes(data)
+    if not data.startswith(b"YUV4MPEG2 "):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    w = h = 0
+    fn, fd = 25, 1
+    color = "444"
+    for tok in data[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            color = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if not color.startswith("444"):
+        raise ValueError(f"only C444 supported (got C{color})")
+    plane = w * h
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fe = data.find(b"\n", pos)
+        if fe < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt FRAME marker")
+        pos = fe + 1
+        if pos + 3 * plane > len(data):
+            raise ValueError("truncated Y4M frame")
+        planes = np.frombuffer(
+            data, np.uint8, count=3 * plane, offset=pos
+        ).reshape(3, h, w)
+        frames.append(np.moveaxis(planes, 0, 2))
+        pos += 3 * plane
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), (fn, fd)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode (n, h, w, 3) uint8 frames as YUV4MPEG2 C444 (planar,
+    full-resolution planes — byte-exact round trip with decode_y4m)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = fr.shape
+    out = [
+        b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C444\n"
+        % (w, h, int(fps[0]), int(fps[1]))
+    ]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(np.moveaxis(fr[f], 2, 0)).tobytes())
+    return b"".join(out)

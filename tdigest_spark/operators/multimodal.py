@@ -6,13 +6,14 @@ transform is an Arrow-batched ``mapInPandas``/``mapInArrow`` stage —
 map-only, no shuffle, pipelined with the parquet scan.
 
 Decode is a REAL codec dispatch (operators/codecs.py: PPM/PGM, 24-bit BMP,
-8-bit PNG via zlib, 16-bit PCM WAV via the stdlib wave module — no external
-libraries needed). Payloads in containers beyond that set (JPEG, FLAC,
-video) fall back to the deterministic stub decoder — heavyweight codecs
-(PIL/ffmpeg/soundfile) are not in this container; wire them into
-``_decode_image``/``_decode_audio`` and nothing else changes. The fallback
-is strict-deterministic: a payload either parses fully as a supported
-container or takes the stub path, never a half-decode.
+8-bit PNG via zlib, 16-bit PCM WAV via the stdlib wave module, and
+uncompressed YUV4MPEG2 C444 video — no external libraries needed).
+Payloads in containers beyond that set (JPEG, FLAC, H.264) fall back to
+the deterministic stub decoder — heavyweight codecs (PIL/ffmpeg/
+soundfile) are not in this container; wire them into ``_decode_image``/
+``_decode_audio``/``_decode_video`` and nothing else changes. The
+fallback is strict-deterministic: a payload either parses fully as a
+supported container or takes the stub path, never a half-decode.
 
 Schema conventions (see MEDIA_SCHEMA below — flat typed metadata columns,
 not a nested struct, so parquet stats/pruning apply per field):
@@ -103,6 +104,37 @@ def _decode_audio(payload: bytes, n: int) -> np.ndarray:
         except Exception:  # wave.Error / truncated container
             pass
     return _fake_decode_audio(b, n)
+
+
+def _fake_decode_video(payload: bytes, n_frames: int) -> np.ndarray:
+    """Deterministic stub video: ``n_frames`` 8x8x3 frames, pixel i
+    (C-order over the whole clip) = splitmix64(md5_seed XOR i) & 255 —
+    same SQL-expressible construction as the image stub."""
+    from ..sketch.hashing import hash64
+
+    seed = np.uint64(_seed_from(payload))
+    n = max(1, int(n_frames))
+    idx = np.arange(n * 8 * 8 * 3, dtype=np.uint64)
+    v = hash64(seed ^ idx) & np.uint64(255)
+    return v.astype(np.uint8).reshape(n, 8, 8, 3)
+
+
+def _decode_video(payload: bytes, n_frames: int) -> np.ndarray:
+    """REAL video decode (uncompressed YUV4MPEG2 C444 —
+    codecs.decode_y4m) with the deterministic stub fallback. Strict
+    parsing keeps the dispatch deterministic: a truncated frame or a
+    subsampled colorspace fails validation and takes the stub path;
+    ``n_frames`` is only used by the stub (a real container carries its
+    own frame count)."""
+    from . import codecs
+
+    b = bytes(payload)
+    if codecs.sniff(b) == "y4m":
+        try:
+            return codecs.decode_y4m(b)[0]
+        except Exception:
+            pass
+    return _fake_decode_video(b, n_frames)
 
 
 def make_media_table(spark, n_rows: int = 256, seed: int = 0) -> DataFrame:
@@ -207,6 +239,43 @@ def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "rms": en})
 
     return sel.mapInPandas(run, "doc_id string, rms array<float>")
+
+
+def video_frame_stats(df: DataFrame, every: int = 2) -> DataFrame:
+    """DECODE video containers and emit per-sampled-frame plane means —
+    the shot-boundary / quality primitive over real frames. Real path =
+    uncompressed YUV4MPEG2 (codecs.decode_y4m, byte-exact planes);
+    unsupported containers take the deterministic stub. Fan-out: one
+    input row -> ceil(n_frames/every) rows; map-only, pipelined with the
+    scan (the 100 TB shape — no shuffle until whatever aggregates the
+    stats)."""
+    sel = df.where(df.kind == "video").select("doc_id", "payload", "n_frames")
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "mean_y": [],
+                "mean_u": [],
+                "mean_v": [],
+            }
+            for r in pdf.itertuples():
+                frames = _decode_video(bytes(r.payload), int(r.n_frames))
+                for fi in range(0, frames.shape[0], every):
+                    m = frames[fi].reshape(-1, 3).mean(axis=0)
+                    out["doc_id"].append(r.doc_id)
+                    out["frame_idx"].append(fi)
+                    out["mean_y"].append(float(m[0]))
+                    out["mean_u"].append(float(m[1]))
+                    out["mean_v"].append(float(m[2]))
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(
+        run,
+        "doc_id string, frame_idx int, mean_y double, mean_u double, "
+        "mean_v double",
+    )
 
 
 def video_sample_frames(df: DataFrame, every: int = 8) -> DataFrame:

@@ -251,3 +251,30 @@ def test_bmp_zero_height_rejected():
     struct.pack_into("<i", raw, 22, 0)  # biHeight = 0
     with pytest.raises(ValueError, match="variant"):
         C.decode_bmp(bytes(raw))
+
+
+def test_y4m_roundtrip_and_strict_parse():
+    """Y4M C444 encode/decode is byte-exact on the planes; truncated
+    frames, subsampled colorspaces, and corrupt FRAME markers are
+    rejected (the stub-dispatch contract)."""
+    import numpy as np
+    import pytest
+
+    from tdigest_spark.operators import codecs
+
+    rng = np.random.default_rng(11)
+    fr = rng.integers(0, 256, (4, 5, 7, 3), dtype=np.uint8)
+    enc = codecs.encode_y4m(fr, fps=(30, 1))
+    assert codecs.sniff(enc) == "y4m"
+    dec, fps = codecs.decode_y4m(enc)
+    assert fps == (30, 1) and dec.shape == fr.shape and (dec == fr).all()
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(enc[:-1])  # truncated last frame
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n" + b"\0" * 6)
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(
+            b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAMX\n" + b"\0" * 12
+        )
+    with pytest.raises(ValueError):
+        codecs.decode_y4m(b"YUV4MPEG2 F25:1 C444\n")  # no dimensions

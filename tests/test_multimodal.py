@@ -82,3 +82,44 @@ def test_video_frame_sampling_cardinality(spark):
     }
     one = out.first()
     assert len(bytes(one["frame"])) == 32
+
+
+def test_video_frame_stats_real_vs_stub(spark):
+    """video_frame_stats decodes REAL Y4M containers to their exact
+    planes (channel means match the encoded pixels) while a non-Y4M
+    payload takes the deterministic stub (8x8 frames seeded from the
+    payload hash — different values, same schema)."""
+    import numpy as np
+
+    from tdigest_spark.operators import codecs
+    from tdigest_spark.operators.multimodal import (
+        _fake_decode_video,
+        video_frame_stats,
+    )
+
+    rng = np.random.default_rng(5)
+    fr = rng.integers(0, 256, (5, 4, 6, 3), dtype=np.uint8)
+    real = codecs.encode_y4m(fr)
+    junk = b"not-a-video-" + bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [
+            ("real", "video", bytearray(real), 5),
+            ("stub", "video", bytearray(junk), 3),
+        ],
+        "doc_id string, kind string, payload binary, n_frames int",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): (r.mean_y, r.mean_u, r.mean_v)
+        for r in video_frame_stats(df, every=2).collect()
+    }
+    # real: frames 0,2,4 decode to the exact encoded planes
+    for fi in (0, 2, 4):
+        m = fr[fi].reshape(-1, 3).mean(axis=0)
+        assert rows[("real", fi)] == (float(m[0]), float(m[1]), float(m[2]))
+    # stub: deterministic fake frames (0, 2) seeded from the payload
+    fake = _fake_decode_video(junk, 3)
+    for fi in (0, 2):
+        m = fake[fi].reshape(-1, 3).mean(axis=0)
+        assert rows[("stub", fi)] == (float(m[0]), float(m[1]), float(m[2]))
+    assert set(rows) == {("real", 0), ("real", 2), ("real", 4),
+                         ("stub", 0), ("stub", 2)}
