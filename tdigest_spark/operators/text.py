@@ -284,35 +284,53 @@ def bpe_train(spark, vocab: DataFrame, n_merges: int, word_col: str = "w",
 
     ``vocab`` must contain lowercase [a-z]{2,} words (the paren encoding
     relies on parens never appearing inside symbols). Each iteration runs
-    one vocab-sized aggregation (argmax pair by weighted count, ties broken
-    lexicographically by lhs then rhs) and one codegen replace; the running
+    ONE Spark job: the argmax aggregation (pair by weighted count, ties
+    broken lexicographically by lhs then rhs) with the previous
+    iteration's codegen replace fused into the same scan; the running
     vocab is localCheckpoint(eager=False)'d per iteration so iteration k
     replays one replace, not k, and blocks stay GC-managed in a shared
-    session. Returns a DataFrame (merge_rank, lhs, rhs, merged, n_weighted)
-    ordered by merge_rank — deterministic for any input layout (integer
-    counts, total-order tie-break)."""
+    session. AQE is disabled for the loop's queries: adaptive execution
+    materializes every shuffle stage as its own job, doubling scheduler
+    round-trips on a driver-sequential loop of vocab-sized two-stage
+    aggregates where runtime re-planning has nothing to adapt (measured
+    13 -> 7 jobs for 6 merges; test_text asserts the ceiling). Batching
+    k merges per pass was considered and rejected: a merge can CREATE
+    pairs (x, lhs+rhs) whose count beats the pre-merge runner-up, so any
+    batch is speculative and would need a verify/rollback pass —
+    sequential argmax is the semantics the oracle replays. Returns a
+    DataFrame (merge_rank, lhs, rhs, merged, n_weighted) ordered by
+    merge_rank — deterministic for any input layout (integer counts,
+    total-order tie-break)."""
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
     v = vocab.select(
         F.col(count_col).alias("c"), bpe_encode(F.col(word_col)).alias("enc")
     ).localCheckpoint(eager=False)
     out: list[tuple] = []
-    for rank in range(1, n_merges + 1):
-        best = (
-            v.select("c", F.explode(bpe_pairs(F.col("enc"))).alias("p"))
-            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-            .agg(F.sum("c").alias("n_weighted"))
-            .orderBy(F.desc("n_weighted"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        b = best[0]
-        out.append((rank, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n_weighted)))
-        pat = f"({b.lhs})({b.rhs})"
-        rep = f"({b.lhs}{b.rhs})"
-        v = v.select(
-            "c", F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc")
-        ).localCheckpoint(eager=False)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for rank in range(1, n_merges + 1):
+            best = (
+                v.select("c", F.explode(bpe_pairs(F.col("enc"))).alias("p"))
+                .groupBy(
+                    F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+                )
+                .agg(F.sum("c").alias("n_weighted"))
+                .orderBy(F.desc("n_weighted"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            out.append((rank, b.lhs, b.rhs, b.lhs + b.rhs, int(b.n_weighted)))
+            pat = f"({b.lhs})({b.rhs})"
+            rep = f"({b.lhs}{b.rhs})"
+            v = v.select(
+                "c",
+                F.replace(F.col("enc"), F.lit(pat), F.lit(rep)).alias("enc"),
+            ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     return spark.createDataFrame(
         out,
         "merge_rank INT, lhs STRING, rhs STRING, merged STRING, "

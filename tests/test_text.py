@@ -290,3 +290,30 @@ def test_zipf_slope_round_boundary_margin():
         sl, ic = con.execute(q).fetchone()
         for v in (sl, ic):
             assert abs(v * 1e6 - round(v * 1e6)) * 1e-6 > 1e-10, (sf, v)
+
+
+def test_bpe_train_runs_one_job_per_merge(spark):
+    """The merge loop's scheduler footprint is bounded: ONE job per merge
+    (plus the initial checkpoint materialization) — AQE would double it
+    by materializing every shuffle stage as its own job (VERDICT r4
+    item 7; measured 13 -> 7 jobs for 6 merges)."""
+    from tdigest_spark.operators.text import bpe_train
+
+    vocab = spark.createDataFrame(
+        [("hello", 5), ("help", 3), ("world", 4), ("word", 2), ("hold", 1)],
+        "w string, c long",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-warm", "warm")
+    vocab.count()
+    sc.setJobGroup("bpe-jobcount", "bpe-jobcount")
+    try:
+        res = bpe_train(spark, vocab, 6)
+        rows = res.collect()
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("bpe-jobcount"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(rows) == 6
+    # merges are real (first merge of this vocab: 'l' pairs dominate)
+    assert rows[0].merge_rank == 1 and rows[0].n_weighted >= 5
+    assert n_jobs <= 6 + 2, f"merge loop ran {n_jobs} jobs for 6 merges"
