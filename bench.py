@@ -265,6 +265,12 @@ def run_headline(spark) -> dict[str, float]:
         # BM25 lexical retrieval (scan-filtered postings)
         "pq_adc_topk",
         "doc_bm25_topk",
+        # round-5 (VERDICT r4 item 8): the dashboard analytics most likely
+        # to regress silently — distributed-rank Gini, LOCF gap fill, and
+        # the signup->purchase funnel
+        "events_user_gini",
+        "events_user_value_locf",
+        "events_funnel_conversion",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -324,7 +330,19 @@ def run_headline(spark) -> dict[str, float]:
         ).collect()[0]
         return row["n"]
 
-    force_actions = {"events_user_trailing_hour": _force_window}
+    def _force_locf(df):
+        # count() of a groupBy prunes agg expressions it doesn't need —
+        # which would drop the LOCF window entirely; consume the carried
+        # sum so the fill is actually computed
+        row = df.agg(
+            F.sum("carried_cents_sum"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return row["n"]
+
+    force_actions = {
+        "events_user_trailing_hour": _force_window,
+        "events_user_value_locf": _force_locf,
+    }
     for _ in range(2):
         for name in headline:
             spark.catalog.clearCache()
