@@ -3573,6 +3573,94 @@ def iceberg_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def iceberg_compact_small_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION (iceberg_write.rewrite_data_files — Iceberg's
+    rewrite_data_files bin-pack, the data-side twin of the manifest
+    rewrite): six per-source commits leave six small files plus an
+    equality delete (doc_id % 5 == 0) and a position delete (the two
+    smallest src1 doc_ids — files are sorted by doc_id so positions are
+    SQL-addressable); compaction reads them through the MERGE-ON-READ
+    view (deletes APPLIED, because the consolidated file commits at a
+    newer sequence that older deletes no longer cover) and bin-packs all
+    six into ONE file. The post-compaction read (count + doc_id
+    checksum), the rewritten-row count, and every file counter are exact
+    in SQL. At 100 TB this is the nightly job that keeps scan cost
+    tracking bytes instead of file-open count."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_compact" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        srcs = [f"src{i}" for i in range(6)]
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        tbl = tbl.filter(pc.is_in(tbl["source"], value_set=pa.array(srcs)))
+        src1_path = None
+        for i, s in enumerate(srcs):
+            part = tbl.filter(pc.equal(tbl["source"], s)).sort_by("doc_id")
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(part, f)
+            if s == "src1":
+                src1_path = f
+            W.append_snapshot(root, [f], snapshot_id=i + 1, ts_ms=2000 + i)
+        ids = tbl["doc_id"].to_numpy()
+        keys = np.sort(ids[ids % 5 == 0])
+        dk = root / "data" / "eq-keys.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(keys, type=tbl["doc_id"].type)}),
+            dk,
+        )
+        W.equality_delete_snapshot(root, dk, snapshot_id=7, ts_ms=3000)
+        W.delete_rows_snapshot(
+            root, {str(src1_path): [0, 1]}, snapshot_id=8, ts_ms=4000
+        )
+        rep = W.rewrite_data_files(root, target_bytes=1 << 30, ts_ms=5000)
+        report = {k: int(v) for k, v in rep.items()}
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    survivors = read_sequences(spark, str(root))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    ).select(
+        F.lit(report["files_before"]).cast("long").alias("files_before"),
+        F.lit(report["files_after"]).cast("long").alias("files_after"),
+        F.lit(report["files_rewritten"]).cast("long").alias("files_rewritten"),
+        F.lit(report["rows_rewritten"]).cast("long").alias("rows_rewritten"),
+        "n_rows",
+        "sum_doc_id",
+    )
+
+
 def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE-AUDIT-PUBLISH + ROLLBACK — the two pointer-move workflows
     production tables live by. WAP: even doc_ids land on main, odd ids
@@ -8521,6 +8609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
+        "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -11020,6 +11109,26 @@ def oracle_sql() -> dict[str, str]:
                      AS files_scanned,
                    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
                     FROM documents) AS files_total
+        """,
+        "iceberg_compact_small_files_read": """
+            WITH live AS (
+              SELECT doc_id, source FROM documents
+              WHERE source IN ('src0','src1','src2','src3','src4','src5')
+            ), pos2 AS (
+              SELECT doc_id FROM live WHERE source = 'src1'
+              ORDER BY doc_id LIMIT 2
+            ), kept AS (
+              SELECT doc_id FROM live
+              WHERE doc_id % 5 <> 0
+                AND doc_id NOT IN (SELECT doc_id FROM pos2)
+            )
+            SELECT CAST(6 AS BIGINT) AS files_before,
+                   CAST(1 AS BIGINT) AS files_after,
+                   CAST(6 AS BIGINT) AS files_rewritten,
+                   (SELECT COUNT(*) FROM kept) AS rows_rewritten,
+                   (SELECT COUNT(*) FROM kept) AS n_rows,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+                     AS sum_doc_id
         """,
         "iceberg_rewrite_manifests_read": """
             WITH live AS (

@@ -62,6 +62,7 @@ __all__ = [
     "rollback_to_snapshot",
     "fast_forward",
     "rewrite_manifests",
+    "rewrite_data_files",
     "snapshot_ids",
     "live_paths",
 ]
@@ -1285,3 +1286,201 @@ def live_paths(root: str | Path, snapshot_id: int | None = None) -> list[str]:
     from .iceberg import iceberg_scan_paths_static
 
     return iceberg_scan_paths_static(root, snapshot_id=snapshot_id)
+
+
+def rewrite_data_files(
+    root: str | Path,
+    target_bytes: int = 64 * 1024 * 1024,
+    ts_ms: int | None = None,
+) -> dict:
+    """Small-file COMPACTION — Iceberg's ``rewrite_data_files`` bin-pack
+    procedure, the data-side twin of :func:`rewrite_manifests`. Streaming
+    sinks and frequent commits leave a 100 TB table with millions of
+    KB-sized files; scan cost then tracks FILE COUNT (open/footer/seek),
+    not bytes. This selects live data files smaller than ``target_bytes``,
+    groups them by (schema_id, spec_id, partition tuple) so compaction
+    never mixes schemas or breaks partition purity, bin-packs each group
+    to ~``target_bytes``, rewrites every bin with >= 2 files into one
+    consolidated parquet, and commits remove+add as ONE snapshot whose
+    manifest list carries every untouched entry verbatim.
+
+    Delete interplay (the part a naive rewrite gets wrong): rewritten
+    rows are read through the MERGE-ON-READ view — position deletes are
+    subtracted and equality deletes with strictly greater sequence are
+    anti-joined (order-preserving mask, deterministic output) — because
+    the consolidated file commits at the NEW sequence number, which
+    exempts it from those older deletes; carrying the rows without
+    applying the deletes would resurrect them. Untouched files keep
+    their explicit per-entry sequence numbers, so deletes keep applying
+    to them unchanged. A file whose applicable equality-delete key
+    columns cannot be resolved against its schema (mid-evolution) is
+    left un-rewritten — never a silent resurrect. Old files stay on
+    disk for time travel until :func:`expire_snapshots` reaps them.
+
+    Returns ``{"files_before", "files_after", "files_rewritten",
+    "files_written", "rows_rewritten"}`` (data files only)."""
+    import json as _json
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import _localize, iceberg_scan_entries_static
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    cur = meta.get("current-snapshot-id")
+    entries = iceberg_scan_entries_static(str(root))
+    data = entries["data"]
+    result = {
+        "files_before": len(data),
+        "files_after": len(data),
+        "files_rewritten": 0,
+        "files_written": 0,
+        "rows_rewritten": 0,
+    }
+    if cur is None or cur == -1 or not data:
+        return result
+    eqs = entries["eq_deletes"]
+    # (normalized data path) -> tombstoned row positions
+    pos_map: dict[str, set] = {}
+    for d in entries["pos_deletes"]:
+        t = pq.read_table(
+            d["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, p in zip(t["file_path"].to_pylist(), t["pos"].to_pylist()):
+            pos_map.setdefault(
+                _re.sub(r"^file:/+", "/", fp), set()
+            ).add(int(p))
+
+    def _eq_cols(path: str) -> list[str]:
+        return pq.read_schema(path).names
+
+    def _can_rewrite(e: dict) -> bool:
+        file_cols = set(pq.read_schema(e["path"]).names)
+        return all(
+            set(_eq_cols(d["path"])) <= file_cols
+            for d in eqs
+            if d["seq"] > e["seq"]
+        )
+
+    # candidates: small files, grouped so a bin never mixes schemas,
+    # specs, or partition tuples
+    groups: dict[str, list[dict]] = {}
+    for e in data:
+        if (e.get("file_size") or 0) >= int(target_bytes):
+            continue
+        if eqs and not _can_rewrite(e):
+            continue
+        key = _json.dumps(
+            [e.get("schema_id"), e.get("spec_id"), e.get("partition")],
+            sort_keys=True,
+        )
+        groups.setdefault(key, []).append(e)
+    bins: list[list[dict]] = []
+    for key in sorted(groups):
+        cur_bin: list[dict] = []
+        size = 0
+        for e in sorted(groups[key], key=lambda x: x["path"]):
+            if cur_bin and size + (e.get("file_size") or 0) > int(target_bytes):
+                bins.append(cur_bin)
+                cur_bin, size = [], 0
+            cur_bin.append(e)
+            size += e.get("file_size") or 0
+        if cur_bin:
+            bins.append(cur_bin)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return result
+
+    def _mor_read(e: dict) -> pa.Table:
+        tbl = pq.read_table(e["path"], use_threads=False)
+        norm = _re.sub(
+            r"^file:/+", "/", f"file://{Path(str(e['path'])).resolve()}"
+        )
+        drop = pos_map.get(norm)
+        if drop:
+            keep = np.setdiff1d(
+                np.arange(tbl.num_rows, dtype=np.int64),
+                np.fromiter(drop, dtype=np.int64),
+            )
+            tbl = tbl.take(pa.array(keep))
+        for d in eqs:
+            if d["seq"] <= e["seq"]:
+                continue
+            k = pq.read_table(d["path"], use_threads=False)
+            if not k.num_rows:
+                continue
+            import pandas as pd
+
+            cols = k.column_names
+            left = pd.MultiIndex.from_frame(tbl.select(cols).to_pandas())
+            right = pd.MultiIndex.from_frame(k.to_pandas())
+            tbl = tbl.filter(pa.array(~left.isin(right)))
+        return tbl
+
+    sid = int(meta.get("last-sequence-number", 0)) + 1
+    eseq = sid
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"compact-{sid}").hex[:8]
+    rewritten_paths: set[str] = set()
+    new_entries: list[dict] = []
+    for i, b in enumerate(bins):
+        tbl = pa.concat_tables([_mor_read(e) for e in b], promote_options="default")
+        out = root / "data" / f"compact-{sid}-{tag}-{i}.parquet"
+        pq.write_table(tbl, out)
+        proto = b[0]
+        ne = _file_entry(
+            out, 1, sid,
+            schema_id=proto.get("schema_id"),
+            sequence_number=eseq,
+        )
+        ne["data_file"]["spec_id"] = proto.get("spec_id")
+        ne["data_file"]["partition"] = proto.get("partition")
+        new_entries.append(ne)
+        rewritten_paths.update(str(e["path"]) for e in b)
+        result["rows_rewritten"] += tbl.num_rows
+    # fresh manifest list: carried live entries verbatim (explicit
+    # sequence numbers stamped, tombstones dropped) minus the rewritten
+    # files, plus the consolidated files — same construction as
+    # rewrite_manifests, so this commit is also a manifest compaction
+    seq_of = {
+        s["snapshot-id"]: s.get("sequence-number", 0)
+        for s in meta.get("snapshots", [])
+    }
+    buckets: dict[int, list[dict]] = {0: [], 1: []}
+    for mrow in _current_manifests(root, meta):
+        mp = _localize(mrow["manifest_path"], root)
+        _, m_entries = avro_lite.read_container(mp)
+        for e in m_entries:
+            if e.get("status", 0) == 2:
+                continue
+            path = str(_localize(e["data_file"]["file_path"], root))
+            if path in rewritten_paths:
+                continue
+            if e.get("sequence_number") is None:
+                e = dict(
+                    e, sequence_number=seq_of.get(e.get("snapshot_id"), 0)
+                )
+            kind = 0 if e["data_file"].get("content", 0) == 0 else 1
+            buckets[kind].append(e)
+    buckets[0].extend(new_entries)
+    new_rows = []
+    for kind in (0, 1):
+        if not buckets[kind]:
+            continue
+        m = _meta_dir(root) / f"m-{sid}-{tag}-c{kind}.avro"
+        avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, buckets[kind])
+        new_rows.append(
+            {
+                "manifest_path": f"file://{m}",
+                "manifest_length": m.stat().st_size,
+                "content": kind,
+                "added_snapshot_id": sid,
+            }
+        )
+    _commit(root, version, meta, sid, new_rows, "replace", ts_ms)
+    result["files_after"] = len(data) - len(rewritten_paths) + len(new_entries)
+    result["files_rewritten"] = len(rewritten_paths)
+    result["files_written"] = len(new_entries)
+    return result

@@ -1494,3 +1494,100 @@ def test_equality_deletes_survive_snapshot_expiration(tmp_path, spark):
     assert sorted(
         r.k for r in read_sequences(spark, str(root)).collect()
     ) == [1, 2, 3, 4]
+
+
+def test_rewrite_data_files_binpacks_and_applies_deletes(tmp_path, spark):
+    """rewrite_data_files: small live files bin-pack into consolidated
+    parquets committed at the NEW sequence — which is only sound because
+    the rewrite reads its inputs through the MOR view (pos deletes
+    subtracted, strictly-later eq deletes anti-joined). Reads are
+    identical before/after; an eq-delete committed AFTER the compaction
+    still applies to the consolidated file; time travel to the
+    pre-compaction snapshot still sees the small files."""
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_metadata_df,
+        read_sequences,
+    )
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    for s in range(4):
+        f = root / "data" / f"s{s}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(range(s * 10, s * 10 + 10), pa.int64())}),
+            f,
+        )
+        W.append_snapshot(root, [f], snapshot_id=s + 1, ts_ms=2000 + s)
+    dk = root / "data" / "delk.parquet"
+    pq.write_table(pa.table({"k": pa.array([5, 15], pa.int64())}), dk)
+    W.equality_delete_snapshot(root, dk, snapshot_id=5, ts_ms=3000)
+    W.delete_rows_snapshot(
+        root, {str(root / "data" / "s2.parquet"): [0, 1]},
+        snapshot_id=6, ts_ms=4000,
+    )  # k=20,21 out
+    expect = sorted(set(range(40)) - {5, 15, 20, 21})
+    pre_snapshot = 6
+    rep = W.rewrite_data_files(root, target_bytes=1 << 20, ts_ms=5000)
+    assert rep["files_before"] == 4 and rep["files_written"] == 1
+    assert rep["files_rewritten"] == 4 and rep["files_after"] == 1
+    assert rep["rows_rewritten"] == len(expect)
+    got = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+    assert got == expect
+    # metadata agrees: one live data file, deletes carried
+    fdf = iceberg_metadata_df(spark, str(root), "files")
+    assert fdf.count() == 1
+    # the compaction APPLIED the deletes, so they cannot resurrect even
+    # though the consolidated file's sequence exceeds the delete's
+    tt = sorted(
+        r.k
+        for r in read_sequences(
+            spark, str(root), snapshot_id=pre_snapshot
+        ).collect()
+    )
+    assert tt == expect  # time travel to the MOR view unchanged
+    # an eq-delete committed AFTER compaction applies to the new file
+    dk2 = root / "data" / "delk2.parquet"
+    pq.write_table(pa.table({"k": pa.array([30], pa.int64())}), dk2)
+    W.equality_delete_snapshot(root, dk2, ts_ms=6000)
+    got2 = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+    assert got2 == sorted(set(expect) - {30})
+    # idempotent: one live file >= nothing to bin-pack
+    rep2 = W.rewrite_data_files(root, target_bytes=1 << 20, ts_ms=7000)
+    assert rep2["files_rewritten"] == 0
+
+
+def test_rewrite_data_files_respects_target_and_partitions(tmp_path, spark):
+    """Bin capacity and grouping: files above target_bytes are never
+    touched; candidates pack to <= target per bin; a lone small file in
+    its group stays as-is."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    files = []
+    for s in range(5):
+        f = root / "data" / f"s{s}.parquet"
+        n = 100_000 if s == 4 else 10  # s4 is the big file
+        pq.write_table(
+            pa.table({"k": pa.array(range(s * 1000, s * 1000 + n), pa.int64())}), f
+        )
+        files.append(f)
+    W.append_snapshot(root, files, ts_ms=2000)
+    big = (root / "data" / "s4.parquet").stat().st_size
+    small = (root / "data" / "s0.parquet").stat().st_size
+    # capacity fits the 4 small files but not the big one
+    rep = W.rewrite_data_files(root, target_bytes=small * 4 + 64, ts_ms=3000)
+    assert rep["files_rewritten"] == 4 and rep["files_written"] == 1
+    assert rep["files_after"] == 2  # consolidated + untouched big file
+    got = read_sequences(spark, str(root))
+    assert got.count() == 40 + 100_000
