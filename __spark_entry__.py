@@ -1511,6 +1511,81 @@ def events_type_markov_transitions(
     )
 
 
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PAGERANK over the behavioral transition graph — the
+    ITERATIVE-algorithm shape (the class that breaks one-shot SQL
+    engines): nodes = event types, edge weights = per-user consecutive-
+    event transition counts (the events_type_markov_transitions edges),
+    damping 0.85, uniform init, THREE power iterations with no dangling
+    redistribution (documented simplest form — ranks need not sum to 1).
+    Scale shape: the ONE corpus-sized stage is the edge aggregation
+    (user_id shuffle + lag window), checkpointed once; every iteration
+    is joins over the #types² edge list — type-cardinality data, so 100
+    more iterations cost driver-loop latency, not scans. Exactness: edge
+    weights are exact ints; rank sums have ≤ #types double terms whose
+    summation-order ULPs (~1e-15 after 3 iterations) are absorbed by
+    ROUND 6, the PMI/KL budget; every division is spelled identically in
+    the unrolled-CTE oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("w_out"))
+    nodes = (
+        ev.select(F.col("event_type")).distinct().localCheckpoint(eager=False)
+    )
+    n_nodes = float(nodes.count())
+    p = nodes.select(
+        "event_type", (F.lit(1.0) / F.lit(n_nodes)).alias("p")
+    )
+    for _ in range(3):
+        contrib = (
+            trans.join(F.broadcast(totals), "from_type")
+            .join(
+                F.broadcast(p.withColumnRenamed("event_type", "from_type")),
+                "from_type",
+            )
+            .groupBy("to_type")
+            .agg(
+                F.sum(
+                    F.col("p")
+                    * (F.col("n").cast("double") / F.col("w_out"))
+                ).alias("c")
+            )
+        )
+        p = nodes.join(
+            F.broadcast(contrib.withColumnRenamed("to_type", "event_type")),
+            "event_type",
+            "left",
+        ).select(
+            "event_type",
+            (
+                F.lit(0.15) / F.lit(n_nodes)
+                + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("p"),
+        )
+    return p.select(
+        "event_type", F.round("p", 6).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), F.asc("event_type"))
+
+
 def events_user_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust ANOMALY DETECTION on user activity (median/MAD, the
     outlier-resistant z-score every monitoring stack reaches for):
@@ -8531,6 +8606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
+        "events_type_pagerank": events_type_pagerank,
         "events_rolling_3day_distinct": events_rolling_3day_distinct,
         "events_null_aware_not_in": events_null_aware_not_in,
         "doc_bm25_topk": doc_bm25_topk,
@@ -10043,6 +10119,58 @@ def oracle_sql() -> dict[str, str]:
                     WHERE d3.day BETWEEN days.day - 2 AND days.day)
                      AS n_active
             FROM days ORDER BY day
+        """,
+        "events_type_pagerank": """
+            WITH seq AS (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS from_type,
+                     event_type AS to_type
+              FROM events WHERE user_id IS NOT NULL
+            ), tr AS (
+              SELECT from_type, to_type, COUNT(*) AS n
+              FROM seq WHERE from_type IS NOT NULL
+              GROUP BY from_type, to_type
+            ), tot AS (
+              SELECT from_type, CAST(SUM(n) AS BIGINT) AS w_out
+              FROM tr GROUP BY from_type
+            ), nodes AS (
+              SELECT DISTINCT event_type FROM events
+              WHERE user_id IS NOT NULL
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+            ), p0 AS (
+              SELECT event_type, 1.0 / (SELECT n FROM nn) AS p FROM nodes
+            ), p1 AS (
+              SELECT nd.event_type,
+                     0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                       SELECT SUM(p0.p *
+                                  (CAST(tr.n AS DOUBLE) / tot.w_out))
+                       FROM tr JOIN tot USING (from_type)
+                       JOIN p0 ON p0.event_type = tr.from_type
+                       WHERE tr.to_type = nd.event_type), 0.0) AS p
+              FROM nodes nd
+            ), p2 AS (
+              SELECT nd.event_type,
+                     0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                       SELECT SUM(p1.p *
+                                  (CAST(tr.n AS DOUBLE) / tot.w_out))
+                       FROM tr JOIN tot USING (from_type)
+                       JOIN p1 ON p1.event_type = tr.from_type
+                       WHERE tr.to_type = nd.event_type), 0.0) AS p
+              FROM nodes nd
+            ), p3 AS (
+              SELECT nd.event_type,
+                     0.15 / (SELECT n FROM nn) + 0.85 * COALESCE((
+                       SELECT SUM(p2.p *
+                                  (CAST(tr.n AS DOUBLE) / tot.w_out))
+                       FROM tr JOIN tot USING (from_type)
+                       JOIN p2 ON p2.event_type = tr.from_type
+                       WHERE tr.to_type = nd.event_type), 0.0) AS p
+              FROM nodes nd
+            )
+            SELECT event_type, ROUND(p, 6) AS pagerank
+            FROM p3 ORDER BY pagerank DESC, event_type
         """,
         "events_type_markov_transitions": """
             WITH seq AS (
