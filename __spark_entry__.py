@@ -1511,6 +1511,79 @@ def events_type_markov_transitions(
     )
 
 
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO CLASSIFICATION of parts by revenue (the inventory
+    80/20 cut every supply-chain dashboard runs): parts ranked by
+    revenue DESC, class A = parts inside the first 70% of cumulative
+    revenue, B = to 90%, C = the tail. The global cumulative sum uses
+    operators/relational.distributed_value_cumsum — NO single-task
+    global window (the events_user_gini two-pass rank generalized):
+    distinct revenue values get bit-length-bucketed exclusive prefixes,
+    and within an equal-revenue block each part adds rank·v via a window
+    PARTITIONED BY the value (block size = tie multiplicity, never the
+    domain). Exactness: per-row floor-cents are identical IEEE doubles
+    floored to ints in both engines, all cumulative terms are exact
+    int64, and the class cut is the integer comparison cum·10 ≤ k·total
+    (no float thresholds; at 10^19 total cents promote to decimal).
+    Shares are single divisions of exact ints — unrounded."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                    * F.lit(100)
+                ).cast("long")
+            ).alias("v")
+        )
+    )
+    g = (
+        rev.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w", F.col("v") * F.col("c"))
+    )
+    pre = distributed_value_cumsum(
+        g, value_col="v", weight_col="w", descending=True
+    )
+    total = int(
+        g.agg(F.sum("w").alias("t")).collect()[0]["t"]
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("v").orderBy(F.asc("l_partkey"))
+    )
+    cum = (F.col("prefix") + rk.cast("long") * F.col("v")).alias("cum")
+    parts = rev.join(pre.select("v", "prefix"), "v").select(
+        "l_partkey", "v", cum
+    )
+    cls = parts.select(
+        "v",
+        F.when(F.col("cum") * 10 <= 7 * F.lit(total), "A")
+        .when(F.col("cum") * 10 <= 9 * F.lit(total), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("v").alias("revenue_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            (F.col("revenue_cents").cast("double") / F.lit(float(total))).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
 def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PAGERANK over the behavioral transition graph — the
     ITERATIVE-algorithm shape (the class that breaks one-shot SQL
@@ -1643,55 +1716,25 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank must never land in one task): within an equal-count block the
     ranks are s+1..s+c regardless of the user_id tie order, so
     Σ i·x_i = Σ_v v·(c_v·s_v + c_v(c_v+1)/2) needs only per-VALUE counts
-    plus the prefix s_v = #users with smaller count. The prefix is
-    computed as (bucket offset) + (within-bucket running sum): values
-    bucket by their BIT LENGTH (≤63 buckets, order-preserving, exact
-    integer arithmetic via conv(x,10,2)), bucket totals collect to the
-    driver (≤63 rows — bounded by the word size, not the data) and
-    broadcast-join back; the within-bucket window partitions by bucket,
-    so no Exchange SinglePartition feeds any Window (explain_audit
-    asserts this). Value cardinality ≤ max per-user count, and bucket b
-    holds ≤ 2^(b−1) distinct values. Every term is an exact integer and
-    the two divisions are spelled identically in both engines (ROUND 6);
-    the oracle keeps the straightforward global-rank formulation."""
+    plus the prefix s_v = #users with smaller count — computed by
+    operators/relational.distributed_value_cumsum (bit-length bucket
+    offsets broadcast back + a bucket-PARTITIONED running-sum window,
+    so no Exchange SinglePartition feeds any Window; explain_audit
+    asserts this). Every term is an exact integer and the two divisions
+    are spelled identically in both engines (ROUND 6); the oracle keeps
+    the straightforward global-rank formulation."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
     counts = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    g = (
-        counts.groupBy("x")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "b", F.length(F.conv(F.col("x").cast("string"), 10, 2))
-        )
-    )
-    # one pass materializes the (value, count, bucket) table; both the
-    # bucket-total job and the main aggregate read the checkpointed
-    # blocks (value-cardinality — tiny) instead of re-scanning events
-    g = g.localCheckpoint(eager=False)
-    btotals = sorted(
-        (r["b"], r["cb"])
-        for r in g.groupBy("b").agg(F.sum("c").alias("cb")).collect()
-    )
-    offs, running = [], 0
-    for b, cb in btotals:
-        offs.append((b, running))
-        running += cb
-    offdf = spark.createDataFrame(offs or [], "b int, off long")
-    w = (
-        Window.partitionBy("b")
-        .orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = g.join(F.broadcast(offdf), "b").select(
-        "x",
-        "c",
-        (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("off")).alias(
-            "s"
-        ),
-    )
+    g = counts.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    pre = distributed_value_cumsum(
+        g, value_col="x", weight_col="c"
+    ).withColumnRenamed("prefix", "s")
     agg = pre.agg(
         F.sum("c").alias("n"),
         F.sum(F.col("x") * F.col("c")).alias("sx"),
@@ -8606,6 +8649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
+        "lineitem_abc_classification": lineitem_abc_classification,
         "events_type_pagerank": events_type_pagerank,
         "events_rolling_3day_distinct": events_rolling_3day_distinct,
         "events_null_aware_not_in": events_null_aware_not_in,
@@ -10119,6 +10163,35 @@ def oracle_sql() -> dict[str, str]:
                     WHERE d3.day BETWEEN days.day - 2 AND days.day)
                      AS n_active
             FROM days ORDER BY day
+        """,
+        "lineitem_abc_classification": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100)
+                              AS BIGINT)) AS BIGINT) AS v
+              FROM lineitem GROUP BY l_partkey
+            ), t AS (SELECT CAST(SUM(v) AS BIGINT) AS total FROM rev),
+            c AS (
+              SELECT v,
+                     CAST(SUM(v) OVER (
+                       ORDER BY v DESC, l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum
+              FROM rev
+            ), cls AS (
+              SELECT CASE
+                       WHEN cum * 10 <= 7 * (SELECT total FROM t) THEN 'A'
+                       WHEN cum * 10 <= 9 * (SELECT total FROM t) THEN 'B'
+                       ELSE 'C' END AS abc_class,
+                     v
+              FROM c
+            )
+            SELECT abc_class, COUNT(*) AS n_parts,
+                   CAST(SUM(v) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(v) AS DOUBLE) / (SELECT total FROM t)
+                     AS revenue_share
+            FROM cls GROUP BY abc_class ORDER BY abc_class
         """,
         "events_type_pagerank": """
             WITH seq AS (

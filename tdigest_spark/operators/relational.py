@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "sessionize", "range_join"]
+__all__ = ["asof_join", "sessionize", "range_join", "distributed_value_cumsum"]
 
 
 def asof_join(
@@ -219,4 +219,60 @@ def bloom_semi_join(
     rkeys = right.select(F.col(right_key).alias("_bsj_rkey")).distinct()
     return pruned.join(
         rkeys, pruned[left_key] == rkeys["_bsj_rkey"], "left_semi"
+    )
+
+
+def distributed_value_cumsum(
+    df: DataFrame,
+    value_col: str = "v",
+    weight_col: str = "w",
+    descending: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` over the total order of
+    ``value_col`` — WITHOUT a global single-task window (the scale
+    regression the round-4 verdict flagged on events_user_gini; this is
+    that fix generalized into a reusable operator).
+
+    Input: one row per DISTINCT positive integer value (caller pre-groups;
+    weights are exact 64-bit ints). Output: the input columns plus
+    ``prefix`` = Σ weight over values strictly before ``value_col`` in
+    asc (or desc) order.
+
+    Two-pass distributed rank: values bucket by their integer BIT LENGTH
+    (order-preserving, exact arithmetic via conv(v,10,2), ≤ 63 buckets);
+    per-bucket totals collect to the driver (row count bounded by the
+    word size, never the data), cumulative offsets broadcast-join back,
+    and the within-bucket running sum windows PARTITIONED BY bucket —
+    bucket b holds ≤ 2^(b−1) distinct values, so no task ever sees the
+    whole domain. Everything stays in exact integer arithmetic."""
+    spark = df.sparkSession
+    g = df.withColumn(
+        "_b", F.length(F.conv(F.col(value_col).cast("string"), 10, 2))
+    )
+    # both the offsets job and the caller's downstream job read the
+    # bucketed rows; checkpoint so the upstream computes once
+    g = g.localCheckpoint(eager=False)
+    btotals = sorted(
+        ((r["_b"], r["_tw"]) for r in
+         g.groupBy("_b").agg(F.sum(weight_col).alias("_tw")).collect()),
+        reverse=descending,
+    )
+    offs, running = [], 0
+    for b, tw in btotals:
+        offs.append((b, running))
+        running += int(tw)
+    offdf = spark.createDataFrame(offs or [], "_b int, _off long")
+    order = F.desc(value_col) if descending else F.asc(value_col)
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.join(F.broadcast(offdf), "_b")
+        .withColumn(
+            "prefix",
+            F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col("_off"),
+        )
+        .drop("_b", "_off")
     )

@@ -140,3 +140,47 @@ def test_range_join_rejects_overlapping_payload_names(spark):
     right = spark.createDataFrame([(2, _ts(0))], "v long, rts timestamp")
     with pytest.raises(ValueError, match="disjoint"):
         range_join(left, right, "lts", "rts", 0.0, 1.0)
+
+
+def test_distributed_value_cumsum_matches_bruteforce(spark):
+    """Exclusive prefix sums over distinct positive int values, both
+    directions, equal a driver-side brute force — including values that
+    straddle bit-length bucket boundaries (1,2,3,4,7,8,9,...)."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    vals = [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 1023, 1024, 10**12]
+    weights = {v: (v % 7) + 1 for v in vals}
+    df = spark.createDataFrame(
+        [(v, weights[v]) for v in vals], "v long, w long"
+    )
+    for desc in (False, True):
+        got = {
+            r.v: r.prefix
+            for r in distributed_value_cumsum(
+                df, "v", "w", descending=desc
+            ).collect()
+        }
+        order = sorted(vals, reverse=desc)
+        run, expect = 0, {}
+        for v in order:
+            expect[v] = run
+            run += weights[v]
+        assert got == expect, f"descending={desc}"
+
+
+def test_distributed_value_cumsum_plan_has_no_global_window(spark):
+    """The operator's contract: every Window is partitioned (by the
+    bit-length bucket) — no Exchange SinglePartition feeds one."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(1, 200)], "v long, w long"
+    )
+    out = distributed_value_cumsum(df, "v", "w")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window " in ln:
+            for nxt in lines[i + 1 : i + 4]:
+                assert "Exchange SinglePartition" not in nxt, plan

@@ -179,6 +179,11 @@ AUDITS = {
     # — the unpartitioned row_number formulation is the scale regression
     # this query exists to avoid)
     "events_user_gini": (1, True, False),
+    # ABC/Pareto cut: same distributed-cumsum contract — bucket-offset
+    # broadcast, every Window partitioned (value blocks + bit-length
+    # buckets), and the revenue rollup never SMJs (part-cardinality join
+    # against the tiny distinct-value side)
+    "lineitem_abc_classification": (1, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -193,7 +198,7 @@ SALTED = {"skewed_key_join"}
 # Window node may have an Exchange SinglePartition within its subtree
 # prefix (plan text is parent-first, so the child exchange prints within
 # the next few lines)
-NO_GLOBAL_WINDOW = {"events_user_gini"}
+NO_GLOBAL_WINDOW = {"events_user_gini", "lineitem_abc_classification"}
 
 
 def _window_on_single_partition(plan: str) -> bool:
