@@ -2212,6 +2212,30 @@ def tdigest_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lo")
 
 
+def tdigest_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winsorized_mean(lo, hi) of the distributed digest — the robust
+    mean that CLAMPS the tails to the quantile cut values instead of
+    dropping them (n stays constant; the de-outliering step feature
+    pipelines run before normalization). lo·n points contribute
+    quantile(lo) each, the body its pro-rated centroid mass (the
+    trimmed_mean numerator), the top (1−hi)·n contribute quantile(hi).
+    On l_quantity centroids are exact GROUP BY counts and the digest's
+    quantile interpolation is closed-form, so the SQL mirror reproduces
+    cut values, pro-rated body mass, and the final composition exactly
+    (ROUND 6 absorbs interp/summation ULPs)."""
+    from tdigest_spark.operators.aggregate import TDIGEST
+
+    d = _scan_build(spark, sf_dir, "lineitem", {"s": ("l_quantity", TDIGEST(0.01))})["s"]
+    wins = [(0.0, 1.0), (0.05, 0.95), (0.1, 0.9), (0.25, 0.75)]
+    rows = [
+        (lo, hi, float(np.round(d.winsorized_mean(lo, hi), 6)))
+        for lo, hi in wins
+    ]
+    return spark.createDataFrame(
+        rows, "lo double, hi double, wmean double"
+    ).orderBy("lo")
+
+
 def discrete_chars_by_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped discrete digests over documents.n_chars by source, PLUS the
     '__all__' rollup obtained by MERGING the per-source digests (sketch
@@ -8670,6 +8694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discrete_quantity_mad": discrete_quantity_mad,
         "discrete_quantile_priority": discrete_quantile_priority,
         "tdigest_trimmed_mean": tdigest_trimmed_mean,
+        "tdigest_winsorized_mean": tdigest_winsorized_mean,
         "discrete_chars_by_source_rollup": discrete_chars_by_source_rollup,
         "discrete_chars_cube_from_merges": discrete_chars_cube_from_merges,
         "autodigest_modes": autodigest_modes,
@@ -10672,6 +10697,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(p AS DOUBLE) AS p, MIN(v) AS q
             FROM ps JOIN cum ON c >= p * n
             GROUP BY p ORDER BY p
+        """,
+        "tdigest_winsorized_mean": """
+            WITH cent AS (
+              SELECT CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM lineitem GROUP BY l_quantity
+            ), cum AS (
+              SELECT v, w,
+                     SUM(w) OVER (ORDER BY v) AS chi,
+                     SUM(w) OVER (ORDER BY v) - w AS clo,
+                     SUM(w) OVER (ORDER BY v) - w / 2 AS mc,
+                     SUM(w) OVER () AS n
+              FROM cent
+            ), wins AS (
+              SELECT CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+              FROM (VALUES (0.0, 1.0), (0.05, 0.95), (0.1, 0.9),
+                           (0.25, 0.75)) t(lo, hi)
+            ), br AS (
+              SELECT lo, hi, ANY_VALUE(n) AS n,
+                     MAX(CASE WHEN mc <= lo * n THEN mc END) AS lmc_lo,
+                     MIN(CASE WHEN mc >  lo * n THEN mc END) AS lmc_hi,
+                     MAX(CASE WHEN mc <= lo * n THEN v END) AS lm_lo,
+                     MIN(CASE WHEN mc >  lo * n THEN v END) AS lm_hi,
+                     MAX(CASE WHEN mc <= hi * n THEN mc END) AS hmc_lo,
+                     MIN(CASE WHEN mc >  hi * n THEN mc END) AS hmc_hi,
+                     MAX(CASE WHEN mc <= hi * n THEN v END) AS hm_lo,
+                     MIN(CASE WHEN mc >  hi * n THEN v END) AS hm_hi,
+                     SUM(v * GREATEST(LEAST(chi, hi * n)
+                                      - GREATEST(clo, lo * n), 0)) AS num
+              FROM wins, cum GROUP BY lo, hi
+            ), q AS (
+              SELECT lo, hi, n, num,
+                     CASE WHEN lo <= 0.0 OR lmc_lo IS NULL
+                            THEN (SELECT MIN(v) FROM cent)
+                          WHEN lmc_hi IS NULL
+                            THEN (SELECT MAX(v) FROM cent)
+                          ELSE lm_lo + ((lm_hi - lm_lo)
+                                        / (lmc_hi - lmc_lo))
+                               * (lo * n - lmc_lo) END AS qlo,
+                     CASE WHEN hi >= 1.0 OR hmc_hi IS NULL
+                            THEN (SELECT MAX(v) FROM cent)
+                          WHEN hmc_lo IS NULL
+                            THEN (SELECT MIN(v) FROM cent)
+                          ELSE hm_lo + ((hm_hi - hm_lo)
+                                        / (hmc_hi - hmc_lo))
+                               * (hi * n - hmc_lo) END AS qhi
+              FROM br
+            )
+            SELECT lo, hi,
+                   ROUND((lo * n * qlo + num + (n - hi * n) * qhi) / n, 6)
+                     AS wmean
+            FROM q ORDER BY lo
         """,
         "tdigest_trimmed_mean": """
             WITH cent AS (

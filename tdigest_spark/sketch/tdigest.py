@@ -291,6 +291,29 @@ class TDigest:
             return float("nan")
         return float(np.dot(self.means, cover) / tw)
 
+    def winsorized_mean(self, lo: float = 0.0, hi: float = 1.0) -> float:
+        """Mean after CLIPPING the tails at quantile(lo)/quantile(hi) —
+        the robust-mean variant that keeps n constant (trimming DROPS
+        the tails, winsorizing CLAMPS them to the cut values; absent in
+        the reference, natural companion to :meth:`trimmed_mean`):
+        lo·n points contribute quantile(lo) each, hi·n..n contribute
+        quantile(hi), the body contributes its pro-rated centroid mass
+        exactly as in trimmed_mean."""
+        if self.size == 0:
+            return float("nan")
+        h_lo, h_hi = lo * self.n, hi * self.n
+        if h_hi < h_lo:
+            return float("nan")
+        q_lo = float(self.quantile(lo))
+        q_hi = float(self.quantile(hi))
+        cum_hi = np.cumsum(self.weights)
+        cum_lo = cum_hi - self.weights
+        overlap = np.clip(
+            np.minimum(cum_hi, h_hi) - np.maximum(cum_lo, h_lo), 0.0, None
+        )
+        num = float(np.dot(self.means, overlap))
+        return (h_lo * q_lo + num + (self.n - h_hi) * q_hi) / self.n
+
     def summary(self) -> str:
         """Text summary: approx n points, centroid count, min/Q1/Q2/Q3/max
         (reference summary(), tdigest.js:59-68)."""

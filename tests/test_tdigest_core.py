@@ -238,3 +238,32 @@ def test_serde_roundtrips_K():
     t0 = TDigest(0.01, K=0)  # K=0 disables lazy compression
     t0.push(np.arange(100.0))
     assert TDigest.from_bytes(t0.to_bytes()).K == 0.0
+
+
+def test_winsorized_mean_matches_numpy_and_edges():
+    """winsorized_mean vs an exact numpy winsorize on duplicate-heavy
+    data (singleton-value centroids => exact), plus edge windows."""
+    import numpy as np
+
+    from tdigest_spark.sketch.tdigest import TDigest
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(1, 51, 40_000).astype(np.float64)
+    d = TDigest(delta=0.01)
+    d.push(xs)
+    for lo, hi in ((0.0, 1.0), (0.05, 0.95), (0.25, 0.75)):
+        q_lo, q_hi = d.quantile(lo), d.quantile(hi)
+        srt = np.sort(xs)
+        n = len(xs)
+        h_lo, h_hi = lo * n, hi * n
+        # exact reference: fractional tail masses at the cut values plus
+        # the pro-rated body (positions are integers, cuts fractional)
+        idx = np.arange(n, dtype=np.float64)
+        w = np.clip(np.minimum(idx + 1, h_hi) - np.maximum(idx, h_lo), 0, None)
+        expect = (h_lo * q_lo + float(np.dot(srt, w)) + (n - h_hi) * q_hi) / n
+        got = d.winsorized_mean(lo, hi)
+        assert abs(got - expect) < 1e-9, (lo, hi, got, expect)
+    # full window equals the plain mean exactly
+    assert abs(d.winsorized_mean(0.0, 1.0) - xs.mean()) < 1e-9
+    # degenerate window
+    assert np.isnan(TDigest().winsorized_mean(0.1, 0.9))
