@@ -8144,6 +8144,75 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def embedding_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL-CONSISTENCY — the embedding-quality diagnostic run
+    before trusting vectors for curation/dedup (do neighbors share the
+    probe's label?): for 16 probe vectors, the exact top-5 cosine
+    neighbors (self excluded) vote, consistency = same-label fraction.
+    ONE scan: the 16-row probe side broadcasts into a crossJoin (never
+    16 passes over the corpus), cosine is a codegen zip_with/aggregate
+    pair expression, and the per-probe top-5 is a pid-partitioned window
+    (probe-cardinality groups). Rank boundaries are engine-stable: the
+    min rank-5/6 cosine gap is 1.9e-5 across all SFs (test-guarded),
+    seven orders above float64 summation-order noise. consistency is a
+    division by 5 of an exact int — dyadic, bit-identical unrounded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding").alias("pe"),
+            F.col("label").alias("plab"),
+        )
+    )
+    pair = emb.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("pid")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("pe"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pair.select(
+        "pid",
+        "plab",
+        "label",
+        (dot / (norm(F.col("embedding")) * norm(F.col("pe")))).alias("cos"),
+        "vec_id",
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 5
+    )
+    return (
+        top.groupBy("pid")
+        .agg(
+            F.first("plab").alias("probe_label"),
+            F.sum(
+                F.when(F.col("label") == F.col("plab"), 1).otherwise(0)
+            ).alias("n_same_label"),
+        )
+        .select(
+            "pid",
+            "probe_label",
+            "n_same_label",
+            (F.col("n_same_label") / F.lit(5.0)).alias("consistency"),
+        )
+        .orderBy("pid")
+    )
+
+
 def semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-level) dedup END-TO-END with a keep-best
     retention policy: exact cosine near-dup pairs (block-pair plan, no
@@ -8823,6 +8892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
         "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_knn_label_consistency": embedding_knn_label_consistency,
         "semantic_dedup_keep_best": semantic_dedup_keep_best,
         "semantic_dedup_ann_keep_best": semantic_dedup_ann_keep_best,
     }
@@ -12894,6 +12964,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY rank LIMIT 10
+        """,
+        "embedding_knn_label_consistency": """
+            WITH probes AS (
+              SELECT vec_id AS pid, embedding AS pe, label AS plab
+              FROM embeddings WHERE vec_id < 16
+            ), ranked AS (
+              SELECT pid, plab, e.label,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY pid
+                       ORDER BY list_cosine_similarity(
+                                  CAST(e.embedding AS DOUBLE[]),
+                                  CAST(pe AS DOUBLE[])) DESC,
+                                e.vec_id) AS rk
+              FROM probes, embeddings e WHERE e.vec_id <> pid
+            )
+            SELECT pid, ANY_VALUE(plab) AS probe_label,
+                   CAST(SUM(CASE WHEN label = plab THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same_label,
+                   CAST(SUM(CASE WHEN label = plab THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(5.0 AS DOUBLE) AS consistency
+            FROM ranked WHERE rk <= 5
+            GROUP BY pid ORDER BY pid
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

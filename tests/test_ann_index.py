@@ -236,3 +236,33 @@ def test_banded_pairs_are_bucket_local(spark, emb):
         int((np.bincount(buckets[k]) ** 2).sum()) for k in range(N_BANDS)
     )
     assert flops < N_BANDS * n * n / 4
+
+
+def test_knn_label_consistency_rank_margin():
+    """embedding_knn_label_consistency's oracle equality rests on the
+    top-5 cut being engine-stable: the rank-5/6 cosine gap per probe
+    must sit orders of magnitude above float64 summation-order noise
+    at every shipped SF (measured min 1.9e-5 at sf0.01)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        t = pq.read_table(f"{d}/embeddings.parquet")
+        V = np.array(
+            [np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()]
+        )
+        ids = t["vec_id"].to_numpy()
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        Vn, ids = Vn[order], ids[order]
+        for p in range(16):
+            cos = Vn @ Vn[p]
+            mask = ids != ids[p]
+            c = np.sort(cos[mask])[::-1]
+            gap = c[4] - c[5]
+            assert gap > 1e-8, (sf, p, gap)
