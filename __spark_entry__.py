@@ -3803,6 +3803,79 @@ def iceberg_compact_small_files_read(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def iceberg_metadata_only_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-ONLY AGGREGATES from manifest metadata — COUNT/MIN/MAX
+    answered without opening ONE data file (iceberg.iceberg_metadata_
+    aggregates): count = Σ per-entry record counts, extrema = folds of
+    the per-file numeric bounds the writer recorded at commit time. The
+    O(manifest) fast path every Iceberg engine takes for these shapes —
+    at 100 TB the difference between milliseconds of metadata and a full
+    scan. Sound by construction: the helper REFUSES tables carrying
+    merge-on-read deletes (a tombstoned row can hold the extremum) and
+    columns with incomplete bounds; string bounds are refused outright
+    (upper bounds may be truncation-incremented). The six-file per-source
+    fixture is append-only, so every number is exact against the plain
+    SQL aggregate."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_metadata_aggregates
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_statsonly" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    ok = False
+    if marker.exists():
+        try:
+            ok = _json.loads(marker.read_text()).get("params") == params
+        except Exception:
+            ok = False
+    if not ok:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        srcs = [f"src{i}" for i in range(6)]
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars", "source"],
+        )
+        tbl = tbl.filter(pc.is_in(tbl["source"], value_set=pa.array(srcs)))
+        for i, s in enumerate(srcs):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            W.append_snapshot(root, [f], snapshot_id=i + 1, ts_ms=2000 + i)
+        marker.write_text(_json.dumps({"params": params}))
+    agg = iceberg_metadata_aggregates(
+        str(root), {"doc_id": "long", "n_chars": "long"}
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["count"]),
+                int(agg["min"]["doc_id"]),
+                int(agg["max"]["doc_id"]),
+                int(agg["min"]["n_chars"]),
+                int(agg["max"]["n_chars"]),
+            )
+        ],
+        "n_rows long, min_doc_id long, max_doc_id long, "
+        "min_chars long, max_chars long",
+    )
+
+
 def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WRITE-AUDIT-PUBLISH + ROLLBACK — the two pointer-move workflows
     production tables live by. WAP: even doc_ids land on main, odd ids
@@ -8824,6 +8897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
         "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
+        "iceberg_metadata_only_aggregates": iceberg_metadata_only_aggregates,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
@@ -11477,6 +11551,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM kept) AS n_rows,
                    (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
                      AS sum_doc_id
+        """,
+        "iceberg_metadata_only_aggregates": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents
+            WHERE source IN ('src0','src1','src2','src3','src4','src5')
         """,
         "iceberg_rewrite_manifests_read": """
             WITH live AS (

@@ -47,6 +47,7 @@ __all__ = [
     "iceberg_incremental_paths",
     "iceberg_scan_paths_pruned",
     "iceberg_metadata_df",
+    "iceberg_metadata_aggregates",
     "read_table_evolved",
     "current_metadata",
 ]
@@ -328,6 +329,57 @@ def iceberg_scan_entries_static(
     for v in out.values():
         v.sort(key=lambda x: (x["seq"], x["path"]))
     return out
+
+
+
+def iceberg_metadata_aggregates(
+    table_dir: str,
+    col_types: dict[str, str],
+    snapshot_id: int | None = None,
+) -> dict:
+    """Answer ``COUNT(*)`` / ``MIN`` / ``MAX`` from MANIFEST METADATA
+    ALONE — zero data files opened, the O(manifest) fast path real
+    Iceberg engines take for stats-only aggregates. ``col_types`` maps
+    column name -> ``"long"`` | ``"double"`` (numeric bounds decode
+    exactly; string upper bounds may be truncation-incremented and are
+    NOT exact, so they are refused by construction).
+
+    Soundness guards (each raises ValueError rather than answering
+    wrong): any position/equality delete file present (a tombstoned row
+    can carry the extremum — the same reason engines disable stats-only
+    answers under merge-on-read), a live file missing its record count,
+    or a requested column missing a bound on any file. Returns
+    ``{"count": int, "min": {col: v}, "max": {col: v}}``."""
+    import struct as _struct
+
+    entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
+    if entries["pos_deletes"] or entries["eq_deletes"]:
+        raise ValueError(
+            "stats-only aggregates are unsound under merge-on-read "
+            "deletes; compact (rewrite_data_files) or read the data"
+        )
+    fmt = {"long": "<q", "double": "<d"}
+    for c, t in col_types.items():
+        if t not in fmt:
+            raise ValueError(f"unsupported stats type {t!r} for {c!r}")
+    count = 0
+    mins: dict = {}
+    maxs: dict = {}
+    for e in entries["data"]:
+        rc = e.get("record_count")
+        if rc is None or rc < 0:
+            raise ValueError(f"file {e['path']} has no record count")
+        count += int(rc)
+        lo = e.get("lower_bounds") or {}
+        hi = e.get("upper_bounds") or {}
+        for c, t in col_types.items():
+            if c not in lo or c not in hi:
+                raise ValueError(f"file {e['path']} has no bounds for {c!r}")
+            lo_v = _struct.unpack(fmt[t], lo[c])[0]
+            hi_v = _struct.unpack(fmt[t], hi[c])[0]
+            mins[c] = lo_v if c not in mins else min(mins[c], lo_v)
+            maxs[c] = hi_v if c not in maxs else max(maxs[c], hi_v)
+    return {"count": count, "min": mins, "max": maxs}
 
 
 def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):

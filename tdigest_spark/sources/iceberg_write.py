@@ -1465,6 +1465,45 @@ def rewrite_data_files(
             kind = 0 if e["data_file"].get("content", 0) == 0 else 1
             buckets[kind].append(e)
     buckets[0].extend(new_entries)
+    # delete-entry garbage collection (Iceberg's rewrite_position_delete
+    # _files intent, folded into this commit): a position delete whose
+    # referenced data files are all gone from the live set, or an
+    # equality delete with no strictly-smaller-sequence live data file
+    # left, can never tombstone anything again — dropping them is what
+    # lets stats-only readers (iceberg_metadata_aggregates) turn back on
+    # after a compaction folded all deletes in
+    live_norm = {
+        _re.sub(
+            r"^file:/+",
+            "/",
+            f"file://{Path(str(_localize(e['data_file']['file_path'], root))).resolve()}",
+        )
+        for e in buckets[0]
+    }
+    min_live_seq = min(
+        (int(e.get("sequence_number") or 0) for e in buckets[0]),
+        default=0,
+    )
+
+    def _delete_still_applies(e: dict) -> bool:
+        dfrec = e["data_file"]
+        dpath = str(_localize(dfrec["file_path"], root))
+        if dfrec.get("content", 0) == 1:  # position delete: path-keyed
+            try:
+                t = pq.read_table(
+                    dpath, columns=["file_path"], use_threads=False
+                )
+            except Exception:
+                return True  # unreadable: keep, never silently drop
+            refs = {
+                _re.sub(r"^file:/+", "/", p)
+                for p in t["file_path"].to_pylist()
+            }
+            return bool(refs & live_norm)
+        # equality delete: applies to strictly smaller sequences only
+        return min_live_seq < int(e.get("sequence_number") or 0)
+
+    buckets[1] = [e for e in buckets[1] if _delete_still_applies(e)]
     new_rows = []
     for kind in (0, 1):
         if not buckets[kind]:

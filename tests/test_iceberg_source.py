@@ -1591,3 +1591,44 @@ def test_rewrite_data_files_respects_target_and_partitions(tmp_path, spark):
     assert rep["files_after"] == 2  # consolidated + untouched big file
     got = read_sequences(spark, str(root))
     assert got.count() == 40 + 100_000
+
+
+def test_metadata_only_aggregates_exact_and_guarded(tmp_path, spark):
+    """COUNT/MIN/MAX answered from manifest stats alone are exact on an
+    append-only table, refuse MOR tables (a tombstoned row can carry the
+    extremum), and recover after compaction folds the deletes in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_metadata_aggregates
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    vals = [[5, 9, 2], [100, 7], [42]]
+    for i, ks in enumerate(vals):
+        f = root / "data" / f"f{i}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64()),
+                      "x": pa.array([v / 2 for v in ks], pa.float64())}), f
+        )
+        W.append_snapshot(root, [f], ts_ms=2000 + i)
+    agg = iceberg_metadata_aggregates(
+        str(root), {"k": "long", "x": "double"}
+    )
+    assert agg == {
+        "count": 6,
+        "min": {"k": 2, "x": 1.0},
+        "max": {"k": 100, "x": 50.0},
+    }
+    # a delete makes stats-only answers unsound: MIN k would still read 2
+    W.delete_rows_snapshot(
+        root, {str(root / "data" / "f0.parquet"): [2]}, ts_ms=5000
+    )  # k=2 (the min) tombstoned
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        iceberg_metadata_aggregates(str(root), {"k": "long"})
+    # compaction applies the deletes; stats-only answers come back exact
+    W.rewrite_data_files(root, target_bytes=1 << 20, ts_ms=6000)
+    agg2 = iceberg_metadata_aggregates(str(root), {"k": "long"})
+    assert agg2 == {"count": 5, "min": {"k": 5}, "max": {"k": 100}}
