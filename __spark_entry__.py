@@ -6804,6 +6804,73 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB COVERAGE CURVE — what fraction of all token occurrences the
+    top-k vocabulary covers (k = 10/100/1000), the number that sizes a
+    tokenizer's vocab and flags heavy-tail corpora. NO global rank
+    window: the word histogram groups into count-value BLOCKS (every
+    word in a block is interchangeable for coverage: within-tie ranks
+    contribute count·(k − words_before) regardless of which words make
+    the cut), and the two block prefixes — occurrence mass and word
+    count above each block — come from relational.distributed_value_
+    cumsum (descending). coverage(k) = mass_above + (k − words_above)·c
+    for the block holding rank k, or the whole corpus when k ≥ vocab.
+    Exactness: every term is an exact int64; the coverage fraction is a
+    single division of exact ints, left unrounded."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    blocks = (
+        hist.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("mass", F.col("c") * F.col("m"))
+        .localCheckpoint(eager=False)
+    )
+    pm = distributed_value_cumsum(
+        blocks, value_col="c", weight_col="mass", descending=True
+    ).select("c", F.col("prefix").alias("mass_above"))
+    pr = distributed_value_cumsum(
+        blocks, value_col="c", weight_col="m", descending=True
+    ).select("c", "m", F.col("prefix").alias("words_above"))
+    b = pr.join(pm, "c")
+    tot = blocks.agg(
+        F.sum("mass").alias("t"), F.sum("m").alias("nv")
+    ).collect()[0]
+    total, n_vocab = int(tot["t"]), int(tot["nv"])
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k long")
+    hit = ks.join(
+        b,
+        (F.col("words_above") < F.col("k"))
+        & (F.col("k") <= F.col("words_above") + F.col("m")),
+        "left",
+    ).select(
+        "k",
+        F.coalesce(
+            F.col("mass_above")
+            + (F.col("k") - F.col("words_above")) * F.col("c"),
+            F.lit(total),
+        ).alias("covered"),
+    )
+    return hit.select(
+        "k",
+        F.col("covered").cast("long").alias("covered"),
+        F.lit(total).cast("long").alias("total_occurrences"),
+        F.lit(n_vocab).cast("long").alias("n_vocab"),
+        (F.col("covered").cast("double") / F.lit(float(total))).alias(
+            "coverage"
+        ),
+    ).orderBy("k")
+
+
 def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram counts — the n-gram LM / collocation statistic at the
     root of corpus analysis: tokenize once, pair adjacent words JVM-side
@@ -8922,6 +8989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
+        "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
         "iceberg_incremental_vocab_drift": iceberg_incremental_vocab_drift,
@@ -12444,6 +12512,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM s GROUP BY source, shard ORDER BY source, shard
+        """,
+        "doc_vocab_coverage_topk": r"""
+            WITH words AS (
+              SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                  '\s+')) AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ), freq AS (
+              SELECT word, COUNT(*) AS c FROM words
+              WHERE word <> '' GROUP BY word
+            ), ranked AS (
+              SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS r
+              FROM freq
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS t,
+                     CAST(COUNT(*) AS BIGINT) AS nv
+              FROM freq
+            ), ks AS (
+              SELECT CAST(k AS BIGINT) AS k
+              FROM (VALUES (10), (100), (1000)) t(k)
+            )
+            SELECT k,
+                   CAST((SELECT SUM(c) FROM ranked WHERE r <= k)
+                        AS BIGINT) AS covered,
+                   (SELECT t FROM tot) AS total_occurrences,
+                   (SELECT nv FROM tot) AS n_vocab,
+                   CAST((SELECT SUM(c) FROM ranked WHERE r <= k)
+                        AS DOUBLE)
+                     / CAST((SELECT t FROM tot) AS DOUBLE) AS coverage
+            FROM ks ORDER BY k
         """,
         "doc_vocab_topk": r"""
             SELECT word, COUNT(*) AS n
