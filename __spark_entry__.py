@@ -6804,6 +6804,46 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style TABLE PROFILE — the per-column health report every
+    ingest runs first (nulls, exact NDV, extrema, value widths): ONE
+    pass over the table computes count / non-null / COUNT(DISTINCT) /
+    min / max / avg string width for every column in a single aggregate
+    (Spark plans the multi-distinct via Expand — one job, map-side
+    partials). Extrema are compared in each column's native type and
+    REPORTED as strings (integer/string casts render identically across
+    engines; doubles would not — none here). avg_len is a single
+    division of exact ints, unrounded."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+            F.sum(F.length(F.col(c).cast("string"))).alias(f"{c}__sl"),
+        ]
+    row = docs.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            int(row[f"{c}__nn"]),
+            int(row[f"{c}__nd"]),
+            row[f"{c}__mn"],
+            row[f"{c}__mx"],
+            int(row[f"{c}__sl"]) / int(row[f"{c}__nn"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "column string, n_nonnull long, n_distinct long, min_s string, "
+        "max_s string, avg_len double",
+    ).orderBy("column")
+
+
 def doc_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VOCAB COVERAGE CURVE — what fraction of all token occurrences the
     top-k vocabulary covers (k = 10/100/1000), the number that sizes a
@@ -8989,6 +9029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline_shapes": media_pipeline_shapes,
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
+        "doc_table_profile": doc_table_profile,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -12512,6 +12553,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
             FROM s GROUP BY source, shard ORDER BY source, shard
+        """,
+        "doc_table_profile": """
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column",
+                     COUNT(doc_id) AS n_nonnull,
+                     COUNT(DISTINCT doc_id) AS n_distinct,
+                     CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+                     CAST(MAX(doc_id) AS VARCHAR) AS max_s,
+                     CAST(SUM(LENGTH(CAST(doc_id AS VARCHAR))) AS DOUBLE)
+                       / COUNT(doc_id) AS avg_len
+              FROM documents
+              UNION ALL
+              SELECT 'text' AS "column",
+                     COUNT(text) AS n_nonnull,
+                     COUNT(DISTINCT text) AS n_distinct,
+                     CAST(MIN(text) AS VARCHAR) AS min_s,
+                     CAST(MAX(text) AS VARCHAR) AS max_s,
+                     CAST(SUM(LENGTH(CAST(text AS VARCHAR))) AS DOUBLE)
+                       / COUNT(text) AS avg_len
+              FROM documents
+              UNION ALL
+              SELECT 'lang' AS "column",
+                     COUNT(lang) AS n_nonnull,
+                     COUNT(DISTINCT lang) AS n_distinct,
+                     CAST(MIN(lang) AS VARCHAR) AS min_s,
+                     CAST(MAX(lang) AS VARCHAR) AS max_s,
+                     CAST(SUM(LENGTH(CAST(lang AS VARCHAR))) AS DOUBLE)
+                       / COUNT(lang) AS avg_len
+              FROM documents
+              UNION ALL
+              SELECT 'source' AS "column",
+                     COUNT(source) AS n_nonnull,
+                     COUNT(DISTINCT source) AS n_distinct,
+                     CAST(MIN(source) AS VARCHAR) AS min_s,
+                     CAST(MAX(source) AS VARCHAR) AS max_s,
+                     CAST(SUM(LENGTH(CAST(source AS VARCHAR))) AS DOUBLE)
+                       / COUNT(source) AS avg_len
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars' AS "column",
+                     COUNT(n_chars) AS n_nonnull,
+                     COUNT(DISTINCT n_chars) AS n_distinct,
+                     CAST(MIN(n_chars) AS VARCHAR) AS min_s,
+                     CAST(MAX(n_chars) AS VARCHAR) AS max_s,
+                     CAST(SUM(LENGTH(CAST(n_chars AS VARCHAR))) AS DOUBLE)
+                       / COUNT(n_chars) AS avg_len
+              FROM documents
+            ) ORDER BY "column"
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
