@@ -6804,6 +6804,182 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chars_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources — the distribution-alignment
+    step feature pipelines run so per-source covariate shift doesn't leak
+    into training (map every value onto the GLOBAL distribution at its
+    within-source rank). Tie blocks map as one unit at their mid-rank:
+    target_rank = ceil(((clo+chi)/2 / n_src) · N), computed in EXACT
+    integer arithmetic as ((clo+chi)·N + 2·n_src − 1) DIV (2·n_src);
+    mapped value = smallest global value whose inclusive cum count
+    reaches the target (Nearest-Rank — always an actual data value).
+    Scale shape: per-source prefixes window PARTITIONED BY source; the
+    global cum table comes from distributed_value_cumsum (no global
+    window) and is VALUE-cardinality (n_chars is a bounded-range int),
+    so the >= lookup rides a broadcast nested-loop join over a tiny dim.
+    Output per source: doc count, mean of normalized values (single
+    division of exact ints, unrounded), min/max mapped value."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    blk = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nsrc = Window.partitionBy("source")
+    blk = blk.select(
+        "source",
+        "n_chars",
+        "c",
+        F.coalesce(F.sum("c").over(wsrc), F.lit(0)).alias("clo"),
+        F.sum("c").over(nsrc).alias("n_src"),
+    ).withColumn("chi", F.col("clo") + F.col("c"))
+    total = int(docs.count())
+    blk = blk.withColumn(
+        "target",
+        F.expr(f"((clo + chi) * {total}L + 2 * n_src - 1) DIV (2 * n_src)"),
+    )
+    g = distributed_value_cumsum(
+        docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("gc")),
+        value_col="n_chars",
+        weight_col="gc",
+    ).select(
+        F.col("n_chars").alias("gv"),
+        (F.col("prefix") + F.col("gc")).alias("gcum"),
+    )
+    mapped = (
+        blk.join(F.broadcast(g), F.col("gcum") >= F.col("target"))
+        .groupBy("source", "n_chars", "c", "n_src")
+        .agg(F.min("gv").alias("norm"))
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.first("n_src").alias("n_docs"),
+            F.sum(F.col("norm") * F.col("c")).alias("norm_sum"),
+            F.min("norm").alias("norm_min"),
+            F.max("norm").alias("norm_max"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("norm_sum").cast("double") / F.col("n_docs")).alias(
+                "norm_mean"
+            ),
+            "norm_min",
+            "norm_max",
+        )
+        .orderBy("source")
+    )
+
+
+def doc_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE VOCABULARY OVERLAP (exact Jaccard of word sets) —
+    the corpus-redundancy matrix mix designers read before weighting
+    sources (two sources with ~identical vocabularies add diversity only
+    once). Scale shape: the corpus collapses to DISTINCT (source, word)
+    in one shuffle (map-side partial distinct); the pairwise intersection
+    is a self-join ON WORD where each word contributes at most
+    n_sources rows per side (bounded fan-out, no hot keys, never all
+    pairs of documents); per-source vocab sizes are an n_sources-row dim
+    that BROADCASTS back twice. Jaccard = n_common / (nv_a + nv_b −
+    n_common) is a single IEEE division of exact ints — bit-identical
+    across engines, left unrounded."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    # two consumers (self-join sides + sizes): checkpoint so the corpus
+    # explode + distinct computes once, GC-managed blocks (drift.py idiom)
+    vocab = vocab.localCheckpoint(eager=False)
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    inter = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("nv").alias("nv_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("nv").alias("nv_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "nv_a",
+            "nv_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def doc_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED MIXTURE WEIGHTS (alpha = 0.5) — the multilingual
+    /multi-source sampling-rate computation training pipelines run so
+    small sources aren't drowned out: weight_i = size_i^alpha,
+    p_i = weight_i / Σ weight_j, and the implied per-epoch upsample
+    factor p_i · total_size / size_i. alpha = 0.5 is sqrt — correctly
+    rounded in IEEE-754, so per-source weights are bit-identical across
+    engines; only the Σ (summation order) and the division chain carry
+    ULP noise, absorbed by ROUND 6 (the doc_pmi/zipf discipline; values
+    sit nowhere near 5e-7 tie boundaries). Scale shape: one groupBy
+    shuffle collapses the corpus to n_sources rows; the two totals are a
+    1-row aggregate CROSS-JOINED back as a broadcast — no second corpus
+    scan (localCheckpoint), no global window."""
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    stats = stats.localCheckpoint(eager=False)
+    w = F.sqrt(F.col("chars").cast("double"))
+    tot = stats.agg(
+        F.sum(F.sqrt(F.col("chars").cast("double"))).alias("totw"),
+        F.sum("chars").alias("totc"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            F.round(w / F.col("totw"), 6).alias("sample_p"),
+            F.round(
+                w / F.col("totw") * F.col("totc") / F.col("chars"), 6
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9030,6 +9206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_table_profile": doc_table_profile,
+        "doc_chars_quantile_normalize": doc_chars_quantile_normalize,
+        "doc_source_vocab_overlap": doc_source_vocab_overlap,
+        "doc_source_temperature_mix": doc_source_temperature_mix,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -12601,6 +12780,92 @@ def oracle_sql() -> dict[str, str]:
                        / COUNT(n_chars) AS avg_len
               FROM documents
             ) ORDER BY "column"
+        """,
+        "doc_chars_quantile_normalize": """
+            WITH blk AS (
+              SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY source, n_chars
+            ), src AS (
+              SELECT source, n_chars, c,
+                     COALESCE(SUM(c) OVER (
+                       PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS clo,
+                     SUM(c) OVER (PARTITION BY source) AS n_src
+              FROM blk
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+            ), tgt AS (
+              SELECT source, n_chars, c, n_src,
+                     ((clo + clo + c) * (SELECT n FROM tot)
+                      + 2 * n_src - 1) // (2 * n_src) AS target
+              FROM src
+            ), g AS (
+              SELECT n_chars AS gv,
+                     SUM(cnt) OVER (ORDER BY n_chars) AS gcum
+              FROM (
+                SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY n_chars
+              )
+            ), mapped AS (
+              SELECT t.source, t.n_chars, t.c, t.n_src,
+                     MIN(g.gv) AS norm
+              FROM tgt t JOIN g ON g.gcum >= t.target
+              GROUP BY t.source, t.n_chars, t.c, t.n_src
+            )
+            SELECT source,
+                   CAST(MAX(n_src) AS BIGINT) AS n_docs,
+                   CAST(SUM(norm * c) AS DOUBLE)
+                     / CAST(MAX(n_src) AS BIGINT) AS norm_mean,
+                   CAST(MIN(norm) AS BIGINT) AS norm_min,
+                   CAST(MAX(norm) AS BIGINT) AS norm_max
+            FROM mapped GROUP BY source ORDER BY source
+        """,
+        "doc_source_vocab_overlap": r"""
+            WITH v AS (
+              SELECT DISTINCT source, word FROM (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                    '\s+')) AS word
+                FROM documents WHERE TRIM(text) <> ''
+              ) WHERE word <> ''
+            ), sz AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+              FROM v GROUP BY source
+            ), inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM v a JOIN v b
+                ON a.word = b.word AND a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT i.src_a, i.src_b, sa.nv AS nv_a, sb.nv AS nv_b,
+                   i.n_common,
+                   CAST(i.n_common AS DOUBLE)
+                     / (sa.nv + sb.nv - i.n_common) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.source = i.src_a
+            JOIN sz sb ON sb.source = i.src_b
+            ORDER BY src_a, src_b
+        """,
+        "doc_source_temperature_mix": """
+            WITH s AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT SUM(SQRT(CAST(chars AS DOUBLE))) AS totw,
+                     CAST(SUM(chars) AS BIGINT) AS totc
+              FROM s
+            )
+            SELECT source, n_docs, chars,
+                   ROUND(SQRT(CAST(chars AS DOUBLE))
+                         / (SELECT totw FROM t), 6) AS sample_p,
+                   ROUND(SQRT(CAST(chars AS DOUBLE))
+                         / (SELECT totw FROM t)
+                         * (SELECT totc FROM t) / chars, 6)
+                     AS upsample_factor
+            FROM s ORDER BY source
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (

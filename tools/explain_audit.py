@@ -184,6 +184,19 @@ AUDITS = {
     # buckets), and the revenue rollup never SMJs (part-cardinality join
     # against the tiny distinct-value side)
     "lineitem_abc_classification": (1, False, False),
+    # quantile normalization: the bit-length bucket-offset dim broadcasts
+    # (BHJ); the global-cum lookup is a broadcast nested-loop over a
+    # value-cardinality dim (not a cartesian); per-source windows are
+    # partitioned and the global cum rides distributed_value_cumsum —
+    # no single-task Window allowed
+    "doc_chars_quantile_normalize": (1, True, False),
+    # vocab overlap: the two per-source size dims must BROADCAST; the
+    # word self-join may SMJ at scale (both sides large, bounded fan-out
+    # per word) so SMJ is allowed; no cartesian
+    "doc_source_vocab_overlap": (2, False, False),
+    # temperature mix: corpus collapses to one groupBy; totals come back
+    # as a 1-row broadcast nested-loop cross join — never an SMJ
+    "doc_source_temperature_mix": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -198,7 +211,11 @@ SALTED = {"skewed_key_join"}
 # Window node may have an Exchange SinglePartition within its subtree
 # prefix (plan text is parent-first, so the child exchange prints within
 # the next few lines)
-NO_GLOBAL_WINDOW = {"events_user_gini", "lineitem_abc_classification"}
+NO_GLOBAL_WINDOW = {
+    "events_user_gini",
+    "lineitem_abc_classification",
+    "doc_chars_quantile_normalize",
+}
 
 
 def _window_on_single_partition(plan: str) -> bool:
