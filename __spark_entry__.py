@@ -3605,6 +3605,88 @@ def iceberg_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE ... SET ... WHERE (iceberg_write.update_where) —
+    the third DML leg after DELETE (iceberg_delete_where_read) and MERGE
+    (iceberg_datasource_stream_upsert): ``UPDATE SET n_chars = n_chars +
+    1000 WHERE n_chars < 100`` is planned from manifest stats (only
+    files with min(n_chars) < 100 are read), matched LIVE rows are
+    position-tombstoned AND their updated copies appended in ONE
+    merge-on-read snapshot at the new sequence number (exempt from every
+    older delete). The update predicate deliberately OVERLAPS a prior
+    ``DELETE WHERE n_chars < 60`` commit: already-deleted rows must be
+    neither resurrected nor counted — the exact resurrect bug the
+    rewrite_data_files round-5 test caught, now gated on the DML path
+    too. Post-update MOR read and all counters exact-oracled."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_updwhere" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        files = []
+        for s in sorted(set(tbl["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        W.delete_where(
+            root, [("n_chars", "<", 60)], snapshot_id=2, ts_ms=3000
+        )
+        n_upd, scanned, total = W.update_where(
+            root,
+            [("n_chars", "<", 100)],
+            [("n_chars", "add", 1000)],
+            snapshot_id=3,
+            ts_ms=4000,
+        )
+        report = {"n_updated": n_upd, "scanned": scanned, "total": total}
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    survivors = read_sequences(spark, str(root))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    ).select(
+        "n_docs",
+        "chars_sum",
+        "id_sum",
+        F.lit(report["n_updated"]).cast("long").alias("n_updated"),
+        F.lit(report["scanned"]).cast("long").alias("files_scanned"),
+        F.lit(report["total"]).cast("long").alias("files_total"),
+    )
+
+
 def iceberg_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANIFEST REWRITE (Iceberg's rewrite_manifests maintenance
     procedure) — the metadata-side compaction a 100 TB table needs:
@@ -9178,6 +9260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
+        "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
         "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
         "iceberg_metadata_only_aggregates": iceberg_metadata_only_aggregates,
@@ -11816,6 +11899,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM (
                       SELECT source FROM documents
                       GROUP BY source HAVING MIN(n_chars) < 60))
+                     AS files_scanned,
+                   (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+                    FROM documents) AS files_total
+        """,
+        "iceberg_update_where_read": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 60)
+                     AS n_docs,
+                   (SELECT CAST(SUM(CASE WHEN n_chars < 100
+                                         THEN n_chars + 1000
+                                         ELSE n_chars END) AS BIGINT)
+                    FROM documents WHERE n_chars >= 60) AS chars_sum,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+                    WHERE n_chars >= 60) AS id_sum,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE n_chars >= 60 AND n_chars < 100) AS n_updated,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                      SELECT source FROM documents
+                      GROUP BY source HAVING MIN(n_chars) < 100))
                      AS files_scanned,
                    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
                     FROM documents) AS files_total

@@ -1036,6 +1036,189 @@ def delete_where(
     return n_deleted, len(paths), total
 
 
+def update_where(
+    root: str | Path,
+    predicates: list[tuple],
+    assignments: list[tuple],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> tuple[int, int, int]:
+    """Row-level ``UPDATE ... SET ... WHERE`` over the static table — the
+    third leg of the lakehouse DML triad (DELETE = :func:`delete_where`,
+    MERGE = :func:`upsert_snapshot`). MERGE-ON-READ shape: candidate
+    files are PLANNED from manifest metadata alone (same pruned planner
+    as delete_where), matched LIVE rows are position-tombstoned and
+    their updated copies appended — both legs in ONE atomic snapshot.
+    The new data file commits at the new sequence number, so the spec's
+    strict-smaller rule exempts it from every older position/equality
+    delete; no existing data file is rewritten.
+
+    Liveness (the part a naive update gets wrong): a matched row that an
+    EARLIER commit already deleted must be neither re-emitted (that
+    would resurrect it) nor counted — already-tombstoned positions are
+    excluded, and equality deletes with strictly greater sequence than
+    the file are replayed (the MOR read rule) before matching. A
+    candidate file whose applicable equality-delete key columns cannot
+    be resolved against its schema raises (an update that silently skips
+    rows is a wrong answer, unlike compaction which may leave a file
+    un-rewritten). Partitioned tables raise: updated rows can cross
+    partition boundaries and this writer's fanout naming derives tuples
+    from paths — use delete_where + a partitioned append instead.
+
+    ``assignments`` is ``[(column, op, operand), ...]`` with op in
+    ``set add mul`` applied left-to-right on the matched rows. Returns
+    ``(n_updated, files_scanned, files_total)``."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .iceberg import iceberg_scan_entries_static, iceberg_scan_paths_pruned
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    if _default_spec(meta):
+        raise ValueError(
+            "update_where on a partitioned table is not supported"
+        )
+    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
+    entries = iceberg_scan_entries_static(str(root))
+    by_path = {
+        re.sub(r"^file:/+", "/", f"file://{Path(e['path']).resolve()}"): e
+        for e in entries["data"]
+    }
+    pos_map: dict[str, set] = {}
+    for d in entries["pos_deletes"]:
+        t = pq.read_table(
+            d["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, p in zip(t["file_path"].to_pylist(), t["pos"].to_pylist()):
+            pos_map.setdefault(re.sub(r"^file:/+", "/", fp), set()).add(
+                int(p)
+            )
+    ops = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">=": pc.greater_equal,
+        ">": pc.greater,
+        "<=": pc.less_equal,
+        "<": pc.less,
+    }
+    positions: dict[str, list[int]] = {}
+    updated: list[pa.Table] = []
+    n_updated = 0
+    for p in paths:
+        norm = re.sub(r"^file:/+", "/", f"file://{Path(str(p)).resolve()}")
+        e = by_path[norm]
+        tbl = pq.read_table(p, use_threads=False)
+        live = np.ones(tbl.num_rows, dtype=bool)
+        for i in pos_map.get(norm, ()):
+            live[i] = False
+        for d in entries["eq_deletes"]:
+            if d["seq"] <= e["seq"]:
+                continue
+            k = pq.read_table(d["path"], use_threads=False)
+            if not k.num_rows:
+                continue
+            if not set(k.column_names) <= set(tbl.column_names):
+                raise ValueError(
+                    f"equality-delete keys {k.column_names} unresolvable "
+                    f"against {p}; refusing a partial update"
+                )
+            left = pd.MultiIndex.from_frame(
+                tbl.select(k.column_names).to_pandas()
+            )
+            right = pd.MultiIndex.from_frame(k.to_pandas())
+            live &= ~left.isin(right)
+        mask = None
+        for c, op, lit in predicates:
+            m = ops[op](tbl[c], lit)
+            mask = m if mask is None else pc.and_(mask, m)
+        matched = (
+            pc.fill_null(mask, False).to_numpy(zero_copy_only=False) & live
+        )
+        idx = np.nonzero(matched)[0]
+        if not idx.shape[0]:
+            continue
+        positions[str(p)] = [int(i) for i in idx]
+        n_updated += int(idx.shape[0])
+        rows = tbl.take(pa.array(idx))
+        for c, op, operand in assignments:
+            col = rows[c]
+            if op == "set":
+                new = pa.array([operand] * rows.num_rows).cast(col.type)
+            elif op == "add":
+                new = pc.add(col, pa.scalar(operand).cast(col.type))
+            elif op == "mul":
+                new = pc.multiply(col, pa.scalar(operand).cast(col.type))
+            else:
+                raise ValueError(f"unknown assignment op {op!r}")
+            rows = rows.set_column(
+                rows.column_names.index(c), c, new.cast(col.type)
+            )
+        updated.append(rows)
+    if not positions:
+        return 0, len(paths), total
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, str(sid)).hex[:8]
+    # delete leg: one sorted position-delete parquet (spec schema/order)
+    del_rows = sorted(
+        (f"file://{Path(str(p)).resolve()}", i)
+        for p, idxs in positions.items()
+        for i in idxs
+    )
+    del_file = root / "data" / f"delete-{sid}-{tag}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in del_rows], pa.string()),
+                "pos": pa.array([r[1] for r in del_rows], pa.int64()),
+            }
+        ),
+        del_file,
+    )
+    del_entry = _file_entry(del_file, 1, sid, sequence_number=eseq)
+    del_entry["data_file"]["content"] = 1
+    m_del = _meta_dir(root) / f"m-{sid}-{tag}-del.avro"
+    avro_lite.write_container(m_del, _MANIFEST_ENTRY_SCHEMA, [del_entry])
+    # data leg: the updated row versions at the SAME (new) sequence
+    upd_file = root / "data" / f"update-{sid}-{tag}.parquet"
+    pq.write_table(pa.concat_tables(updated), upd_file)
+    data_entry = _file_entry(
+        upd_file,
+        1,
+        sid,
+        schema_id=meta.get("current-schema-id"),
+        sequence_number=eseq,
+    )
+    m_data = _meta_dir(root) / f"m-{sid}-{tag}-data.avro"
+    avro_lite.write_container(m_data, _MANIFEST_ENTRY_SCHEMA, [data_entry])
+    manifest_rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m_data}",
+            "manifest_length": m_data.stat().st_size,
+            "content": 0,
+            "added_snapshot_id": sid,
+        },
+        {
+            "manifest_path": f"file://{m_del}",
+            "manifest_length": m_del.stat().st_size,
+            "content": 1,
+            "added_snapshot_id": sid,
+        },
+    ]
+    _commit(root, version, meta, sid, manifest_rows, "overwrite", ts_ms)
+    return n_updated, len(paths), total
+
+
 def equality_delete_snapshot(
     root: str | Path,
     keys_file: str | Path,
