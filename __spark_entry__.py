@@ -7062,6 +7062,81 @@ def doc_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM language-model scoring (add-one smoothing) — the
+    model-based quality signal one step past doc_unigram_logprob_rank
+    (CCNet scores with an n-gram LM, not a unigram table): per source,
+    the mean log P(w_i | w_{i-1}) with P = (c(w1,w2)+1)/(c(w1)+V).
+    Scale shape: the corpus explodes ONCE into a (source, w1, w2)
+    HISTOGRAM (map-side combine, one shuffle) which is checkpointed —
+    both count tables c12 and c1 then derive from the histogram, never a
+    corpus rescan (the unigram query's lesson: checkpoint the vocab
+    aggregate, never exploded words); V and per-source sizes are one
+    more narrow pass. Exactness: counts are exact ints, each term is ONE
+    IEEE division inside ln; summation-order and libm-ln ULPs are
+    absorbed by ROUND 6 on the final per-source mean (the KL/PMI
+    discipline), with n_docs/n_bigrams exact alongside."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", word_tokens(F.lower(F.col("text"))).alias("ws")
+    ).where(F.size("ws") >= 1)
+    big = toks.where(F.size("ws") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    )
+    bh = big.groupBy("source", F.col("b.w1").alias("w1"),
+                     F.col("b.w2").alias("w2")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bh = bh.localCheckpoint(eager=False)
+    vocab_size = int(
+        toks.select(F.explode("ws").alias("w")).distinct().count()
+    )
+    c12 = bh.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = bh.groupBy("w1").agg(F.sum("n").alias("c1"))
+    srcstats = (
+        toks.where(F.size("ws") >= 2)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("ws") - 1).alias("n_bigrams"),
+        )
+    )
+    terms = (
+        bh.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.log(
+                    (F.col("c12") + F.lit(1))
+                    / (F.col("c1") + F.lit(vocab_size))
+                )
+            ).alias("lsum")
+        )
+    )
+    return (
+        srcstats.join(F.broadcast(terms), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round(F.col("lsum") / F.col("n_bigrams"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9292,6 +9367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chars_quantile_normalize": doc_chars_quantile_normalize,
         "doc_source_vocab_overlap": doc_source_vocab_overlap,
         "doc_source_temperature_mix": doc_source_temperature_mix,
+        "doc_bigram_lm_quality": doc_bigram_lm_quality,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -12967,6 +13043,47 @@ def oracle_sql() -> dict[str, str]:
                          * (SELECT totc FROM t) / chars, 6)
                      AS upsample_factor
             FROM s ORDER BY source
+        """,
+        "doc_bigram_lm_quality": r"""
+            WITH toks AS (
+              SELECT source,
+                     regexp_split_to_array(TRIM(LOWER(text)),
+                                           '\s+') AS ws
+              FROM documents WHERE TRIM(text) <> ''
+            ), bh AS (
+              SELECT source, ws[i] AS w1, ws[i + 1] AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks,
+                   UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2
+              GROUP BY source, w1, w2
+            ), c12 AS (
+              SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS c12
+              FROM bh GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, CAST(SUM(n) AS BIGINT) AS c1
+              FROM bh GROUP BY w1
+            ), v AS (
+              SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS nv
+              FROM (SELECT UNNEST(ws) AS w FROM toks)
+            ), srcstats AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(len(ws) - 1) AS BIGINT) AS n_bigrams
+              FROM toks WHERE len(ws) >= 2 GROUP BY source
+            ), terms AS (
+              SELECT bh.source,
+                     SUM(bh.n * LN((c12.c12 + 1)
+                                   / (c1.c1 + (SELECT nv FROM v))))
+                       AS lsum
+              FROM bh
+              JOIN c12 ON bh.w1 = c12.w1 AND bh.w2 = c12.w2
+              JOIN c1 ON bh.w1 = c1.w1
+              GROUP BY bh.source
+            )
+            SELECT s.source, s.n_docs, s.n_bigrams,
+                   ROUND(t.lsum / s.n_bigrams, 6) AS avg_logprob
+            FROM srcstats s JOIN terms t ON s.source = t.source
+            ORDER BY s.source
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (

@@ -197,6 +197,9 @@ AUDITS = {
     # temperature mix: corpus collapses to one groupBy; totals come back
     # as a 1-row broadcast nested-loop cross join — never an SMJ
     "doc_source_temperature_mix": (0, True, False),
+    # bigram LM: the per-source terms dim broadcasts; the c12/c1 count
+    # joins may SMJ at scale (vocab-sized both sides); no cartesian
+    "doc_bigram_lm_quality": (1, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
