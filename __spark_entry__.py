@@ -7137,6 +7137,48 @@ def doc_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourofday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY TEST — per event type, the chi-square statistic of the
+    hour-of-day histogram against uniform (df = 23), the screen that
+    separates diurnal human traffic from flat machine noise. The naive
+    form Σ(o−e)²/e needs a 24-hour SPINE per type (absent hours
+    contribute e); the algebraic identity Σ(o−e)²/e = 24·Σo²/T − T needs
+    only the OBSERVED rows — zero hours drop out of Σo². Exactness: o
+    and Σo² are exact ints; 24.0·Σo²/T − T is the same three IEEE ops in
+    both engines (DuckDB float literals CAST to DOUBLE or they type
+    DECIMAL), so chi2 is bit-identical and the skewed flag (> 41.638,
+    the 0.01 critical value) needs no margin. Scale shape: one
+    (type × 24)-cardinality aggregation with map-side combine, then a
+    type-cardinality rollup — no joins, no windows, no spine."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            % 24
+        ).alias("hod"),
+    )
+    hh = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("o"))
+    chi2 = (
+        F.lit(24.0) * F.col("so2") / F.col("total") - F.col("total")
+    )
+    return (
+        hh.groupBy("event_type")
+        .agg(
+            F.sum("o").alias("total"),
+            F.count(F.lit(1)).alias("n_hours_active"),
+            F.sum(F.col("o") * F.col("o")).alias("so2"),
+        )
+        .select(
+            "event_type",
+            "total",
+            "n_hours_active",
+            chi2.alias("chi2"),
+            (chi2 > F.lit(41.638)).alias("skewed"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9368,6 +9410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_vocab_overlap": doc_source_vocab_overlap,
         "doc_source_temperature_mix": doc_source_temperature_mix,
         "doc_bigram_lm_quality": doc_bigram_lm_quality,
+        "events_hourofday_chi2": events_hourofday_chi2,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13084,6 +13127,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(t.lsum / s.n_bigrams, 6) AS avg_logprob
             FROM srcstats s JOIN terms t ON s.source = t.source
             ORDER BY s.source
+        """,
+        "events_hourofday_chi2": """
+            WITH hh AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) % 24 AS hod,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM events GROUP BY event_type, hod
+            ), agg AS (
+              SELECT event_type, CAST(SUM(o) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+                     CAST(SUM(o * o) AS BIGINT) AS so2
+              FROM hh GROUP BY event_type
+            )
+            SELECT event_type, total, n_hours_active,
+                   CAST(24.0 AS DOUBLE) * so2 / total - total AS chi2,
+                   (CAST(24.0 AS DOUBLE) * so2 / total - total)
+                     > CAST(41.638 AS DOUBLE) AS skewed
+            FROM agg ORDER BY event_type
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (

@@ -200,6 +200,9 @@ AUDITS = {
     # bigram LM: the per-source terms dim broadcasts; the c12/c1 count
     # joins may SMJ at scale (vocab-sized both sides); no cartesian
     "doc_bigram_lm_quality": (1, False, False),
+    # hour-of-day chi-square: two stacked aggregations, no joins, no
+    # windows, no spine (the algebraic identity removes it)
+    "events_hourofday_chi2": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
