@@ -7179,6 +7179,37 @@ def events_hourofday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV MATRIX — customers grouped by first-order month, revenue
+    tracked by months-since-acquisition (the retention-revenue triangle
+    every growth dashboard opens with; the revenue twin of
+    events_weekly_retention). Scale shape: ONE custkey shuffle — the
+    cohort month is a MIN window PARTITIONED BY o_custkey (never a join
+    back, never a global window), then a (months × months)/2-cardinality
+    rollup. Exactness: month indexes are exact ints (year·12+month),
+    revenue in floor-cents longs, counts/distincts exact — no floats
+    anywhere."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    o = o.withColumn("cohort", F.min("m").over(w))
+    return (
+        o.groupBy(
+            F.col("cohort").cast("int").alias("cohort_month"),
+            (F.col("m") - F.col("cohort")).cast("int").alias("months_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9411,6 +9442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_temperature_mix": doc_source_temperature_mix,
         "doc_bigram_lm_quality": doc_bigram_lm_quality,
         "events_hourofday_chi2": events_hourofday_chi2,
+        "orders_cohort_ltv": orders_cohort_ltv,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13145,6 +13177,26 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(24.0 AS DOUBLE) * so2 / total - total)
                      > CAST(41.638 AS DOUBLE) AS skewed
             FROM agg ORDER BY event_type
+        """,
+        "orders_cohort_ltv": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS INTEGER) AS m,
+                     CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), c AS (
+              SELECT *, MIN(m) OVER (PARTITION BY o_custkey) AS cohort
+              FROM o
+            )
+            SELECT CAST(cohort AS INTEGER) AS cohort_month,
+                   CAST(m - cohort AS INTEGER) AS months_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                     AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM c GROUP BY cohort, m - cohort
+            ORDER BY cohort_month, months_since
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (

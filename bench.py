@@ -271,6 +271,11 @@ def run_headline(spark) -> dict[str, float]:
         "events_user_gini",
         "events_user_value_locf",
         "events_funnel_conversion",
+        # round-5 second half: the bigram-LM corpus scorer (histogram-
+        # first, two count joins) and cross-source quantile normalization
+        # (distributed prefix sum + broadcast lookup)
+        "doc_bigram_lm_quality",
+        "doc_chars_quantile_normalize",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}

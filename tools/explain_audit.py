@@ -203,6 +203,9 @@ AUDITS = {
     # hour-of-day chi-square: two stacked aggregations, no joins, no
     # windows, no spine (the algebraic identity removes it)
     "events_hourofday_chi2": (0, True, False),
+    # cohort LTV: the cohort month is a MIN window partitioned by
+    # customer (one shuffle, never a join-back, never a global window)
+    "orders_cohort_ltv": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -221,6 +224,7 @@ NO_GLOBAL_WINDOW = {
     "events_user_gini",
     "lineitem_abc_classification",
     "doc_chars_quantile_normalize",
+    "orders_cohort_ltv",
 }
 
 
