@@ -7210,6 +7210,73 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_fuzzy_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE fuzzy matching — the remaining classic dedup family
+    next to exact/MinHash/SimHash/n-gram/substring/semantic: documents
+    whose 24-char prefixes are within Levenshtein distance 6, BLOCKED on
+    the 4-char prefix so candidates are Σ c_b² within blocks, never N²
+    over the corpus (the standard record-linkage blocking shape; a
+    hot-block cap would bolt on exactly like ngram max_df). levenshtein
+    is a JVM codegen expression with the same unit-cost definition in
+    DuckDB, so every distance is an exact int and the threshold needs no
+    margin; avg distance is one int division (unrounded, bit-identical).
+    Scale: one shuffle on the block key for the self-join, three
+    bounded aggregates broadcast back as 1-row dims."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, 4).alias("b"),
+        F.substring("text", 1, 24).alias("pfx"),
+    )
+    d = d.localCheckpoint(eager=False)
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("c.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("c.pfx")).alias("dist"),
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("b").alias("n_blocks"),
+    )
+    pstats = pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("dist") <= 6, 1).otherwise(0)).alias(
+            "n_fuzzy_pairs"
+        ),
+        F.sum(F.when(F.col("dist") <= 6, F.col("dist"))).alias("dsum"),
+    )
+    dup_docs = (
+        pairs.where(F.col("dist") <= 6)
+        .select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("i")
+        )
+        .agg(F.countDistinct("i").alias("n_docs_with_dup"))
+    )
+    return (
+        base.crossJoin(F.broadcast(pstats))
+        .crossJoin(F.broadcast(dup_docs))
+        .select(
+            "n_docs",
+            "n_blocks",
+            "n_candidate_pairs",
+            F.col("n_fuzzy_pairs").cast("long").alias("n_fuzzy_pairs"),
+            "n_docs_with_dup",
+            (
+                F.col("dsum").cast("double") / F.col("n_fuzzy_pairs")
+            ).alias("avg_fuzzy_dist"),
+        )
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9443,6 +9510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_lm_quality": doc_bigram_lm_quality,
         "events_hourofday_chi2": events_hourofday_chi2,
         "orders_cohort_ltv": orders_cohort_ltv,
+        "doc_fuzzy_prefix_dedup": doc_fuzzy_prefix_dedup,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13197,6 +13265,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS revenue_cents
             FROM c GROUP BY cohort, m - cohort
             ORDER BY cohort_month, months_since
+        """,
+        "doc_fuzzy_prefix_dedup": """
+            WITH d AS (
+              SELECT doc_id, substr(text, 1, 4) AS b,
+                     substr(text, 1, 24) AS pfx
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                     levenshtein(a.pfx, c.pfx) AS dist
+              FROM d a JOIN d c
+                ON a.b = c.b AND a.doc_id < c.doc_id
+            ), base AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(COUNT(DISTINCT b) AS BIGINT) AS n_blocks
+              FROM d
+            ), ps AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+                     CAST(SUM(CASE WHEN dist <= 6 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_fuzzy_pairs,
+                     CAST(SUM(CASE WHEN dist <= 6 THEN dist END)
+                          AS BIGINT) AS dsum
+              FROM pairs
+            ), dd AS (
+              SELECT CAST(COUNT(DISTINCT i) AS BIGINT)
+                       AS n_docs_with_dup
+              FROM (
+                SELECT id_a AS i FROM pairs WHERE dist <= 6
+                UNION ALL
+                SELECT id_b FROM pairs WHERE dist <= 6
+              )
+            )
+            SELECT n_docs, n_blocks, n_candidate_pairs, n_fuzzy_pairs,
+                   n_docs_with_dup,
+                   CAST(dsum AS DOUBLE) / n_fuzzy_pairs
+                     AS avg_fuzzy_dist
+            FROM base, ps, dd
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
