@@ -3687,6 +3687,99 @@ def iceberg_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_table_stats_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUFFIN-style TABLE STATISTICS — per-column NDV sketches attached
+    to snapshots (iceberg_write.write_table_stats / read_table_stats),
+    the metadata a cost-based optimizer reads for join ordering WITHOUT
+    scanning data. Fixture: documents split by doc_id parity; stats
+    written after EACH of two appends (theta/bottom-k sketches built by
+    the distributed one-pass aggregate over the table read), so snapshot
+    1's NDVs describe half the table and snapshot 2's the whole — time
+    travel for statistics. Exact by construction: k=4096 exceeds every
+    column's cardinality, so each sketch stays in exact mode (theta ==
+    2^64, ASSERTED at build — the query self-certifies) and the NDV is
+    the exact distinct count the SQL oracle recomputes per subset."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.operators.aggregate import (
+        BOTTOMK_INTS,
+        BOTTOMK_STRINGS,
+        build_sketches,
+    )
+    from tdigest_spark.sketch.theta import ThetaSketch
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_tblstats" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    rows = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                rows = [tuple(r) for r in doc["rows"]]
+        except Exception:
+            rows = None
+    if rows is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "lang", "n_chars"],
+        )
+        even = root / "data" / "even.parquet"
+        odd = root / "data" / "odd.parquet"
+        parity = pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0)
+        pq.write_table(tbl.filter(parity), even)
+        pq.write_table(tbl.filter(pc.invert(parity)), odd)
+
+        def _stats_now(sid: int) -> None:
+            df = read_sequences(spark, str(root))
+            sk = build_sketches(
+                df,
+                {
+                    "source": ("source", BOTTOMK_STRINGS(4096)),
+                    "lang": ("lang", BOTTOMK_STRINGS(4096)),
+                    "n_chars": ("n_chars", BOTTOMK_INTS(4096)),
+                },
+            )
+            blobs = {}
+            for c, bk in sk.items():
+                th = ThetaSketch.from_bottomk(bk)
+                assert th.theta == 2**64, (c, th.theta)  # exact mode
+                blobs[c] = (bk.to_bytes(), int(th.estimate()))
+            W.write_table_stats(
+                root, blobs, snapshot_id=sid, ts_ms=1000 * sid
+            )
+
+        W.append_snapshot(root, [even], snapshot_id=1, ts_ms=2000)
+        _stats_now(1)
+        W.append_snapshot(root, [odd], snapshot_id=2, ts_ms=3000)
+        _stats_now(2)
+        rows = []
+        for sid in (1, 2):
+            for c, info in sorted(W.read_table_stats(root, sid).items()):
+                rows.append((sid, c, info["ndv"]))
+        marker.write_text(_json.dumps({"params": params, "rows": rows}))
+    return spark.createDataFrame(
+        rows, "snap long, column string, ndv long"
+    ).orderBy("snap", "column")
+
+
 def iceberg_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MANIFEST REWRITE (Iceberg's rewrite_manifests maintenance
     procedure) — the metadata-side compaction a 100 TB table needs:
@@ -9476,6 +9569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_update_where_read": iceberg_update_where_read,
+        "iceberg_table_stats_read": iceberg_table_stats_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
         "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
         "iceberg_metadata_only_aggregates": iceberg_metadata_only_aggregates,
@@ -12139,6 +12233,33 @@ def oracle_sql() -> dict[str, str]:
                      AS files_scanned,
                    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
                     FROM documents) AS files_total
+        """,
+        "iceberg_table_stats_read": """
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS snap, 'lang' AS "column",
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndv
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), 'n_chars',
+                     CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), 'source',
+                     CAST(COUNT(DISTINCT source) AS BIGINT)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'lang',
+                     CAST(COUNT(DISTINCT lang) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'n_chars',
+                     CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+              FROM documents
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), 'source',
+                     CAST(COUNT(DISTINCT source) AS BIGINT)
+              FROM documents
+            ) ORDER BY snap, "column"
         """,
         "iceberg_compact_small_files_read": """
             WITH live AS (

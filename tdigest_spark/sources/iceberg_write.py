@@ -1418,10 +1418,20 @@ def expire_snapshots(
     drop_meta, drop_files = _referenced_paths(root, drop_ids)
     dead_meta = sorted(drop_meta - keep_meta)
     dead_files = sorted(drop_files - keep_files)
+    # statistics files of expired snapshots expire with them (Iceberg's
+    # expire_snapshots removes their Puffin files and metadata entries)
+    import re as _re
+
+    drop_set = set(drop_ids)
+    dead_stats = [
+        _re.sub(r"^file:/+", "/", s["statistics-path"])
+        for s in meta.get("statistics", [])
+        if s.get("snapshot-id") in drop_set
+    ]
+    dead_meta = sorted(set(dead_meta) | set(dead_stats))
     if not dry_run:
         for pth in dead_meta + dead_files:
             Path(pth).unlink(missing_ok=True)
-        drop_set = set(drop_ids)
         doc = dict(meta)
         doc["snapshots"] = [
             sn for sn in meta.get("snapshots", [])
@@ -1431,11 +1441,127 @@ def expire_snapshots(
             enty for enty in meta.get("snapshot-log", [])
             if enty.get("snapshot-id") not in drop_set
         ]
+        if meta.get("statistics"):
+            doc["statistics"] = [
+                s
+                for s in meta["statistics"]
+                if s.get("snapshot-id") not in drop_set
+            ]
         _commit_metadata_only(root, version, doc, ts_ms)
     return {
         "expired": drop_ids,
         "deleted_data_files": dead_files,
         "deleted_meta_files": dead_meta,
+    }
+
+
+def write_table_stats(
+    root: str | Path,
+    blobs: dict[str, tuple[bytes, int]],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> str:
+    """Attach per-column NDV statistics to a snapshot — the flat-file
+    analog of Iceberg's PUFFIN statistics files (spec: a stats file of
+    ``apache-datasketches-theta-v1`` blobs, referenced from table
+    metadata's ``statistics`` list keyed by snapshot id; engines read the
+    NDVs for join ordering / cost estimates without scanning data).
+    ``blobs`` maps column name to ``(serialized_sketch_bytes, ndv)`` —
+    the CALLER builds the sketches (the distributed bottom-k/theta build
+    in operators.aggregate), this writer persists one parquet stats file
+    under metadata/ and records it in a METADATA-ONLY commit. Re-writing
+    stats for a snapshot that already has an entry REPLACES that entry
+    (Iceberg's setStatistics semantics: at most one statistics file per
+    snapshot). Returns the stats file path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("current-snapshot-id"))
+    )
+    if sid == -1:
+        raise ValueError("no snapshot to attach statistics to")
+    known = {sn["snapshot-id"] for sn in meta.get("snapshots", [])}
+    if sid not in known:
+        raise ValueError(f"unknown snapshot id {sid}")
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"stats-{sid}").hex[:8]
+    cols = sorted(blobs)
+    path = _meta_dir(root) / f"stats-{sid}-{tag}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "blob_type": pa.array(
+                    ["bottomk-theta-v1"] * len(cols), pa.string()
+                ),
+                "blob": pa.array([blobs[c][0] for c in cols], pa.binary()),
+                "ndv": pa.array(
+                    [int(blobs[c][1]) for c in cols], pa.int64()
+                ),
+            }
+        ),
+        path,
+    )
+    doc = dict(meta)
+    stats = [
+        s
+        for s in meta.get("statistics", [])
+        if s.get("snapshot-id") != sid
+    ]
+    stats.append(
+        {
+            "snapshot-id": sid,
+            "statistics-path": f"file://{path}",
+            "blob-count": len(cols),
+        }
+    )
+    doc["statistics"] = stats
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return str(path)
+
+
+def read_table_stats(
+    root: str | Path, snapshot_id: int | None = None
+) -> dict[str, dict]:
+    """Read the NDV statistics attached to a snapshot (default: current).
+    Returns ``{column: {"ndv": int, "blob": bytes, "blob_type": str}}``;
+    raises KeyError when the snapshot has no statistics — a cost model
+    must KNOW stats are absent, not see zeros."""
+    import pyarrow.parquet as pq
+
+    root = Path(str(root))
+    _, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("current-snapshot-id"))
+    )
+    entry = next(
+        (
+            s
+            for s in meta.get("statistics", [])
+            if s.get("snapshot-id") == sid
+        ),
+        None,
+    )
+    if entry is None:
+        raise KeyError(f"snapshot {sid} has no statistics file")
+    import re
+
+    local = re.sub(r"^file:/+", "/", entry["statistics-path"])
+    t = pq.read_table(local, use_threads=False)
+    return {
+        c: {"ndv": int(n), "blob": bytes(b), "blob_type": bt}
+        for c, bt, b, n in zip(
+            t["column"].to_pylist(),
+            t["blob_type"].to_pylist(),
+            t["blob"].to_pylist(),
+            t["ndv"].to_pylist(),
+        )
     }
 
 
