@@ -7370,6 +7370,54 @@ def doc_fuzzy_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH REACHABILITY over the event-type transition graph — min-hop
+    distance and bounded-length walk counts via Spark 4's RECURSIVE CTE
+    (the graph twin of orders_recursive_month_spine's date recursion,
+    and the path-query companion to events_type_pagerank's unrolled
+    power iterations). Edges are the DISTINCT Markov transitions (one
+    user_id shuffle + lag window — the only corpus-sized stage; the
+    graph itself is #types² rows). The recursion is UNION ALL (Spark
+    supports no recursive dedup) over a CYCLIC graph, so depth is
+    bounded by hops < 4 — walk counts stay ≤ |V|^3 per pair and the
+    final GROUP BY takes MIN(hops)/COUNT(*). Everything is exact
+    integers; DuckDB runs the identical recursion."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    edges = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .distinct()
+    )
+    edges.createOrReplaceTempView("reach_edges_tmpv")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst, hops) AS (
+          SELECT from_type, to_type, 1 FROM reach_edges_tmpv
+          UNION ALL
+          SELECT r.src, e.to_type, r.hops + 1
+          FROM reach r JOIN reach_edges_tmpv e ON r.dst = e.from_type
+          WHERE r.hops < 4
+        )
+        SELECT src, dst, MIN(hops) AS min_hops,
+               COUNT(*) AS n_walks
+        FROM reach GROUP BY src, dst ORDER BY src, dst
+        """
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9605,6 +9653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourofday_chi2": events_hourofday_chi2,
         "orders_cohort_ltv": orders_cohort_ltv,
         "doc_fuzzy_prefix_dedup": doc_fuzzy_prefix_dedup,
+        "events_type_reachability": events_type_reachability,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13422,6 +13471,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dsum AS DOUBLE) / n_fuzzy_pairs
                      AS avg_fuzzy_dist
             FROM base, ps, dd
+        """,
+        "events_type_reachability": """
+            WITH RECURSIVE ev AS (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS from_type,
+                     event_type AS to_type
+              FROM events WHERE user_id IS NOT NULL
+            ), edges AS (
+              SELECT DISTINCT from_type, to_type FROM ev
+              WHERE from_type IS NOT NULL
+            ), reach(src, dst, hops) AS (
+              SELECT from_type, to_type, 1 FROM edges
+              UNION ALL
+              SELECT r.src, e.to_type, r.hops + 1
+              FROM reach r JOIN edges e ON r.dst = e.from_type
+              WHERE r.hops < 4
+            )
+            SELECT src, dst, MIN(hops) AS min_hops,
+                   CAST(COUNT(*) AS BIGINT) AS n_walks
+            FROM reach GROUP BY src, dst ORDER BY src, dst
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
