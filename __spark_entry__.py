@@ -7418,6 +7418,119 @@ def events_type_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sequence_pattern_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEQUENCE PATTERN MATCHING — "which users ever did signup → …
+    → purchase" answered by regexing each user's ORDERED event-type
+    string, the funnel generalization that needs no k-way self-join
+    (MATCH_RECOGNIZE's common case). Per user: one collect_list +
+    sort_array over (µs, event_id, type) structs — deterministic total
+    order, the established DuckDB string_agg(… ORDER BY) parity — then
+    each pattern is a codegen rlike over the joined string; stack()
+    unpivots the single aggregate row to one row per pattern. One
+    user_id shuffle; sequences bounded by events-per-user. Counts exact;
+    match_rate a single unrounded int division."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("us"), F.col("event_id"), F.col("event_type")
+                        )
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("seq")
+    )
+    pats = [
+        ("error_then_purchase", "error.*purchase"),
+        ("signup_then_purchase", "signup.*purchase"),
+        ("view_click_purchase", "view.*click.*purchase"),
+    ]
+    one = seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.sum(F.when(F.col("seq").rlike(rx), 1).otherwise(0))
+            .cast("long")
+            .alias(f"m{i}")
+            for i, (_, rx) in enumerate(pats)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', m{i}" for i, (name, _) in enumerate(pats)
+    )
+    return (
+        one.selectExpr(
+            f"stack(3, {stack_args}) AS (pattern, n_matched)", "n_users"
+        )
+        .select(
+            "pattern",
+            "n_matched",
+            "n_users",
+            (
+                F.col("n_matched").cast("double") / F.col("n_users")
+            ).alias("match_rate"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW REPORT — the pre-join diagnostic a 100 TB pipeline
+    runs before choosing salt factors / AQE thresholds (plans/skew.py is
+    the cure; this is the instrument): for each candidate join key of
+    lineitem, the exact NDV, hottest-key count, top-1 share, and Shannon
+    entropy of the key distribution. ONE scan: stack() unpivots the
+    three key columns to (key_name, key_value) rows, then two stacked
+    aggregations — per-key counts (map-side combine) and the per-column
+    rollup. Exactness: counts/NDV exact ints; top1_share one unrounded
+    int division; entropy via the identity −Σp·ln p = ln n − Σc·ln c / n
+    (exact ints inside ln, ROUND 6 absorbs libm/summation ULPs)."""
+    li = _t(spark, sf_dir, "lineitem").selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+        " 'l_suppkey', l_suppkey) AS (key_name, key_value)"
+    )
+    counts = li.groupBy("key_name", "key_value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("key_name")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.max("c").alias("max_count"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("slnc"),
+        )
+        .select(
+            "key_name",
+            "n_rows",
+            "ndv",
+            "max_count",
+            (
+                F.col("max_count").cast("double") / F.col("n_rows")
+            ).alias("top1_share"),
+            F.round(
+                F.log(F.col("n_rows")) - F.col("slnc") / F.col("n_rows"), 6
+            ).alias("entropy"),
+        )
+        .orderBy("key_name")
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9654,6 +9767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": orders_cohort_ltv,
         "doc_fuzzy_prefix_dedup": doc_fuzzy_prefix_dedup,
         "events_type_reachability": events_type_reachability,
+        "events_sequence_pattern_match": events_sequence_pattern_match,
+        "lineitem_key_skew_report": lineitem_key_skew_report,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13493,6 +13608,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, MIN(hops) AS min_hops,
                    CAST(COUNT(*) AS BIGINT) AS n_walks
             FROM reach GROUP BY src, dst ORDER BY src, dst
+        """,
+        "events_sequence_pattern_match": """
+            WITH seqs AS (
+              SELECT user_id,
+                     string_agg(event_type, '>'
+                       ORDER BY epoch_us(ts), event_id) AS seq
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id
+            ), flags AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(CASE WHEN regexp_matches(seq,
+                            'error.*purchase') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS m0,
+                     CAST(SUM(CASE WHEN regexp_matches(seq,
+                            'signup.*purchase') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS m1,
+                     CAST(SUM(CASE WHEN regexp_matches(seq,
+                            'view.*click.*purchase') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS m2
+              FROM seqs
+            )
+            SELECT * FROM (
+              SELECT 'error_then_purchase' AS pattern, m0 AS n_matched,
+                     n_users, CAST(m0 AS DOUBLE) / n_users AS match_rate
+              FROM flags
+              UNION ALL
+              SELECT 'signup_then_purchase', m1, n_users,
+                     CAST(m1 AS DOUBLE) / n_users FROM flags
+              UNION ALL
+              SELECT 'view_click_purchase', m2, n_users,
+                     CAST(m2 AS DOUBLE) / n_users FROM flags
+            ) ORDER BY pattern
+        """,
+        "lineitem_key_skew_report": """
+            WITH kv AS (
+              SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', l_partkey FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey', l_suppkey FROM lineitem
+            ), counts AS (
+              SELECT key_name, key_value, CAST(COUNT(*) AS BIGINT) AS c
+              FROM kv GROUP BY key_name, key_value
+            )
+            SELECT key_name,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS ndv,
+                   CAST(MAX(c) AS BIGINT) AS max_count,
+                   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                     AS top1_share,
+                   ROUND(LN(CAST(SUM(c) AS BIGINT))
+                         - SUM(c * LN(c)) / CAST(SUM(c) AS BIGINT), 6)
+                     AS entropy
+            FROM counts GROUP BY key_name ORDER BY key_name
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
