@@ -206,6 +206,15 @@ AUDITS = {
     # cohort LTV: the cohort month is a MIN window partitioned by
     # customer (one shuffle, never a join-back, never a global window)
     "orders_cohort_ltv": (0, True, False),
+    # sequence regex match: one user_id shuffle (sorted collect), the
+    # user_id IS NOT NULL filter pushes; no joins at all
+    "events_sequence_pattern_match": (0, True, True),
+    # key-skew report: stack unpivot + two stacked aggregations in one
+    # scan — no joins, no windows
+    "lineitem_key_skew_report": (0, True, False),
+    # recursive reachability: the corpus stage is the lag edge pass; the
+    # recursion runs over the #types^2 edge list (no cartesian)
+    "events_type_reachability": (0, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
