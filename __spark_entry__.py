@@ -7531,6 +7531,67 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT READOUT — the two-proportion z-test every
+    experimentation platform runs: users split by id parity (the
+    deterministic hash-assignment stand-in), conversion = "heavy
+    purchaser" (≥ 13 purchases, the median — "ever purchased" is
+    degenerate on this data: every user converts and se collapses to
+    zero), z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)).
+    Exactness: counts are exact ints; every float op (divisions,
+    1−p̂, sqrt — IEEE-correctly-rounded) is spelled in the SAME order in
+    both engines, so z is BIT-IDENTICAL and stays unrounded; the
+    significance flag (|z| > 1.96) therefore needs no margin. Scale
+    shape: one user_id aggregation (map-side combine), then a 2-row
+    rollup — no joins, no windows."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+    )
+    per_user = ev.groupBy("variant", "user_id").agg(
+        F.when(F.sum("is_p") >= 13, 1).otherwise(0).alias("conv")
+    )
+    row = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    a = row.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = row.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_all = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_all
+        * (F.lit(1.0) - p_all)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (p_a - p_b) / se
+    return j.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9769,6 +9830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_reachability": events_type_reachability,
         "events_sequence_pattern_match": events_sequence_pattern_match,
         "lineitem_key_skew_report": lineitem_key_skew_report,
+        "events_ab_test_ztest": events_ab_test_ztest,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13663,6 +13725,48 @@ def oracle_sql() -> dict[str, str]:
                          - SUM(c * LN(c)) / CAST(SUM(c) AS BIGINT), 6)
                      AS entropy
             FROM counts GROUP BY key_name ORDER BY key_name
+        """,
+        "events_ab_test_ztest": """
+            WITH pu AS (
+              SELECT user_id % 2 AS variant, user_id,
+                     CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) >= 13
+                          THEN 1 ELSE 0 END AS conv
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id % 2, user_id
+            ), r AS (
+              SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(conv) AS BIGINT) AS c
+              FROM pu GROUP BY variant
+            ), a AS (
+              SELECT n AS n_a, c AS conv_a FROM r WHERE variant = 0
+            ), b AS (
+              SELECT n AS n_b, c AS conv_b FROM r WHERE variant = 1
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+                   CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+                   (CAST(conv_a AS DOUBLE) / n_a
+                    - CAST(conv_b AS DOUBLE) / n_b)
+                   / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                           / (n_a + n_b))
+                          * (CAST(1 AS DOUBLE)
+                             - CAST(conv_a + conv_b AS DOUBLE)
+                               / (n_a + n_b))
+                          * (CAST(1 AS DOUBLE) / n_a
+                             + CAST(1 AS DOUBLE) / n_b))
+                     AS z_score,
+                   ABS((CAST(conv_a AS DOUBLE) / n_a
+                        - CAST(conv_b AS DOUBLE) / n_b)
+                       / SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                               / (n_a + n_b))
+                              * (CAST(1 AS DOUBLE)
+                                 - CAST(conv_a + conv_b AS DOUBLE)
+                                   / (n_a + n_b))
+                              * (CAST(1 AS DOUBLE) / n_a
+                                 + CAST(1 AS DOUBLE) / n_b)))
+                     > CAST(1.96 AS DOUBLE) AS significant
+            FROM a, b
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
