@@ -7592,6 +7592,71 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U rank-sum test — do 'purchase' and 'view' draw their
+    values from the same distribution? The NONPARAMETRIC companion to
+    events_ab_test_ztest (no normality assumption — the robust default
+    for skewed metrics). Ranks are computed DISTRIBUTED: values collapse
+    to floor-cent tie blocks (+1 shift — rank-invariant — keeps the
+    domain positive for the bit-length bucketing) and the combined-order
+    prefix comes from distributed_value_cumsum, never a global window —
+    the 4th op on that machinery (gini / ABC / quantile-normalize).
+    Exactness: tie-block MIDRANKS in doubled integer arithmetic
+    (2·midrank = 2·prefix + c + 1), so 2·R_A, 2·U_A and the tie
+    correction Σ(c³−c) are exact longs; z's normal approximation
+    (tie-corrected variance) spells the identical float-op sequence in
+    both engines — sqrt is IEEE-exact — so z is BIT-IDENTICAL,
+    unrounded, and the 5%-critical flag needs no margin."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.floor(F.col("value") * 100) + 1).cast("long").alias("x"),
+        )
+    )
+    blk = e.groupBy("x").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ca"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    cum = distributed_value_cumsum(blk, value_col="x", weight_col="c")
+    agg = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("prefix") + F.col("c") + 1)
+        ).alias("two_ra"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("sumt"),
+    )
+    two_u = F.col("two_ra") - F.col("n_a") * (F.col("n_a") + 1)
+    nn = F.col("n_a") + F.col("n_b")
+    var_u = (
+        F.col("n_a").cast("double") * F.col("n_b") / F.lit(12)
+    ) * (
+        (nn + 1)
+        - F.col("sumt").cast("double") / (nn.cast("double") * (nn - 1))
+    )
+    z = (two_u - F.col("n_a") * F.col("n_b")).cast("double") / (
+        F.lit(2.0) * F.sqrt(var_u)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        two_u.alias("two_u_a"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9831,6 +9896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_pattern_match": events_sequence_pattern_match,
         "lineitem_key_skew_report": lineitem_key_skew_report,
         "events_ab_test_ztest": events_ab_test_ztest,
+        "events_mannwhitney_value": events_mannwhitney_value,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13767,6 +13833,55 @@ def oracle_sql() -> dict[str, str]:
                                  + CAST(1 AS DOUBLE) / n_b)))
                      > CAST(1.96 AS DOUBLE) AS significant
             FROM a, b
+        """,
+        "events_mannwhitney_value": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100) + 1 AS BIGINT) AS x
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+                AND value IS NOT NULL
+            ), blk AS (
+              SELECT x,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM e GROUP BY x
+            ), cum AS (
+              SELECT ca, c,
+                     COALESCE(SUM(c) OVER (
+                       ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prefix
+              FROM blk
+            ), agg AS (
+              SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                     CAST(SUM(c - ca) AS BIGINT) AS n_b,
+                     CAST(SUM(ca * (2 * prefix + c + 1)) AS BIGINT)
+                       AS two_ra,
+                     CAST(SUM(c * c * c - c) AS BIGINT) AS sumt
+              FROM cum
+            )
+            SELECT n_a, n_b,
+                   (two_ra - n_a * (n_a + 1)) AS two_u_a,
+                   CAST(two_ra - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+                     / (CAST(2 AS DOUBLE)
+                        * SQRT((CAST(n_a AS DOUBLE) * n_b / 12)
+                               * ((n_a + n_b + 1)
+                                  - CAST(sumt AS DOUBLE)
+                                    / (CAST(n_a + n_b AS DOUBLE)
+                                       * (n_a + n_b - 1)))))
+                     AS z_score,
+                   ABS(CAST(two_ra - n_a * (n_a + 1) - n_a * n_b
+                            AS DOUBLE)
+                       / (CAST(2 AS DOUBLE)
+                          * SQRT((CAST(n_a AS DOUBLE) * n_b / 12)
+                                 * ((n_a + n_b + 1)
+                                    - CAST(sumt AS DOUBLE)
+                                      / (CAST(n_a + n_b AS DOUBLE)
+                                         * (n_a + n_b - 1))))))
+                     > CAST(1.96 AS DOUBLE) AS significant
+            FROM agg
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
