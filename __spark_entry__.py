@@ -7657,6 +7657,71 @@ def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV-SMIRNOV two-sample test — max EDF gap between
+    'purchase' and 'view' values, completing the distribution-test
+    family (chi² seasonality, z-test proportions, Mann-Whitney ranks).
+    The statistic is EXACT INTEGER arithmetic end-to-end: D = max_v
+    |cumA·n_b − cumB·n_a| / (n_a·n_b), where both inclusive cumulative
+    counts come from distributed_value_cumsum over floor-cent tie blocks
+    (chained twice — total weight then group-A weight — never a global
+    window), so the numerator is an exact long MAX and D is ONE
+    unrounded division. The 5% critical value 1.358·√((n_a+n_b)/n_a·n_b)
+    spells the identical float sequence in both engines (IEEE sqrt), so
+    the significance flag needs no margin."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.floor(F.col("value") * 100) + 1).cast("long").alias("x"),
+        )
+    )
+    blk = e.groupBy("x").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("ca"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    cum = distributed_value_cumsum(blk, "x", "c").withColumnRenamed(
+        "prefix", "pref_all"
+    )
+    cum = distributed_value_cumsum(cum, "x", "ca").withColumnRenamed(
+        "prefix", "pref_a"
+    )
+    cum = cum.localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_b"),
+    )
+    cum_a = F.col("pref_a") + F.col("ca")
+    cum_b = (F.col("pref_all") + F.col("c")) - cum_a
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        F.abs(cum_a * F.col("n_b") - cum_b * F.col("n_a")).alias("g"),
+    )
+    agg = gaps.groupBy("n_a", "n_b").agg(F.max("g").alias("d_num"))
+    den = F.col("n_a") * F.col("n_b")
+    ks_d = F.col("d_num").cast("double") / den
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / den
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        ks_d.alias("ks_d"),
+        crit.alias("crit_05"),
+        (ks_d > crit).alias("significant"),
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9897,6 +9962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_key_skew_report": lineitem_key_skew_report,
         "events_ab_test_ztest": events_ab_test_ztest,
         "events_mannwhitney_value": events_mannwhitney_value,
+        "events_ks_test_value": events_ks_test_value,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13882,6 +13948,45 @@ def oracle_sql() -> dict[str, str]:
                                          * (n_a + n_b - 1))))))
                      > CAST(1.96 AS DOUBLE) AS significant
             FROM agg
+        """,
+        "events_ks_test_value": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100) + 1 AS BIGINT) AS x
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+                AND value IS NOT NULL
+            ), blk AS (
+              SELECT x,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM e GROUP BY x
+            ), tot AS (
+              SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                     CAST(SUM(c - ca) AS BIGINT) AS n_b
+              FROM blk
+            ), cum AS (
+              SELECT CAST(SUM(ca) OVER (ORDER BY x) AS BIGINT) AS cum_a,
+                     CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS cum_all
+              FROM blk
+            ), m AS (
+              SELECT CAST(MAX(ABS(cum_a * (SELECT n_b FROM tot)
+                                  - (cum_all - cum_a)
+                                    * (SELECT n_a FROM tot)))
+                          AS BIGINT) AS d_num
+              FROM cum
+            )
+            SELECT n_a, n_b, d_num,
+                   CAST(d_num AS DOUBLE) / (n_a * n_b) AS ks_d,
+                   CAST(1.358 AS DOUBLE)
+                     * SQRT(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+                     AS crit_05,
+                   CAST(d_num AS DOUBLE) / (n_a * n_b)
+                     > CAST(1.358 AS DOUBLE)
+                       * SQRT(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+                     AS significant
+            FROM tot, m
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
