@@ -215,6 +215,15 @@ AUDITS = {
     # recursive reachability: the corpus stage is the lag edge pass; the
     # recursion runs over the #types^2 edge list (no cartesian)
     "events_type_reachability": (0, False, False),
+    # A/B z-test: one user_id aggregation + 1-row broadcast cross join;
+    # the user_id/event_type filters push to the scan
+    "events_ab_test_ztest": (0, True, True),
+    # Mann-Whitney: the cumsum bucket-offset dim broadcasts (visible
+    # side of the checkpoint boundary); never an SMJ
+    "events_mannwhitney_value": (2, True, False),
+    # KS: both cumsum joins sit behind the lazy-checkpoint boundary;
+    # the visible plan is aggregation + broadcast totals only
+    "events_ks_test_value": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -234,6 +243,8 @@ NO_GLOBAL_WINDOW = {
     "lineitem_abc_classification",
     "doc_chars_quantile_normalize",
     "orders_cohort_ltv",
+    "events_mannwhitney_value",
+    "events_ks_test_value",
 }
 
 
