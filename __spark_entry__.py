@@ -7722,6 +7722,111 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGEPOINT DETECTION (CUSUM form) on the daily event volume — the
+    day where cumulative traffic deviates most from a uniform rate, the
+    monitoring primitive behind "when did the pipeline's mix shift".
+    Statistic per day k (rank among D observed days): g_k = |cum_k·D −
+    n·k| — EXACT longs, no floats until the final normalized share.
+    Both the cumulative count and the day rank come from CHAINED
+    distributed_value_cumsum passes over the day axis (count weight,
+    then unit weight) — no global window even on the bounded day
+    cardinality. Argmax is TakeOrdered with a deterministic (g desc,
+    day asc) tie-break; cp_frac = g_max/(n·D) is one unrounded
+    division."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("one", F.lit(1))
+    )
+    cum = distributed_value_cumsum(days, "day", "c").withColumnRenamed(
+        "prefix", "pref_c"
+    )
+    cum = distributed_value_cumsum(cum, "day", "one").withColumnRenamed(
+        "prefix", "pref_1"
+    )
+    cum = cum.localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    g = F.abs(
+        (F.col("pref_c") + F.col("c")) * F.col("n_days")
+        - F.col("n_events") * (F.col("pref_1") + 1)
+    )
+    top = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("n_days", "n_events", "day", g.alias("g"))
+        .orderBy(F.col("g").desc(), F.col("day").asc())
+        .limit(1)
+    )
+    return top.select(
+        "n_days",
+        "n_events",
+        F.col("day").alias("cp_day"),
+        F.col("g").alias("g_max"),
+        (
+            F.col("g").cast("double")
+            / (F.col("n_events") * F.col("n_days"))
+        ).alias("cp_frac"),
+    )
+
+
+def events_seasonal_naive_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORECAST BACKTEST — the seasonal-naive baseline (predict today's
+    volume with the count 7 days earlier) every forecasting pipeline
+    must beat, scored with MAE / bias / MAPE over the days where both
+    sides exist. Scale shape: one day-cardinality aggregate, then a
+    self-join on day = day+7 (bounded key domain, broadcast-sized at any
+    data scale). Exactness: counts and |errors| exact longs; MAE and
+    bias are single unrounded int divisions; MAPE averages per-day exact
+    divisions — summation order absorbed by ROUND 6."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    days = days.localCheckpoint(eager=False)
+    f = days.select(
+        (F.col("day") + 7).alias("day"), F.col("c").alias("fc")
+    )
+    scored = days.join(f, "day")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        (
+            F.sum(F.abs(F.col("c") - F.col("fc"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae"),
+        (
+            F.sum(F.col("c") - F.col("fc")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bias"),
+        F.round(
+            F.sum(
+                F.abs(F.col("c") - F.col("fc")).cast("double")
+                / F.col("c")
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
+    )
+
+
 def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style TABLE PROFILE — the per-column health report every
     ingest runs first (nulls, exact NDV, extrema, value widths): ONE
@@ -9963,6 +10068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test_ztest": events_ab_test_ztest,
         "events_mannwhitney_value": events_mannwhitney_value,
         "events_ks_test_value": events_ks_test_value,
+        "events_daily_changepoint": events_daily_changepoint,
+        "events_seasonal_naive_forecast": events_seasonal_naive_forecast,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
         "doc_bigram_topk": doc_bigram_topk,
         "doc_pmi_collocations": doc_pmi_collocations,
@@ -13987,6 +14094,51 @@ def oracle_sql() -> dict[str, str]:
                        * SQRT(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
                      AS significant
             FROM tot, m
+        """,
+        "events_daily_changepoint": """
+            WITH days AS (
+              SELECT (epoch_us(ts) // 86400000000) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+                     CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM days
+            ), cum AS (
+              SELECT day,
+                     CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cum_c,
+                     CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                       AS k
+              FROM days
+            ), g AS (
+              SELECT day,
+                     ABS(cum_c * (SELECT n_days FROM tot)
+                         - (SELECT n_events FROM tot) * k) AS g
+              FROM cum
+            )
+            SELECT (SELECT n_days FROM tot) AS n_days,
+                   (SELECT n_events FROM tot) AS n_events,
+                   day AS cp_day, g AS g_max,
+                   CAST(g AS DOUBLE)
+                     / ((SELECT n_events FROM tot)
+                        * (SELECT n_days FROM tot)) AS cp_frac
+            FROM g ORDER BY g DESC, day ASC LIMIT 1
+        """,
+        "events_seasonal_naive_forecast": """
+            WITH days AS (
+              SELECT (epoch_us(ts) // 86400000000) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), scored AS (
+              SELECT d.c AS c, f.c AS fc
+              FROM days d JOIN days f ON d.day = f.day + 7
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+                   CAST(SUM(ABS(c - fc)) AS DOUBLE) / COUNT(*) AS mae,
+                   CAST(SUM(c - fc) AS DOUBLE) / COUNT(*) AS bias,
+                   ROUND(SUM(CAST(ABS(c - fc) AS DOUBLE) / c)
+                         / COUNT(*), 6) AS mape
+            FROM scored
         """,
         "doc_vocab_coverage_topk": r"""
             WITH words AS (
