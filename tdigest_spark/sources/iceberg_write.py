@@ -188,6 +188,29 @@ def create_table(
     return root
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: another writer committed the
+    metadata version this commit was based on. Reload the table and
+    retry — exactly Iceberg's CommitFailedException contract."""
+
+
+def _write_new_metadata(meta_dir: Path, new_version: int, doc: dict) -> None:
+    """Create the new metadata version EXCLUSIVELY (O_EXCL): two writers
+    that loaded the same base version race to this create, one wins, the
+    loser gets CommitConflict instead of silently overwriting the
+    winner's snapshot (the lost-update anomaly a plain write allows)."""
+    path = meta_dir / f"v{new_version}.metadata.json"
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"metadata version {new_version} was committed by a "
+            "concurrent writer; reload the table and retry"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(doc, indent=1))
+
+
 def _commit_metadata_only(root: Path, version: int, doc: dict, ts_ms) -> None:
     """Write a new metadata version + flip the hint LAST (same crash-safe
     order as a snapshot commit) — schema evolution is a METADATA-ONLY
@@ -196,9 +219,7 @@ def _commit_metadata_only(root: Path, version: int, doc: dict, ts_ms) -> None:
     doc["last-updated-ms"] = _now_ms(ts_ms)
     meta_dir = _meta_dir(root)
     new_version = version + 1
-    (meta_dir / f"v{new_version}.metadata.json").write_text(
-        json.dumps(doc, indent=1)
-    )
+    _write_new_metadata(meta_dir, new_version, doc)
     tmp = meta_dir / "version-hint.text.tmp"
     tmp.write_text(str(new_version))
     os.replace(tmp, meta_dir / "version-hint.text")
@@ -568,9 +589,9 @@ def _commit(
         refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         doc["refs"] = refs
     new_version = version + 1
-    (meta_dir / f"v{new_version}.metadata.json").write_text(
-        json.dumps(doc, indent=1)
-    )
+    # exclusive create: a concurrent commit based on the same version
+    # raises CommitConflict instead of silently losing a snapshot
+    _write_new_metadata(meta_dir, new_version, doc)
     # the hint flips LAST: a concurrent reader sees either the old complete
     # table or the new complete table, never a half-commit
     tmp = meta_dir / "version-hint.text.tmp"

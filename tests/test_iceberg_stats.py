@@ -59,3 +59,24 @@ def test_expiration_drops_expired_stats(tmp_path):
     # the retained snapshot's stats survive
     assert Path(p3).exists()
     assert W.read_table_stats(root, 3)["id"]["ndv"] == 30
+
+
+def test_concurrent_commit_conflict(tmp_path):
+    """Two writers based on the same metadata version: the first commit
+    wins, the second raises CommitConflict (never a silent lost update),
+    and the table still reads as the winner left it."""
+    root = tmp_path / "tbl"
+    _mk(root, n_files=1)
+    version, meta = W._load_current(root)
+    W._commit_metadata_only(root, version, dict(meta), None)
+    with pytest.raises(W.CommitConflict):
+        W._commit_metadata_only(root, version, dict(meta), None)
+    # a full snapshot commit based on the stale version loses the same way
+    with pytest.raises(W.CommitConflict):
+        W._commit(
+            root, version, meta, 999,
+            W._current_manifests(root, meta), "append", None,
+        )
+    v2, _ = W._load_current(root)
+    assert v2 == version + 1
+    assert W.snapshot_ids(root) == [1]
