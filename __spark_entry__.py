@@ -7722,6 +7722,75 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_welch_ttest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-TEST on mean value, 'purchase' vs 'view' — the
+    unequal-variance mean-difference test (the namesake nod: the
+    reference repo is welch/tdigest). Completes the distribution-test
+    family: chi² (seasonality), z (proportions), Mann-Whitney (ranks),
+    KS (shape), Welch t (means). ONE scan, ONE reduce: conditional sums
+    give n, Σx, Σx² per arm as EXACT longs over floor-cent values
+    (Σx² ≤ ~9e13 at sf0.1 — far inside long range). Everything after is
+    a fixed float-op sequence spelled IDENTICALLY in both engines
+    (casts of exact ints, mul/div/sub, IEEE sqrt), so mean/t/df are
+    BIT-IDENTICAL and unrounded: sample variance via
+    (Σx² − (Σx)²/n)/(n−1) in doubles ((Σx)² would overflow a long —
+    the double spelling is the point), t = Δmean/√(v_a/n_a + v_b/n_b),
+    Welch–Satterthwaite df = se⁴/(t_a²/(n_a−1) + t_b²/(n_b−1)). The
+    5% flag uses the normal critical 1.96 (df ≫ 30 at every SF) and
+    inherits bit-exactness — no margin needed."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+        )
+    )
+    is_a = F.col("event_type") == "purchase"
+    agg = e.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col("x")).otherwise(0)).alias("s1_a"),
+        F.sum(
+            F.when(is_a, F.col("x") * F.col("x")).otherwise(0)
+        ).alias("s2_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, 0).otherwise(F.col("x"))).alias("s1_b"),
+        F.sum(
+            F.when(is_a, 0).otherwise(F.col("x") * F.col("x"))
+        ).alias("s2_b"),
+    )
+    nd_a = F.col("n_a").cast("double")
+    nd_b = F.col("n_b").cast("double")
+    mean_a = F.col("s1_a").cast("double") / nd_a
+    mean_b = F.col("s1_b").cast("double") / nd_b
+    var_a = (
+        F.col("s2_a").cast("double")
+        - F.col("s1_a").cast("double") * F.col("s1_a").cast("double") / nd_a
+    ) / (nd_a - F.lit(1.0))
+    var_b = (
+        F.col("s2_b").cast("double")
+        - F.col("s1_b").cast("double") * F.col("s1_b").cast("double") / nd_b
+    ) / (nd_b - F.lit(1.0))
+    ta = var_a / nd_a
+    tb = var_b / nd_b
+    t_stat = (mean_a - mean_b) / F.sqrt(ta + tb)
+    df = ((ta + tb) * (ta + tb)) / (
+        ta * ta / (nd_a - F.lit(1.0)) + tb * tb / (nd_b - F.lit(1.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_cents_a"),
+        mean_b.alias("mean_cents_b"),
+        t_stat.alias("t_stat"),
+        df.alias("welch_df"),
+        (F.abs(t_stat) > F.lit(1.96)).alias("significant"),
+    )
+
+
 def events_daily_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGEPOINT DETECTION (CUSUM form) on the daily event volume — the
     day where cumulative traffic deviates most from a uniform rate, the
@@ -7824,6 +7893,40 @@ def events_seasonal_naive_forecast(
             / F.count(F.lit(1)),
             6,
         ).alias("mape"),
+    )
+
+
+def ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH INDEX HEALTH — the bucket-balance report an ANN-index operator
+    reads before trusting probe latency (one hot bucket = one hot
+    partition at query time; the index twin of lineitem_key_skew_report).
+    Buckets are the SAME hyperplane sign patterns the pruned index
+    partitions by (exact in SQL from inlined plane literals, sign margin
+    test-guarded); stats: buckets used of 2^planes, hottest bucket,
+    top-1 share and skew factor (max·B/n — both single unrounded int
+    divisions), Shannon entropy (ROUND 6). One Arrow matmul pass + a
+    64-row rollup."""
+    from tdigest_spark.operators.similarity import hyperplane_buckets
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = hyperplane_buckets(
+        emb, "embedding", n_planes=_ANN_PLANES, seed=_ANN_SEED, dim=_ANN_DIM
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.lit(1 << _ANN_PLANES).cast("long").alias("n_buckets_total"),
+        F.max("c").alias("max_bucket_count"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top1_share"),
+        (
+            (F.max("c") * (1 << _ANN_PLANES)).cast("double") / F.sum("c")
+        ).alias("skew_factor"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c"),
+            6,
+        ).alias("entropy"),
     )
 
 
@@ -10068,6 +10171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test_ztest": events_ab_test_ztest,
         "events_mannwhitney_value": events_mannwhitney_value,
         "events_ks_test_value": events_ks_test_value,
+        "events_welch_ttest_value": events_welch_ttest_value,
         "events_daily_changepoint": events_daily_changepoint,
         "events_seasonal_naive_forecast": events_seasonal_naive_forecast,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
@@ -10110,6 +10214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": ann_topk_cosine,
         "ann_pruned_topk": ann_pruned_topk,
         "ann_recall_at_k": ann_recall_at_k,
+        "ann_bucket_balance": ann_bucket_balance,
         "pq_adc_topk": pq_adc_topk,
         "ivf_recall_at_probe": ivf_recall_at_probe,
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
@@ -10548,6 +10653,48 @@ def _pq_oracle_sql(
         SELECT CAST(t.rank AS INTEGER) AS rank, t.vec_id, t.adc6,
                t.vec_id IN (SELECT vec_id FROM exact) AS in_exact
         FROM topa t ORDER BY rank
+    """
+
+
+def _ann_bucket_balance_oracle_sql(
+    n_planes: int = _ANN_PLANES,
+    seed: int = _ANN_SEED,
+    dim: int = _ANN_DIM,
+) -> str:
+    """SQL twin of ann_bucket_balance: every vector's bucket recomputed
+    from the inlined plane literals (the _ann_pruned_oracle_sql
+    machinery), then the same balance rollup."""
+    from tdigest_spark.operators.similarity import _plane_matrix
+
+    P = _plane_matrix(dim, n_planes, seed)
+    terms = []
+    for p in range(n_planes):
+        lits = ",".join(repr(float(x)) for x in P[:, p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(terms)
+    total = 1 << n_planes
+    return f"""
+        WITH sigs AS (
+          SELECT {bucket_expr} AS bucket FROM embeddings
+        ), counts AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM sigs GROUP BY bucket
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               CAST({total} AS BIGINT) AS n_buckets_total,
+               CAST(MAX(c) AS BIGINT) AS max_bucket_count,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                 AS top1_share,
+               CAST(MAX(c) * {total} AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+                 AS skew_factor,
+               ROUND(LN(CAST(SUM(c) AS BIGINT))
+                     - SUM(c * LN(c)) / CAST(SUM(c) AS BIGINT), 6)
+                 AS entropy
+        FROM counts
     """
 
 
@@ -14095,6 +14242,59 @@ def oracle_sql() -> dict[str, str]:
                      AS significant
             FROM tot, m
         """,
+        "events_welch_ttest_value": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS x
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+                AND value IS NOT NULL
+            ), a AS (
+              SELECT
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN x ELSE 0 END) AS BIGINT) AS s1_a,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN x * x ELSE 0 END) AS BIGINT) AS s2_a,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 0 ELSE x END) AS BIGINT) AS s1_b,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 0 ELSE x * x END) AS BIGINT) AS s2_b
+              FROM e
+            ), m AS (
+              SELECT n_a, n_b,
+                     CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       AS mean_cents_a,
+                     CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       AS mean_cents_b,
+                     ((CAST(s2_a AS DOUBLE)
+                       - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+                         / CAST(n_a AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     / CAST(n_a AS DOUBLE) AS ta,
+                     ((CAST(s2_b AS DOUBLE)
+                       - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)
+                         / CAST(n_b AS DOUBLE))
+                      / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     / CAST(n_b AS DOUBLE) AS tb
+              FROM a
+            )
+            SELECT n_a, n_b, mean_cents_a, mean_cents_b,
+                   (mean_cents_a - mean_cents_b) / SQRT(ta + tb)
+                     AS t_stat,
+                   ((ta + tb) * (ta + tb))
+                     / (ta * ta
+                        / (CAST(n_a AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                        + tb * tb
+                          / (CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     AS welch_df,
+                   ABS((mean_cents_a - mean_cents_b) / SQRT(ta + tb))
+                     > CAST(1.96 AS DOUBLE) AS significant
+            FROM m
+        """,
         "events_daily_changepoint": """
             WITH days AS (
               SELECT (epoch_us(ts) // 86400000000) AS day,
@@ -14849,6 +15049,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_ann_keep_best": _semantic_ann_oracle_sql(),
         "ann_pruned_topk": _ann_pruned_oracle_sql(),
         "ann_recall_at_k": _ann_recall_oracle_sql(),
+        "ann_bucket_balance": _ann_bucket_balance_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
         "ivf_recall_at_probe": _ivf_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),

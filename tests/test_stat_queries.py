@@ -1,0 +1,80 @@
+"""Third-party cross-checks for the statistical-test queries.
+
+The oracle sweep proves Spark == DuckDB, but both twins spell the SAME
+formula — a transcription error in the statistic itself would pass both
+engines. These tests recompute the statistics from the raw parquet with
+numpy (textbook formulas, independent code path) and compare tightly.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+import __spark_entry__ as entry
+
+
+def _values_by_arm():
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_type", "value"],
+        use_threads=False,
+    )
+    et = np.asarray(t.column("event_type"))
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = np.isin(et, ["purchase", "view"]) & ~np.isnan(val)
+    x = np.floor(val[keep] * 100.0).astype(np.int64)
+    return x[et[keep] == "purchase"], x[et[keep] == "view"]
+
+
+def test_welch_ttest_matches_numpy(spark):
+    a, b = _values_by_arm()
+    row = entry.events_welch_ttest_value(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    # textbook Welch: ddof=1 variances, Welch-Satterthwaite df
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    ta, tb = va / len(a), vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(ta + tb)
+    df = (ta + tb) ** 2 / (ta**2 / (len(a) - 1) + tb**2 / (len(b) - 1))
+    assert row["mean_cents_a"] == pytest.approx(a.mean(), rel=1e-12)
+    assert row["mean_cents_b"] == pytest.approx(b.mean(), rel=1e-12)
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert row["welch_df"] == pytest.approx(df, rel=1e-9)
+    assert row["significant"] == (abs(t) > 1.96)
+
+
+def test_mannwhitney_matches_numpy(spark):
+    a, b = _values_by_arm()
+    row = entry.events_mannwhitney_value(spark, SF_DIR).collect()[0]
+    # textbook U via midranks over the combined sample (scipy-free)
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based midrank
+        i = j
+    ra = ranks[: len(a)].sum()
+    u_a = ra - len(a) * (len(a) + 1) / 2.0
+    assert row["two_u_a"] == pytest.approx(2.0 * u_a, abs=0.5)
+    _, counts = np.unique(allv, return_counts=True)
+    n = len(allv)
+    var_u = (len(a) * len(b) / 12.0) * (
+        (n + 1) - (counts.astype(float) ** 3 - counts).sum() / (n * (n - 1))
+    )
+    z = (u_a - len(a) * len(b) / 2.0) / np.sqrt(var_u)
+    assert row["z_score"] == pytest.approx(z, rel=1e-9)
+
+
+def test_ks_matches_numpy(spark):
+    a, b = _values_by_arm()
+    row = entry.events_ks_test_value(spark, SF_DIR).collect()[0]
+    grid = np.unique(np.concatenate([a, b]))
+    edf_a = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    edf_b = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    d = np.abs(edf_a - edf_b).max()
+    assert row["ks_d"] == pytest.approx(d, rel=1e-9)

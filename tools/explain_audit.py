@@ -224,6 +224,9 @@ AUDITS = {
     # KS: both cumsum joins sit behind the lazy-checkpoint boundary;
     # the visible plan is aggregation + broadcast totals only
     "events_ks_test_value": (0, True, False),
+    # Welch t: ONE scan (2 pruned cols, pushed IN/IsNotNull filters),
+    # map-side partial agg to a single 6-long row — no joins at all
+    "events_welch_ttest_value": (0, True, True),
 }
 
 # queries whose scan must show directory-level partition pruning: a
