@@ -7896,6 +7896,106 @@ def events_seasonal_naive_forecast(
     )
 
 
+def events_hourly_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LAG-24 AUTOCORRELATION of hourly event volume — "is traffic
+    daily-seasonal?", the diagnostic that decides whether the
+    seasonal-naive forecast is even the right baseline (completes the
+    time-series trio: CUSUM changepoint, seasonal-naive backtest, ACF).
+    The series is DENSIFIED first (hour spine from min..max via
+    sequence/unnest, missing hours = 0) so the lag pairing is over real
+    clock hours, not observed-row adjacency. Scale shape: ONE shuffle
+    (groupBy hour); the spine + lag self-join run on the hour-cardinality
+    rollup (~9k rows/year at ANY data volume — broadcast-sized forever).
+    Exactness: Pearson terms n·Σxy−Σx·Σy and the two variance terms are
+    EXACT longs (hourly counts keep every product « 2^63); r casts them
+    once and divides by √vx·√vy — the identical float-op sequence both
+    engines, so acf24 is BIT-IDENTICAL, unrounded, and the seasonality
+    flag needs no margin."""
+    cnt = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = cnt.localCheckpoint(eager=False)
+    rng = cnt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    dense = spine.join(cnt, "h", "left").select(
+        "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    dense = dense.localCheckpoint(eager=False)
+    lag = dense.select(
+        (F.col("h") - 24).alias("h"), F.col("c").alias("y")
+    )
+    pairs = dense.join(lag, "h").select(F.col("c").alias("x"), "y")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = num.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        num.alias("acf_num"),
+        acf.alias("acf24"),
+        (acf > F.lit(0.25)).alias("daily_seasonal"),
+    )
+
+
+def lineitem_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD FIRST-DIGIT analysis of l_extendedprice — the
+    fraud/synthetic-data screen auditors run on financial columns: does
+    the leading-digit distribution follow log10(1+1/d)? The digit is
+    extracted in EXACT INTEGER/STRING domain (first char of the
+    floor-cents long — scaling by 100 never changes the leading
+    significant digit), so per-digit counts are exact and shares are
+    single unrounded divisions; only the Benford expectation and the
+    deviation touch log10 (JVM vs libm ≤1 ULP apart — ROUND 6 absorbs).
+    Scale shape: map-side digit extraction + one 9-key aggregation, the
+    cheapest possible full-column screen."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    dig = li.where(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = dig.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = counts.agg(F.sum("n_d").alias("n"))
+    exp_p = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    share = F.col("n_d").cast("double") / F.col("n")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_d",
+            share.alias("share"),
+            F.round(exp_p, 6).alias("benford_p"),
+            F.round(F.abs(share - exp_p), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
 def ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH INDEX HEALTH — the bucket-balance report an ANN-index operator
     reads before trusting probe latency (one hot bucket = one hot
@@ -10172,6 +10272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mannwhitney_value": events_mannwhitney_value,
         "events_ks_test_value": events_ks_test_value,
         "events_welch_ttest_value": events_welch_ttest_value,
+        "events_hourly_autocorrelation": events_hourly_autocorrelation,
+        "lineitem_benford_digits": lineitem_benford_digits,
         "events_daily_changepoint": events_daily_changepoint,
         "events_seasonal_naive_forecast": events_seasonal_naive_forecast,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
@@ -14294,6 +14396,69 @@ def oracle_sql() -> dict[str, str]:
                    ABS((mean_cents_a - mean_cents_b) / SQRT(ta + tb))
                      > CAST(1.96 AS DOUBLE) AS significant
             FROM m
+        """,
+        "events_hourly_autocorrelation": """
+            WITH hrs AS (
+              SELECT (epoch_us(ts) // 3600000000) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), rng AS (
+              SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs
+            ), spine AS (
+              SELECT UNNEST(generate_series(h0, h1)) AS h FROM rng
+            ), dense AS (
+              SELECT s.h, CAST(COALESCE(c, 0) AS BIGINT) AS c
+              FROM spine s LEFT JOIN hrs USING (h)
+            ), pairs AS (
+              SELECT a.c AS x, b.c AS y
+              FROM dense a JOIN dense b ON b.h = a.h + 24
+            ), g AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM pairs
+            )
+            SELECT n AS n_pairs,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS acf_num,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                     AS acf24,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                     > CAST(0.25 AS DOUBLE) AS daily_seasonal
+            FROM g
+        """,
+        "lineitem_benford_digits": """
+            WITH cents AS (
+              SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+              FROM lineitem
+            ), dig AS (
+              SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit
+              FROM cents WHERE c > 0
+            ), counts AS (
+              SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d
+              FROM dig GROUP BY digit
+            ), tot AS (
+              SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM counts
+            )
+            SELECT digit, n_d,
+                   CAST(n_d AS DOUBLE) / n AS share,
+                   ROUND(LOG10(CAST(1.0 AS DOUBLE)
+                               + CAST(1.0 AS DOUBLE)
+                                 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+                   ROUND(ABS(CAST(n_d AS DOUBLE) / n
+                             - LOG10(CAST(1.0 AS DOUBLE)
+                                     + CAST(1.0 AS DOUBLE)
+                                       / CAST(digit AS DOUBLE))), 6)
+                     AS abs_dev
+            FROM counts, tot
+            ORDER BY digit
         """,
         "events_daily_changepoint": """
             WITH days AS (

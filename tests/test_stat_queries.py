@@ -70,6 +70,22 @@ def test_mannwhitney_matches_numpy(spark):
     assert row["z_score"] == pytest.approx(z, rel=1e-9)
 
 
+def test_hourly_autocorrelation_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["ts"], use_threads=False
+    )
+    us = np.asarray(t.column("ts").cast("int64"), dtype="int64")
+    h = us // 3_600_000_000
+    h0, h1 = h.min(), h.max()
+    series = np.bincount((h - h0).astype(np.int64), minlength=h1 - h0 + 1)
+    x, y = series[:-24].astype(float), series[24:].astype(float)
+    r = np.corrcoef(x, y)[0, 1]
+    row = entry.events_hourly_autocorrelation(spark, SF_DIR).collect()[0]
+    assert row["n_pairs"] == len(x)
+    assert row["acf24"] == pytest.approx(r, rel=1e-9)
+    assert row["daily_seasonal"] == (row["acf24"] > 0.25)
+
+
 def test_ks_matches_numpy(spark):
     a, b = _values_by_arm()
     row = entry.events_ks_test_value(spark, SF_DIR).collect()[0]
