@@ -7996,6 +7996,56 @@ def lineitem_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION — the stratified-sampling design step: given a
+    fixed labeling/eval budget, what share goes to each source so the
+    stratified mean-length estimator has minimum variance? Optimal share
+    ∝ N_h·s_h (stratum size × stddev) — the design twin of the
+    Horvitz-Thompson importance sampler (doc_quality_importance_sample
+    executes a design; this query PRODUCES one). ONE scan, one 20-key
+    aggregation: N, Σx, Σx² per source as EXACT longs over n_chars;
+    stddev and the N·s weight are the identical double spelling in both
+    engines ((Σx)² stays in double — it brushes the long limit at scale),
+    so mean_chars is bit-identical (single division of exact ints) and
+    only the share (whose denominator is a float SUM across sources —
+    order-dependent ULPs) and sd take ROUND 6."""
+    a = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    w = a.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        (F.col("s1").cast("double") / nd).alias("mean_chars"),
+        F.sqrt(var).alias("sd"),
+        (nd * F.sqrt(var)).alias("wgt"),
+    )
+    w = w.localCheckpoint(eager=False)
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "mean_chars",
+            F.round(F.col("sd"), 6).alias("sd_chars"),
+            F.round(F.col("wgt") / F.col("tw"), 6).alias("neyman_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def ann_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH INDEX HEALTH — the bucket-balance report an ANN-index operator
     reads before trusting probe latency (one hot bucket = one hot
@@ -10274,6 +10324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_welch_ttest_value": events_welch_ttest_value,
         "events_hourly_autocorrelation": events_hourly_autocorrelation,
         "lineitem_benford_digits": lineitem_benford_digits,
+        "doc_neyman_allocation": doc_neyman_allocation,
         "events_daily_changepoint": events_daily_changepoint,
         "events_seasonal_naive_forecast": events_seasonal_naive_forecast,
         "doc_vocab_coverage_topk": doc_vocab_coverage_topk,
@@ -14459,6 +14510,37 @@ def oracle_sql() -> dict[str, str]:
                      AS abs_dev
             FROM counts, tot
             ORDER BY digit
+        """,
+        "doc_neyman_allocation": """
+            WITH a AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS s1,
+                     CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+              FROM documents GROUP BY source
+            ), w AS (
+              SELECT source, n, s1,
+                     SQRT((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                       AS sd,
+                     CAST(n AS DOUBLE)
+                       * SQRT((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 - CAST(1.0 AS DOUBLE))) AS wgt
+              FROM a
+            ), t AS (
+              SELECT SUM(wgt) AS tw FROM w
+            )
+            SELECT source, n AS n_docs,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+                   ROUND(sd, 6) AS sd_chars,
+                   ROUND(wgt / tw, 6) AS neyman_share
+            FROM w, t
+            ORDER BY source
         """,
         "events_daily_changepoint": """
             WITH days AS (

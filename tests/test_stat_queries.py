@@ -86,6 +86,29 @@ def test_hourly_autocorrelation_matches_numpy(spark):
     assert row["daily_seasonal"] == (row["acf24"] > 0.25)
 
 
+def test_neyman_allocation_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["source", "n_chars"],
+        use_threads=False,
+    )
+    src = np.asarray(t.column("source"))
+    nc = np.asarray(t.column("n_chars"), dtype="int64")
+    rows = entry.doc_neyman_allocation(spark, SF_DIR).collect()
+    wgts = {}
+    for r in rows:
+        vals = nc[src == r["source"]]
+        assert r["n_docs"] == len(vals)
+        assert r["mean_chars"] == pytest.approx(vals.mean(), rel=1e-12)
+        sd = vals.std(ddof=1)
+        assert r["sd_chars"] == pytest.approx(sd, abs=5.1e-7)
+        wgts[r["source"]] = len(vals) * sd
+    tw = sum(wgts.values())
+    for r in rows:
+        assert r["neyman_share"] == pytest.approx(
+            wgts[r["source"]] / tw, abs=1e-6
+        )
+
+
 def test_ks_matches_numpy(spark):
     a, b = _values_by_arm()
     row = entry.events_ks_test_value(spark, SF_DIR).collect()[0]

@@ -227,6 +227,10 @@ AUDITS = {
     # Welch t: ONE scan (2 pruned cols, pushed IN/IsNotNull filters),
     # map-side partial agg to a single 6-long row — no joins at all
     "events_welch_ttest_value": (0, True, True),
+    # Neyman allocation: one 2-col scan (behind the lazy-checkpoint
+    # boundary) to a 20-key moment agg; the 1-row total comes back as a
+    # BroadcastNestedLoopJoin (keyless cross) — never an SMJ/cartesian
+    "doc_neyman_allocation": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
