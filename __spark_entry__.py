@@ -3890,6 +3890,133 @@ def iceberg_rewrite_manifests_read(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def iceberg_rewrite_pos_deletes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-DELETE COMPACTION (iceberg_write.rewrite_position_deletes
+    — Iceberg's rewrite_position_delete_files maintenance procedure, the
+    delete-side twin of the data-file bin-pack): a table under steady
+    row-level DELETE traffic accretes one tiny pos-delete parquet per
+    commit, so every MERGE-ON-READ scan opens all of them; compaction
+    merges them into ONE spec-shaped file, DEDUPED on (path, pos), and
+    drops DANGLING rows (tombstones whose data file was retired by
+    rewrite_data_files and can never subtract anything again). The
+    fixture appends src0 / src1 / src2-split-in-two (identity-partitioned
+    on source, files sorted by doc_id so positions are SQL-addressable),
+    commits three pos-delete files — {src0:[0,1]}, {src1:[0],
+    src2a:[0]}, {src0:[1,2]} (one duplicate position, one reference
+    that rewrite_data_files will orphan) — bin-packs the src2 halves
+    (the only multi-file partition bin), then compacts the deletes:
+    3 files / 6 rows -> 1 file / 4 rows. The MOR read (count + doc_id
+    checksum, captured BEFORE compaction and re-read live AFTER) must
+    be identical, and every counter is exact in SQL."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_entries_static,
+        read_sequences,
+    )
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_rewrite_posdel" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(
+            root, ts_ms=1000,
+            schema_fields=[("doc_id", "long"), ("source", "string")],
+        )
+        W.set_partition_spec(root, [("source", "identity")], ts_ms=1500)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        tbl = tbl.filter(
+            pc.is_in(tbl["source"], value_set=pa.array(["src0", "src1", "src2"]))
+        )
+        files = {}
+        for s in ("src0", "src1"):
+            part = tbl.filter(pc.equal(tbl["source"], s)).sort_by("doc_id")
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(part, f)
+            files[s] = f
+        p2 = tbl.filter(pc.equal(tbl["source"], "src2")).sort_by("doc_id")
+        half = (p2.num_rows + 1) // 2
+        for name, sl in (("src2a", p2.slice(0, half)), ("src2b", p2.slice(half))):
+            f = root / "data" / f"s-{name}.parquet"
+            pq.write_table(sl, f)
+            files[name] = f
+        W.append_snapshot(root, list(files.values()), snapshot_id=1, ts_ms=2000)
+        W.delete_rows_snapshot(
+            root, {str(files["src0"]): [0, 1]}, snapshot_id=2, ts_ms=3000
+        )
+        W.delete_rows_snapshot(
+            root, {str(files["src1"]): [0], str(files["src2a"]): [0]},
+            snapshot_id=3, ts_ms=4000,
+        )
+        W.delete_rows_snapshot(
+            root, {str(files["src0"]): [1, 2]}, snapshot_id=4, ts_ms=5000
+        )
+        rep = W.rewrite_data_files(root, ts_ms=6000)
+        # expected survivors, computed independently of the reader: src0
+        # minus its 3 smallest doc_ids, src1 and src2 minus their minima
+        ids = tbl["doc_id"].to_numpy()
+        srcs = np.asarray(tbl["source"])
+        i0 = np.sort(ids[srcs == "src0"])
+        drop = set(i0[:3].tolist())
+        for s in ("src1", "src2"):
+            drop.add(int(ids[srcs == s].min()))
+        kept = np.array(sorted(set(ids.tolist()) - drop), dtype=np.int64)
+        nb, na, rb, ra = W.rewrite_position_deletes(root, ts_ms=7000)
+        report = {
+            "pos_before": nb,
+            "pos_after": na,
+            "rows_before": rb,
+            "rows_after": ra,
+            "data_files": rep["files_after"],
+            "pre_n_rows": int(kept.size),
+            "pre_sum": int(kept.sum()),
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    n_pos_live = len(iceberg_scan_entries_static(str(root))["pos_deletes"])
+    survivors = read_sequences(spark, str(root))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    ).select(
+        F.lit(report["pos_before"]).cast("long").alias("n_pos_files_before"),
+        F.lit(n_pos_live).cast("long").alias("n_pos_files_after"),
+        F.lit(report["rows_before"]).cast("long").alias("n_del_rows_before"),
+        F.lit(report["rows_after"]).cast("long").alias("n_del_rows_after"),
+        F.lit(report["data_files"]).cast("long").alias("n_data_files"),
+        "n_rows",
+        "sum_doc_id",
+        F.lit(report["pre_n_rows"]).cast("long").alias("pre_n_rows"),
+        F.lit(report["pre_sum"]).cast("long").alias("pre_sum_doc_id"),
+    )
+
+
 def iceberg_compact_small_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SMALL-FILE COMPACTION (iceberg_write.rewrite_data_files — Iceberg's
     rewrite_data_files bin-pack, the data-side twin of the manifest
@@ -10281,6 +10408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
+        "iceberg_rewrite_pos_deletes_read": iceberg_rewrite_pos_deletes_read,
         "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
         "iceberg_metadata_only_aggregates": iceberg_metadata_only_aggregates,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
@@ -13081,6 +13209,34 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM mins, k WHERE mn < kk)
                      AS files_scanned_post,
                    CAST(4 AS BIGINT) AS files_total
+        """,
+        "iceberg_rewrite_pos_deletes_read": """
+            WITH live AS (
+              SELECT doc_id, source FROM documents
+              WHERE source IN ('src0','src1','src2')
+            ), drop0 AS (
+              SELECT doc_id FROM live WHERE source = 'src0'
+              ORDER BY doc_id LIMIT 3
+            ), mins AS (
+              SELECT MIN(doc_id) AS m FROM live WHERE source = 'src1'
+              UNION ALL
+              SELECT MIN(doc_id) AS m FROM live WHERE source = 'src2'
+            ), kept AS (
+              SELECT doc_id FROM live
+              WHERE doc_id NOT IN (SELECT doc_id FROM drop0)
+                AND doc_id NOT IN (SELECT m FROM mins)
+            )
+            SELECT CAST(3 AS BIGINT) AS n_pos_files_before,
+                   CAST(1 AS BIGINT) AS n_pos_files_after,
+                   CAST(6 AS BIGINT) AS n_del_rows_before,
+                   CAST(4 AS BIGINT) AS n_del_rows_after,
+                   CAST(3 AS BIGINT) AS n_data_files,
+                   (SELECT COUNT(*) FROM kept) AS n_rows,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+                     AS sum_doc_id,
+                   (SELECT COUNT(*) FROM kept) AS pre_n_rows,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept)
+                     AS pre_sum_doc_id
         """,
         "iceberg_partition_evolution_read": """
             WITH even AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

@@ -1853,3 +1853,128 @@ def rewrite_data_files(
     result["files_rewritten"] = len(rewritten_paths)
     result["files_written"] = len(new_entries)
     return result
+
+
+def rewrite_position_deletes(
+    root: str | Path,
+    ts_ms: int | None = None,
+) -> tuple[int, int, int, int]:
+    """Compact the head snapshot's POSITION-DELETE files — Iceberg's
+    ``rewrite_position_delete_files`` maintenance procedure. Every
+    row-level delete commit appends its own small pos-delete parquet, so
+    a table under steady DELETE traffic makes every MERGE-ON-READ scan
+    open hundreds of kilobyte-sized delete files; this merges them into
+    ONE spec-shaped file (``file_path`` string, ``pos`` long, sorted by
+    (file_path, pos) as the spec requires), DEDUPED on the normalized
+    (path, pos) key, and drops DANGLING rows — tombstones pointing at
+    data files no longer in the live set (compaction/overwrite removed
+    them), which can never subtract anything again.
+
+    The commit is a ``replace`` snapshot: data entries and
+    equality-delete entries carry VERBATIM (status, sequence numbers,
+    bounds, spec/schema ids — stats pruning and eq-delete applicability
+    replay identically); the merged pos-delete entry is stamped with the
+    MAX input sequence number. Position deletes are applied path-keyed
+    (sources/iceberg.py _apply_position_deletes), and rewritten data
+    files always take fresh paths, so widening the sequence cannot
+    re-attach a tombstone to a row it never covered. Prior snapshots
+    keep their own manifest lists (time travel / changelog untouched);
+    the old delete files become :func:`expire_snapshots` food.
+
+    Returns ``(n_pos_files_before, n_pos_files_after, n_rows_before,
+    n_rows_after)``; no-ops (no commit) when the table is already
+    compact (≤1 pos-delete file and zero dangling/duplicate rows)."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import _localize
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    cur = meta.get("current-snapshot-id")
+    if cur is None or cur == -1:
+        return (0, 0, 0, 0)
+    seq_of = {
+        s["snapshot-id"]: s.get("sequence-number", 0)
+        for s in meta.get("snapshots", [])
+    }
+    buckets: dict[int, list[dict]] = {0: [], 1: [], 2: []}
+    for mrow in _current_manifests(root, meta):
+        mp = _localize(mrow["manifest_path"], root)
+        _, entries = avro_lite.read_container(mp)
+        for e in entries:
+            if e.get("status", 0) == 2:
+                continue
+            if e.get("sequence_number") is None:
+                e = dict(
+                    e, sequence_number=seq_of.get(e.get("snapshot_id"), 0)
+                )
+            buckets[e["data_file"].get("content", 0)].append(e)
+    pos_entries = buckets[1]
+    n_before = len(pos_entries)
+    if n_before == 0:
+        return (0, 0, 0, 0)
+    live_norm = {
+        _re.sub(r"^file:/+", "/", str(e["data_file"]["file_path"]))
+        for e in buckets[0]
+    }
+    rows_before = 0
+    kept: dict[tuple[str, int], None] = {}
+    for e in pos_entries:
+        dpath = str(_localize(e["data_file"]["file_path"], root))
+        t = pq.read_table(
+            dpath, columns=["file_path", "pos"], use_threads=False
+        )
+        paths = t["file_path"].to_pylist()
+        poss = t["pos"].to_pylist()
+        rows_before += len(paths)
+        for p, i in zip(paths, poss):
+            norm = _re.sub(r"^file:/+", "/", p)
+            if norm in live_norm:
+                kept.setdefault((norm, int(i)))
+    rows_after = len(kept)
+    if n_before <= 1 and rows_after == rows_before:
+        return (n_before, n_before, rows_before, rows_before)
+    sid = int(meta.get("last-sequence-number", 0)) + 1
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"rewrite-pos-{sid}").hex[:8]
+    delete_bucket = list(buckets[2])
+    n_after = 0
+    if rows_after:
+        merged = sorted(kept)
+        del_file = root / "data" / f"delete-compact-{sid}-{tag}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        [f"file://{p}" for p, _ in merged], pa.string()
+                    ),
+                    "pos": pa.array([i for _, i in merged], pa.int64()),
+                }
+            ),
+            del_file,
+        )
+        max_seq = max(
+            int(e.get("sequence_number") or 0) for e in pos_entries
+        )
+        entry = _file_entry(del_file, 1, sid, sequence_number=max_seq)
+        entry["data_file"]["content"] = 1
+        delete_bucket.append(entry)
+        n_after = 1
+    new_rows = []
+    for kind, entries in ((0, buckets[0]), (1, delete_bucket)):
+        if not entries:
+            continue
+        m = _meta_dir(root) / f"m-{sid}-{tag}-c{kind}.avro"
+        avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
+        new_rows.append(
+            {
+                "manifest_path": f"file://{m}",
+                "manifest_length": m.stat().st_size,
+                "content": kind,
+                "added_snapshot_id": sid,
+            }
+        )
+    _commit(root, version, meta, sid, new_rows, "replace", ts_ms)
+    return (n_before, n_after, rows_before, rows_after)

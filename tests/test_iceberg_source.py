@@ -1632,3 +1632,98 @@ def test_metadata_only_aggregates_exact_and_guarded(tmp_path, spark):
     W.rewrite_data_files(root, target_bytes=1 << 20, ts_ms=6000)
     agg2 = iceberg_metadata_aggregates(str(root), {"k": "long"})
     assert agg2 == {"count": 5, "min": {"k": 5}, "max": {"k": 100}}
+
+
+def test_rewrite_position_deletes_compacts_and_drops_dangling(tmp_path, spark):
+    """rewrite_position_deletes: three small pos-delete files merge into
+    ONE spec-shaped file; the merged rows dedupe on (path, pos) and drop
+    DANGLING references (a delete row pointing at a data file that
+    rewrite_data_files retired). Reads are identical before/after; time
+    travel to the pre-compaction snapshot is untouched; a second call is
+    a no-op (no empty commit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_entries_static,
+        read_sequences,
+    )
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000, schema_fields=[("k", "long"), ("g", "long")])
+    W.set_partition_spec(root, [("g", "identity")], ts_ms=1500)
+    spans = {"f0": (0, 10, 0), "f1": (10, 20, 1), "f2a": (20, 25, 2), "f2b": (25, 30, 2)}
+    paths = {}
+    for name, (lo, hi, g) in spans.items():
+        f = root / "data" / f"{name}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(range(lo, hi), pa.int64()),
+                    "g": pa.array([g] * (hi - lo), pa.int64()),
+                }
+            ),
+            f,
+        )
+        paths[name] = f
+    W.append_snapshot(root, list(paths.values()), snapshot_id=1, ts_ms=2000)
+    W.delete_rows_snapshot(root, {str(paths["f0"]): [0, 1]}, snapshot_id=2, ts_ms=3000)
+    W.delete_rows_snapshot(
+        root, {str(paths["f1"]): [0], str(paths["f2a"]): [0]},
+        snapshot_id=3, ts_ms=4000,
+    )
+    # duplicate (f0, 1) plus a new (f0, 2)
+    W.delete_rows_snapshot(root, {str(paths["f0"]): [1, 2]}, snapshot_id=4, ts_ms=5000)
+    # only the g=2 bin has >= 2 files: f2a+f2b consolidate (k=20 dropped
+    # at rewrite via MOR); f0/f1 singleton bins untouched, so their
+    # delete rows stay live while the f2a reference dangles
+    rep = W.rewrite_data_files(root, ts_ms=6000)
+    assert rep["files_rewritten"] == 2 and rep["files_written"] == 1
+    pre_snapshot_rows = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+    expect = sorted(set(range(30)) - {0, 1, 2, 10, 20})
+    assert pre_snapshot_rows == expect
+    nb, na, rb, ra = W.rewrite_position_deletes(root, ts_ms=7000)
+    assert (nb, na, rb, ra) == (3, 1, 6, 4)
+    entries = iceberg_scan_entries_static(str(root))
+    assert len(entries["pos_deletes"]) == 1
+    merged = pq.read_table(entries["pos_deletes"][0]["path"])
+    assert merged.num_rows == 4
+    got = sorted(r.k for r in read_sequences(spark, str(root)).collect())
+    assert got == expect
+    # idempotent: already one compact file with zero dangling rows
+    v_before = (root / "metadata" / "version-hint.text").read_text()
+    assert W.rewrite_position_deletes(root, ts_ms=8000) == (1, 1, 4, 4)
+    assert (root / "metadata" / "version-hint.text").read_text() == v_before
+    # time travel: the pre-compaction MOR view is untouched
+    tt = sorted(r.k for r in read_sequences(spark, str(root), snapshot_id=4).collect())
+    assert tt == expect
+
+
+def test_rewrite_position_deletes_all_dangling_drops_entry(tmp_path, spark):
+    """When every delete row dangles (the referenced path is not in the
+    live data set — a retired file or an external writer's mistake), the
+    compaction drops the pos-delete entry entirely — no zero-row delete
+    file is written. (A fully-dangling file normally dies in
+    rewrite_data_files' entry-level GC; this covers the row-level path.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_entries_static,
+        read_sequences,
+    )
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}), f)
+    W.append_snapshot(root, [f], snapshot_id=1, ts_ms=2000)
+    ghost = root / "data" / "never-committed.parquet"
+    pq.write_table(pa.table({"k": pa.array([9], pa.int64())}), ghost)
+    W.delete_rows_snapshot(root, {str(ghost): [0]}, snapshot_id=2, ts_ms=3000)
+    assert W.rewrite_position_deletes(root, ts_ms=4000) == (1, 0, 1, 0)
+    entries = iceberg_scan_entries_static(str(root))
+    assert entries["pos_deletes"] == []
+    assert sorted(r.k for r in read_sequences(spark, str(root)).collect()) == [1, 2, 3]
