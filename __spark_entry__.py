@@ -1760,6 +1760,70 @@ def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between per-user activity (event count)
+    and per-user spend (floor-cents value sum) — the monotone-association
+    screen run before trusting any engagement→revenue model (robust to
+    outliers where Pearson is not). Ranks use the AVERAGE-rank tie
+    convention, and both rank passes ride the DISTRIBUTED two-pass rank
+    (operators/relational.distributed_value_cumsum, the events_user_gini
+    machinery): average rank of a tied value v is prefix_v + (c_v+1)/2,
+    so DOUBLED ranks 2·prefix + c + 1 stay exact 64-bit integers with no
+    global single-task window. All five moment sums are exact BIGINTs
+    (n=1500 users at sf0.1; the doubled-rank moments brush 2^53 only
+    past ~30M users — documented bound, same class as the gini terms),
+    and rho = (n·Sxy − Sx·Sy) / (√(n·Sxx−Sx²)·√(n·Syy−Sy²)) is spelled
+    identically in both engines — exact-int subtractions, one cast, two
+    correctly-rounded sqrts, one division — so it is BIT-IDENTICAL with
+    no ROUND needed. Plan: one user_id shuffle, two value-cardinality
+    rank joins (tiny dims; AQE broadcasts them), zero global windows."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"),
+        )
+    )
+    # two rank passes and the final join all read u: compute it once
+    u = u.localCheckpoint(eager=False)
+
+    def _rank2(col: str) -> DataFrame:
+        d = u.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        d = distributed_value_cumsum(d, value_col=col, weight_col="c")
+        return d.select(
+            col,
+            (F.lit(2) * F.col("prefix") + F.col("c") + F.lit(1)).alias(
+                f"r2{col}"
+            ),
+        )
+
+    ranked = u.join(_rank2("x"), "x").join(_rank2("y"), "y")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_users"), (num / den).alias("spearman_rho")
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -10322,6 +10386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_value_locf": events_user_value_locf,
         "lineitem_market_basket": lineitem_market_basket,
         "events_user_gini": events_user_gini,
+        "events_user_spearman": events_user_spearman,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
@@ -12036,6 +12101,37 @@ def oracle_sql() -> dict[str, str]:
                      AS n_anomalous
             FROM d JOIN mad USING (user_id)
             GROUP BY d.user_id ORDER BY d.user_id
+        """,
+        "events_user_spearman": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS x,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY user_id
+            ), r AS (
+              SELECT
+                2 * (RANK() OVER (ORDER BY x))
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS r2x,
+                2 * (RANK() OVER (ORDER BY y))
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS r2y
+              FROM u
+            ), s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(r2x) AS BIGINT) AS sx,
+                     CAST(SUM(r2y) AS BIGINT) AS sy,
+                     CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+                     CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+                     CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+              FROM r
+            )
+            SELECT n AS n_users,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+                     AS spearman_rho
+            FROM s
         """,
         "events_user_gini": """
             WITH counts AS (

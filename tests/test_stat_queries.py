@@ -117,3 +117,35 @@ def test_ks_matches_numpy(spark):
     edf_b = np.searchsorted(np.sort(b), grid, side="right") / len(b)
     d = np.abs(edf_a - edf_b).max()
     assert row["ks_d"] == pytest.approx(d, rel=1e-9)
+
+
+def test_spearman_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "value"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="int64")
+    val = np.asarray(t.column("value"), dtype="float64")
+    cents = np.floor(val * 100).astype("int64")
+    users, inv = np.unique(uid, return_inverse=True)
+    x = np.bincount(inv)
+    y = np.bincount(inv, weights=cents).astype("int64")
+
+    def avg_rank(a):
+        order = np.argsort(a, kind="stable")
+        ranks = np.empty(len(a), dtype="float64")
+        sa = a[order]
+        i = 0
+        while i < len(sa):
+            j = i
+            while j < len(sa) and sa[j] == sa[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    row = entry.events_user_spearman(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["spearman_rho"] == pytest.approx(rho, abs=1e-12)
