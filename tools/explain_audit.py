@@ -231,6 +231,12 @@ AUDITS = {
     # boundary) to a 20-key moment agg; the 1-row total comes back as a
     # BroadcastNestedLoopJoin (keyless cross) — never an SMJ/cartesian
     "doc_neyman_allocation": (0, True, False),
+    # Spearman: both rank passes ride distributed_value_cumsum, so the
+    # two bucket-offset dims must BROADCAST and no Window may collapse to
+    # a single partition; the per-user agg sits behind a lazy checkpoint
+    # (scan not visible), and the x/y rank join-backs may SMJ at scale
+    # (the y dim is value-cardinality ~ n_users)
+    "events_user_spearman": (2, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -252,6 +258,7 @@ NO_GLOBAL_WINDOW = {
     "orders_cohort_ltv",
     "events_mannwhitney_value",
     "events_ks_test_value",
+    "events_user_spearman",
 }
 
 
