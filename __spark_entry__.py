@@ -1824,6 +1824,133 @@ def events_user_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H TEST across event types — the k-group
+    generalization of events_mannwhitney_value ("does the value
+    distribution differ by event_type?") run before any per-type pricing
+    model. Pooled average ranks over floor-cents ride the same
+    DISTRIBUTED two-pass rank (distributed_value_cumsum): doubled average
+    rank of value v is 2·prefix_v + c_v + 1 (exact BIGINT; values shift
+    by +1 so the bit-length bucketing sees strictly positive ints — ranks
+    are shift-invariant). Per-group doubled rank sums S2_i and the tie
+    term Σ(c³−c) stay exact integers (S2_i ≤ 2·N·n_i ≈ 4e9 at sf0.1;
+    N³ ≈ 1e15 < 2^53 — bounds documented, same class as the gini terms).
+    H = [12/(N(N+1))·Σ(S2_i/2)²/n_i − 3(N+1)] / [1 − Σ(c³−c)/(N³−N)] is
+    spelled operation-for-operation identically in both engines; ROUND 6
+    absorbs only the k-term double summation order (k=5 groups). Plan:
+    one (type,value) agg, one value-cardinality rank join, the broadcast
+    bucket-offset dim, zero global windows."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            (F.floor(F.col("value") * 100).cast("long") + F.lit(1)).alias(
+                "v"
+            ),
+        )
+    )
+    gv = e.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the value-level counts, the rank join-back and the tie term all
+    # read gv: compute it once
+    gv = gv.localCheckpoint(eager=False)
+    vc = gv.groupBy("v").agg(F.sum("c").alias("cv"))
+    vc = vc.localCheckpoint(eager=False)
+    r = distributed_value_cumsum(vc, value_col="v", weight_col="cv")
+    r = r.select(
+        "v",
+        (F.lit(2) * F.col("prefix") + F.col("cv") + F.lit(1)).alias("r2"),
+    )
+    grp = (
+        gv.join(r, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_i"),
+            F.sum(F.col("c") * F.col("r2")).alias("s2_i"),
+        )
+    )
+    half = F.col("s2_i").cast("double") / F.lit(2.0)
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(half * half / F.col("n_i").cast("double")).alias("srr"),
+    )
+    tie = vc.agg(
+        F.sum(
+            F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")
+        ).alias("tie3"),
+        F.sum("cv").alias("n"),
+    )
+    j = agg.crossJoin(tie)
+    nd = F.col("n").cast("double")
+    h0 = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("srr")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie3").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return j.select(
+        F.col("n").alias("n_events"),
+        F.col("k_groups"),
+        F.round(h0 / corr, 6).alias("h_stat"),
+    )
+
+
+def events_user_engagement_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDINARY LEAST SQUARES of per-user spend on per-user activity —
+    the one-variable engagement→revenue regression (slope = marginal
+    value of an extra event, r² = variance explained). x = event count,
+    y = Σ floor(value) in WHOLE units (not cents: keeps n·Syy ≈ 8e14 and
+    Sy² well under 2^53/2^63 with orders of magnitude to spare — bound
+    documented). All five moment sums are exact BIGINTs; every derived
+    quantity is a single IEEE operation chain on exactly-cast ints —
+    slope = (n·Sxy−Sx·Sy)/(n·Sxx−Sx²), intercept =
+    (Sy·Sxx−Sx·Sxy)/(n·Sxx−Sx²), r² = a²/(b·c) with a,b,c the exact-int
+    (co)variance numerators — so results are BIT-IDENTICAL across
+    engines with NO rounding. Plan: one user_id shuffle to a 5-moment
+    partial agg, then a single 1-row reduce; no joins, no windows."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.floor(F.col("value")).cast("long")).alias("y"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    a = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    b = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    c = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    icept = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_users"),
+        (a / b).alias("slope"),
+        (icept / b).alias("intercept"),
+        (a * a / (b * c)).alias("r_squared"),
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -10387,6 +10514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_market_basket": lineitem_market_basket,
         "events_user_gini": events_user_gini,
         "events_user_spearman": events_user_spearman,
+        "events_kruskal_wallis": events_kruskal_wallis,
+        "events_user_engagement_ols": events_user_engagement_ols,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
@@ -12132,6 +12261,72 @@ def oracle_sql() -> dict[str, str]:
                         * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
                      AS spearman_rho
             FROM s
+        """,
+        "events_kruskal_wallis": """
+            WITH e AS (
+              SELECT event_type AS g,
+                     CAST(FLOOR(value * 100) AS BIGINT) + 1 AS v
+              FROM events WHERE value IS NOT NULL
+            ), r AS (
+              SELECT g,
+                     2 * (RANK() OVER (ORDER BY v))
+                       + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+              FROM e
+            ), grp AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(r2) AS BIGINT) AS s2_i
+              FROM r GROUP BY g
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                     SUM((CAST(s2_i AS DOUBLE) / 2.0)
+                         * (CAST(s2_i AS DOUBLE) / 2.0)
+                         / CAST(n_i AS DOUBLE)) AS srr
+              FROM grp
+            ), tie AS (
+              SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS tie3,
+                     CAST(SUM(cv) AS BIGINT) AS n
+              FROM (
+                SELECT CAST(COUNT(*) AS BIGINT) AS cv FROM e GROUP BY v
+              )
+            )
+            SELECT n AS n_events, k_groups,
+                   ROUND(
+                     (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                        * srr
+                      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                     / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                     6) AS h_stat
+            FROM agg, tie
+        """,
+        "events_user_engagement_ols": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS x,
+                     CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS y
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+              GROUP BY user_id
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM u
+            )
+            SELECT n AS n_users,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
+            FROM m
         """,
         "events_user_gini": """
             WITH counts AS (

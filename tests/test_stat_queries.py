@@ -149,3 +149,60 @@ def test_spearman_matches_numpy(spark):
     row = entry.events_user_spearman(spark, SF_DIR).collect()[0]
     assert row["n_users"] == len(users)
     assert row["spearman_rho"] == pytest.approx(rho, abs=1e-12)
+
+
+def test_kruskal_wallis_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_type", "value"],
+        use_threads=False,
+    )
+    et = np.asarray(t.column("event_type"))
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(val)
+    et, cents = et[keep], np.floor(val[keep] * 100.0).astype(np.int64)
+    # textbook average ranks over the pooled sample
+    order = np.argsort(cents, kind="stable")
+    sc = cents[order]
+    ranks = np.empty(len(sc), dtype="float64")
+    i = 0
+    while i < len(sc):
+        j = i
+        while j < len(sc) and sc[j] == sc[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(cents)
+    groups = np.unique(et)
+    srr = sum(
+        ranks[et == g].sum() ** 2 / (et == g).sum() for g in groups
+    )
+    h0 = 12.0 / (n * (n + 1.0)) * srr - 3.0 * (n + 1.0)
+    _, counts = np.unique(cents, return_counts=True)
+    c = counts.astype("float64")
+    h = h0 / (1.0 - (c**3 - c).sum() / (float(n) ** 3 - n))
+    row = entry.events_kruskal_wallis(spark, SF_DIR).collect()[0]
+    assert row["n_events"] == n
+    assert row["k_groups"] == len(groups)
+    assert row["h_stat"] == pytest.approx(h, abs=1e-6)
+
+
+def test_engagement_ols_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "value"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(uid) & ~np.isnan(val)
+    uid = uid[keep].astype("int64")
+    units = np.floor(val[keep]).astype("int64")
+    users, inv = np.unique(uid, return_inverse=True)
+    x = np.bincount(inv).astype("float64")
+    y = np.bincount(inv, weights=units)
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    row = entry.events_user_engagement_ols(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["slope"] == pytest.approx(slope, rel=1e-9)
+    assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
+    assert row["r_squared"] == pytest.approx(r2, rel=1e-9)

@@ -237,6 +237,14 @@ AUDITS = {
     # (scan not visible), and the x/y rank join-backs may SMJ at scale
     # (the y dim is value-cardinality ~ n_users)
     "events_user_spearman": (2, False, False),
+    # Kruskal-Wallis: the bucket-offset dim broadcasts; the value-level
+    # rank join-back may SMJ at scale (value-cardinality both sides);
+    # the scan sits behind the (type,value)-agg lazy checkpoint so no
+    # PushedFilters are visible
+    "events_kruskal_wallis": (1, False, False),
+    # OLS: ONE pruned 2-col scan with pushed notnull filters, one
+    # user_id shuffle, one 6-long reduce — no joins at all
+    "events_user_engagement_ols": (0, True, True),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -259,6 +267,7 @@ NO_GLOBAL_WINDOW = {
     "events_mannwhitney_value",
     "events_ks_test_value",
     "events_user_spearman",
+    "events_kruskal_wallis",
 }
 
 
