@@ -4455,6 +4455,101 @@ def iceberg_wap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("state")
 
 
+def iceberg_wap_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP publish when MAIN MOVED: docs with doc_id%3==0 land on main,
+    %3==1 are staged on branch 'audit', then main advances with the
+    %3==2 slice AFTER the fork — so fast_forward correctly REFUSES
+    (pointer move would unpublish the advance; the raise is asserted)
+    and the publish goes through cherry_pick_snapshot instead: a new
+    append re-applying exactly the files the staged snapshot added, on
+    top of the advanced head. The three states (pre-fork, advanced,
+    published) are read through the same static snapshot walk and each
+    is recomputed exactly from the documents view; the picked snapshot
+    itself stays branch-only history. Re-picking the now-published
+    snapshot raises (ancestor guard — the duplicate-publish footgun)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_cherry" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    sids = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                sids = doc["sids"]
+        except Exception:
+            sids = None
+    if sids is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        mod = pc.subtract(
+            tbl["doc_id"],
+            pc.multiply(pc.divide(tbl["doc_id"], 3), 3),
+        )
+        slices = [tbl.filter(pc.equal(mod, k)) for k in (0, 1, 2)]
+        f0 = root / "data" / "m0.parquet"
+        pq.write_table(slices[0], f0)
+        s_pre = W.append_snapshot(root, [f0], snapshot_id=1, ts_ms=2000)
+        f1 = root / "data" / "m1.parquet"
+        pq.write_table(slices[1], f1)
+        s_staged = W.append_snapshot(
+            root, [f1], snapshot_id=2, ts_ms=3000, branch="audit"
+        )
+        f2 = root / "data" / "m2.parquet"
+        pq.write_table(slices[2], f2)
+        s_adv = W.append_snapshot(root, [f2], snapshot_id=3, ts_ms=4000)
+        try:
+            W.fast_forward(root, "audit", ts_ms=5000)
+            raise AssertionError("fast_forward must refuse: main advanced")
+        except ValueError:
+            pass
+        s_pub = W.cherry_pick_snapshot(root, s_staged, ts_ms=6000)
+        try:
+            W.cherry_pick_snapshot(root, s_staged, ts_ms=7000)
+            raise AssertionError("re-pick of an ancestor must refuse")
+        except ValueError:
+            pass
+        sids = {"pre_fork": s_pre, "advanced": s_adv, "published": s_pub}
+        marker.write_text(_json.dumps({"params": params, "sids": sids}))
+    outs = []
+    for label, sid in (
+        ("1_pre_fork", sids["pre_fork"]),
+        ("2_advanced", sids["advanced"]),
+        ("3_published", None),  # current == cherry-picked head
+    ):
+        df = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+            ).select(F.lit(label).alias("state"), "n_docs", "id_sum")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("state")
+
+
 def iceberg_metadata_tables_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg INSPECTION tables (the ``table.files`` / ``.snapshots`` /
     ``.manifests`` surface every operator dashboard queries): a two-commit
@@ -10606,6 +10701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compact_small_files_read": iceberg_compact_small_files_read,
         "iceberg_metadata_only_aggregates": iceberg_metadata_only_aggregates,
         "iceberg_wap_rollback_read": iceberg_wap_rollback_read,
+        "iceberg_wap_cherry_pick": iceberg_wap_cherry_pick,
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_upsert_read": iceberg_upsert_read,
@@ -13381,6 +13477,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang = 'zh'
             UNION ALL
             SELECT '4_final', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents
+            ORDER BY state
+        """,
+        "iceberg_wap_cherry_pick": """
+            SELECT '1_pre_fork' AS state, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT '2_advanced', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
+            FROM documents WHERE doc_id % 3 IN (0, 2)
+            UNION ALL
+            SELECT '3_published', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
             FROM documents
             ORDER BY state
         """,

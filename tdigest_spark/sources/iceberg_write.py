@@ -537,6 +537,7 @@ def _commit(
     operation: str,
     ts_ms: int | None,
     branch: str | None = None,
+    extra_summary: dict | None = None,
 ) -> int:
     """Write manifest list + new metadata version + hint (in that order).
     With ``branch``, the commit moves THAT ref's head instead of
@@ -563,7 +564,7 @@ def _commit(
         "sequence-number": seq,
         "timestamp-ms": now,
         "manifest-list": f"file://{ml}",
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(extra_summary or {})},
     }
     if parent is not None:
         snap["parent-snapshot-id"] = int(parent)
@@ -691,6 +692,110 @@ def fast_forward(
     doc["snapshot-log"] = log
     _commit_metadata_only(root, version, doc, ts_ms)
     return head
+
+
+def cherry_pick_snapshot(
+    root: str | Path, snapshot_id: int, ts_ms: int | None = None
+) -> int:
+    """CHERRY-PICK an APPEND snapshot onto the CURRENT main head — the
+    WAP publish path when main advanced after the audit branch forked
+    and ``fast_forward`` correctly refuses (Iceberg's
+    ``cherrypick_snapshot`` procedure). A NEW append snapshot is
+    committed whose content = main's head + the files the picked
+    snapshot ADDED; only its manifests are re-read, no data file moves.
+
+    The re-applied entries are stamped with a NEW sequence number (and
+    the new snapshot id): the cherry-picked commit is logically a fresh
+    append, so position/equality deletes committed on main AFTER the
+    branch forked — which have strictly smaller sequence numbers — must
+    NOT apply to it (same strict-smaller-seq exemption
+    rewrite_data_files relies on; carrying the branch-time sequence
+    would let main's later deletes tombstone rows they never saw).
+    Schema ids, spec ids and partition tuples ride along verbatim —
+    field-id resolution and per-entry-spec pruning still work.
+
+    Refuses a snapshot already in main's ancestry (re-applying would
+    duplicate its rows) and any non-append operation (an overwrite's
+    tombstones are relative to ITS parent, not main's head — Iceberg
+    restricts cherry-pick the same way)."""
+    from .iceberg import _localize
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if int(snapshot_id) not in snaps:
+        raise KeyError(
+            f"snapshot {snapshot_id} not found (retained: {sorted(snaps)})"
+        )
+    src = snaps[int(snapshot_id)]
+    op = src.get("summary", {}).get("operation")
+    if op != "append":
+        raise ValueError(
+            f"cannot cherry-pick snapshot {snapshot_id}: operation is "
+            f"{op!r}, only appends re-apply cleanly onto a moved head"
+        )
+    cur = meta.get("current-snapshot-id")
+    cursor = cur if cur not in (None, -1) else None
+    while cursor is not None and cursor in snaps:
+        # the picked id may appear in ancestry directly (fast-forwarded)
+        # or via a prior cherry-pick's source-snapshot-id stamp — Iceberg
+        # records the same provenance to refuse duplicate publishes
+        picked_src = snaps[cursor].get("summary", {}).get(
+            "source-snapshot-id"
+        )
+        if cursor == int(snapshot_id) or picked_src == str(
+            int(snapshot_id)
+        ):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already published on main "
+                "— cherry-picking it again would duplicate its rows"
+            )
+        cursor = snaps[cursor].get("parent-snapshot-id")
+    ml = _localize(src["manifest-list"], root)
+    _, src_rows = avro_lite.read_container(ml)
+    added = [
+        r
+        for r in src_rows
+        if r.get("added_snapshot_id") == int(snapshot_id)
+    ]
+    if not added:
+        raise ValueError(
+            f"snapshot {snapshot_id} added no manifests — nothing to pick"
+        )
+    sid = int(meta.get("last-sequence-number", 0)) + 1
+    eseq = sid
+    entries = []
+    for r in added:
+        _, es = avro_lite.read_container(_localize(r["manifest_path"], root))
+        for e in es:
+            if e.get("status") == 2:
+                continue  # defensive: appends never carry tombstones
+            e = dict(e)
+            e["status"] = 1
+            e["snapshot_id"] = sid
+            e["sequence_number"] = eseq
+            entries.append(e)
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"pick-{sid}").hex[:8]
+    m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
+    avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
+    rows = _current_manifests(root, meta) + [
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 0,
+            "added_snapshot_id": sid,
+        }
+    ]
+    return _commit(
+        root,
+        version,
+        meta,
+        sid,
+        rows,
+        "append",
+        ts_ms,
+        extra_summary={"source-snapshot-id": str(int(snapshot_id))},
+    )
 
 
 def rewrite_manifests(

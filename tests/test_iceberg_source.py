@@ -1395,6 +1395,102 @@ def test_fast_forward_refuses_diverged_main(tmp_path):
     assert len(iceberg_scan_paths_static(str(root))) == 3
 
 
+def test_cherry_pick_publishes_onto_moved_main(tmp_path, spark):
+    """cherry_pick_snapshot re-applies a staged APPEND onto a main that
+    advanced after the fork (where fast_forward refuses): the published
+    state is main's head + exactly the staged files, the branch history
+    is untouched, and a second pick of the same snapshot refuses via the
+    source-snapshot-id provenance stamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    f2 = root / "data" / "staged.parquet"
+    pq.write_table(pa.table({"k": [10, 11]}), f2)
+    s_staged = W.append_snapshot(root, [f2], ts_ms=3000, branch="audit")
+    f3 = root / "data" / "c.parquet"
+    pq.write_table(pa.table({"k": [3]}), f3)
+    W.append_snapshot(root, [f3], ts_ms=4000)  # main moves past the fork
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        W.fast_forward(root, "audit")
+    s_pub = W.cherry_pick_snapshot(root, s_staged, ts_ms=5000)
+
+    def ks(sid=None):
+        df = read_sequences(spark, str(root), snapshot_id=sid)
+        return sorted(r["k"] for r in df.collect())
+
+    assert ks() == [1, 2, 3, 10, 11]
+    # the pick is a NEW snapshot; the staged one stays branch-only
+    assert s_pub != s_staged
+    assert ks(s_staged) == [1, 2, 10, 11]
+    with _pytest.raises(ValueError, match="already published"):
+        W.cherry_pick_snapshot(root, s_staged)
+
+
+def test_cherry_pick_new_sequence_exempts_from_prior_deletes(
+    tmp_path, spark
+):
+    """The re-applied entries carry a NEW sequence number: an equality
+    delete committed on main AFTER the fork (seq strictly below the
+    pick's) must NOT tombstone the cherry-picked rows — they are
+    logically a fresh append. Carrying the branch-time sequence would
+    resurrect the delete onto data it never saw."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1, 2]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    f2 = root / "data" / "staged.parquet"
+    pq.write_table(pa.table({"k": [2, 7]}), f2)
+    s_staged = W.append_snapshot(root, [f2], ts_ms=3000, branch="audit")
+    # main gains an eq-delete on k=2 AFTER the fork
+    keys = root / "data" / "ed.parquet"
+    pq.write_table(pa.table({"k": [2]}), keys)
+    W.equality_delete_snapshot(root, keys, ts_ms=4000)
+    W.cherry_pick_snapshot(root, s_staged, ts_ms=5000)
+    rows = sorted(
+        r["k"] for r in read_sequences(spark, str(root)).collect()
+    )
+    # original k=2 deleted; the cherry-picked k=2 (later sequence) lives
+    assert rows == [1, 2, 7]
+
+
+def test_cherry_pick_refusals(tmp_path):
+    """Non-append operations and unknown ids refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f1 = root / "data" / "a.parquet"
+    pq.write_table(pa.table({"k": [1]}), f1)
+    W.append_snapshot(root, [f1], ts_ms=2000)
+    f2 = root / "data" / "b.parquet"
+    pq.write_table(pa.table({"k": [2]}), f2)
+    s_ow = W.overwrite_snapshot(root, [f2], ts_ms=3000)
+    with _pytest.raises(ValueError, match="only appends"):
+        W.cherry_pick_snapshot(root, s_ow)
+    with _pytest.raises(KeyError):
+        W.cherry_pick_snapshot(root, 999)
+
+
 def test_rewrite_manifests_consolidates_metadata(tmp_path, spark):
     """rewrite_manifests: a 6-commit table (4 appends + eq-delete +
     pos-delete = 6 manifest files) compacts to 2 manifests (data +
