@@ -1951,6 +1951,62 @@ def events_user_engagement_ols(
     )
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE CHANGEPOINT SCREEN on the hourly event-rate series — the
+    CUSUM-style statistic max_t |n·S_t − t·N| (S_t = events through hour
+    t, N = total, n = #hours): the hour where the cumulative count
+    deviates most from the constant-rate line, i.e. where the rate
+    shifted. Everything stays EXACT 64-bit integer (n·S_t ≤ 720·N; the
+    normalized statistic is one division of exact-int doubles — bit-
+    identical, no rounding); the argmax tie-breaks to the earliest hour.
+    The global window here is SCALE-SAFE by construction: its input is
+    one row per HOUR (≤720 over the table's fixed 30-day span) — hours
+    grow with calendar time, not data volume, so at 100 TB the window
+    still sees ≤ a-few-thousand rows while the heavy lifting (the
+    per-hour counts) stays a map-side partial agg."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("h")
+    cum = hourly.select(
+        "h",
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+        F.row_number().over(w).cast("long").alias("t"),
+    )
+    tot = cum.agg(
+        F.max("t").alias("n_hours"), F.max("s").alias("n_events")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "h",
+        "n_hours",
+        "n_events",
+        F.abs(
+            F.col("n_hours") * F.col("s") - F.col("t") * F.col("n_events")
+        ).alias("d"),
+    )
+    return (
+        d.orderBy(F.col("d").desc(), F.col("h").asc())
+        .limit(1)
+        .select(
+            F.col("h").alias("change_hour"),
+            F.col("d").alias("d_stat"),
+            (
+                F.col("d").cast("double")
+                / (F.col("n_hours") * F.col("n_events")).cast("double")
+            ).alias("d_norm"),
+        )
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern FUNNEL (the MATCH_RECOGNIZE-lite every product
     analytics stack runs): per user, first signup, then the first
@@ -10611,6 +10667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_spearman": events_user_spearman,
         "events_kruskal_wallis": events_kruskal_wallis,
         "events_user_engagement_ols": events_user_engagement_ols,
+        "events_cusum_changepoint": events_cusum_changepoint,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
@@ -12423,6 +12480,29 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
             FROM m
+        """,
+        "events_cusum_changepoint": """
+            WITH hourly AS (
+              SELECT epoch_us(ts) // 3600000000 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY h
+            ), cum AS (
+              SELECT h,
+                     CAST(SUM(c) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+                     CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t
+              FROM hourly
+            ), tot AS (
+              SELECT CAST(MAX(t) AS BIGINT) AS n_hours,
+                     CAST(MAX(s) AS BIGINT) AS n_events
+              FROM cum
+            )
+            SELECT h AS change_hour,
+                   ABS(n_hours * s - t * n_events) AS d_stat,
+                   CAST(ABS(n_hours * s - t * n_events) AS DOUBLE)
+                     / CAST(n_hours * n_events AS DOUBLE) AS d_norm
+            FROM cum, tot
+            ORDER BY d_stat DESC, h ASC LIMIT 1
         """,
         "events_user_gini": """
             WITH counts AS (

@@ -206,3 +206,20 @@ def test_engagement_ols_matches_numpy(spark):
     assert row["slope"] == pytest.approx(slope, rel=1e-9)
     assert row["intercept"] == pytest.approx(intercept, rel=1e-9)
     assert row["r_squared"] == pytest.approx(r2, rel=1e-9)
+
+
+def test_cusum_changepoint_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["ts"], use_threads=False,
+    )
+    us = np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")
+    hours = us // 3_600_000_000
+    hs, counts = np.unique(hours, return_counts=True)
+    s = np.cumsum(counts)
+    n, N = len(hs), s[-1]
+    d = np.abs(n * s - np.arange(1, n + 1) * N)
+    best = np.lexsort((hs, -d))[0]
+    row = entry.events_cusum_changepoint(spark, SF_DIR).collect()[0]
+    assert row["change_hour"] == hs[best]
+    assert row["d_stat"] == d[best]
+    assert row["d_norm"] == pytest.approx(d[best] / (n * N), rel=1e-12)

@@ -245,6 +245,11 @@ AUDITS = {
     # OLS: ONE pruned 2-col scan with pushed notnull filters, one
     # user_id shuffle, one 6-long reduce — no joins at all
     "events_user_engagement_ols": (0, True, True),
+    # CUSUM changepoint: 1-col scan to a per-hour partial agg; the ≤720-
+    # row hourly series rides one global window (scale-safe: hours grow
+    # with calendar time, not data volume) and the 1-row total comes
+    # back broadcast — never an SMJ
+    "events_cusum_changepoint": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
