@@ -10470,6 +10470,140 @@ _PQ_M = 8
 _PQ_K = 16
 _PQ_SEED = 23
 
+# k-means parameters: 8 clusters over the 64-dim embeddings, components
+# quantized to ints at scale 1024 (power of two => exact float scaling)
+# so every Lloyd quantity is exact integer arithmetic — see
+# embedding_kmeans_lloyd for the bounds.
+_KM_K = 8
+_KM_SEED = 29
+_KM_SCALE = 1024
+
+
+def _km_centroids0() -> "np.ndarray":
+    """Deterministic integer initial centroids: the seeded unit codebook
+    scaled and floored to the SAME integer grid as the quantized data."""
+    from tdigest_spark.operators.similarity import ivf_fixed_centroids
+
+    C = ivf_fixed_centroids(_ANN_DIM, _KM_K, _KM_SEED)
+    return np.floor(C * _KM_SCALE).astype(np.int64)
+
+
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED K-MEANS (two Lloyd rounds: assign → update → assign)
+    over the embeddings — the iterative-training loop family next to
+    pagerank and BPE, with EXACT replay: components quantize to the
+    integer grid floor(x·1024) (power-of-two scale => the float→double
+    cast and multiply are exact in both engines), so round-1 distances
+    to the seeded integer centroids are exact BIGINTs, the cluster-sum
+    update is exact, and the round-2 argmin compares
+    f_k = (B_k − 2·A_vk·c_k)/c_k² — a SINGLE correctly-rounded division
+    of exact-int doubles (minimizing f_k ⇔ minimizing ‖q − s_k/c_k‖²
+    after dropping the k-free ‖q‖² term), bit-identical across engines,
+    ties to the smallest cluster id. Exactness bound: |num| ≤
+    2·dim·(2·scale)²·c_k² ≈ 4.6e7·c_k² < 2^53 while clusters hold ≤ ~10k
+    vectors at this scale (2000 total at sf0.1 — documented headroom).
+    Empty round-1 clusters drop (standard Lloyd behavior), identically
+    in both engines. Plan shape: the quantized explode is one narrow
+    scan; the 512-row centroid dim BROADCASTS; the dot-product joins
+    shuffle on dim index / vec_id — the standard dense-kmeans
+    dim×K×n cost, AQE-broadcast at this SF."""
+    C0 = _km_centroids0()
+    cents = spark.createDataFrame(
+        [
+            (k, i, int(C0[k, i]))
+            for k in range(_KM_K)
+            for i in range(_ANN_DIM)
+        ],
+        "k int, i int, c long",
+    )
+    qv = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("x").cast("double") * F.lit(_KM_SCALE))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    # round-1 distances, the update and the round-2 dot products all
+    # read the quantized explode: compute it once
+    qv = qv.localCheckpoint(eager=False)
+    diff = F.col("q") - F.col("c")
+    d1 = (
+        qv.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(diff * diff).alias("d1"))
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(F.min(F.struct("d1", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k1"))
+    )
+    a1 = a1.localCheckpoint(eager=False)
+    sums = (
+        qv.join(a1, "vec_id")
+        .groupBy(F.col("k1").alias("k"), F.col("i"))
+        .agg(F.sum("q").alias("s"))
+    )
+    sums = sums.localCheckpoint(eager=False)
+    csize = a1.groupBy(F.col("k1").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ck")
+    )
+    bk = sums.groupBy("k").agg(F.sum(F.col("s") * F.col("s")).alias("b"))
+    avk = (
+        qv.join(sums, "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("a"))
+    )
+    score = (
+        avk.join(F.broadcast(bk), "k")
+        .join(F.broadcast(csize), "k")
+        .select(
+            "vec_id",
+            "k",
+            (
+                (
+                    F.col("b") - F.lit(2) * F.col("a") * F.col("ck")
+                ).cast("double")
+                / (F.col("ck") * F.col("ck")).cast("double")
+            ).alias("f"),
+        )
+    )
+    a2 = (
+        score.groupBy("vec_id")
+        .agg(F.min(F.struct("f", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k2"))
+    )
+    n1 = a1.groupBy(F.col("k1").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_iter1")
+    )
+    n2 = (
+        a1.join(a2, "vec_id")
+        .groupBy(F.col("k2").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_iter2"),
+            F.sum(
+                F.when(F.col("k1") != F.col("k2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+    )
+    return (
+        n1.join(n2, "cluster_id", "full_outer")
+        .select(
+            "cluster_id",
+            F.coalesce("n_iter1", F.lit(0).cast("long")).alias("n_iter1"),
+            F.coalesce("n_iter2", F.lit(0).cast("long")).alias("n_iter2"),
+            F.coalesce("n_moved_in", F.lit(0).cast("long")).alias(
+                "n_moved_in"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
 
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION search — the memory-bound ANN family (the
@@ -10844,6 +10978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_at_k": ann_recall_at_k,
         "ann_bucket_balance": ann_bucket_balance,
         "pq_adc_topk": pq_adc_topk,
+        "embedding_kmeans_lloyd": embedding_kmeans_lloyd,
         "ivf_recall_at_probe": ivf_recall_at_probe,
         "ann_pruned_filtered_topk": ann_pruned_filtered_topk,
         "ivf_topk_cosine": ivf_topk_cosine,
@@ -11203,6 +11338,82 @@ def _ivf_recall_oracle_sql(
         ),
         exact AS (SELECT vec_id FROM cand ORDER BY cos DESC, vec_id LIMIT {k})
         SELECT * FROM ({union}) ORDER BY n_probe
+    """
+
+
+def _kmeans_oracle_sql() -> str:
+    """SQL twin of embedding_kmeans_lloyd: the 512 integer centroid
+    literals inline as VALUES, the quantized explode is a parallel
+    UNNEST zip, and every Lloyd quantity is the same exact-integer /
+    single-division arithmetic as the Spark plan (see the query
+    docstring for the bit-identity argument)."""
+    C0 = _km_centroids0()
+    cent_rows = ",\n              ".join(
+        f"({k}, {i}, CAST({int(C0[k, i])} AS BIGINT))"
+        for k in range(_KM_K)
+        for i in range(_ANN_DIM)
+    )
+    return f"""
+        WITH cents(k, i, c) AS (VALUES {cent_rows}),
+        qv AS (
+          SELECT vec_id,
+                 CAST(UNNEST(generate_series(0, len(embedding) - 1))
+                   AS INTEGER) AS i,
+                 CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE)
+                            * {_KM_SCALE}) AS BIGINT) AS q
+          FROM embeddings
+        ),
+        d1 AS (
+          SELECT vec_id, k, SUM((q - c) * (q - c)) AS d1
+          FROM qv JOIN cents USING (i) GROUP BY vec_id, k
+        ),
+        a1 AS (
+          SELECT vec_id, k AS k1 FROM (
+            SELECT vec_id, k, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY d1, k) AS rn
+            FROM d1
+          ) WHERE rn = 1
+        ),
+        sums AS (
+          SELECT k1 AS k, i, CAST(SUM(q) AS BIGINT) AS s
+          FROM qv JOIN a1 USING (vec_id) GROUP BY k1, i
+        ),
+        csize AS (
+          SELECT k1 AS k, CAST(COUNT(*) AS BIGINT) AS ck
+          FROM a1 GROUP BY k1
+        ),
+        bk AS (
+          SELECT k, CAST(SUM(s * s) AS BIGINT) AS b FROM sums GROUP BY k
+        ),
+        avk AS (
+          SELECT vec_id, k, CAST(SUM(q * s) AS BIGINT) AS a
+          FROM qv JOIN sums USING (i) GROUP BY vec_id, k
+        ),
+        a2 AS (
+          SELECT vec_id, k AS k2 FROM (
+            SELECT vec_id, k, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY
+                CAST(b - 2 * a * ck AS DOUBLE)
+                  / CAST(ck * ck AS DOUBLE),
+                k) AS rn
+            FROM avk JOIN bk USING (k) JOIN csize USING (k)
+          ) WHERE rn = 1
+        ),
+        n1 AS (
+          SELECT k1 AS cluster_id, COUNT(*) AS n_iter1 FROM a1 GROUP BY k1
+        ),
+        n2 AS (
+          SELECT k2 AS cluster_id, COUNT(*) AS n_iter2,
+                 CAST(SUM(CASE WHEN k1 <> k2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_moved_in
+          FROM a1 JOIN a2 USING (vec_id) GROUP BY k2
+        )
+        SELECT COALESCE(n1.cluster_id, n2.cluster_id) AS cluster_id,
+               COALESCE(n_iter1, 0) AS n_iter1,
+               COALESCE(n_iter2, 0) AS n_iter2,
+               COALESCE(n_moved_in, 0) AS n_moved_in
+        FROM n1 FULL OUTER JOIN n2 ON n1.cluster_id = n2.cluster_id
+        ORDER BY cluster_id
     """
 
 
@@ -15933,6 +16144,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_at_k": _ann_recall_oracle_sql(),
         "ann_bucket_balance": _ann_bucket_balance_oracle_sql(),
         "pq_adc_topk": _pq_oracle_sql(),
+        "embedding_kmeans_lloyd": _kmeans_oracle_sql(),
         "ivf_recall_at_probe": _ivf_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
     }

@@ -183,3 +183,71 @@ def test_pq_encode_matches_numpy(spark):
         d2 = -2.0 * (sub @ C[j].T) + (C[j] * C[j]).sum(axis=1)
         want = np.argmin(d2, axis=1)
         assert all(got[int(i)][j] == int(w) for i, w in zip(ids, want)), j
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd (embedding_kmeans_lloyd in __spark_entry__)
+# ---------------------------------------------------------------------------
+
+
+def _np_kmeans_two_rounds(sf_dir):
+    """Independent numpy replay of the quantized two-round Lloyd rules:
+    exact-int round-1 distances, drop-empty update, round-2 argmin on
+    f_k = (B_k - 2*A_vk*c_k)/c_k^2 with first-min tie-break."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    t = pq.read_table(sf_dir + "/embeddings.parquet", use_threads=False)
+    E = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    Q = np.floor(E * entry._KM_SCALE).astype(np.int64)
+    C0 = entry._km_centroids0()
+    d1 = ((Q[:, None, :] - C0[None, :, :]) ** 2).sum(axis=2)
+    a1 = d1.argmin(axis=1)  # first-min tie-break
+    ks = np.unique(a1)
+    S = np.stack([Q[a1 == k].sum(axis=0) for k in ks])
+    ck = np.array([(a1 == k).sum() for k in ks], dtype=np.int64)
+    B = (S * S).sum(axis=1)
+    A = Q @ S.T
+    f = (B[None, :] - 2 * A * ck[None, :]).astype(np.float64) / (
+        ck * ck
+    ).astype(np.float64)[None, :]
+    a2 = ks[f.argmin(axis=1)]
+    return a1, a2, f, ks
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    a1, a2, _, _ = _np_kmeans_two_rounds(SF_DIR)
+    rows = {
+        r["cluster_id"]: r
+        for r in entry.embedding_kmeans_lloyd(spark, SF_DIR).collect()
+    }
+    for k in sorted(set(a1) | set(a2)):
+        r = rows[int(k)]
+        assert r["n_iter1"] == (a1 == k).sum()
+        assert r["n_iter2"] == (a2 == k).sum()
+        assert r["n_moved_in"] == ((a2 == k) & (a1 != k)).sum()
+
+
+def test_kmeans_round2_score_margins(spark):
+    """The round-2 argmin compares exactly-representable rationals after
+    ONE correctly-rounded division — both engines see bit-identical
+    doubles, so agreement needs no margin. Still, assert the top-2 score
+    gap is orders above double ULP at every SF, so even an engine with a
+    differently-rounded division would agree (same defense the IVF/PQ
+    oracles carry)."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = os.path.join("/root/testdata", sf)
+        if not os.path.isdir(sf_dir):
+            continue
+        _, _, f, _ = _np_kmeans_two_rounds(sf_dir)
+        fs = np.sort(f, axis=1)
+        gap = (fs[:, 1] - fs[:, 0]) / np.maximum(np.abs(fs[:, 0]), 1.0)
+        assert gap.min() > 1e-9, (sf, gap.min())

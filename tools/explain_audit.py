@@ -250,6 +250,10 @@ AUDITS = {
     # with calendar time, not data volume) and the 1-row total comes
     # back broadcast — never an SMJ
     "events_cusum_changepoint": (0, True, False),
+    # k-means Lloyd: the 512-row centroid dim plus the per-cluster B/c
+    # dims must BROADCAST; the vec_id assignment join-backs may SMJ at
+    # scale; scans hide behind the quantized-explode lazy checkpoint
+    "embedding_kmeans_lloyd": (3, False, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
