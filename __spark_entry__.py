@@ -1951,6 +1951,95 @@ def events_user_engagement_ols(
     )
 
 
+def orders_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4.x `|>` operators — the linear FROM-first
+    dialect): order-priority pricing rollup written as
+    FROM |> WHERE |> EXTEND |> AGGREGATE … GROUP BY |> ORDER BY. The
+    pipe form lowers to the identical Catalyst plan as nested SQL (same
+    pushdown/pruning), which the plain-SQL oracle twin states exactly.
+    Money sums in exact floor-cents BIGINTs; the avg is one division of
+    exact-int doubles — bit-identical, unrounded."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus <> 'P'
+        |> EXTEND CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(cents) AS total_cents,
+                     CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avg_cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+def lineitem_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATIONS suite (the dbt-test / Great-Expectations
+    contract every ingest gate runs): five checks over lineitem in ONE
+    result — composite-key uniqueness (violations = extra rows per
+    duplicated (orderkey, linenumber)), referential integrity into
+    orders (anti-join count — null-safe: l_orderkey IS NOT NULL rows
+    only feed the FK check, nulls surface in their own check), accepted
+    range on quantity [1, 50], accepted range on discount [0, 0.1]
+    (floor-cents-free: compared against exact binary literals 0 and
+    decimal 0.1 CAST to double identically), and not-null on shipdate.
+    Each row: check name, rows checked, violations, pass flag. The FK
+    probe is the only join (orders keys broadcast as a distinct id
+    set); everything else is map-side conditional partials in one scan
+    group — shape survives 100 TB because violations aggregate before
+    leaving the executor."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    n_all = li.agg(F.count(F.lit(1)).cast("long")).first()[0]
+    dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long"))
+        .first()[0]
+    )
+    fk = (
+        li.where(F.col("l_orderkey").isNotNull())
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long"))
+        .first()[0]
+    )
+    ranges = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0)
+                | (F.col("l_discount") > F.lit(0.1).cast("double")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls"),
+    ).first()
+    rows = [
+        ("1_pk_unique", n_all, dup),
+        ("2_fk_orders", n_all, fk),
+        ("3_quantity_range", n_all, int(ranges["qty"])),
+        ("4_discount_range", n_all, int(ranges["disc"])),
+        ("5_shipdate_not_null", n_all, int(ranges["nulls"])),
+    ]
+    return spark.createDataFrame(
+        [(c, n, v, v == 0) for c, n, v in rows],
+        "check_name string, n_checked long, n_violations long, passed boolean",
+    ).orderBy("check_name")
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OFFLINE CHANGEPOINT SCREEN on the hourly event-rate series — the
     CUSUM-style statistic max_t |n·S_t − t·N| (S_t = events through hour
@@ -10802,6 +10891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kruskal_wallis": events_kruskal_wallis,
         "events_user_engagement_ols": events_user_engagement_ols,
         "events_cusum_changepoint": events_cusum_changepoint,
+        "orders_pipe_syntax_summary": orders_pipe_syntax_summary,
+        "lineitem_dq_expectations": lineitem_dq_expectations,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
         "events_type_markov_transitions": events_type_markov_transitions,
@@ -12691,6 +12782,56 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n * sxx - sx * sx AS DOUBLE)
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
             FROM m
+        """,
+        "orders_pipe_syntax_summary": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_cents,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents
+            FROM orders
+            WHERE o_orderstatus <> 'P'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "lineitem_dq_expectations": """
+            WITH base AS (SELECT COUNT(*) AS n FROM lineitem),
+            dup AS (
+              SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v FROM (
+                SELECT COUNT(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+              )
+            ),
+            fk AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+              WHERE l_orderkey IS NOT NULL
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            ),
+            qty AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+              WHERE l_quantity < 1 OR l_quantity > 50
+            ),
+            disc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+              WHERE l_discount < 0 OR l_discount > CAST(0.1 AS DOUBLE)
+            ),
+            nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+              WHERE l_shipdate IS NULL
+            )
+            SELECT '1_pk_unique' AS check_name, n AS n_checked,
+                   dup.v AS n_violations, dup.v = 0 AS passed
+            FROM base, dup
+            UNION ALL
+            SELECT '2_fk_orders', n, fk.v, fk.v = 0 FROM base, fk
+            UNION ALL
+            SELECT '3_quantity_range', n, qty.v, qty.v = 0 FROM base, qty
+            UNION ALL
+            SELECT '4_discount_range', n, disc.v, disc.v = 0 FROM base, disc
+            UNION ALL
+            SELECT '5_shipdate_not_null', n, nn.v, nn.v = 0 FROM base, nn
+            ORDER BY check_name
         """,
         "events_cusum_changepoint": """
             WITH hourly AS (

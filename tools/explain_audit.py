@@ -254,6 +254,9 @@ AUDITS = {
     # dims must BROADCAST; the vec_id assignment join-backs may SMJ at
     # scale; scans hide behind the quantized-explode lazy checkpoint
     "embedding_kmeans_lloyd": (3, False, False),
+    # pipe syntax lowers to the same Catalyst plan as nested SQL: the
+    # status filter must push down, one 2-col scan, no joins
+    "orders_pipe_syntax_summary": (0, True, True),
 }
 
 # queries whose scan must show directory-level partition pruning: a
