@@ -1951,6 +1951,318 @@ def events_user_engagement_ols(
     )
 
 
+# Poisson(1) inverse-CDF thresholds on the md5 u64 domain: T_k =
+# floor(CDF(k)·2^64), computed ONCE here and inlined as the same integer
+# literals in both engines (no cross-engine libm exp() in the plan).
+_BOOT_B = 40
+_BOOT_T = tuple(
+    int(c * (1 << 64))
+    for c in (
+        lambda e: (e, 2 * e, 2.5 * e, 8 * e / 3)
+    )(2.718281828459045**-1.0)
+)
+
+
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for mean per-user spend —
+    THE distributed bootstrap (resampling-with-replacement is
+    un-shardable; giving every (user, replica) an independent
+    Poisson(1) weight is one map-side pass). Weights are DETERMINISTIC:
+    u = md5_lower64('boot:r:user') against the inlined inverse-CDF
+    integer thresholds (w ∈ 0..4 covers 99.6% of Poisson(1) mass; the
+    truncation is part of the estimator's definition and identical in
+    both engines). Every replica mean is ONE division of exact-int
+    doubles (Σw·y, Σw BIGINTs) — bit-identical — and the percentile CI
+    picks order statistics 2 and B−1 of the B=40 sorted replica means
+    (ties broken by replica id), so the whole CI replays exactly in
+    SQL. Plan: one user_id shuffle, a 40× replica explode that
+    aggregates straight back down to 40 rows (map-side partials — the
+    blow-up never hits the shuffle), one tiny sort."""
+    from decimal import Decimal
+
+    from tdigest_spark.operators.sample import md5_lower64
+
+    peru = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y")
+        )
+    )
+    peru = peru.localCheckpoint(eager=False)
+    boot = peru.select(
+        "user_id",
+        "y",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("r"),
+    )
+    u = md5_lower64(
+        F.concat(
+            F.lit("boot:"),
+            F.col("r").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    w = (
+        F.when(u < F.lit(Decimal(_BOOT_T[0])), F.lit(0))
+        .when(u < F.lit(Decimal(_BOOT_T[1])), F.lit(1))
+        .when(u < F.lit(Decimal(_BOOT_T[2])), F.lit(2))
+        .when(u < F.lit(Decimal(_BOOT_T[3])), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+    )
+    rep = (
+        boot.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("y")).alias("sw"),
+            F.sum("w").alias("ww"),
+        )
+        .select(
+            "r",
+            (F.col("sw").cast("double") / F.col("ww").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    sorted_ms = rep.agg(
+        F.sort_array(F.collect_list(F.struct("m", "r"))).alias("a")
+    )
+    point = peru.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").alias("ysum"),
+    )
+    return point.crossJoin(sorted_ms).select(
+        "n_users",
+        F.lit(_BOOT_B).cast("int").alias("b_replicas"),
+        (F.col("ysum").cast("double") / F.col("n_users").cast("double")).alias(
+            "mean_cents"
+        ),
+        F.element_at("a", 2)["m"].alias("ci_lo_cents"),
+        F.element_at("a", _BOOT_B - 1)["m"].alias("ci_hi_cents"),
+    )
+
+
+_PERM_B = 60
+
+
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION TEST for the purchase-vs-view mean value gap — the
+    nonparametric twin of events_welch_ttest_value (no normality or
+    equal-variance assumption; under H0 exchangeability the labels are
+    arbitrary). Monte-Carlo relabeling is DETERMINISTIC: replica r
+    assigns each event to side A iff md5_lower64('perm:r:event_id') <
+    2^63 (an exact threshold literal — the p=1/2 random-split variant of
+    the permutation test, standard for large n where fixing group sizes
+    changes nothing). Every replica statistic d_r = ΣA/nA − ΣB/nB is two
+    single divisions of exact-int cents and one subtract — bit-identical
+    doubles — so the tail count #{|d_r| ≥ |d_obs|} and the p-value
+    (1+k)/(B+1) replay exactly in SQL. Plan: one observed-groups agg +
+    a B× explode that collapses map-side to 2·B partial rows; no joins
+    except the final 1-row broadcast cross."""
+    from decimal import Decimal
+
+    from tdigest_spark.operators.sample import md5_lower64
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            (F.col("event_type") == "purchase").alias("is_p"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)
+    obs = base.agg(
+        F.sum(F.when(F.col("is_p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(~F.col("is_p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("is_p"), F.col("cents")).otherwise(0)).alias(
+            "s_a"
+        ),
+        F.sum(F.when(~F.col("is_p"), F.col("cents")).otherwise(0)).alias(
+            "s_b"
+        ),
+    ).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("s_a").cast("double") / F.col("n_a").cast("double")
+            - F.col("s_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("diff_obs"),
+    )
+    rep = base.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("r"),
+    )
+    in_a = md5_lower64(
+        F.concat(
+            F.lit("perm:"),
+            F.col("r").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    ) < F.lit(Decimal(1 << 63))
+    diffs = (
+        rep.withColumn("a", in_a)
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("a"), F.col("cents")).otherwise(0)).alias(
+                "sa"
+            ),
+            F.sum(F.when(F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(
+                F.when(~F.col("a"), F.col("cents")).otherwise(0)
+            ).alias("sb"),
+            F.sum(F.when(~F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+        .select(
+            "r",
+            (
+                F.col("sa").cast("double") / F.col("ca").cast("double")
+                - F.col("sb").cast("double") / F.col("cb").cast("double")
+            ).alias("d"),
+        )
+    )
+    tail = obs.crossJoin(F.broadcast(diffs)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.first("diff_obs").alias("diff_obs"),
+        F.sum(
+            F.when(
+                F.abs(F.col("d")) >= F.abs(F.col("diff_obs")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_extreme"),
+    )
+    return tail.select(
+        "n_a",
+        "n_b",
+        "diff_obs",
+        F.lit(_PERM_B).cast("int").alias("b_replicas"),
+        "k_extreme",
+        (
+            (F.lit(1) + F.col("k_extreme")).cast("double")
+            / F.lit(float(_PERM_B + 1))
+        ).alias("p_value"),
+    )
+
+
+def _permutation_oracle_sql(b: int = _PERM_B) -> str:
+    """SQL twin of events_permutation_test (same md5 threshold, same
+    single-division arithmetic — see the query docstring)."""
+    return f"""
+        WITH base AS (
+          SELECT event_id, event_type = 'purchase' AS is_p,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('purchase', 'view')
+        ), obs AS (
+          SELECT CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_b,
+                 CAST(CAST(SUM(CASE WHEN is_p THEN cents ELSE 0 END)
+                      AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 - CAST(CAST(SUM(CASE WHEN is_p THEN 0 ELSE cents END)
+                      AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END)
+                      AS DOUBLE) AS diff_obs
+          FROM base
+        ), rep AS (
+          SELECT CAST(t.r AS INTEGER) AS r, cents,
+                 md5_number_lower('perm:' || CAST(t.r AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR))
+                   < CAST(9223372036854775808 AS UBIGINT) AS a
+          FROM base, generate_series(0, {b - 1}) AS t(r)
+        ), diffs AS (
+          SELECT r,
+                 CAST(CAST(SUM(CASE WHEN a THEN cents ELSE 0 END)
+                      AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE)
+                 - CAST(CAST(SUM(CASE WHEN a THEN 0 ELSE cents END)
+                      AS BIGINT) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DOUBLE)
+                   AS d
+          FROM rep GROUP BY r
+        )
+        SELECT n_a, n_b, diff_obs, CAST({b} AS INTEGER) AS b_replicas,
+               CAST(SUM(CASE WHEN ABS(d) >= ABS(diff_obs) THEN 1 ELSE 0
+                    END) AS BIGINT) AS k_extreme,
+               CAST(1 + SUM(CASE WHEN ABS(d) >= ABS(diff_obs)
+                    THEN 1 ELSE 0 END) AS DOUBLE) / CAST({b + 1} AS
+                    DOUBLE) AS p_value
+        FROM obs, diffs
+        GROUP BY n_a, n_b, diff_obs
+    """
+
+
+def _bootstrap_oracle_sql(b: int = _BOOT_B) -> str:
+    """SQL twin of events_bootstrap_mean_ci: the same inlined Poisson
+    inverse-CDF integer thresholds against DuckDB md5_number_lower
+    (== the Spark md5_lower64 column, proven across the dedup family),
+    replica means as single divisions of exact ints, order-statistic CI
+    via ROW_NUMBER."""
+    t0, t1, t2, t3 = _BOOT_T
+    return f"""
+        WITH peru AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), boot AS (
+          SELECT user_id, y, CAST(t.r AS INTEGER) AS r
+          FROM peru, generate_series(0, {b - 1}) AS t(r)
+        ), wts AS (
+          SELECT r, y,
+                 CASE
+                   WHEN u < CAST({t0} AS UBIGINT) THEN 0
+                   WHEN u < CAST({t1} AS UBIGINT) THEN 1
+                   WHEN u < CAST({t2} AS UBIGINT) THEN 2
+                   WHEN u < CAST({t3} AS UBIGINT) THEN 3
+                   ELSE 4
+                 END AS w
+          FROM (
+            SELECT r, y,
+                   md5_number_lower('boot:' || CAST(r AS VARCHAR) || ':'
+                                    || CAST(user_id AS VARCHAR)) AS u
+            FROM boot
+          )
+        ), rep AS (
+          SELECT r,
+                 CAST(CAST(SUM(w * y) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS m
+          FROM wts GROUP BY r
+        ), ranked AS (
+          SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn FROM rep
+        ), point AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(y) AS BIGINT) AS ysum
+          FROM peru
+        )
+        SELECT n_users, CAST({b} AS INTEGER) AS b_replicas,
+               CAST(ysum AS DOUBLE) / CAST(n_users AS DOUBLE)
+                 AS mean_cents,
+               (SELECT m FROM ranked WHERE rn = 2) AS ci_lo_cents,
+               (SELECT m FROM ranked WHERE rn = {b - 1}) AS ci_hi_cents
+        FROM point
+    """
+
+
 def orders_pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIPE SYNTAX (Spark 4.x `|>` operators — the linear FROM-first
     dialect): order-priority pricing rollup written as
@@ -10892,6 +11204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_engagement_ols": events_user_engagement_ols,
         "events_cusum_changepoint": events_cusum_changepoint,
         "orders_pipe_syntax_summary": orders_pipe_syntax_summary,
+        "events_bootstrap_mean_ci": events_bootstrap_mean_ci,
+        "events_permutation_test": events_permutation_test,
         "lineitem_dq_expectations": lineitem_dq_expectations,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
@@ -12783,6 +13097,8 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(n * syy - sy * sy AS DOUBLE)) AS r_squared
             FROM m
         """,
+        "events_bootstrap_mean_ci": _bootstrap_oracle_sql(),
+        "events_permutation_test": _permutation_oracle_sql(),
         "orders_pipe_syntax_summary": """
             SELECT o_orderpriority,
                    COUNT(*) AS n_orders,

@@ -276,6 +276,12 @@ def run_headline(spark) -> dict[str, float]:
         # (distributed prefix sum + broadcast lookup)
         "doc_bigram_lm_quality",
         "doc_chars_quantile_normalize",
+        # round-5 third session: the iterative exact-replay k-means (two
+        # Lloyd rounds, the heaviest new join stack), the 40-replica
+        # Poisson bootstrap, and the pooled-rank Kruskal-Wallis
+        "embedding_kmeans_lloyd",
+        "events_bootstrap_mean_ci",
+        "events_kruskal_wallis",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -344,9 +350,17 @@ def run_headline(spark) -> dict[str, float]:
         ).collect()[0]
         return row["n"]
 
+    def _force_collect(df):
+        # tiny results (1-8 rows) whose expensive subtrees feed agg
+        # EXPRESSIONS, not cardinality — count() would prune them
+        return len(df.collect())
+
     force_actions = {
         "events_user_trailing_hour": _force_window,
         "events_user_value_locf": _force_locf,
+        "embedding_kmeans_lloyd": _force_collect,
+        "events_bootstrap_mean_ci": _force_collect,
+        "events_kruskal_wallis": _force_collect,
     }
     for _ in range(2):
         for name in headline:

@@ -223,3 +223,83 @@ def test_cusum_changepoint_matches_numpy(spark):
     assert row["change_hour"] == hs[best]
     assert row["d_stat"] == d[best]
     assert row["d_norm"] == pytest.approx(d[best] / (n * N), rel=1e-12)
+
+
+def test_bootstrap_ci_matches_hashlib(spark):
+    """Independent replay: hashlib md5 (not Spark's, not DuckDB's) drives
+    the same Poisson-threshold weights; replica means and the order-
+    statistic CI must match bit-for-bit."""
+    import hashlib
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "value"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(uid)
+    uid = uid[keep].astype("int64")
+    cents = np.floor(val[keep] * 100)
+    users, inv = np.unique(uid, return_inverse=True)
+    y = np.bincount(inv, weights=np.where(np.isnan(cents), 0, cents)).astype(
+        "int64"
+    )
+
+    def u64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+    B = entry._BOOT_B
+    T = entry._BOOT_T
+    ms = []
+    for r in range(B):
+        sw = ww = 0
+        for u, yy in zip(users, y):
+            h = u64(f"boot:{r}:{u}")
+            w = 0 if h < T[0] else 1 if h < T[1] else 2 if h < T[2] else (
+                3 if h < T[3] else 4
+            )
+            sw += w * int(yy)
+            ww += w
+        ms.append((sw / ww, r))
+    ms.sort()
+    row = entry.events_bootstrap_mean_ci(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["mean_cents"] == y.sum() / len(users)
+    assert row["ci_lo_cents"] == ms[1][0]
+    assert row["ci_hi_cents"] == ms[B - 2][0]
+    # the interval brackets the point estimate
+    assert row["ci_lo_cents"] < row["mean_cents"] < row["ci_hi_cents"]
+
+
+def test_permutation_test_matches_hashlib(spark):
+    import hashlib
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        use_threads=False,
+    )
+    et = np.asarray(t.column("event_type"))
+    keep = np.isin(et, ["purchase", "view"])
+    eid = np.asarray(t.column("event_id"), dtype="int64")[keep]
+    cents = np.floor(
+        np.asarray(t.column("value"), dtype="float64")[keep] * 100
+    ).astype("int64")
+    is_p = et[keep] == "purchase"
+    diff_obs = cents[is_p].mean() - cents[~is_p].mean()
+
+    def u64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+    B = entry._PERM_B
+    k = 0
+    for r in range(B):
+        a = np.array([u64(f"perm:{r}:{e}") < (1 << 63) for e in eid])
+        d = cents[a].mean() - cents[~a].mean()
+        if abs(d) >= abs(diff_obs):
+            k += 1
+    row = entry.events_permutation_test(spark, SF_DIR).collect()[0]
+    assert row["n_a"] == is_p.sum() and row["n_b"] == (~is_p).sum()
+    assert row["diff_obs"] == pytest.approx(diff_obs, rel=1e-12)
+    assert row["k_extreme"] == k
+    assert row["p_value"] == (1 + k) / (B + 1)

@@ -257,6 +257,14 @@ AUDITS = {
     # pipe syntax lowers to the same Catalyst plan as nested SQL: the
     # status filter must push down, one 2-col scan, no joins
     "orders_pipe_syntax_summary": (0, True, True),
+    # Poisson bootstrap: the replica explode collapses map-side into the
+    # 40-group agg — no joins except the final 1-row broadcast cross;
+    # per-user agg sits behind a lazy checkpoint
+    "events_bootstrap_mean_ci": (0, True, False),
+    # randomization test: same shape as the bootstrap — replica explode
+    # collapses map-side, the 60-row diffs dim broadcast-crosses the
+    # 1-row observed agg; no equi joins
+    "events_permutation_test": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
