@@ -2046,6 +2046,149 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES FORECAST BACKTEST on the hourly event rate: the
+    seasonal-naive model (ŷ_t = y_{t−24}) against the naive baseline
+    (ŷ_t = y_{t−1}) over the final 168-hour holdout — the sanity
+    benchmark every forecasting deployment must beat before anything
+    fancier ships. Errors are |exact-int differences|, so both MAEs and
+    the skill ratio (seasonal absolute-error sum / naive absolute-error
+    sum; < 1 means the daily cycle is real signal) are single divisions
+    of exact BIGINTs — bit-identical, unrounded. Backtest hours require
+    BOTH lags to exist inside the series. Same scale story as the CUSUM
+    screen: the ≤720-row hourly series rides one global window while
+    the per-hour counts stay map-side partials."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # VALUE-lags, not row-lags: empty hours are real gaps in the series
+    # (row-24-back ≠ 24 hours back when an hour has zero events), so the
+    # lags join on exact hour arithmetic — trivially broadcastable, the
+    # series is calendar-bounded
+    hourly = hourly.localCheckpoint(eager=False)
+    hmax = hourly.agg(F.max("h").alias("hmax"))
+    l24 = hourly.select(
+        (F.col("h") + 24).alias("h"), F.col("c").alias("l24")
+    )
+    l1 = hourly.select(
+        (F.col("h") + 1).alias("h"), F.col("c").alias("l1")
+    )
+    lagged = (
+        hourly.join(l24, "h")
+        .join(l1, "h")
+        .crossJoin(F.broadcast(hmax))
+        .where(F.col("h") > F.col("hmax") - 168)
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_backtest_hours"),
+        F.sum(F.abs(F.col("c") - F.col("l24"))).alias("ss"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).alias("sn"),
+    )
+    return agg.select(
+        "n_backtest_hours",
+        (
+            F.col("ss").cast("double")
+            / F.col("n_backtest_hours").cast("double")
+        ).alias("mae_seasonal"),
+        (
+            F.col("sn").cast("double")
+            / F.col("n_backtest_hours").cast("double")
+        ).alias("mae_naive"),
+        (F.col("ss").cast("double") / F.col("sn").cast("double")).alias(
+            "skill_ratio"
+        ),
+    )
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION (recency / frequency / monetary — the classic
+    marketing cube) WITHOUT the global-NTILE scale trap: a naive
+    NTILE(4) OVER (ORDER BY metric) funnels every customer through one
+    task, so instead each metric's quartile CUTS come from the
+    distributed nearest-rank rule (smallest value whose cumulative
+    customer count reaches ceil(p·n), prefix sums via
+    distributed_value_cumsum — exact integers), and assignment is a
+    map-side comparison against the three broadcast 1-row cut frames.
+    Digits: 1+(v>c25)+(v>c50)+(v>c75) per metric (ties take the lower
+    quartile — deterministic in both engines); R = last-order epoch-day
+    (higher = more recent), F = order count, M = floor-cents lifetime
+    value. Output: customers and money per RFM segment."""
+    from tdigest_spark.operators.relational import distributed_value_cumsum
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.expr(
+                    "unix_micros(cast(o_orderdate as timestamp))"
+                    " div 86400000000"
+                )
+            ).alias("r_day"),
+            F.count(F.lit(1)).cast("long").alias("f_cnt"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("m_cents"),
+        )
+    )
+    cust = cust.localCheckpoint(eager=False)
+    n = cust.count()
+    ks = ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4)
+
+    def _cuts(col: str) -> DataFrame:
+        vc = cust.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        d = distributed_value_cumsum(vc, value_col=col, weight_col="cnt")
+        covered = F.col("prefix") + F.col("cnt")
+        return d.agg(
+            *[
+                F.min(F.when(covered >= int(k), F.col(col))).alias(
+                    f"{col}_c{i}"
+                )
+                for i, k in enumerate(ks, start=1)
+            ]
+        )
+
+    scored = (
+        cust.crossJoin(F.broadcast(_cuts("r_day")))
+        .crossJoin(F.broadcast(_cuts("f_cnt")))
+        .crossJoin(F.broadcast(_cuts("m_cents")))
+    )
+
+    def _q(col: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{col}_c1"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{col}_c2"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{col}_c3"), 1).otherwise(0)
+        ).cast("int")
+
+    return (
+        scored.select(
+            F.concat(
+                _q("r_day").cast("string"),
+                _q("f_cnt").cast("string"),
+                _q("m_cents").cast("string"),
+            ).alias("segment"),
+            "m_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m_cents").alias("segment_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
 _PERM_B = 60
 
 
@@ -11206,6 +11349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pipe_syntax_summary": orders_pipe_syntax_summary,
         "events_bootstrap_mean_ci": events_bootstrap_mean_ci,
         "events_permutation_test": events_permutation_test,
+        "events_forecast_backtest": events_forecast_backtest,
+        "orders_rfm_segmentation": orders_rfm_segmentation,
         "lineitem_dq_expectations": lineitem_dq_expectations,
         "events_funnel_conversion": events_funnel_conversion,
         "events_user_hour_anomalies": events_user_hour_anomalies,
@@ -13099,6 +13244,83 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_bootstrap_mean_ci": _bootstrap_oracle_sql(),
         "events_permutation_test": _permutation_oracle_sql(),
+        "orders_rfm_segmentation": """
+            WITH cust AS (
+              SELECT o_custkey,
+                     MAX(epoch_us(o_orderdate) // 86400000000) AS r_day,
+                     CAST(COUNT(*) AS BIGINT) AS f_cnt,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS m_cents
+              FROM orders GROUP BY o_custkey
+            ), ks AS (
+              SELECT (n + 3) // 4 AS k1, (n + 1) // 2 AS k2,
+                     (3 * n + 3) // 4 AS k3
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust)
+            ), rcut AS (
+              SELECT MIN(CASE WHEN cum >= k1 THEN v END) AS rc1,
+                     MIN(CASE WHEN cum >= k2 THEN v END) AS rc2,
+                     MIN(CASE WHEN cum >= k3 THEN v END) AS rc3
+              FROM (SELECT r_day AS v,
+                           SUM(COUNT(*)) OVER (ORDER BY r_day) AS cum
+                    FROM cust GROUP BY r_day), ks
+            ), fcut AS (
+              SELECT MIN(CASE WHEN cum >= k1 THEN v END) AS fc1,
+                     MIN(CASE WHEN cum >= k2 THEN v END) AS fc2,
+                     MIN(CASE WHEN cum >= k3 THEN v END) AS fc3
+              FROM (SELECT f_cnt AS v,
+                           SUM(COUNT(*)) OVER (ORDER BY f_cnt) AS cum
+                    FROM cust GROUP BY f_cnt), ks
+            ), mcut AS (
+              SELECT MIN(CASE WHEN cum >= k1 THEN v END) AS mc1,
+                     MIN(CASE WHEN cum >= k2 THEN v END) AS mc2,
+                     MIN(CASE WHEN cum >= k3 THEN v END) AS mc3
+              FROM (SELECT m_cents AS v,
+                           SUM(COUNT(*)) OVER (ORDER BY m_cents) AS cum
+                    FROM cust GROUP BY m_cents), ks
+            )
+            SELECT CAST(1 + CAST(r_day > rc1 AS INTEGER)
+                          + CAST(r_day > rc2 AS INTEGER)
+                          + CAST(r_day > rc3 AS INTEGER) AS VARCHAR)
+                   || CAST(1 + CAST(f_cnt > fc1 AS INTEGER)
+                          + CAST(f_cnt > fc2 AS INTEGER)
+                          + CAST(f_cnt > fc3 AS INTEGER) AS VARCHAR)
+                   || CAST(1 + CAST(m_cents > mc1 AS INTEGER)
+                          + CAST(m_cents > mc2 AS INTEGER)
+                          + CAST(m_cents > mc3 AS INTEGER) AS VARCHAR)
+                     AS segment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(m_cents) AS BIGINT) AS segment_cents
+            FROM cust, rcut, fcut, mcut
+            GROUP BY segment
+            ORDER BY segment
+        """,
+        "events_forecast_backtest": """
+            WITH hourly AS (
+              SELECT epoch_us(ts) // 3600000000 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY h
+            ), hmax AS (SELECT MAX(h) AS hmax FROM hourly),
+            lagged AS (
+              SELECT a.h, a.c, b.c AS l24, d.c AS l1
+              FROM hourly a
+              JOIN hourly b ON b.h = a.h - 24
+              JOIN hourly d ON d.h = a.h - 1
+              CROSS JOIN hmax
+              WHERE a.h > hmax - 168
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_backtest_hours,
+                     CAST(SUM(ABS(c - l24)) AS BIGINT) AS ss,
+                     CAST(SUM(ABS(c - l1)) AS BIGINT) AS sn
+              FROM lagged
+            )
+            SELECT n_backtest_hours,
+                   CAST(ss AS DOUBLE) / CAST(n_backtest_hours AS DOUBLE)
+                     AS mae_seasonal,
+                   CAST(sn AS DOUBLE) / CAST(n_backtest_hours AS DOUBLE)
+                     AS mae_naive,
+                   CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE) AS skill_ratio
+            FROM agg
+        """,
         "orders_pipe_syntax_summary": """
             SELECT o_orderpriority,
                    COUNT(*) AS n_orders,

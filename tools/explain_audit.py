@@ -265,6 +265,13 @@ AUDITS = {
     # collapses map-side, the 60-row diffs dim broadcast-crosses the
     # 1-row observed agg; no equi joins
     "events_permutation_test": (0, True, False),
+    # forecast backtest: value-lag joins on the calendar-bounded hourly
+    # series (tiny; AQE may broadcast or SMJ), 1-row hmax cross
+    "events_forecast_backtest": (0, False, False),
+    # RFM: three bucket-offset dims (one per metric's distributed
+    # quartile cuts) must BROADCAST; cut frames come back as keyless
+    # 1-row crosses; no SMJ anywhere; no single-partition window
+    "orders_rfm_segmentation": (3, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -288,6 +295,7 @@ NO_GLOBAL_WINDOW = {
     "events_ks_test_value",
     "events_user_spearman",
     "events_kruskal_wallis",
+    "orders_rfm_segmentation",
 }
 
 
