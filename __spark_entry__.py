@@ -2189,6 +2189,170 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_dow_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHI-SQUARE TEST OF INDEPENDENCE between event type and day-of-week
+    (the contingency twin of the hour-of-day goodness-of-fit screen:
+    "does the type mix shift across the week?") plus CRAMÉR'S V effect
+    size. Day-of-week is epoch-day mod 7 — pure integer arithmetic, no
+    engine DOW-convention mismatch (Spark counts from Sunday=1, DuckDB
+    from Sunday=0). Observed/row/column/grand totals are exact BIGINTs
+    (rt·ct ≤ N² ≈ 1e10), each cell term (o−e)²/e is spelled identically
+    (e = one division of exact ints), and ROUND 6 absorbs only the
+    35-cell summation order. V = sqrt(χ²/(N·min(r−1,c−1))) uses the
+    UNROUNDED sum. Plan: ONE scan to a 35-cell contingency agg; margins
+    re-aggregate from the cells and broadcast back — nothing reads the
+    fact table twice."""
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000 % 7"
+            ).alias("d"),
+        )
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    cells = cells.localCheckpoint(eager=False)
+    rt = cells.groupBy("t").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("d").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("t").cast("long").alias("r"),
+        F.count_distinct("d").cast("long").alias("c"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    j = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "d")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg2 = j.agg(
+        F.first("n").alias("n_events"),
+        F.first("r").alias("r"),
+        F.first("c").alias("c"),
+        F.sum(term).alias("chi2_raw"),
+    )
+    return agg2.select(
+        "n_events",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.col("chi2_raw"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (
+                    F.col("n_events")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def events_user_survival_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NELSON-AALEN cumulative hazard of TIME-TO-FIRST-PURCHASE —
+    survival analysis with RIGHT CENSORING (the conversion question
+    "how fast do users convert?", asked properly: a user who never
+    purchased isn't a zero, they're censored at the end of their
+    observation window). Duration = first-purchase day − first-event
+    day; never-purchasers carry duration window-max − first-event day,
+    censored. Risk sets and event counts are exact integers via an
+    exclusive prefix window over the ≤31 distinct day-durations
+    (calendar-bounded — the global window is scale-safe, per the
+    CUSUM/backtest precedent); each hazard increment d/n is ONE
+    division of exact-int doubles (bit-identical, unrounded). The
+    cumulative hazard is a running double sum whose ASSOCIATION ORDER
+    an engine may choose (DuckDB's segment-tree window vs Spark's
+    sequential scan), so it — and only it — carries ROUND 6. The KM
+    product-form survival curve is deliberately NOT emitted: exp/ln
+    round-trips are libm-dependent cross-engine; the hazard form is
+    the exact one."""
+    days = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    peru = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            days.alias("day"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            F.min(F.when(F.col("is_p"), F.col("day"))).alias("dp"),
+        )
+    )
+    peru = peru.localCheckpoint(eager=False)
+    gmax = peru.agg(F.max("d1").alias("gmax"))
+    marked = peru.crossJoin(F.broadcast(gmax)).select(
+        (
+            F.coalesce(F.col("dp"), F.col("gmax")) - F.col("d0")
+        ).alias("t_days"),
+        F.col("dp").isNull().alias("censored"),
+    )
+    durs = marked.groupBy("t_days").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    w = Window.orderBy("t_days")
+    risk = durs.select(
+        "t_days",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    ).where(F.col("d") > 0)
+    hz = risk.select(
+        "t_days",
+        "n_risk",
+        F.col("d").alias("n_deaths"),
+        (F.col("d").cast("double") / F.col("n_risk").cast("double")).alias(
+            "hazard"
+        ),
+    )
+    return hz.select(
+        "t_days",
+        "n_risk",
+        "n_deaths",
+        "hazard",
+        F.round(
+            F.sum("hazard").over(
+                Window.orderBy("t_days").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            6,
+        ).alias("cum_hazard"),
+    ).orderBy("t_days")
+
+
 _PERM_B = 60
 
 
@@ -11350,6 +11514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_mean_ci": events_bootstrap_mean_ci,
         "events_permutation_test": events_permutation_test,
         "events_forecast_backtest": events_forecast_backtest,
+        "events_type_dow_independence": events_type_dow_independence,
+        "events_user_survival_hazard": events_user_survival_hazard,
         "orders_rfm_segmentation": orders_rfm_segmentation,
         "lineitem_dq_expectations": lineitem_dq_expectations,
         "events_funnel_conversion": events_funnel_conversion,
@@ -13244,6 +13410,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_bootstrap_mean_ci": _bootstrap_oracle_sql(),
         "events_permutation_test": _permutation_oracle_sql(),
+        "events_user_survival_hazard": """
+            WITH peru AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts) // 86400000000) AS d0,
+                     MAX(epoch_us(ts) // 86400000000) AS d1,
+                     MIN(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) // 86400000000 END) AS dp
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ), gmax AS (SELECT MAX(d1) AS gmax FROM peru),
+            durs AS (
+              SELECT COALESCE(dp, gmax) - d0 AS t_days,
+                     CAST(SUM(CASE WHEN dp IS NULL THEN 0 ELSE 1 END)
+                       AS BIGINT) AS d,
+                     CAST(SUM(CASE WHEN dp IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS c
+              FROM peru, gmax GROUP BY t_days
+            ), risk AS (
+              SELECT t_days, d,
+                     CAST(SUM(d + c) OVER () AS BIGINT)
+                       - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           1 PRECEDING), 0) AS BIGINT) AS n_risk
+              FROM durs
+            ), hz AS (
+              SELECT t_days, n_risk, d AS n_deaths,
+                     CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard
+              FROM risk WHERE d > 0
+            )
+            SELECT t_days, n_risk, n_deaths, hazard,
+                   ROUND(SUM(hazard) OVER (ORDER BY t_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS cum_hazard
+            FROM hz ORDER BY t_days
+        """,
+        "events_type_dow_independence": """
+            WITH cells AS (
+              SELECT event_type AS t,
+                     (epoch_us(ts) // 86400000000) % 7 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM events GROUP BY t, d
+            ), rt AS (
+              SELECT t, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY t
+            ), ct AS (
+              SELECT d, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY d
+            ), tot AS (
+              SELECT CAST(SUM(o) AS BIGINT) AS n,
+                     CAST(COUNT(DISTINCT t) AS BIGINT) AS r,
+                     CAST(COUNT(DISTINCT d) AS BIGINT) AS c
+              FROM cells
+            ), terms AS (
+              SELECT n, r, c,
+                     (CAST(o AS DOUBLE)
+                        - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE)
+                        - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS term
+              FROM cells JOIN rt USING (t) JOIN ct USING (d)
+              CROSS JOIN tot
+            )
+            SELECT MIN(n) AS n_events,
+                   CAST((MIN(r) - 1) * (MIN(c) - 1) AS BIGINT) AS dof,
+                   ROUND(SUM(term), 6) AS chi2,
+                   ROUND(SQRT(SUM(term)
+                         / CAST(MIN(n) * LEAST(MIN(r) - 1, MIN(c) - 1)
+                             AS DOUBLE)), 6) AS cramers_v
+            FROM terms
+        """,
         "orders_rfm_segmentation": """
             WITH cust AS (
               SELECT o_custkey,

@@ -303,3 +303,72 @@ def test_permutation_test_matches_hashlib(spark):
     assert row["diff_obs"] == pytest.approx(diff_obs, rel=1e-12)
     assert row["k_extreme"] == k
     assert row["p_value"] == (1 + k) / (B + 1)
+
+
+def test_type_dow_independence_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_type", "ts"],
+        use_threads=False,
+    )
+    et = np.asarray(t.column("event_type"))
+    us = np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")
+    dow = (us // 86_400_000_000) % 7
+    types = np.unique(et)
+    dows = np.unique(dow)
+    O = np.array(
+        [[((et == a) & (dow == b)).sum() for b in dows] for a in types],
+        dtype="float64",
+    )
+    N = O.sum()
+    E = O.sum(axis=1, keepdims=True) * O.sum(axis=0, keepdims=True) / N
+    chi2 = ((O - E) ** 2 / E).sum()
+    v = np.sqrt(chi2 / (N * min(len(types) - 1, len(dows) - 1)))
+    row = entry.events_type_dow_independence(spark, SF_DIR).collect()[0]
+    assert row["n_events"] == N
+    assert row["dof"] == (len(types) - 1) * (len(dows) - 1)
+    assert row["chi2"] == pytest.approx(chi2, abs=2e-6)
+    assert row["cramers_v"] == pytest.approx(v, abs=2e-6)
+
+
+def test_survival_hazard_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    keep = ~np.isnan(uid)
+    uid = uid[keep].astype("int64")
+    et = np.asarray(t.column("event_type"))[keep]
+    day = (
+        np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")[
+            keep
+        ]
+        // 86_400_000_000
+    )
+    users = np.unique(uid)
+    gmax = day.max()
+    durs, events = [], []
+    for u in users:
+        m = uid == u
+        d0 = day[m].min()
+        pd_ = day[m & (et == "purchase")]
+        if len(pd_):
+            durs.append(pd_.min() - d0)
+            events.append(1)
+        else:
+            durs.append(gmax - d0)
+            events.append(0)
+    durs, events = np.array(durs), np.array(events)
+    rows = entry.events_user_survival_hazard(spark, SF_DIR).collect()
+    cum = 0.0
+    got = {r["t_days"]: r for r in rows}
+    for tt in sorted(set(durs[events == 1])):
+        n_risk = (durs >= tt).sum()
+        d = ((durs == tt) & (events == 1)).sum()
+        cum += d / n_risk
+        r = got[tt]
+        assert r["n_risk"] == n_risk and r["n_deaths"] == d
+        assert r["hazard"] == d / n_risk
+        assert r["cum_hazard"] == pytest.approx(cum, abs=2e-6)
+    assert len(rows) == len(set(durs[events == 1]))

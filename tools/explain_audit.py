@@ -272,6 +272,13 @@ AUDITS = {
     # quartile cuts) must BROADCAST; cut frames come back as keyless
     # 1-row crosses; no SMJ anywhere; no single-partition window
     "orders_rfm_segmentation": (3, True, False),
+    # chi-square independence: 35-cell contingency agg, margins join
+    # back via broadcasts (tiny dims), 1-row total cross; no SMJ
+    "events_type_dow_independence": (2, True, False),
+    # Nelson-Aalen: per-user agg behind a checkpoint; the ≤31-row
+    # duration series rides calendar-bounded global windows; 1-row gmax
+    # cross is the only join
+    "events_user_survival_hazard": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
