@@ -1708,6 +1708,34 @@ def orphan_files(root: str | Path) -> list[str]:
     return out
 
 
+def remove_orphan_files(
+    root: str | Path, older_than_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """DELETE orphan data files older than ``older_than_ms`` — the action
+    half of :func:`orphan_files` (Iceberg's remove_orphan_files
+    procedure). The age guard is MANDATORY: a file younger than the
+    in-flight-commit window may belong to a writer whose snapshot commit
+    simply hasn't landed yet — deleting it would corrupt that commit the
+    moment it publishes (Iceberg defaults the cutoff to 3 days for the
+    same reason). Age = file mtime vs ``now_ms`` (wall clock when None).
+    Orphan detection re-runs against current metadata at call time, so a
+    file that became referenced since a prior listing survives. Returns
+    the deleted paths; idempotent — a second call deletes nothing."""
+    root = Path(str(root))
+    now = _now_ms(now_ms)
+    deleted = []
+    for p in orphan_files(root):
+        path = Path(p)
+        try:
+            mtime_ms = int(path.stat().st_mtime * 1000)
+        except FileNotFoundError:
+            continue  # raced with another cleaner — already gone
+        if now - mtime_ms >= older_than_ms:
+            path.unlink()
+            deleted.append(str(path))
+    return deleted
+
+
 def snapshot_ids(root: str | Path) -> list[int]:
     """Committed snapshot ids, oldest first."""
     _, meta = _load_current(Path(str(root)))

@@ -790,6 +790,38 @@ def test_orphan_files_detected(table_root):
     ]
 
 
+def test_remove_orphan_files_age_guarded(table_root, spark):
+    """remove_orphan_files deletes only orphans OLDER than the cutoff:
+    a fresh stray (inside the in-flight-commit window) survives, live
+    and tombstoned-but-referenced files are never touched, the table
+    still reads, and a second call is a no-op."""
+    import os
+    import time
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    f_a = _pq(table_root / "data" / "a.parquet", [1, 2])
+    W.append_snapshot(table_root, [f_a], ts_ms=2000)
+    old_stray = _pq(table_root / "data" / "old_stray.parquet", [7])
+    os.utime(old_stray, (time.time() - 7200, time.time() - 7200))
+    fresh_stray = _pq(table_root / "data" / "fresh_stray.parquet", [8])
+    deleted = W.remove_orphan_files(table_root, older_than_ms=3_600_000)
+    assert [p.rsplit("/", 1)[1] for p in deleted] == ["old_stray.parquet"]
+    assert not old_stray.exists() and fresh_stray.exists()
+    assert f_a.exists()
+    assert sorted(
+        r["x"] for r in read_sequences(spark, str(table_root)).collect()
+    ) == [1, 2]
+    assert W.remove_orphan_files(table_root, older_than_ms=3_600_000) == []
+    # the fresh stray ages past the window -> reaped on the next run
+    os.utime(fresh_stray, (time.time() - 7200, time.time() - 7200))
+    assert [
+        p.rsplit("/", 1)[1]
+        for p in W.remove_orphan_files(table_root, older_than_ms=3_600_000)
+    ] == ["fresh_stray.parquet"]
+
+
 def test_upsert_single_commit_merge_semantics(table_root, spark):
     """MERGE as one commit: same-sequence equality delete + new rows —
     older copies tombstoned, new versions and plain inserts survive,
