@@ -2353,6 +2353,151 @@ def events_user_survival_hazard(
     ).orderBy("t_days")
 
 
+def events_metric_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE-PASS PEARSON CORRELATION MATRIX over three per-user metrics —
+    activity (event count), spend (floor-cents sum), peak (max single
+    event cents — breadth was the natural third pick but is DEGENERATE
+    here: every user touches all 5 types, zero variance ⇒ ANSI
+    divide-by-zero) — the co-moment pattern: all 9 moment sums
+    accumulate in a single aggregate (map-side partials), so the full
+    matrix costs one user_id shuffle regardless of how many metric
+    pairs there are. Every moment is an exact BIGINT; each r is exact-int
+    subtractions + two sqrts + one division, bit-identical unrounded
+    (the Spearman/OLS arithmetic contract)."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("a"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.floor(F.col("value") * 100).cast("long")).alias("b"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(c)).alias(f"s{c}")
+            for c in ("a", "s", "b")
+        ],
+        *[
+            F.sum(F.col(x) * F.col(y)).alias(f"s{x}{y}")
+            for x, y in (
+                ("a", "a"),
+                ("s", "s"),
+                ("b", "b"),
+                ("a", "s"),
+                ("a", "b"),
+                ("s", "b"),
+            )
+        ],
+    )
+
+    def _r(x: str, y: str):
+        num = (
+            F.col("n") * F.col(f"s{x}{y}") - F.col(f"s{x}") * F.col(f"s{y}")
+        ).cast("double")
+        dx = F.sqrt(
+            (
+                F.col("n") * F.col(f"s{x}{x}")
+                - F.col(f"s{x}") * F.col(f"s{x}")
+            ).cast("double")
+        )
+        dy = F.sqrt(
+            (
+                F.col("n") * F.col(f"s{y}{y}")
+                - F.col(f"s{y}") * F.col(f"s{y}")
+            ).cast("double")
+        )
+        return num / (dx * dy)
+
+    return m.select(
+        F.col("n").alias("n_users"),
+        _r("a", "s").alias("r_activity_spend"),
+        _r("a", "b").alias("r_activity_peak"),
+        _r("s", "b").alias("r_spend_peak"),
+    )
+
+
+def events_simpson_slope_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SIMPSON'S-PARADOX SCREEN on the value-over-time trend: the pooled
+    OLS slope of event value (cents) against event hour vs the same
+    slope WITHIN each event type — sign reversals mean the pooled trend
+    is a mixture artifact, the first thing to rule out before reporting
+    any "values are drifting" conclusion. The grouped regression is the
+    exact-moment OLS run per type in one aggregate; hours re-base to the
+    window start so every moment stays an exact BIGINT (n·Σxy ≤ ~4e17 at
+    sf0.1 — 20× under the int64 ceiling; the slope numerator/denominator
+    are exact BIGINTs whose double CASTS are correctly rounded and hence
+    identical in both engines even past 2^53, so the single division
+    stays bit-identical, unrounded). The reversal flag is an exact sign
+    comparison of those identical doubles. Output: one row per type +
+    the pooled row."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+            F.floor(F.col("value") * 100).cast("long").alias("y"),
+        )
+    )
+    e = e.localCheckpoint(eager=False)
+    hmin = e.agg(F.min("h").alias("h0"))
+    base = e.crossJoin(F.broadcast(hmin)).select(
+        "g", (F.col("h") - F.col("h0")).alias("x"), "y"
+    )
+
+    def _moments(df, label):
+        return df.agg(
+            F.lit(label).alias("g"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    grouped = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pooled = _moments(base, "ALL")
+    allm = grouped.unionByName(pooled)
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    sl = allm.select("g", F.col("n").alias("n_events"), slope.alias("slope"))
+    sl = sl.localCheckpoint(eager=False)
+    pooled_sign = sl.where(F.col("g") == "ALL").select(
+        F.signum("slope").alias("pooled_sign")
+    )
+    return (
+        sl.crossJoin(F.broadcast(pooled_sign))
+        .select(
+            "g",
+            "n_events",
+            "slope",
+            (
+                (F.col("g") != "ALL")
+                & (F.signum("slope") != F.col("pooled_sign"))
+            ).alias("sign_reversed"),
+        )
+        .orderBy("g")
+    )
+
+
 _PERM_B = 60
 
 
@@ -11516,6 +11661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_backtest": events_forecast_backtest,
         "events_type_dow_independence": events_type_dow_independence,
         "events_user_survival_hazard": events_user_survival_hazard,
+        "events_metric_correlation_matrix": events_metric_correlation_matrix,
+        "events_simpson_slope_check": events_simpson_slope_check,
         "orders_rfm_segmentation": orders_rfm_segmentation,
         "lineitem_dq_expectations": lineitem_dq_expectations,
         "events_funnel_conversion": events_funnel_conversion,
@@ -13410,6 +13557,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_bootstrap_mean_ci": _bootstrap_oracle_sql(),
         "events_permutation_test": _permutation_oracle_sql(),
+        "events_metric_correlation_matrix": """
+            WITH u AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS a,
+                     CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                       AS BIGINT) AS s,
+                     CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT))
+                       AS BIGINT) AS b
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(a) AS BIGINT) AS sa,
+                     CAST(SUM(s) AS BIGINT) AS ss,
+                     CAST(SUM(b) AS BIGINT) AS sb,
+                     CAST(SUM(a * a) AS BIGINT) AS saa,
+                     CAST(SUM(s * s) AS BIGINT) AS sss,
+                     CAST(SUM(b * b) AS BIGINT) AS sbb,
+                     CAST(SUM(a * s) AS BIGINT) AS sas,
+                     CAST(SUM(a * b) AS BIGINT) AS sab,
+                     CAST(SUM(s * b) AS BIGINT) AS ssb
+              FROM u
+            )
+            SELECT n AS n_users,
+                   CAST(n * sas - sa * ss AS DOUBLE)
+                     / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                        * SQRT(CAST(n * sss - ss * ss AS DOUBLE)))
+                     AS r_activity_spend,
+                   CAST(n * sab - sa * sb AS DOUBLE)
+                     / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                        * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+                     AS r_activity_peak,
+                   CAST(n * ssb - ss * sb AS DOUBLE)
+                     / (SQRT(CAST(n * sss - ss * ss AS DOUBLE))
+                        * SQRT(CAST(n * sbb - sb * sb AS DOUBLE)))
+                     AS r_spend_peak
+            FROM m
+        """,
+        "events_simpson_slope_check": """
+            WITH h0 AS (
+              SELECT MIN(epoch_us(ts) // 3600000000) AS h0
+              FROM events WHERE value IS NOT NULL
+            ), base AS (
+              SELECT event_type AS g,
+                     epoch_us(ts) // 3600000000 - h0 AS x,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS y
+              FROM events, h0 WHERE value IS NOT NULL
+            ), m AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM base GROUP BY g
+              UNION ALL
+              SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT),
+                     CAST(SUM(x * x) AS BIGINT),
+                     CAST(SUM(x * y) AS BIGINT)
+              FROM base
+            ), sl AS (
+              SELECT g, n AS n_events,
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+              FROM m
+            ), ps AS (
+              SELECT SIGN(slope) AS pooled_sign FROM sl WHERE g = 'ALL'
+            )
+            SELECT g, n_events, slope,
+                   g <> 'ALL' AND SIGN(slope) <> pooled_sign
+                     AS sign_reversed
+            FROM sl, ps ORDER BY g
+        """,
         "events_user_survival_hazard": """
             WITH peru AS (
               SELECT user_id,

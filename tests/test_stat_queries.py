@@ -372,3 +372,62 @@ def test_survival_hazard_matches_numpy(spark):
         assert r["hazard"] == d / n_risk
         assert r["cum_hazard"] == pytest.approx(cum, abs=2e-6)
     assert len(rows) == len(set(durs[events == 1]))
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "value"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(uid)
+    uid = uid[keep].astype("int64")
+    cents = np.floor(val[keep] * 100)
+    users, inv = np.unique(uid, return_inverse=True)
+    a = np.bincount(inv).astype("float64")
+    s = np.bincount(inv, weights=np.where(np.isnan(cents), 0, cents))
+    p = np.full(len(users), -np.inf)
+    np.maximum.at(p, inv[~np.isnan(cents)], cents[~np.isnan(cents)])
+    row = entry.events_metric_correlation_matrix(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["r_activity_spend"] == pytest.approx(
+        np.corrcoef(a, s)[0, 1], rel=1e-9
+    )
+    assert row["r_activity_peak"] == pytest.approx(
+        np.corrcoef(a, p)[0, 1], rel=1e-9
+    )
+    assert row["r_spend_peak"] == pytest.approx(
+        np.corrcoef(s, p)[0, 1], rel=1e-9
+    )
+
+
+def test_simpson_slopes_match_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet",
+        columns=["event_type", "ts", "value"],
+        use_threads=False,
+    )
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(val)
+    et = np.asarray(t.column("event_type"))[keep]
+    h = (
+        np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")[
+            keep
+        ]
+        // 3_600_000_000
+    )
+    y = np.floor(val[keep] * 100)
+    x = (h - h.min()).astype("float64")
+    rows = {
+        r["g"]: r
+        for r in entry.events_simpson_slope_check(spark, SF_DIR).collect()
+    }
+    pooled = np.polyfit(x, y, 1)[0]
+    assert rows["ALL"]["slope"] == pytest.approx(pooled, rel=1e-9)
+    assert rows["ALL"]["sign_reversed"] is False
+    for g in np.unique(et):
+        m = et == g
+        sl = np.polyfit(x[m], y[m], 1)[0]
+        assert rows[g]["slope"] == pytest.approx(sl, rel=1e-6)
+        assert rows[g]["sign_reversed"] == (np.sign(sl) != np.sign(pooled))

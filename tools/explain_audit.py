@@ -279,6 +279,12 @@ AUDITS = {
     # duration series rides calendar-bounded global windows; 1-row gmax
     # cross is the only join
     "events_user_survival_hazard": (0, True, False),
+    # co-moment matrix: ONE pruned scan (user_id, value), one user_id
+    # shuffle, one 10-long reduce — no joins at all
+    "events_metric_correlation_matrix": (0, True, True),
+    # Simpson screen: grouped + pooled moments read one checkpointed
+    # base; 1-row h0 and pooled-sign crosses are the only joins
+    "events_simpson_slope_check": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
