@@ -2498,6 +2498,113 @@ def events_simpson_slope_check(
     )
 
 
+def events_ab_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013 —
+    the adjustment every mature experimentation platform applies):
+    outcome Y = per-user spend in the SECOND half of the window,
+    covariate X = the same user's FIRST-half spend, variant = the
+    deterministic md5 parity split (events_value_psi's halves). The
+    adjusted outcome Y − θ(X − X̄) with θ = cov(X,Y)/var(X) (θ from the
+    POOLED sample — variant-independent by construction, so the
+    adjustment cannot bias the diff) shrinks variance by corr(X,Y)².
+    All moment sums are exact BIGINTs in ONE user-grouped pass; θ, both
+    diffs, both variances and the reduction fraction are fixed scalar
+    expression trees over those exact ints (no data-order float
+    summation anywhere), spelled identically in both engines —
+    bit-identical, UNROUNDED. Output: raw and CUPED-adjusted treatment
+    diffs, and the achieved variance-reduction fraction."""
+    from tdigest_spark.operators.sample import md5_lower64
+
+    mid = F.col("hmid")
+    peru = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    peru = peru.localCheckpoint(eager=False)
+    bounds = peru.agg(
+        F.expr("(min(h) + max(h)) div 2").alias("hmid")
+    )
+    ux = (
+        peru.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("h") < mid, F.col("cents")).otherwise(0)).alias(
+                "x"
+            ),
+            F.sum(
+                F.when(F.col("h") >= mid, F.col("cents")).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            (
+                md5_lower64(
+                    F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+                )
+                % 2
+                == 0
+            ).alias("t"),
+        )
+    )
+    m = ux.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("t"), F.col("y")).otherwise(0)).alias("syt"),
+        F.sum(F.when(~F.col("t"), F.col("y")).otherwise(0)).alias("syc"),
+        F.sum(F.when(F.col("t"), F.col("x")).otherwise(0)).alias("sxt"),
+        F.sum(F.when(~F.col("t"), F.col("x")).otherwise(0)).alias("sxc"),
+    )
+    nD = F.col("n").cast("double")
+    theta = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    ntD = F.col("nt").cast("double")
+    ncD = (F.col("n") - F.col("nt")).cast("double")
+    diff_raw = F.col("syt").cast("double") / ntD - F.col(
+        "syc"
+    ).cast("double") / ncD
+    diff_cuped = diff_raw - theta * (
+        F.col("sxt").cast("double") / ntD
+        - F.col("sxc").cast("double") / ncD
+    )
+    var_raw = (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double") / (nD * nD)
+    # var(Y − θX) = var(Y) − 2θ·cov + θ²·var(X), all from the same moments
+    cov = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (nD * nD)
+    var_x = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / (nD * nD)
+    var_adj = var_raw - F.lit(2.0) * theta * cov + theta * theta * var_x
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treat"),
+        theta.alias("theta"),
+        diff_raw.alias("diff_raw"),
+        diff_cuped.alias("diff_cuped"),
+        (F.lit(1.0) - var_adj / var_raw).alias("var_reduction"),
+    )
+
+
 _PERM_B = 60
 
 
@@ -11662,6 +11769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_dow_independence": events_type_dow_independence,
         "events_user_survival_hazard": events_user_survival_hazard,
         "events_metric_correlation_matrix": events_metric_correlation_matrix,
+        "events_ab_cuped_adjustment": events_ab_cuped_adjustment,
         "events_simpson_slope_check": events_simpson_slope_check,
         "orders_rfm_segmentation": orders_rfm_segmentation,
         "lineitem_dq_expectations": lineitem_dq_expectations,
@@ -13557,6 +13665,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_bootstrap_mean_ci": _bootstrap_oracle_sql(),
         "events_permutation_test": _permutation_oracle_sql(),
+        "events_ab_cuped_adjustment": """
+            WITH ev AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS h,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), b AS (
+              SELECT (MIN(h) + MAX(h)) // 2 AS hmid FROM ev
+            ), ux AS (
+              SELECT
+                CAST(SUM(CASE WHEN h < hmid THEN cents ELSE 0 END)
+                  AS BIGINT) AS x,
+                CAST(SUM(CASE WHEN h >= hmid THEN cents ELSE 0 END)
+                  AS BIGINT) AS y,
+                md5_number_lower('ab:' || CAST(user_id AS VARCHAR)) % 2
+                  = 0 AS t
+              FROM ev, b GROUP BY user_id
+            ), m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nt,
+                     CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT)
+                       AS syt,
+                     CAST(SUM(CASE WHEN t THEN 0 ELSE y END) AS BIGINT)
+                       AS syc,
+                     CAST(SUM(CASE WHEN t THEN x ELSE 0 END) AS BIGINT)
+                       AS sxt,
+                     CAST(SUM(CASE WHEN t THEN 0 ELSE x END) AS BIGINT)
+                       AS sxc
+              FROM ux
+            )
+            SELECT n AS n_users, nt AS n_treat,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+                   CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE)
+                     AS diff_raw,
+                   (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                     - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
+                        - CAST(sxc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+                     AS diff_cuped,
+                   1.0 - (CAST(n * syy - sy * sy AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                          - 2.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)))
+                          + (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * (CAST(n * sxx - sx * sx AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                       / (CAST(n * syy - sy * sy AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     AS var_reduction
+            FROM m
+        """,
         "events_metric_correlation_matrix": """
             WITH u AS (
               SELECT user_id,

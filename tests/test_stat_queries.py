@@ -431,3 +431,50 @@ def test_simpson_slopes_match_numpy(spark):
         sl = np.polyfit(x[m], y[m], 1)[0]
         assert rows[g]["slope"] == pytest.approx(sl, rel=1e-6)
         assert rows[g]["sign_reversed"] == (np.sign(sl) != np.sign(pooled))
+
+
+def test_cuped_matches_numpy(spark):
+    import hashlib
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "ts", "value"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    val = np.asarray(t.column("value"), dtype="float64")
+    keep = ~np.isnan(uid) & ~np.isnan(val)
+    uid = uid[keep].astype("int64")
+    h = (
+        np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")[
+            keep
+        ]
+        // 3_600_000_000
+    )
+    cents = np.floor(val[keep] * 100).astype("int64")
+    hmid = (h.min() + h.max()) // 2
+    users, inv = np.unique(uid, return_inverse=True)
+    x = np.bincount(inv, weights=np.where(h < hmid, cents, 0))
+    y = np.bincount(inv, weights=np.where(h >= hmid, cents, 0))
+    tmask = np.array(
+        [
+            int.from_bytes(
+                hashlib.md5(f"ab:{u}".encode()).digest()[8:16], "little"
+            )
+            % 2
+            == 0
+            for u in users
+        ]
+    )
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    diff_raw = y[tmask].mean() - y[~tmask].mean()
+    diff_cuped = diff_raw - theta * (x[tmask].mean() - x[~tmask].mean())
+    adj = y - theta * x
+    vr = 1 - np.var(adj) / np.var(y)
+    row = entry.events_ab_cuped_adjustment(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["n_treat"] == tmask.sum()
+    assert row["theta"] == pytest.approx(theta, rel=1e-9)
+    assert row["diff_raw"] == pytest.approx(diff_raw, rel=1e-9)
+    assert row["diff_cuped"] == pytest.approx(diff_cuped, rel=1e-6)
+    assert row["var_reduction"] == pytest.approx(vr, rel=1e-6)
+    assert 0.0 <= row["var_reduction"] <= 1.0

@@ -285,6 +285,9 @@ AUDITS = {
     # Simpson screen: grouped + pooled moments read one checkpointed
     # base; 1-row h0 and pooled-sign crosses are the only joins
     "events_simpson_slope_check": (0, True, False),
+    # CUPED: one checkpointed (user,h,cents) base, 1-row hmid cross,
+    # one user_id shuffle to an 11-moment reduce — no equi joins
+    "events_ab_cuped_adjustment": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
