@@ -11513,7 +11513,11 @@ def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bk = sums.groupBy("k").agg(F.sum(F.col("s") * F.col("s")).alias("b"))
     avk = (
-        qv.join(sums, "i")
+        # sums is K×dim rows (≤512) — BROADCAST it: an equi-join on the
+        # 64-value dim index would hash the whole quantized explode onto
+        # 64 keys (one task per dimension at any scale — the exact skew
+        # trap the dot-product join must avoid)
+        qv.join(F.broadcast(sums), "i")
         .groupBy("vec_id", "k")
         .agg(F.sum(F.col("q") * F.col("s")).alias("a"))
     )
