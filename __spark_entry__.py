@@ -11663,6 +11663,182 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_hamming")
 
 
+def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA SMOOTHING of the hourly event-rate series (the alerting
+    baseline every ops dashboard keeps): S_t = (S_{t-1} + x_t) / 2, i.e.
+    alpha = 1/2. The heavy stage is the per-hour count (map-side partial
+    agg, one tiny shuffle); the fold runs over ONE collected array of
+    <=720 hourly rows — hours grow with calendar time, not volume, so
+    the array stays bounded at 100 TB (same argument as
+    events_cusum_changepoint). Exactness: halving a double is EXACT
+    (power-of-two scale), so each fold step is one IEEE addition + one
+    exact division — a left fold over the identically-sorted list is
+    bit-identical across engines; Spark's `aggregate` seeded with the
+    first element mirrors DuckDB `list_reduce` exactly. ewma_to_mean is
+    a single division of two bit-identical doubles. No rounding
+    anywhere."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    arr = hourly.agg(
+        F.expr("sort_array(collect_list(struct(h, c)))").alias("a")
+    )
+    return arr.select(
+        F.expr("size(a)").cast("long").alias("n_hours"),
+        F.expr("element_at(a, -1).h").cast("long").alias("last_hour"),
+        F.expr(
+            "aggregate(a, CAST(0 AS BIGINT), (acc, s) -> acc + s.c)"
+        ).alias("n_events"),
+        F.expr(
+            """
+            aggregate(
+              slice(transform(a, s -> CAST(s.c AS DOUBLE)),
+                    2, size(a) - 1),
+              CAST(element_at(a, 1).c AS DOUBLE),
+              (acc, x) -> (acc + x) / CAST(2 AS DOUBLE)
+            )
+            """
+        ).alias("ewma_last"),
+    ).select(
+        "n_hours",
+        "last_hour",
+        "n_events",
+        "ewma_last",
+        (
+            F.col("ewma_last")
+            / (
+                F.col("n_events").cast("double")
+                / F.col("n_hours").cast("double")
+            )
+        ).alias("ewma_to_mean"),
+    )
+
+
+def events_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-ENGAGEMENT LIFT between event types (the association metric
+    behind cross-sell and habit analysis): for each unordered type pair,
+    lift = P(a,b) / (P(a)·P(b)) = n_ab·n / (n_a·n_b) over the universe
+    of active users. The only data-sized stage is the (user, type)
+    DISTINCT — one user_id shuffle; the self-join then fans out at most
+    C(#types,2)=28 pairs per user (types are a fixed small vocabulary),
+    and the per-type counts (8 rows) broadcast onto the pair counts.
+    Never an event×event join. Exactness: all counts exact BIGINT; the
+    products n_ab·n and n_a·n_b stay far below 2^53 at every tested SF
+    (documented bound — at 1e9 users promote to the exact-int128 path),
+    so lift is ONE division of exact-int doubles — bit-identical, left
+    unrounded (the 250/256 lesson)."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    ut = ut.localCheckpoint(eager=False)  # computed once, GC-managed
+    n_df = ut.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    type_counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                type_counts.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_t").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                type_counts.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_t").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over quasi-identifiers (the data-governance
+    gate run before any customer extract ships to a vendor or training
+    set): group by (nation, market segment, account-balance band) and
+    measure how many rows sit in groups smaller than k=5 — those rows
+    re-identify and must be suppressed or generalized. ONE map-side
+    partial groupBy (the QI tuple), then a 4-row summary agg; scale-safe
+    at any volume. Exactness: the balance band floor(c_acctbal/100) is
+    one IEEE division spelled identically in both engines (bit-identical
+    input to floor), counts exact BIGINT, suppression_rate a single
+    division of exact ints — unrounded."""
+    k = 5
+    qi = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(
+                F.col("c_acctbal") / F.lit(100).cast("double")
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("g"))
+    )
+    return qi.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("g").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("g") < k, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_suppressed_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_group_size",
+        "n_violating_groups",
+        "n_suppressed_rows",
+        (
+            F.col("n_suppressed_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("suppression_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -11766,6 +11942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kruskal_wallis": events_kruskal_wallis,
         "events_user_engagement_ols": events_user_engagement_ols,
         "events_cusum_changepoint": events_cusum_changepoint,
+        "events_hourly_ewma": events_hourly_ewma,
+        "events_type_lift_matrix": events_type_lift_matrix,
+        "customer_k_anonymity_audit": customer_k_anonymity_audit,
         "orders_pipe_syntax_summary": orders_pipe_syntax_summary,
         "events_bootstrap_mean_ci": events_bootstrap_mean_ci,
         "events_permutation_test": events_permutation_test,
@@ -14026,6 +14205,78 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_hours * n_events AS DOUBLE) AS d_norm
             FROM cum, tot
             ORDER BY d_stat DESC, h ASC LIMIT 1
+        """,
+        "events_hourly_ewma": """
+            WITH hourly AS (
+              SELECT epoch_us(ts) // 3600000000 AS h,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY h
+            ), arr AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+                     CAST(MAX(h) AS BIGINT) AS last_hour,
+                     CAST(SUM(c) AS BIGINT) AS n_events,
+                     list(CAST(c AS DOUBLE) ORDER BY h) AS l
+              FROM hourly
+            ), e AS (
+              SELECT n_hours, last_hour, n_events,
+                     list_reduce(
+                       l, (acc, x) -> (acc + x) / CAST(2 AS DOUBLE)
+                     ) AS ewma_last
+              FROM arr
+            )
+            SELECT n_hours, last_hour, n_events, ewma_last,
+                   ewma_last / (CAST(n_events AS DOUBLE)
+                                / CAST(n_hours AS DOUBLE)) AS ewma_to_mean
+            FROM e
+        """,
+        "events_type_lift_matrix": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE user_id IS NOT NULL
+            ), n AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM ut
+            ), tc AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+              FROM ut GROUP BY event_type
+            ), p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM ut a JOIN ut b ON a.user_id = b.user_id
+              WHERE a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.n_ab,
+                   ta.n_t AS n_a, tb.n_t AS n_b,
+                   CAST(p.n_ab * n.n_users AS DOUBLE)
+                     / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+            FROM p
+            JOIN tc ta ON ta.event_type = p.type_a
+            JOIN tc tb ON tb.event_type = p.type_b
+            CROSS JOIN n
+            ORDER BY type_a, type_b
+        """,
+        "customer_k_anonymity_audit": """
+            WITH qi AS (
+              SELECT c_nationkey, c_mktsegment,
+                     FLOOR(c_acctbal / CAST(100 AS DOUBLE)) AS bal_band,
+                     CAST(COUNT(*) AS BIGINT) AS g
+              FROM customer GROUP BY 1, 2, 3
+            ), s AS (
+              SELECT CAST(SUM(g) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     CAST(MIN(g) AS BIGINT) AS min_group_size,
+                     CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating_groups,
+                     CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+                       AS n_suppressed_rows
+              FROM qi
+            )
+            SELECT n_rows, n_groups, min_group_size, n_violating_groups,
+                   n_suppressed_rows,
+                   CAST(n_suppressed_rows AS DOUBLE)
+                     / CAST(n_rows AS DOUBLE) AS suppression_rate
+            FROM s
         """,
         "events_user_gini": """
             WITH counts AS (
