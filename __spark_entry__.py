@@ -11839,6 +11839,171 @@ def customer_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS (the product-health ratio every growth team
+    tracks): per day, distinct daily actives over distinct trailing-
+    7-day actives. Exact COUNT(DISTINCT) over a sliding window is
+    quadratic at scale; here per-day bottom-k/theta states build in ONE
+    grouped pass (states shuffle, rows don't) and each trailing window
+    is a driver-side union of seven ~KB states — days never rescan each
+    other (same shape as events_rolling_3day_distinct). Exact by
+    construction: k=4096 exceeds any window's user cardinality at every
+    tested SF, so sketches stay in exact mode (theta == 2^64, asserted)
+    and estimates ARE the counts; stickiness is one division of exact
+    ints — bit-identical, unrounded."""
+    from tdigest_spark.operators.aggregate import (
+        BOTTOMK_INTS,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.theta import ThetaSketch
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            "user_id",
+        )
+    )
+    per_day = build_sketch_grouped(
+        ev, ["day"], "user_id", BOTTOMK_INTS(4096)
+    ).collect()
+    sk = {
+        int(r["day"]): ThetaSketch.from_bottomk_bytes(bytes(r["state"]))
+        for r in per_day
+    }
+    rows = []
+    for day in sorted(sk):
+        window = [d for d in range(day - 6, day + 1) if d in sk]
+        u = sk[window[0]]
+        for d in window[1:]:
+            u = u.union(sk[d])
+        assert u.theta == 2**64, (day, u.theta)  # exact mode holds
+        dau = int(sk[day].estimate())
+        wau = int(u.estimate())
+        rows.append((day, len(window), dau, wau, dau / wau))
+    return spark.createDataFrame(
+        rows,
+        "day long, n_days_in_window int, dau long, wau long, "
+        "stickiness double",
+    ).orderBy("day")
+
+
+def events_trailing_6h_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-WINDOW QUANTILES from hourly sketch states — the SLO
+    dashboard query ("p95 event value over the last 6 hours, per hour")
+    that naive engines answer by rescanning 6 hours of raw data per
+    tick. Here per-hour DISCRETE digests build in one grouped pass over
+    integer floor-cents; every trailing window is a driver-side merge of
+    <=6 bounded states (hours grow with calendar, not volume — <=720
+    states at any data scale). Exact-map state makes the merged
+    Nearest-Rank p95 exact for ANY value distribution; all outputs are
+    exact integers."""
+    from tdigest_spark.operators.aggregate import (
+        TDIGEST_DISCRETE,
+        build_sketch_grouped,
+    )
+    from tdigest_spark.sketch.discrete import DiscreteDigest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("h"),
+        F.floor(F.col("value") * F.lit(100.0)).alias("cents"),
+    )
+    states = build_sketch_grouped(
+        ev, ["h"], "cents", TDIGEST_DISCRETE()
+    ).collect()
+    sk = {
+        int(r["h"]): DiscreteDigest.from_bytes(bytes(r["state"]))
+        for r in states
+    }
+    rows = []
+    for h in sorted(sk):
+        window = [x for x in range(h - 5, h + 1) if x in sk]
+        m = DiscreteDigest()
+        for x in window:
+            m = m.merge(sk[x])
+        rows.append((h, len(window), int(m.n), int(m.quantile(0.95))))
+    return spark.createDataFrame(
+        rows,
+        "hour long, n_hours_in_window int, n_events long, p95_cents long",
+    ).orderBy("hour")
+
+
+def part_cooccurrence_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRAPH TRIANGLE CENSUS over the part co-purchase graph — the
+    clustering measurement behind community detection and recommender
+    sanity checks. Nodes are parts; an edge joins two parts co-occurring
+    in the same order with support >= 2 (the support threshold is what
+    keeps the edge list bounded — and broadcastable — as order volume
+    grows; raw co-occurrence pairs grow linearly with data, thresholded
+    edges grow far slower). Pair generation is an in-order self-join on
+    l_orderkey (orders hold a handful of parts, so fan-out per order is
+    C(k,2), never data×data); triangles are two ordered edge-edge joins
+    (a<b<c canonical form counts each once); wedges are a degree-side
+    closed form Σ C(deg,2). All counts exact BIGINT; the global
+    clustering coefficient 3·T/W is one division of exact ints —
+    unrounded (NULL when the graph has no wedges, identically in both
+    engines)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = edges.localCheckpoint(eager=False)  # computed once
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("w")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            F.when(
+                F.col("w") > 0,
+                (F.lit(3) * F.col("t")).cast("double")
+                / F.col("w").cast("double"),
+            ).alias("clustering_coefficient"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -11943,6 +12108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_engagement_ols": events_user_engagement_ols,
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_hourly_ewma": events_hourly_ewma,
+        "events_dau_wau_stickiness": events_dau_wau_stickiness,
+        "events_trailing_6h_p95": events_trailing_6h_p95,
+        "part_cooccurrence_triangles": part_cooccurrence_triangles,
         "events_type_lift_matrix": events_type_lift_matrix,
         "customer_k_anonymity_audit": customer_k_anonymity_audit,
         "orders_pipe_syntax_summary": orders_pipe_syntax_summary,
@@ -14228,6 +14396,90 @@ def oracle_sql() -> dict[str, str]:
                    ewma_last / (CAST(n_events AS DOUBLE)
                                 / CAST(n_hours AS DOUBLE)) AS ewma_to_mean
             FROM e
+        """,
+        "events_dau_wau_stickiness": """
+            WITH ev AS (
+              SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+              FROM events WHERE user_id IS NOT NULL
+            ), days AS (
+              SELECT DISTINCT day FROM ev
+            ), dau AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+              FROM ev GROUP BY day
+            ), wau AS (
+              SELECT d.day,
+                     CAST(COUNT(DISTINCT e.day) AS INTEGER)
+                       AS n_days_in_window,
+                     CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+              FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day
+            )
+            SELECT w.day, w.n_days_in_window, dau.dau, w.wau,
+                   CAST(dau.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                     AS stickiness
+            FROM wau w JOIN dau ON dau.day = w.day
+            ORDER BY w.day
+        """,
+        "events_trailing_6h_p95": """
+            WITH ev AS (
+              SELECT epoch_us(ts) // 3600000000 AS h,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+              FROM events
+            ), hours AS (
+              SELECT DISTINCT h FROM ev
+            ), win AS (
+              SELECT hours.h AS hour, e.h AS src_h, e.cents
+              FROM hours JOIN ev e ON e.h BETWEEN hours.h - 5 AND hours.h
+            ), nh AS (
+              SELECT hour,
+                     CAST(COUNT(DISTINCT src_h) AS INTEGER)
+                       AS n_hours_in_window
+              FROM win GROUP BY hour
+            ), cum AS (
+              SELECT hour, cents,
+                     SUM(COUNT(*)) OVER (PARTITION BY hour ORDER BY cents)
+                       AS c,
+                     SUM(COUNT(*)) OVER (PARTITION BY hour) AS n
+              FROM win GROUP BY hour, cents
+            ), p AS (
+              SELECT hour, CAST(MAX(n) AS BIGINT) AS n_events,
+                     MIN(CASE WHEN c >= 0.95 * n THEN cents END)
+                       AS p95_cents
+              FROM cum GROUP BY hour
+            )
+            SELECT p.hour, nh.n_hours_in_window, p.n_events, p.p95_cents
+            FROM p JOIN nh ON nh.hour = p.hour
+            ORDER BY p.hour
+        """,
+        "part_cooccurrence_triangles": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+            ), deg AS (
+              SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT pa AS p FROM edges
+                UNION ALL SELECT pb AS p FROM edges
+              ) GROUP BY p
+            ), w AS (
+              SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg
+            ), t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM edges e1
+              JOIN edges e2 ON e2.pa = e1.pb
+              JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+            ), ne AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+            )
+            SELECT ne.n_edges, w.w AS n_wedges, t.t AS n_triangles,
+                   CASE WHEN w.w > 0
+                        THEN CAST(3 * t.t AS DOUBLE) / CAST(w.w AS DOUBLE)
+                   END AS clustering_coefficient
+            FROM ne, w, t
         """,
         "events_type_lift_matrix": """
             WITH ut AS (
