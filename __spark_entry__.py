@@ -12004,6 +12004,214 @@ def part_cooccurrence_triangles(
     )
 
 
+def iceberg_add_files_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD_FILES IMPORT (Iceberg's `add_files` migration procedure): the
+    onboarding path for a 100 TB hive-style parquet estate — register
+    existing files as table data in ONE metadata-only append commit,
+    zero bytes copied (entries carry absolute paths + footer-read stats
+    bounds, so imported files prune like written ones). The fixture
+    writes src0/src1 inside the table, imports src2/src3 from an
+    EXTERNAL directory, proves the commit moved no bytes (the external
+    files still live outside data/), and proves duplicate protection
+    (re-importing src2's path raises; check_duplicate_files semantics).
+    The post-import read is exact per-source SQL over documents."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_add_files" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        table = root / "table"
+        external = root / "external"
+        external.mkdir(parents=True, exist_ok=True)
+        W.create_table(table, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        paths = {}
+        for s in ("src0", "src1", "src2", "src3"):
+            part = tbl.filter(pc.equal(tbl["source"], s)).sort_by("doc_id")
+            base = table / "data" if s in ("src0", "src1") else external
+            f = base / f"{s}.parquet"
+            pq.write_table(part, f)
+            paths[s] = f
+        W.append_snapshot(
+            table, [paths["src0"], paths["src1"]], snapshot_id=1,
+            ts_ms=2000,
+        )
+        W.add_files(
+            table, [paths["src2"], paths["src3"]], snapshot_id=2,
+            ts_ms=3000,
+        )
+        dup_refused = False
+        try:
+            W.add_files(table, [paths["src2"]], ts_ms=4000)
+        except ValueError:
+            dup_refused = True
+        in_data_dir = sorted(
+            p.name for p in (table / "data").glob("*.parquet")
+        )
+        report = {
+            "table": str(table),
+            "dup_refused": dup_refused,
+            # bytes stayed put: only the two internal files live in data/
+            "no_copy": in_data_dir == ["src0.parquet", "src1.parquet"]
+            and paths["src2"].exists(),
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    assert report["dup_refused"] and report["no_copy"], report
+    return (
+        read_sequences(spark, report["table"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .select(
+            "source",
+            "n_rows",
+            "sum_doc_id",
+            F.lit(True).alias("duplicate_refused"),
+        )
+        .orderBy("source")
+    )
+
+
+def iceberg_sorted_rewrite_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORT-STRATEGY REWRITE (rewrite_data_files(sort_by=...) — Iceberg's
+    `strategy => 'sort'`): the clustering maintenance that turns min/max
+    stats pruning back on. The fixture commits 4 files each holding an
+    INTERLEAVED doc_id slice (doc_id % 4 == i), so every file spans the
+    whole key range and a range predicate prunes NOTHING (plans all 4);
+    the sort rewrite re-clusters the table on doc_id into ~4 range-
+    disjoint files, after which the same predicate plans exactly ONE.
+    Both plan counts are snapshot metadata (exact ints); the post-
+    rewrite read is exact SQL over documents — the rewrite must be
+    byte-lossless."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_paths_pruned,
+        read_sequences,
+    )
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_sorted_rewrite" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        for i in range(4):
+            part = tbl.filter(
+                pc.equal(pc.bit_wise_and(tbl["doc_id"], 3), i)
+            ).sort_by("doc_id")
+            f = root / "data" / f"interleaved-{i}.parquet"
+            pq.write_table(part, f)
+            W.append_snapshot(root, [f], snapshot_id=i + 1, ts_ms=2000 + i)
+        n_docs = tbl.num_rows
+        k = int(pc.min(tbl["doc_id"]).as_py()) + max(1, n_docs // 8)
+        pre, total_pre = iceberg_scan_paths_pruned(
+            str(root), [("doc_id", "<", k)]
+        )
+        size = sum(
+            (root / "data" / f"interleaved-{i}.parquet").stat().st_size
+            for i in range(4)
+        )
+        res = W.rewrite_data_files(
+            root, target_bytes=max(1, size // 4), ts_ms=6000,
+            sort_by=["doc_id"],
+        )
+        post, total_post = iceberg_scan_paths_pruned(
+            str(root), [("doc_id", "<", k)]
+        )
+        report = {
+            "table": str(root),
+            "k": k,
+            "pre": len(pre),
+            "post": len(post),
+            "total_pre": total_pre,
+            "total_post": total_post,
+            "files_rewritten": res["files_rewritten"],
+            "files_written": res["files_written"],
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    # the clustering claim itself: pre-rewrite the predicate planned
+    # every file (4 == total); post-rewrite the disjoint ranges plan
+    # exactly ONE (the first-eighth predicate fits inside the first
+    # sorted slice at every n_out <= 8) — both values SF-independent,
+    # so the oracle pins them as literals
+    assert report["pre"] == report["total_pre"] == 4, report
+    assert report["post"] == 1 < report["total_post"], report
+    return (
+        read_sequences(spark, report["table"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+        )
+        .select(
+            "n_rows",
+            "sum_doc_id",
+            "sum_n_chars",
+            F.lit(report["pre"]).cast("long").alias("files_scanned_pre"),
+            F.lit(report["post"]).cast("long").alias("files_scanned_post"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -12109,6 +12317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_hourly_ewma": events_hourly_ewma,
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
+        "iceberg_add_files_read": iceberg_add_files_read,
+        "iceberg_sorted_rewrite_pruned_read": iceberg_sorted_rewrite_pruned_read,
         "events_trailing_6h_p95": events_trailing_6h_p95,
         "part_cooccurrence_triangles": part_cooccurrence_triangles,
         "events_type_lift_matrix": events_type_lift_matrix,
@@ -14396,6 +14606,23 @@ def oracle_sql() -> dict[str, str]:
                    ewma_last / (CAST(n_events AS DOUBLE)
                                 / CAST(n_hours AS DOUBLE)) AS ewma_to_mean
             FROM e
+        """,
+        "iceberg_add_files_read": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   TRUE AS duplicate_refused
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY source
+            ORDER BY source
+        """,
+        "iceberg_sorted_rewrite_pruned_read": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(4 AS BIGINT) AS files_scanned_pre,
+                   CAST(1 AS BIGINT) AS files_scanned_post
+            FROM documents
         """,
         "events_dau_wau_stickiness": """
             WITH ev AS (

@@ -985,6 +985,47 @@ def append_snapshot(
     return _commit(root, version, meta, sid, rows, "append", ts_ms, branch=branch)
 
 
+def add_files(
+    root: str | Path,
+    source_files: list[str | Path],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+    check_duplicate_files: bool = True,
+) -> int:
+    """Iceberg's ``add_files`` import procedure: register parquet files
+    that live OUTSIDE the table's data/ dir as live table data in ONE
+    metadata-only append commit — zero bytes copied or rewritten. The
+    entries record the files' absolute paths with stats bounds read from
+    their footers, so imported files prune and plan exactly like written
+    ones; orphan-file maintenance only walks the table dir, so imported
+    files are never collected. With ``check_duplicate_files`` (the
+    procedure's default) an import referencing a path already live in
+    the table raises instead of double-counting its rows. Returns the
+    new snapshot id."""
+    import re as _re
+
+    root = Path(str(root))
+    missing = [str(p) for p in source_files if not Path(str(p)).exists()]
+    if missing:
+        raise FileNotFoundError(f"add_files: missing {missing}")
+    if check_duplicate_files:
+        live = {
+            _re.sub(r"^file:/+", "/", p) for p in live_paths(root)
+        }
+        dups = [
+            str(p)
+            for p in source_files
+            if str(Path(str(p)).resolve()) in live
+        ]
+        if dups:
+            raise ValueError(
+                f"add_files: already referenced by the table: {dups}"
+            )
+    return append_snapshot(
+        root, source_files, snapshot_id=snapshot_id, ts_ms=ts_ms
+    )
+
+
 def overwrite_snapshot(
     root: str | Path,
     data_files: list[str | Path],
@@ -1755,6 +1796,7 @@ def rewrite_data_files(
     root: str | Path,
     target_bytes: int = 64 * 1024 * 1024,
     ts_ms: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Small-file COMPACTION — Iceberg's ``rewrite_data_files`` bin-pack
     procedure, the data-side twin of :func:`rewrite_manifests`. Streaming
@@ -1779,6 +1821,16 @@ def rewrite_data_files(
     columns cannot be resolved against its schema (mid-evolution) is
     left un-rewritten — never a silent resurrect. Old files stay on
     disk for time travel until :func:`expire_snapshots` reaps them.
+
+    With ``sort_by`` (Iceberg's ``strategy => 'sort'``), the procedure
+    re-CLUSTERS instead of bin-packing: EVERY rewritable live data file
+    joins its (schema, spec, partition) group regardless of size, each
+    group's MOR-read rows are globally sorted on the given columns, and
+    the sorted stream is split into ~``target_bytes`` output files with
+    NON-OVERLAPPING sort-key ranges — which is what turns min/max stats
+    pruning back on for a table whose files all span the full key range
+    (each output file's footer bounds cover a disjoint slice, so a point
+    or range predicate plans a single file instead of all of them).
 
     Returns ``{"files_before", "files_after", "files_rewritten",
     "files_written", "rows_rewritten"}`` (data files only)."""
@@ -1832,7 +1884,7 @@ def rewrite_data_files(
     # specs, or partition tuples
     groups: dict[str, list[dict]] = {}
     for e in data:
-        if (e.get("file_size") or 0) >= int(target_bytes):
+        if sort_by is None and (e.get("file_size") or 0) >= int(target_bytes):
             continue
         if eqs and not _can_rewrite(e):
             continue
@@ -1842,18 +1894,27 @@ def rewrite_data_files(
         )
         groups.setdefault(key, []).append(e)
     bins: list[list[dict]] = []
-    for key in sorted(groups):
-        cur_bin: list[dict] = []
-        size = 0
-        for e in sorted(groups[key], key=lambda x: x["path"]):
-            if cur_bin and size + (e.get("file_size") or 0) > int(target_bytes):
+    if sort_by is not None:
+        # sort strategy: one bin per group — the whole group re-sorts
+        # together (range-splitting happens at write time below)
+        bins = [
+            sorted(groups[key], key=lambda x: x["path"])
+            for key in sorted(groups)
+        ]
+        bins = [b for b in bins if b]
+    else:
+        for key in sorted(groups):
+            cur_bin: list[dict] = []
+            size = 0
+            for e in sorted(groups[key], key=lambda x: x["path"]):
+                if cur_bin and size + (e.get("file_size") or 0) > int(target_bytes):
+                    bins.append(cur_bin)
+                    cur_bin, size = [], 0
+                cur_bin.append(e)
+                size += e.get("file_size") or 0
+            if cur_bin:
                 bins.append(cur_bin)
-                cur_bin, size = [], 0
-            cur_bin.append(e)
-            size += e.get("file_size") or 0
-        if cur_bin:
-            bins.append(cur_bin)
-    bins = [b for b in bins if len(b) >= 2]
+        bins = [b for b in bins if len(b) >= 2]
     if not bins:
         return result
 
@@ -1890,19 +1951,34 @@ def rewrite_data_files(
     new_entries: list[dict] = []
     for i, b in enumerate(bins):
         tbl = pa.concat_tables([_mor_read(e) for e in b], promote_options="default")
-        out = root / "data" / f"compact-{sid}-{tag}-{i}.parquet"
-        pq.write_table(tbl, out)
         proto = b[0]
-        ne = _file_entry(
-            out, 1, sid,
-            schema_id=proto.get("schema_id"),
-            sequence_number=eseq,
-        )
-        ne["data_file"]["spec_id"] = proto.get("spec_id")
-        ne["data_file"]["partition"] = proto.get("partition")
-        new_entries.append(ne)
+        if sort_by is not None:
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_by])
+            in_bytes = sum(int(e.get("file_size") or 0) for e in b)
+            n_out = max(
+                1, -(-in_bytes // int(target_bytes))
+            )  # ceil division
+            step = -(-tbl.num_rows // n_out) if tbl.num_rows else 1
+            slices = [
+                tbl.slice(off, step)
+                for off in range(0, tbl.num_rows, step)
+            ] or [tbl]
+        else:
+            slices = [tbl]
+        for j, part in enumerate(slices):
+            suffix = f"{i}" if sort_by is None else f"{i}-{j}"
+            out = root / "data" / f"compact-{sid}-{tag}-{suffix}.parquet"
+            pq.write_table(part, out)
+            ne = _file_entry(
+                out, 1, sid,
+                schema_id=proto.get("schema_id"),
+                sequence_number=eseq,
+            )
+            ne["data_file"]["spec_id"] = proto.get("spec_id")
+            ne["data_file"]["partition"] = proto.get("partition")
+            new_entries.append(ne)
+            result["rows_rewritten"] += part.num_rows
         rewritten_paths.update(str(e["path"]) for e in b)
-        result["rows_rewritten"] += tbl.num_rows
     # fresh manifest list: carried live entries verbatim (explicit
     # sequence numbers stamped, tombstones dropped) minus the rewritten
     # files, plus the consolidated files — same construction as
