@@ -12212,6 +12212,134 @@ def iceberg_sorted_rewrite_pruned_read(
     )
 
 
+def events_stream_sliding_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SLIDING (hopping) windows — the overlap case tumbling
+    and session windows don't cover: 2-hour windows advancing every
+    hour, per event type, in append mode. Each event lands in exactly
+    two windows; state is bounded by (open windows × types) and the
+    watermark finalizes a window when its END clears max event time −
+    delay (the same emission rule pinned empirically for session
+    windows). The oracle replays window assignment arithmetically —
+    epoch-aligned starts at floor(t/1h)−{0,1} hours — and keeps exactly
+    the finalized windows. Integer floor-cents sums are order-
+    independent and exact."""
+    import time as _time
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    qname = f"ev_slide_{int(_time.time() * 1000)}"
+    q = (
+        agg.select(
+            F.unix_micros(F.col("window.start")).alias("win_start"),
+            F.unix_micros(F.col("window.end")).alias("win_end"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return spark.table(qname).orderBy("win_start", "event_type")
+
+
+def media_audio_real_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL AUDIO codec end-to-end on the INTEGER lattice: per doc,
+    int16 PCM samples are generated from the splitmix64 formula (seeded
+    by md5 of the doc_id string), encoded into a REAL 16-bit PCM WAV
+    container (operators/codecs.py, stdlib wave), and
+    multimodal.audio_frame_features must recover those exact integers
+    and emit per-256-sample-frame energy (squared-sample sum, exact
+    int64) and zero-crossing counts. Self-certifying: the stub fallback
+    seeds gaussian floats from md5(encoded bytes), so an oracle match
+    proves the real WAV decode ran losslessly on every row. mean_sq is
+    one division of exact ints — bit-identical, unrounded."""
+    import pandas as pd
+
+    from tdigest_spark.operators import codecs
+    from tdigest_spark.operators.multimodal import (
+        _seed_from,
+        audio_frame_features,
+    )
+    from tdigest_spark.sketch.hashing import hash64
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 24)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            (F.lit(512) + (F.col("doc_id") % 3) * F.lit(256))
+            .cast("int")
+            .alias("n"),
+        )
+    )
+
+    def encode(pdfs):
+        for pdf in pdfs:
+            payloads = []
+            for r in pdf.itertuples():
+                seed = np.uint64(_seed_from(r.doc_id.encode()))
+                idx = np.arange(int(r.n), dtype=np.uint64)
+                v = (
+                    (hash64(seed ^ idx) & np.uint64(0xFFFF)).astype(
+                        np.int64
+                    )
+                    - 32768
+                )
+                payloads.append(
+                    bytearray(
+                        codecs.encode_wav(
+                            v.astype(np.float64) / 32768.0, rate=16000
+                        )
+                    )
+                )
+            out = pdf.assign(payload=payloads, kind="audio")
+            yield out[["doc_id", "kind", "payload", "n"]].rename(
+                columns={"n": "sample_rate"}
+            )
+
+    media = docs.mapInPandas(
+        encode,
+        "doc_id string, kind string, payload binary, sample_rate int",
+    )
+    feats = audio_frame_features(media, frame=256)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        "sum_sq",
+        "zcr",
+        (
+            F.col("sum_sq").cast("double")
+            / F.col("n_samples").cast("double")
+        ).alias("mean_sq"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -12317,6 +12445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_hourly_ewma": events_hourly_ewma,
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
+        "events_stream_sliding_window_counts": events_stream_sliding_window_counts,
+        "media_audio_real_frame_features": media_audio_real_frame_features,
         "iceberg_add_files_read": iceberg_add_files_read,
         "iceberg_sorted_rewrite_pruned_read": iceberg_sorted_rewrite_pruned_read,
         "events_trailing_6h_p95": events_trailing_6h_p95,
@@ -13405,6 +13535,51 @@ def _media_video_oracle_sql() -> str:
                AVG(CASE WHEN c = 2 THEN v END) AS mean_v
         FROM px WHERE f % 2 = 0
         GROUP BY doc_id, f
+        ORDER BY doc_id, frame_idx
+    """
+
+
+def _media_audio_oracle_sql() -> str:
+    """SQL twin of media_audio_real_frame_features: regenerate sample
+    i = (splitmix64(md5_number_lower(doc_id_string) XOR i) & 65535) −
+    32768, frame it by i // 256, and compute the squared-sample sum and
+    zero-crossing count per frame. The Spark side encodes those samples
+    into a REAL 16-bit PCM WAV and decodes it back — equality proves
+    the real audio decode is lossless (the stub would seed gaussian
+    floats from the container bytes)."""
+    golden, c1, c2 = 11400714819323198485, 13787848793156543929, 10723151780598845931
+    return f"""
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 512 + (doc_id % 3) * 256 AS n,
+                 CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS UBIGINT)
+                   AS seed
+          FROM documents WHERE doc_id < 24
+        ), smp AS (
+          SELECT doc_id, CAST(i // 256 AS INTEGER) AS frame_idx, i % 256 AS j,
+                 (CAST(xor(seed, CAST(i AS UBIGINT)) AS UHUGEINT) + {golden})
+                   % {_U64_MOD} AS z0,
+                 CAST((CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30)
+                   AS UHUGEINT) * {c1}) % {_U64_MOD} AS UBIGINT) AS z1,
+                 CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * {c2})
+                   % {_U64_MOD} AS UBIGINT) AS z2,
+                 CAST(xor(z2, z2 >> 31) & 65535 AS BIGINT) - 32768 AS v
+          FROM base, UNNEST(range(n)) AS t(i)
+        ), lagged AS (
+          SELECT doc_id, frame_idx, v,
+                 LEAD(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY j)
+                   AS nv
+          FROM smp
+        )
+        SELECT doc_id, frame_idx,
+               CAST(256 AS INTEGER) AS n_samples,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN nv IS NOT NULL
+                             AND ((v < 0) <> (nv < 0))
+                        THEN 1 ELSE 0 END) AS INTEGER) AS zcr,
+               CAST(SUM(v * v) AS DOUBLE) / CAST(256 AS DOUBLE) AS mean_sq
+        FROM lagged
+        GROUP BY doc_id, frame_idx
         ORDER BY doc_id, frame_idx
     """
 
@@ -16514,6 +16689,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_stats": _media_stats_oracle_sql(),
         "media_real_decode_stats": _media_real_oracle_sql(),
         "media_video_real_frame_stats": _media_video_oracle_sql(),
+        "media_audio_real_frame_features": _media_audio_oracle_sql(),
         # fan-out shapes are metadata arithmetic: image 16x16 grid = 256,
         # audio floor(sample_rate/1024) frames, video ceil(n_frames/8)
         "media_pipeline_shapes": """
@@ -18009,6 +18185,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE session_end <=
                   (SELECT MAX(epoch_us(ts)) FROM events) - 1000000
             ORDER BY user_id, session_start
+        """,
+        # sliding windows: each event lands in exactly two epoch-aligned
+        # 2h/1h-hop windows; append mode keeps windows finalized by the
+        # drain-time watermark (end <= max event time - delay)
+        "events_stream_sliding_window_counts": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, event_type,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+              FROM events
+            ), w AS (
+              SELECT (us // 3600000000 - k) * 3600000000 AS win_start,
+                     event_type, cents
+              FROM e, UNNEST([0, 1]) AS t(k)
+            ), agg AS (
+              SELECT win_start, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(cents) AS BIGINT) AS cents
+              FROM w GROUP BY win_start, event_type
+            )
+            SELECT win_start,
+                   win_start + 7200000000 AS win_end,
+                   event_type, n_events, cents
+            FROM agg
+            WHERE win_start + 7200000000 <=
+                  (SELECT MAX(epoch_us(ts)) FROM events) - 1000000
+            ORDER BY win_start, event_type
         """,
         # drained interval stream-stream join == batch interval join
         "events_stream_attribution": """

@@ -241,6 +241,53 @@ def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:
     return sel.mapInPandas(run, "doc_id string, rms array<float>")
 
 
+def audio_frame_features(df: DataFrame, frame: int = 256) -> DataFrame:
+    """DECODE audio and emit EXACT per-frame features on the recovered
+    int16 PCM lattice: the squared-sample sum (frame energy, exact
+    int64 — frame·32768² ≪ 2^63) and the zero-crossing count (sign
+    flips between consecutive samples within the frame; the classic
+    voiced/unvoiced + noise discriminator). Working on the integer
+    lattice instead of normalized floats is what makes the features
+    SQL-replayable bit-for-bit. Trailing partial frames are dropped.
+    One output row per (doc, frame); map-only, pipelined with the
+    scan."""
+    sel = df.where(df.kind == "audio").select(
+        "doc_id", "payload", "sample_rate"
+    )
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = {
+                "doc_id": [], "frame_idx": [], "n_samples": [],
+                "sum_sq": [], "zcr": [],
+            }
+            for r in pdf.itertuples():
+                wav = _decode_audio(bytes(r.payload), r.sample_rate)
+                # decode_wav normalizes int16/32768 into float32 —
+                # exactly representable, so this recovery is lossless
+                v = np.round(wav.astype(np.float64) * 32768.0).astype(
+                    np.int64
+                )
+                n = (len(v) // frame) * frame
+                fr = v[:n].reshape(-1, frame)
+                neg = fr < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                sq = (fr * fr).sum(axis=1)
+                for i in range(fr.shape[0]):
+                    out["doc_id"].append(r.doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_samples"].append(frame)
+                    out["sum_sq"].append(int(sq[i]))
+                    out["zcr"].append(int(zc[i]))
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(
+        run,
+        "doc_id string, frame_idx int, n_samples int, sum_sq long, "
+        "zcr int",
+    )
+
+
 def video_frame_stats(df: DataFrame, every: int = 2) -> DataFrame:
     """DECODE video containers and emit per-sampled-frame plane means —
     the shot-boundary / quality primitive over real frames. Real path =

@@ -278,3 +278,29 @@ def test_y4m_roundtrip_and_strict_parse():
         )
     with pytest.raises(ValueError):
         codecs.decode_y4m(b"YUV4MPEG2 F25:1 C444\n")  # no dimensions
+
+
+def test_spark_audio_frame_features_exact_ints(spark):
+    """audio_frame_features recovers the EXACT int16 lattice from a real
+    WAV: per-frame squared-sample sums and zero-crossing counts equal
+    the closed-form values computed on the pre-encode integers."""
+    from tdigest_spark.operators.multimodal import audio_frame_features
+
+    v = (RNG.normal(0, 0.2, 700) * 32768).astype(np.int16).astype(np.int64)
+    payload = bytearray(C.encode_wav(v.astype(np.float64) / 32768.0, 16000))
+    media = spark.createDataFrame(
+        [("a1", "audio", payload, 0, 0, 16000, 0)],
+        "doc_id string, kind string, payload binary, width int, height int, "
+        "sample_rate int, n_frames int",
+    )
+    got = sorted(
+        audio_frame_features(media, frame=256).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(got) == 2  # 700 // 256 full frames, tail dropped
+    fr = v[:512].reshape(-1, 256)
+    neg = fr < 0
+    for i, r in enumerate(got):
+        assert r["sum_sq"] == int((fr[i] * fr[i]).sum())
+        assert r["zcr"] == int((neg[i, 1:] != neg[i, :-1]).sum())
+        assert r["n_samples"] == 256
