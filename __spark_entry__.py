@@ -12340,6 +12340,221 @@ def media_audio_real_frame_features(
     ).orderBy("doc_id", "frame_idx")
 
 
+def events_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F (the parametric complement to
+    events_kruskal_wallis): does mean event value differ across event
+    types? Distributed cost is ONE map-side-partial groupBy producing
+    the k per-group exact moments (n_i, Σx) plus global Σx² on integer
+    floor-cents — raw moments are order-independent BIGINTs, so the
+    heavy pass is exact at any scale. The statistic assembles from
+    those ints in a PINNED operation order: the k between-group terms
+    s_i²/n_i fold left in event_type order (DuckDB list_reduce ==
+    Python left fold — the EWMA trick), and every remaining step is an
+    identically-spelled IEEE op on bit-identical doubles, so
+    SSB/SSW/F are bit-identical across engines and left UNROUNDED."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0)).alias("x"),
+        )
+    )
+    groups = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("x").cast("long").alias("s_i"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    ).collect()[0]
+    k = len(groups)
+    n, s, q = int(tot["n"]), int(tot["s"]), int(tot["q"])
+    terms = [
+        float(g["s_i"]) * float(g["s_i"]) / float(g["n_i"]) for g in groups
+    ]
+    b = terms[0]
+    for t in terms[1:]:  # left fold == DuckDB list_reduce
+        b = b + t
+    ssb = b - float(s) * float(s) / float(n)
+    ssw = float(q) - b
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return spark.createDataFrame(
+        [(k, n, ssb, ssw, f_stat)],
+        "k int, n long, ssb double, ssw double, f_stat double",
+    )
+
+
+def part_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY ENTITY-MATCHING JOIN (the data-cleaning workhorse: catalog
+    reconciliation, address/name linkage) — part-name pairs within
+    Levenshtein distance 2, without the all-pairs N² scan: candidates
+    BLOCK on (first token, length band): a distance-2 match can't
+    shift total length by more than 2 (the length filter is lossless),
+    and first-token blocking bounds verification at Σ(block²) — the
+    standard entity-resolution trade (a typo inside the leading word
+    escapes the block; the oracle replays the same blocking, and the
+    docstring states the trade rather than hiding it). Both
+    engines verify with the same classic Levenshtein (Spark
+    F.levenshtein == DuckDB levenshtein); counts and the distance are
+    exact ints. Edit-distance verification is the candidate-bounded
+    slow path — exactly the MinHash-LSH shape, on strings."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+            F.expr("length(p_name) DIV 3").alias("lb"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.abs(F.col("a.lb") - F.col("b.lb")) <= 1)
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(
+            F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 2
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") <= 2)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dist1"),
+        F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dist2"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+
+
+def part_catalog_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end — the catalog-reconciliation job
+    every marketplace runs: a vendor feed (the distinct part names,
+    25% of them carrying a DETERMINISTIC one-char typo — the first
+    char of token k drops, k and the typo decision keyed on
+    md5-lower-64 so both engines build the identical dirty feed) must
+    be matched back to the catalog. Candidates come from DROP-ONE-TOKEN
+    blocking (5 keys per name; a single in-token edit leaves 4 of 5
+    tokens intact, so recall is 1.0 BY CONSTRUCTION for this noise
+    model — n_matched == n_vendor in the output row makes the claim
+    checkable), then Levenshtein <= 2 verifies and a
+    (dist, name) keep-best picks each vendor row's match. Work is
+    Σ(block²) with near-singleton blocks — never names × names.
+    All outputs exact ints."""
+    from tdigest_spark.operators.sample import md5_lower64
+
+    cat = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("cat_name"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vendor = cat.select(
+        F.col("cat_name").alias("vid"),
+        (
+            md5_lower64(F.concat(F.lit("tok:"), F.col("cat_name")))
+            % F.size(F.split(F.col("cat_name"), " "))
+        )
+        .cast("int")
+        .alias("k"),
+        (
+            md5_lower64(F.concat(F.lit("typo:"), F.col("cat_name"))) % 4
+            == 0
+        ).alias("is_typo"),
+    ).select(
+        "vid",
+        "is_typo",
+        F.when(
+            F.col("is_typo"),
+            F.expr(
+                "array_join(transform(split(vid, ' '), "
+                "(t, i) -> IF(i = k, substring(t, 2), t)), ' ')"
+            ),
+        )
+        .otherwise(F.col("vid"))
+        .alias("vendor_name"),
+    )
+    vkeys = vendor.select(
+        "vid",
+        "vendor_name",
+        F.explode(
+            F.expr(
+                "transform(split(vendor_name, ' '), (t, j) -> "
+                "array_join(filter(split(vendor_name, ' '), "
+                "(x, i) -> i != j), ' '))"
+            )
+        ).alias("bkey"),
+    ).distinct()
+    ckeys = cat.select(
+        "cat_name",
+        F.explode(
+            F.expr(
+                "transform(split(cat_name, ' '), (t, j) -> "
+                "array_join(filter(split(cat_name, ' '), "
+                "(x, i) -> i != j), ' '))"
+            )
+        ).alias("bkey"),
+    ).distinct()
+    cand = (
+        vkeys.join(ckeys, "bkey")
+        .select("vid", "vendor_name", "cat_name")
+        .distinct()
+        .select(
+            "vid",
+            "cat_name",
+            F.levenshtein(F.col("vendor_name"), F.col("cat_name")).alias(
+                "dist"
+            ),
+        )
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cat_name")
+    best = cand.select(
+        "vid", "cat_name", "dist", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") == 1)
+    out = best.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("dist") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fuzzy"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    ).crossJoin(
+        F.broadcast(
+            vendor.agg(F.count(F.lit(1)).cast("long").alias("n_vendor"))
+        )
+    )
+    return out.select(
+        "n_vendor", "n_matched", "n_exact", "n_fuzzy", "sum_dist"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -12447,6 +12662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
         "events_stream_sliding_window_counts": events_stream_sliding_window_counts,
         "media_audio_real_frame_features": media_audio_real_frame_features,
+        "events_anova_f_oneway": events_anova_f_oneway,
+        "part_name_fuzzy_match": part_name_fuzzy_match,
+        "part_catalog_reconciliation": part_catalog_reconciliation,
         "iceberg_add_files_read": iceberg_add_files_read,
         "iceberg_sorted_rewrite_pruned_read": iceberg_sorted_rewrite_pruned_read,
         "events_trailing_6h_p95": events_trailing_6h_p95,
@@ -14758,6 +14976,127 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n_hours * n_events AS DOUBLE) AS d_norm
             FROM cum, tot
             ORDER BY d_stat DESC, h ASC LIMIT 1
+        """,
+        "events_anova_f_oneway": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL
+            ), g AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(x) AS BIGINT) AS s_i
+              FROM ev GROUP BY event_type
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS s,
+                     CAST(SUM(x * x) AS BIGINT) AS q
+              FROM ev
+            ), fold AS (
+              SELECT CAST(COUNT(*) AS INTEGER) AS k,
+                     list_reduce(
+                       list(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                            / CAST(n_i AS DOUBLE) ORDER BY event_type),
+                       (acc, x) -> acc + x
+                     ) AS b
+              FROM g
+            ), stats AS (
+              SELECT k, n,
+                     b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS ssb,
+                     CAST(q AS DOUBLE) - b AS ssw
+              FROM fold, tot
+            )
+            SELECT k, n, ssb, ssw,
+                   (ssb / CAST(k - 1 AS DOUBLE))
+                     / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+            FROM stats
+        """,
+        "part_name_fuzzy_match": """
+            WITH p AS (
+              SELECT p_partkey, p_name,
+                     string_split(p_name, ' ')[1] AS blk,
+                     LENGTH(p_name) // 3 AS lb
+              FROM part
+            ), pairs AS (
+              SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                     levenshtein(a.p_name, b.p_name) AS dist
+              FROM p a JOIN p b
+                ON a.blk = b.blk
+               AND ABS(a.lb - b.lb) <= 1
+               AND a.p_partkey < b.p_partkey
+              WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+            ), hits AS (
+              SELECT * FROM pairs WHERE dist <= 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_exact,
+                   CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dist1,
+                   CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dist2,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist
+            FROM hits
+        """,
+        "part_catalog_reconciliation": """
+            WITH cat AS (
+              SELECT DISTINCT p_name AS cat_name FROM part
+            ), vendor AS (
+              SELECT cat_name AS vid,
+                     CAST(md5_number_lower('tok:' || cat_name)
+                          % len(string_split(cat_name, ' ')) AS INTEGER)
+                       AS k,
+                     md5_number_lower('typo:' || cat_name) % 4 = 0
+                       AS is_typo
+              FROM cat
+            ), feed AS (
+              SELECT vid,
+                     CASE WHEN is_typo THEN array_to_string(
+                       list_transform(string_split(vid, ' '),
+                         (t, i) -> CASE WHEN i = k + 1
+                                        THEN substr(t, 2) ELSE t END),
+                       ' ')
+                     ELSE vid END AS vendor_name
+              FROM vendor
+            ), vkeys AS (
+              SELECT DISTINCT vid, vendor_name, UNNEST(
+                list_transform(string_split(vendor_name, ' '),
+                  (t, j) -> array_to_string(
+                    list_filter(string_split(vendor_name, ' '),
+                      (x, i) -> i <> j), ' '))
+              ) AS bkey
+              FROM feed
+            ), ckeys AS (
+              SELECT DISTINCT cat_name, UNNEST(
+                list_transform(string_split(cat_name, ' '),
+                  (t, j) -> array_to_string(
+                    list_filter(string_split(cat_name, ' '),
+                      (x, i) -> i <> j), ' '))
+              ) AS bkey
+              FROM cat
+            ), cand AS (
+              SELECT DISTINCT v.vid, v.vendor_name, c.cat_name
+              FROM vkeys v JOIN ckeys c ON c.bkey = v.bkey
+            ), verified AS (
+              SELECT vid, cat_name,
+                     levenshtein(vendor_name, cat_name) AS dist
+              FROM cand
+              WHERE levenshtein(vendor_name, cat_name) <= 2
+            ), best AS (
+              SELECT vid, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vid
+                                        ORDER BY dist, cat_name) AS rn
+              FROM verified
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vendor)
+                     AS n_vendor,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched,
+                   CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact,
+                   CAST(SUM(CASE WHEN dist >= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fuzzy,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist
+            FROM best WHERE rn = 1
         """,
         "events_hourly_ewma": """
             WITH hourly AS (
