@@ -12606,6 +12606,426 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND over daily event volume — the slope
+    estimator dashboards reach for when OLS is wrecked by outlier days
+    (50% breakdown point vs OLS's zero). Slope = MEDIAN of all pairwise
+    day-to-day slopes; intercept = median of per-day residual offsets at
+    that slope. Scale shape: the ONE corpus-sized stage is the daily
+    groupBy; pair generation is days², CALENDAR-bounded (like the CUSUM
+    query's global window — days grow with time, not volume; ten years
+    is ~6.6M pairs), so the unpartitioned rank window is scale-safe by
+    construction. Exactness: each pairwise slope is a single division of
+    exact BIGINT deltas (bit-identical across engines); medians are
+    ORDER STATISTICS spelled as (MIN+MAX)/2 over ranks {(m+1)//2,
+    (m+2)//2} — never an engine median() whose interpolation could
+    differ; the intercept terms subtract one bit-identical product, so
+    every output is bit-identical and UNROUNDED."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .select(
+            (
+                (F.col("b.c") - F.col("a.c")).cast("double")
+                / (F.col("b.d") - F.col("a.d")).cast("double")
+            ).alias("slope")
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = slopes.count()
+    lo, hi = (m + 1) // 2, (m + 2) // 2
+    wsl = Window.orderBy("slope")
+    med = (
+        slopes.withColumn("rn", F.row_number().over(wsl))
+        .where(F.col("rn").isin(lo, hi))
+        .agg(((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    n_days = daily.count()
+    lo2, hi2 = (n_days + 1) // 2, (n_days + 2) // 2
+    wt = Window.orderBy("t")
+    terms = daily.select(
+        (
+            F.col("c").cast("double") - F.lit(float(med)) * F.col("d").cast("double")
+        ).alias("t")
+    )
+    icept = (
+        terms.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn").isin(lo2, hi2))
+        .agg(((F.min("t") + F.max("t")) / F.lit(2.0)).alias("i"))
+        .collect()[0]["i"]
+    )
+    return spark.createDataFrame(
+        [(int(n_days), int(m), float(med), float(icept))],
+        "n_days long, n_pairs long, ts_slope double, ts_intercept double",
+    )
+
+
+def events_dow_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (moving-average detrend +
+    day-of-week seasonal means) — the additive decomposition behind
+    every weekly-seasonality dashboard, kept EXACT by working in
+    x7 integer units: trend7_d = centered 7-day SUM of daily counts
+    (exact BIGINT, only days with a full window), detrended7_d =
+    7*c_d - trend7_d (exact BIGINT — never the fractional trend), and
+    the per-day-of-week seasonal component divides only at the very
+    end (sum/n/7 — two identically-spelled IEEE divisions of exact
+    ints, bit-identical, UNROUNDED). dow is epoch-day mod 7 (engine-
+    neutral; Spark dayofweek and DuckDB dayofweek disagree on their
+    origin, arithmetic doesn't). The RANGE window orders by integer
+    day so gap days shrink the frame and fail the cnt=7 gate rather
+    than silently spanning them. One corpus-sized groupBy; the global
+    window is calendar-bounded (the CUSUM argument)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("d").rangeBetween(-3, 3)
+    det = (
+        daily.select(
+            "d",
+            "c",
+            F.sum("c").over(w).alias("trend7"),
+            F.count(F.lit(1)).over(w).alias("wn"),
+        )
+        .where(F.col("wn") == 7)
+        .select(
+            (F.col("d") % 7).alias("dow_idx"),
+            (F.lit(7) * F.col("c") - F.col("trend7")).alias("detr7"),
+        )
+    )
+    return (
+        det.groupBy("dow_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("detr7").cast("long").alias("sum_detr7"),
+            F.max(F.abs(F.col("detr7"))).cast("long").alias("max_abs_detr7"),
+        )
+        .select(
+            "dow_idx",
+            "n_days",
+            "sum_detr7",
+            "max_abs_detr7",
+            (
+                F.col("sum_detr7").cast("double")
+                / F.col("n_days").cast("double")
+                / F.lit(7.0)
+            ).alias("seasonal"),
+        )
+        .orderBy("dow_idx")
+    )
+
+
+def doc_source_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per source — the corpus-health metrics a
+    training-data curator watches for mode collapse / boilerplate
+    flooding: Simpson diversity 1 - SUM c(c-1)/(N(N-1)) (the
+    probability two random tokens differ), type-token ratio, and
+    top-word concentration. One shuffle: the (source, word) histogram
+    (map-side partial combine), then a source-cardinality rollup.
+    Exactness: all moments are exact BIGINTs (c*(c-1) headroom: safe
+    while per-source-per-word counts stay under ~9.4e7, i.e. corpus
+    sums under 2^53 — the same headroom note as the OLS moments);
+    every output divides exact ints ONCE (or twice, identically
+    spelled), so rows are bit-identical and UNROUNDED."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        hist.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sum_cc"),
+            F.max("c").cast("long").alias("max_c"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("sum_cc").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+            ).alias("simpson"),
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("ttr"),
+            (
+                F.col("max_c").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("top_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the part co-purchase graph (common-neighbors
+    + Jaccard — the classic recommender candidate generator): score
+    part pairs that are NOT yet co-purchased but share co-purchase
+    neighbors. Edges reuse the triangle-census construction (support
+    >= 2 keeps the edge list bounded as order volume grows); length-2
+    paths are one self-join of the undirected adjacency on the shared
+    neighbor (fan-out SUM deg² over the THRESHOLDED graph, never
+    parts x parts); existing edges drop via a broadcast-able anti-join;
+    degrees attach by two joins. cn/deg are exact BIGINTs; Jaccard =
+    cn/(deg_a+deg_b-cn) is a single division (bit-identical,
+    UNROUNDED); top-10 ordered by (cn DESC, key_a, key_b) — a fully
+    deterministic LIMIT."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(
+        F.col("pa").alias("p"), F.col("pb").alias("nbr")
+    ).unionAll(edges.select(F.col("pb").alias("p"), F.col("pa").alias("nbr")))
+    deg = und.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    u1, u2 = und.alias("u1"), und.alias("u2")
+    cand = (
+        u1.join(u2, F.col("u1.nbr") == F.col("u2.nbr"))
+        .where(F.col("u1.p") < F.col("u2.p"))
+        .groupBy(
+            F.col("u1.p").alias("key_a"), F.col("u2.p").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    new_links = cand.join(
+        edges,
+        (F.col("key_a") == F.col("pa")) & (F.col("key_b") == F.col("pb")),
+        "left_anti",
+    )
+    da = deg.select(F.col("p").alias("key_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("p").alias("key_b"), F.col("d").alias("deg_b"))
+    return (
+        new_links.join(da, "key_a")
+        .join(db, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("cn"), "key_a", "key_b")
+        .limit(10)
+    )
+
+
+def media_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE DEDUP — the multimodal twin of MinHash-LSH:
+    every image gets a 64-bit average-hash emitted as 4 x 16-bit bands
+    (operators/multimodal.image_ahash_bands), candidates come from
+    band-equality self-join (any pair within Hamming 6 shares a band by
+    pigeonhole — NEVER an all-pairs scan), and the candidate-bounded
+    verify is 4 codegen bit_count(xor) adds. The fixture plants 60
+    exact-payload twins ('t'-prefixed keys) whose hashes must collide at
+    Hamming 0 — recall 1.0 by construction; stub-decoded pixels
+    (splitmix64 of the payload md5) plus the all-integer grid-sample /
+    threshold / bit-pack make the ENTIRE pipeline — hash values,
+    candidate set, Hamming histogram — exactly SQL-replayable. Counts
+    all exact BIGINTs."""
+    from tdigest_spark.operators.multimodal import image_ahash_bands
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def media_rows(prefix: str, cap: int):
+        return docs.where(F.col("doc_id") < cap).select(
+            F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+            (F.lit(8) + F.col("doc_id") % 5).cast("int").alias("width"),
+            (F.lit(8) + (F.col("doc_id") / F.lit(3)).cast("long") % 5)
+            .cast("int")
+            .alias("height"),
+        )
+
+    media = media_rows("d", 200).unionAll(media_rows("t", 60))
+    h = image_ahash_bands(media).localCheckpoint(eager=False)
+    long = h.selectExpr(
+        "doc_id", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ka"), F.col("b.doc_id").alias("kb")
+        )
+        .distinct()
+    )
+    wa = h.select(
+        F.col("doc_id").alias("ka"),
+        F.col("b0").alias("a0"),
+        F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"),
+        F.col("b3").alias("a3"),
+    )
+    wb = h.select(
+        F.col("doc_id").alias("kb"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+    )
+    ham = (
+        pairs.join(wa, "ka")
+        .join(wb, "kb")
+        .select(
+            (
+                F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+                + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+                + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+                + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+            )
+            .cast("long")
+            .alias("hd")
+        )
+    )
+    n_images = h.agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    return n_images.crossJoin(
+        ham.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("hd") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.sum(F.when(F.col("hd").between(1, 6), 1).otherwise(0))
+            .cast("long")
+            .alias("n_near"),
+            F.sum(F.when(F.col("hd") > 6, 1).otherwise(0))
+            .cast("long")
+            .alias("n_far"),
+            F.max("hd").cast("long").alias("max_hamming"),
+        )
+    )
+
+
+def events_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS HUBS & AUTHORITIES over the behavioral transition graph —
+    the second classic link-analysis algorithm next to
+    events_type_pagerank (hubs: types that LEAD INTO important types;
+    authorities: types important types lead into). Same scale shape as
+    pagerank: the ONE corpus-sized stage is the edge aggregation
+    (user_id shuffle + lag window); the unrolled iterations run on the
+    collected #types² edge list — type-cardinality data. Exactness
+    without ROUND: a_1 = in-weight (exact BIGINT); each subsequent
+    hub/authority value is a PINNED left fold of w*score products in
+    neighbor order (Python left fold == DuckDB list_reduce over an
+    ORDER BY list — the ANOVA/EWMA trick), and every normalization is
+    a single division by the max — so hub/authority are bit-identical
+    across engines and UNROUNDED."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    nodes = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    wgt = {(r["from_type"], r["to_type"]): int(r["n"]) for r in trans}
+
+    def fold(terms):
+        acc = terms[0]
+        for x in terms[1:]:
+            acc = acc + x
+        return acc
+
+    # a1: in-weight, exact ints (h0 = 1) -> normalize by max
+    a1 = {}
+    for (s, t), n in wgt.items():
+        a1[t] = a1.get(t, 0) + n
+    a1max = float(max(a1.values()))
+    a1n = {t: float(v) / a1max for t, v in a1.items()}
+    # h1: fold of w * a1n in to_type order
+    h1 = {}
+    for s in sorted({k[0] for k in wgt}):
+        terms = [
+            float(wgt[(s, t)]) * a1n[t]
+            for t in sorted(t2 for (s2, t2) in wgt if s2 == s)
+        ]
+        h1[s] = fold(terms)
+    h1max = max(h1.values())
+    h1n = {s: v / h1max for s, v in h1.items()}
+    # a2: fold of w * h1n in from_type order
+    a2 = {}
+    for t in sorted({k[1] for k in wgt}):
+        terms = [
+            float(wgt[(s, t)]) * h1n[s]
+            for s in sorted(s2 for (s2, t2) in wgt if t2 == t)
+        ]
+        a2[t] = fold(terms)
+    a2max = max(a2.values())
+    a2n = {t: v / a2max for t, v in a2.items()}
+    rows = [
+        (t, h1n.get(t, 0.0), a2n.get(t, 0.0)) for t in nodes
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, hub double, authority double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -12866,6 +13286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_label_consistency": embedding_knn_label_consistency,
         "semantic_dedup_keep_best": semantic_dedup_keep_best,
         "semantic_dedup_ann_keep_best": semantic_dedup_ann_keep_best,
+        "events_theil_sen_trend": events_theil_sen_trend,
+        "events_dow_seasonal_decomposition": events_dow_seasonal_decomposition,
+        "doc_source_word_diversity": doc_source_word_diversity,
+        "part_link_prediction": part_link_prediction,
+        "media_image_phash_dedup": media_image_phash_dedup,
+        "events_type_hits": events_type_hits,
     }
 
 
@@ -13799,6 +14225,104 @@ def _media_audio_oracle_sql() -> str:
         FROM lagged
         GROUP BY doc_id, frame_idx
         ORDER BY doc_id, frame_idx
+    """
+
+
+def _phash_dedup_oracle_sql() -> str:
+    """SQL twin of media_image_phash_dedup: regenerate ONLY the 64
+    grid-sampled pixels per image (3 channels each — 192 splitmix64
+    evaluations per doc, not w*h*3), replay the all-integer aHash
+    (64*gsum > total threshold, 16-bit little-endian band packing),
+    then the same band-equality candidate join and bit_count(xor)
+    Hamming histogram. Grid cell (ty, tx) samples pixel
+    (ty*h//8, tx*w//8); C-order linear index (y*w + x)*3 + c — exactly
+    operators/multimodal.image_ahash_bands. 't'-prefixed docs share
+    payload AND dims with their 'd' twins, so n_exact >= 60 by
+    construction."""
+    golden, c1, c2 = 11400714819323198485, 13787848793156543929, 10723151780598845931
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS BIGINT) AS k, text
+          FROM documents WHERE doc_id < 200
+        ), base AS (
+          SELECT 'd' || CAST(k AS VARCHAR) AS doc_id,
+                 8 + k % 5 AS w, 8 + (k // 3) % 5 AS h,
+                 CAST(md5_number_lower(text) AS UBIGINT) AS seed
+          FROM src
+          UNION ALL
+          SELECT 't' || CAST(k AS VARCHAR) AS doc_id,
+                 8 + k % 5 AS w, 8 + (k // 3) % 5 AS h,
+                 CAST(md5_number_lower(text) AS UBIGINT) AS seed
+          FROM src WHERE k < 60
+        ), cell AS (
+          SELECT doc_id, seed, ty * 8 + tx AS p,
+                 CAST(((ty * h // 8) * w + (tx * w // 8)) * 3 + c
+                      AS UBIGINT) AS i
+          FROM base,
+               UNNEST(range(8)) AS a(ty),
+               UNNEST(range(8)) AS b(tx),
+               UNNEST(range(3)) AS cc(c)
+        ), px AS (
+          SELECT doc_id, p,
+                 (CAST(xor(seed, i) AS UHUGEINT) + {golden})
+                   % {_U64_MOD} AS z0,
+                 CAST((CAST(xor(CAST(z0 AS UBIGINT), CAST(z0 AS UBIGINT) >> 30)
+                   AS UHUGEINT) * {c1}) % {_U64_MOD} AS UBIGINT) AS z1,
+                 CAST((CAST(xor(z1, z1 >> 27) AS UHUGEINT) * {c2})
+                   % {_U64_MOD} AS UBIGINT) AS z2,
+                 CAST(xor(z2, z2 >> 31) & 255 AS BIGINT) AS v
+          FROM cell
+        ), gsum AS (
+          SELECT doc_id, p, SUM(v) AS gs FROM px GROUP BY doc_id, p
+        ), tot AS (
+          SELECT doc_id, SUM(gs) AS total FROM gsum GROUP BY doc_id
+        ), bits AS (
+          SELECT g.doc_id, g.p,
+                 CASE WHEN 64 * g.gs > t.total THEN 1 ELSE 0 END AS bit
+          FROM gsum g JOIN tot t USING (doc_id)
+        ), hsh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN p // 16 = 0
+                          THEN bit * (1 << (p % 16)) ELSE 0 END) AS BIGINT)
+                   AS b0,
+                 CAST(SUM(CASE WHEN p // 16 = 1
+                          THEN bit * (1 << (p % 16)) ELSE 0 END) AS BIGINT)
+                   AS b1,
+                 CAST(SUM(CASE WHEN p // 16 = 2
+                          THEN bit * (1 << (p % 16)) ELSE 0 END) AS BIGINT)
+                   AS b2,
+                 CAST(SUM(CASE WHEN p // 16 = 3
+                          THEN bit * (1 << (p % 16)) ELSE 0 END) AS BIGINT)
+                   AS b3
+          FROM bits GROUP BY doc_id
+        ), bnd AS (
+          SELECT doc_id, 0 AS band, b0 AS val FROM hsh
+          UNION ALL SELECT doc_id, 1, b1 FROM hsh
+          UNION ALL SELECT doc_id, 2, b2 FROM hsh
+          UNION ALL SELECT doc_id, 3, b3 FROM hsh
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        ), ham AS (
+          SELECT CAST(bit_count(xor(ha.b0, hb.b0))
+                    + bit_count(xor(ha.b1, hb.b1))
+                    + bit_count(xor(ha.b2, hb.b2))
+                    + bit_count(xor(ha.b3, hb.b3)) AS BIGINT) AS hd
+          FROM pairs
+          JOIN hsh ha ON ha.doc_id = pairs.ka
+          JOIN hsh hb ON hb.doc_id = pairs.kb
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM hsh) AS n_images,
+               CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(SUM(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact,
+               CAST(SUM(CASE WHEN hd BETWEEN 1 AND 6 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_near,
+               CAST(SUM(CASE WHEN hd > 6 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_far,
+               CAST(MAX(hd) AS BIGINT) AS max_hamming
+        FROM ham
     """
 
 
@@ -18730,4 +19254,166 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans_lloyd": _kmeans_oracle_sql(),
         "ivf_recall_at_probe": _ivf_recall_oracle_sql(),
         "ann_pruned_filtered_topk": _ann_pruned_oracle_sql(k=5, label=3),
+        "events_theil_sen_trend": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), pairs AS (
+              SELECT CAST(b.c - a.c AS DOUBLE)
+                       / CAST(b.d - a.d AS DOUBLE) AS slope
+              FROM daily a JOIN daily b ON a.d < b.d
+            ), ranked AS (
+              SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                     COUNT(*) OVER () AS m
+              FROM pairs
+            ), med AS (
+              SELECT (MIN(slope) + MAX(slope)) / CAST(2.0 AS DOUBLE) AS s
+              FROM ranked WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+            ), terms AS (
+              SELECT CAST(daily.c AS DOUBLE)
+                       - med.s * CAST(daily.d AS DOUBLE) AS t
+              FROM daily, med
+            ), ranked2 AS (
+              SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM terms
+            ), icept AS (
+              SELECT (MIN(t) + MAX(t)) / CAST(2.0 AS DOUBLE) AS i
+              FROM ranked2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+                   med.s AS ts_slope, icept.i AS ts_intercept
+            FROM med, icept
+        """,
+        "events_dow_seasonal_decomposition": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), det AS (
+              SELECT d % 7 AS dow_idx,
+                     7 * c - SUM(c) OVER w AS detr7,
+                     COUNT(*) OVER w AS wn
+              FROM daily
+              WINDOW w AS (ORDER BY d
+                           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            )
+            SELECT CAST(dow_idx AS BIGINT) AS dow_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(detr7) AS BIGINT) AS sum_detr7,
+                   CAST(MAX(ABS(detr7)) AS BIGINT) AS max_abs_detr7,
+                   CAST(SUM(detr7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     / CAST(7.0 AS DOUBLE) AS seasonal
+            FROM det WHERE wn = 7
+            GROUP BY dow_idx ORDER BY dow_idx
+        """,
+        "doc_source_word_diversity": r"""
+            WITH hist AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (
+                SELECT source,
+                       UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                                                    '\s+')) AS word
+                FROM documents WHERE TRIM(text) <> ''
+              ) WHERE word <> ''
+              GROUP BY source, word
+            ), agg AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_cc,
+                     CAST(MAX(c) AS BIGINT) AS max_c
+              FROM hist GROUP BY source
+            )
+            SELECT source, n_tokens, n_distinct,
+                   CAST(1.0 AS DOUBLE)
+                     - CAST(sum_cc AS DOUBLE)
+                       / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson,
+                   CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     AS ttr,
+                   CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     AS top_share
+            FROM agg ORDER BY source
+        """,
+        "part_link_prediction": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING COUNT(*) >= 2
+            ), und AS (
+              SELECT pa AS p, pb AS nbr FROM edges
+              UNION ALL SELECT pb AS p, pa AS nbr FROM edges
+            ), deg AS (
+              SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY p
+            ), cand AS (
+              SELECT u1.p AS key_a, u2.p AS key_b,
+                     CAST(COUNT(*) AS BIGINT) AS cn
+              FROM und u1 JOIN und u2
+                ON u1.nbr = u2.nbr AND u1.p < u2.p
+              GROUP BY u1.p, u2.p
+            ), new_links AS (
+              SELECT c.* FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                WHERE e.pa = c.key_a AND e.pb = c.key_b)
+            )
+            SELECT n.key_a, n.key_b, n.cn, da.d AS deg_a, db.d AS deg_b,
+                   CAST(n.cn AS DOUBLE)
+                     / CAST(da.d + db.d - n.cn AS DOUBLE) AS jaccard
+            FROM new_links n
+            JOIN deg da ON da.p = n.key_a
+            JOIN deg db ON db.p = n.key_b
+            ORDER BY cn DESC, key_a, key_b LIMIT 10
+        """,
+        "media_image_phash_dedup": _phash_dedup_oracle_sql(),
+        "events_type_hits": """
+            WITH seq AS (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS from_type,
+                     event_type AS to_type
+              FROM events WHERE user_id IS NOT NULL
+            ), wgt AS (
+              SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE from_type IS NOT NULL
+              GROUP BY from_type, to_type
+            ), a1 AS (
+              SELECT to_type AS t, CAST(SUM(n) AS DOUBLE) AS v
+              FROM wgt GROUP BY to_type
+            ), a1n AS (
+              SELECT t, v / (SELECT MAX(v) FROM a1) AS v FROM a1
+            ), h1 AS (
+              SELECT w.from_type AS s,
+                     list_reduce(
+                       list(CAST(w.n AS DOUBLE) * a.v ORDER BY w.to_type),
+                       (acc, x) -> acc + x) AS v
+              FROM wgt w JOIN a1n a ON a.t = w.to_type
+              GROUP BY w.from_type
+            ), h1n AS (
+              SELECT s, v / (SELECT MAX(v) FROM h1) AS v FROM h1
+            ), a2 AS (
+              SELECT w.to_type AS t,
+                     list_reduce(
+                       list(CAST(w.n AS DOUBLE) * h.v ORDER BY w.from_type),
+                       (acc, x) -> acc + x) AS v
+              FROM wgt w JOIN h1n h ON h.s = w.from_type
+              GROUP BY w.to_type
+            ), a2n AS (
+              SELECT t, v / (SELECT MAX(v) FROM a2) AS v FROM a2
+            ), nodes AS (
+              SELECT DISTINCT event_type FROM events
+              WHERE user_id IS NOT NULL
+            )
+            SELECT nd.event_type,
+                   COALESCE(h.v, CAST(0 AS DOUBLE)) AS hub,
+                   COALESCE(a.v, CAST(0 AS DOUBLE)) AS authority
+            FROM nodes nd
+            LEFT JOIN h1n h ON h.s = nd.event_type
+            LEFT JOIN a2n a ON a.t = nd.event_type
+            ORDER BY nd.event_type
+        """,
     }

@@ -38,6 +38,7 @@ __all__ = [
     "decode_image_stats",
     "image_resize_features",
     "audio_frame_energy",
+    "image_ahash_bands",
     "video_sample_frames",
 ]
 
@@ -218,6 +219,57 @@ def image_resize_features(df: DataFrame, side: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
     return sel.mapInPandas(run, "doc_id string, feature array<float>")
+
+
+def image_ahash_bands(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint, emitted directly as
+    4 x 16-bit BAND integers — the banded form LSH blocking wants (two
+    images within Hamming distance 6 of each other agree exactly on at
+    least one band, so band-equality candidate generation never scans
+    all pairs). Decode -> nearest-grid 8x8 subsample (same top-left
+    convention as image_resize_features) -> per-cell integer channel
+    sum gsum = r+g+b (0..765) -> bit_p = (64 * gsum_p > sum of the 64
+    gsums) -> pack 16 bits per band. ALL-INTEGER end to end, so for
+    stub-decoded payloads the whole hash is exactly SQL-replayable
+    (splitmix64 pixels + the same grid index arithmetic)."""
+    if grid != 8:
+        raise ValueError("image_ahash_bands packs 64 bits: grid must be 8")
+    sel = df.where(df.kind == "image").select(
+        "doc_id", "payload", "width", "height"
+    )
+    nbits = grid * grid
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in pdfs:
+            ids: list = []
+            bands: list = [[], [], [], []]
+            for r in pdf.itertuples():
+                img = _decode_image(
+                    bytes(r.payload), r.width, r.height
+                ).astype(np.int64)
+                ys = (np.arange(grid) * img.shape[0] // grid).astype(int)
+                xs = (np.arange(grid) * img.shape[1] // grid).astype(int)
+                gsum = img[np.ix_(ys, xs)].sum(axis=2).ravel()
+                total = int(gsum.sum())
+                bits = (nbits * gsum > total).astype(np.int64)
+                ids.append(r.doc_id)
+                for k in range(4):
+                    seg = bits[16 * k : 16 * (k + 1)]
+                    bands[k].append(int((seg << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": bands[0],
+                    "b1": bands[1],
+                    "b2": bands[2],
+                    "b3": bands[3],
+                }
+            )
+
+    return sel.mapInPandas(
+        run, "doc_id string, b0 int, b1 int, b2 int, b3 int"
+    )
 
 
 def audio_frame_energy(df: DataFrame, frame: int = 1024) -> DataFrame:

@@ -123,3 +123,78 @@ def test_video_frame_stats_real_vs_stub(spark):
         assert rows[("stub", fi)] == (float(m[0]), float(m[1]), float(m[2]))
     assert set(rows) == {("real", 0), ("real", 2), ("real", 4),
                          ("stub", 0), ("stub", 2)}
+
+
+def _py_ahash_bands(payload: bytes, w: int, h: int):
+    """Pure-python aHash replay of image_ahash_bands over the STUB decode
+    (plain ints + hashlib — no numpy, no Spark: a third code path next to
+    the Arrow kernel and the DuckDB oracle)."""
+    import hashlib
+
+    M = (1 << 64) - 1
+    seed = int.from_bytes(hashlib.md5(payload).digest()[8:16], "little")
+
+    def sm64(x):
+        z = (x + 0x9E3779B97F4A7C15) & M
+        z ^= z >> 30
+        z = (z * 0xBF58476D1CE4E5B9) & M
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    def px(i):
+        return sm64(seed ^ i) & 255
+
+    gsum = []
+    for ty in range(8):
+        y = ty * h // 8
+        for tx in range(8):
+            x = tx * w // 8
+            base = (y * w + x) * 3
+            gsum.append(px(base) + px(base + 1) + px(base + 2))
+    total = sum(gsum)
+    bits = [1 if 64 * g > total else 0 for g in gsum]
+    return [
+        sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)
+    ]
+
+
+def test_image_ahash_bands_match_python(spark):
+    from tdigest_spark.operators.multimodal import image_ahash_bands
+
+    media = make_media_table(spark, n_rows=48, seed=7)
+    src = {
+        r["doc_id"]: (bytes(r["payload"]), r["width"], r["height"])
+        for r in media.where(F.col("kind") == "image").collect()
+    }
+    got = {
+        r["doc_id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+        for r in image_ahash_bands(media).collect()
+    }
+    assert set(got) == set(src)
+    for k, (p, w, h) in src.items():
+        assert got[k] == _py_ahash_bands(p, w, h), k
+        assert all(0 <= b < 65536 for b in got[k])
+
+    # partition-layout invariance (hash is payload-pure)
+    got2 = {
+        r["doc_id"]: [r["b0"], r["b1"], r["b2"], r["b3"]]
+        for r in image_ahash_bands(media.repartition(5)).collect()
+    }
+    assert got2 == got
+
+
+def test_phash_dedup_query_invariants(spark):
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    row = entry.media_image_phash_dedup(spark, SF_DIR).collect()[0]
+    assert row["n_images"] == 260
+    # the 60 planted twins share payload AND dims -> Hamming 0, and
+    # band-equality blocking MUST surface every one of them (recall 1.0
+    # at distance 0 is pigeonhole-guaranteed, not probabilistic)
+    assert row["n_exact"] >= 60
+    assert row["n_candidate_pairs"] == (
+        row["n_exact"] + row["n_near"] + row["n_far"]
+    )
+    assert 0 <= row["max_hamming"] <= 64

@@ -478,3 +478,60 @@ def test_cuped_matches_numpy(spark):
     assert row["diff_cuped"] == pytest.approx(diff_cuped, rel=1e-6)
     assert row["var_reduction"] == pytest.approx(vr, rel=1e-6)
     assert 0.0 <= row["var_reduction"] <= 1.0
+
+
+def test_theil_sen_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["ts"], use_threads=False
+    )
+    d = (
+        np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    days, counts = np.unique(d, return_counts=True)
+    di, dj = np.triu_indices(len(days), k=1)
+    slopes = (counts[dj] - counts[di]).astype("float64") / (
+        days[dj] - days[di]
+    ).astype("float64")
+    med = np.median(slopes)  # numpy averages the two middles, same rule
+    icept = np.median(counts.astype("float64") - med * days.astype("float64"))
+    row = entry.events_theil_sen_trend(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(days)
+    assert row["n_pairs"] == len(slopes)
+    assert row["ts_slope"] == pytest.approx(med, rel=1e-12, abs=1e-12)
+    assert row["ts_intercept"] == pytest.approx(icept, rel=1e-9)
+
+
+def test_dow_seasonal_decomposition_matches_numpy(spark):
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["ts"], use_threads=False
+    )
+    d = (
+        np.asarray(t.column("ts"), dtype="datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    days, counts = np.unique(d, return_counts=True)
+    # textbook: centered 7-day moving average needs all 7 calendar days
+    by_day = dict(zip(days.tolist(), counts.tolist()))
+    rows = {}
+    for day, c in by_day.items():
+        window = [by_day.get(day + k) for k in range(-3, 4)]
+        if any(v is None for v in window):
+            continue
+        detr7 = 7 * c - sum(window)
+        rows.setdefault(day % 7, []).append(detr7)
+    got = {
+        r["dow_idx"]: r
+        for r in entry.events_dow_seasonal_decomposition(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(rows)
+    for dow, detr in rows.items():
+        r = got[dow]
+        assert r["n_days"] == len(detr)
+        assert r["sum_detr7"] == sum(detr)
+        assert r["max_abs_detr7"] == max(abs(v) for v in detr)
+        assert r["seasonal"] == pytest.approx(
+            np.mean(detr) / 7.0, rel=1e-12
+        )
