@@ -13026,6 +13026,340 @@ def events_type_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_max_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PEAK CONCURRENCY via a DISTRIBUTED SWEEP-LINE — the capacity-
+    planning number ("how many sessions were open at once, and when?")
+    that naive approaches answer with a self-join (quadratic) or a
+    global ordered window (single task). Here: sessionize (one user_id
+    shuffle), emit two boundary rows per session — starts at value
+    2·start_us, ends at 2·end_us+1, so starts of closed intervals sort
+    BEFORE same-microsecond ends — pre-group deltas per distinct value,
+    then relational.time_bucketed_cumsum (per-CALENDAR-DAY partitioned
+    running sum with broadcast day offsets; bit-length bucketing would
+    degenerate on a timestamp domain where every value is ~51 bits).
+    Peak = max inclusive prefix, earliest tie; attained at a start
+    boundary (ends only decrease it), so at_us = v div 2 is exact. All
+    integers end to end."""
+    from tdigest_spark.operators.relational import (
+        sessionize,
+        time_bucketed_cumsum,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    s = sessionize(ev, "user_id", "ts", 1800)
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    bounds = sess.select(
+        (F.col("s_us") * 2).alias("v"), F.lit(1).cast("long").alias("w")
+    ).unionAll(
+        sess.select(
+            (F.col("e_us") * 2 + 1).alias("v"),
+            F.lit(-1).cast("long").alias("w"),
+        )
+    )
+    net = bounds.groupBy("v").agg(F.sum("w").alias("w"))
+    c = time_bucketed_cumsum(net, "v", "w", bucket_div=172_800_000_000)
+    conc = c.select("v", (F.col("prefix") + F.col("w")).alias("conc"))
+    best = (
+        conc.orderBy(F.desc("conc"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("conc").cast("long").alias("max_concurrent"),
+            F.expr("v div 2").cast("long").alias("at_us"),
+        )
+    )
+    n = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return n.crossJoin(best)
+
+
+def part_component_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONNECTED COMPONENTS BY UNROLLED MIN-LABEL PROPAGATION over the
+    part co-purchase graph — the FULLY-RELATIONAL scale path next to the
+    driver union-find in dedup_group_resolution (which collects the edge
+    list; correct for near-dup clusters but not for a graph whose edges
+    don't fit the driver). Each round is one edge-partitioned join + a
+    min aggregation — the standard large-graph CC round (GraphX
+    small-star flavor), shuffling only (node, label) longs. THREE rounds
+    are pinned and the oracle replays the identical three, so the result
+    is exact-by-construction whether or not the graph has converged —
+    and n_changed_last_round REPORTS convergence instead of assuming it
+    (0 means labels are a fixpoint = true components). Monotone exact
+    BIGINT mins end to end."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    lbl = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    prev = lbl
+    for _ in range(3):
+        prev = lbl
+        nb = (
+            und.join(
+                lbl.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    changed = (
+        lbl.select("node", F.col("lbl").alias("l3"))
+        .join(prev.select("node", F.col("lbl").alias("l2")), "node")
+        .where(F.col("l3") != F.col("l2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_changed_last_round"))
+    )
+    sizes = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("c"))
+    stats = lbl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.countDistinct("lbl").cast("long").alias("n_components"),
+    )
+    return stats.crossJoin(changed).crossJoin(
+        sizes.agg(F.max("c").cast("long").alias("max_component_size"))
+    )
+
+
+def doc_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC (containment) near-dup pairs — catches SUBSET
+    duplication that symmetric Jaccard structurally misses: a doc quoted
+    or truncated inside another scores Jaccard ≈ |A|/|B| (tiny) but
+    containment |A∩B|/min(|A|,|B|) = 1. The fixture plants 40 true
+    half-documents ('c'-prefixed, first len/2 words of their 'd' twin):
+    every trigram of a prefix-half is a trigram of the full doc, so the
+    planted pairs MUST surface at containment 1.0 (modulo the documented
+    max_df='auto' hot-shingle cap, mirrored in the oracle). Engine =
+    operators/dedup.ngram_containment_pairs: inverted 8-byte-hash
+    postings, never all pairs; containment a single unrounded IEEE
+    division of exact ints."""
+    from tdigest_spark.operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 150).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    halves = docs.where(F.col("doc_id") < 40).select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.array_join(
+            F.slice(w, 1, F.floor(F.size(w) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    pairs = ngram_containment_pairs(
+        base.unionAll(halves), "text", "doc_id", shingle_n=3, threshold=0.8
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery with per-row ORDER BY + LIMIT
+    (top-3 orders per customer) — the join flavor the window-function
+    suite doesn't cover: the inner query references the outer row, and
+    Catalyst's DecorrelateInnerQuery rewrites the correlated limit into
+    a partitioned rank, so the physical plan is ONE shuffle on the join
+    key (same as the ROW_NUMBER spelling) while the SQL stays the
+    per-row 'for each customer, its top orders' declaration — never a
+    per-row rescan of orders. Key-residue sampling (c_custkey % 100 = 7)
+    bounds the result and pushes into the customer scan; prices pass
+    through from parquet with no arithmetic, so values hash exactly."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat_v
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        WHERE c.c_custkey % 100 = 7
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
+
+
+def events_hourly_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATED EXPONENTIAL SMOOTHING (EMA, α=1/2) of the hourly
+    revenue series per event type — the dashboard forecast primitive —
+    kept EXACT end to end: the recursive sₜ = αxₜ + (1−α)sₜ₋₁ unrolls to
+    weights α(1−α)^k = 2^{-(k+1)} over the last n ≤ 12 hours, so the
+    NUMERATOR Σ centsₖ·2^{n−1−k} is an exact BIGINT (weights are integer
+    SHIFTS, never libm pow) and the normalized EMA = num / (2ⁿ−1) is ONE
+    correctly-rounded division of exact ints — bit-identical across
+    engines, no ROUND needed. The rank window partitions by event_type;
+    per-type hourly series are calendar-bounded (≤720 rows at any data
+    volume), so nothing here grows with rows — the heavy lifting is the
+    map-side partial hourly agg."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("h"))
+    ranked = hourly.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).where(F.col("rn") <= 12)
+    kept = ranked.withColumn(
+        "n_h",
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("long"),
+    ).withColumn(
+        "wt",
+        F.expr("shiftleft(cast(1 as bigint), cast(n_h - rn as int))"),
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n_h").cast("long").alias("n_hours_used"),
+            F.max("h").cast("long").alias("last_hour"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents")))
+            .cast("long")
+            .alias("last_cents"),
+            F.sum(F.col("cents") * F.col("wt")).cast("long").alias("ema_num"),
+        )
+        .select(
+            "event_type",
+            "n_hours_used",
+            "last_hour",
+            "last_cents",
+            "ema_num",
+            (
+                F.col("ema_num").cast("double")
+                / (
+                    F.expr(
+                        "shiftleft(cast(1 as bigint),"
+                        " cast(n_hours_used as int))"
+                    )
+                    - F.lit(1)
+                ).cast("double")
+            ).alias("ema_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def part_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION BY UNROLLED PEELING (k=3, three rounds) over
+    the part co-purchase graph — the degeneracy screen that separates a
+    dense community core from hairball fringe, and the iterative-deletion
+    sibling of part_component_label_propagation's min-label rounds. Each
+    round induces the subgraph on surviving nodes (two semi-joins on the
+    checkpointed edge list), recounts degrees, and keeps deg ≥ k — the
+    standard distributed peel round: (node, degree) longs only, no
+    collected state. THREE rounds are pinned and the oracle replays the
+    identical three, so the result is exact whether or not peeling has
+    converged — n_removed_last_round REPORTS convergence (0 = the
+    surviving set IS the true 3-core). Exact BIGINT counts end to end."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    alive = und.select(F.col("u").alias("node")).distinct()
+    n0 = alive.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    rounds = []
+    for _ in range(3):
+        deg = (
+            und.join(alive.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= 3)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(alive)
+    c1, c2, c3 = (
+        r.agg(F.count(F.lit(1)).cast("long").alias(f"n_alive_r{i + 1}"))
+        for i, r in enumerate(rounds)
+    )
+    return (
+        n0.crossJoin(c1)
+        .crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_nodes",
+            "n_alive_r1",
+            "n_alive_r2",
+            "n_alive_r3",
+            (F.col("n_alive_r2") - F.col("n_alive_r3"))
+            .cast("long")
+            .alias("n_removed_last_round"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -13292,6 +13626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_link_prediction": part_link_prediction,
         "media_image_phash_dedup": media_image_phash_dedup,
         "events_type_hits": events_type_hits,
+        "events_max_concurrent_sessions": events_max_concurrent_sessions,
+        "part_component_label_propagation": part_component_label_propagation,
+        "doc_containment_dup_pairs": doc_containment_dup_pairs,
+        "customer_top_orders_lateral": customer_top_orders_lateral,
+        "events_hourly_ema": events_hourly_ema,
+        "part_kcore_peel": part_kcore_peel,
     }
 
 
@@ -19415,5 +19755,211 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h1n h ON h.s = nd.event_type
             LEFT JOIN a2n a ON a.t = nd.event_type
             ORDER BY nd.event_type
+        """,
+        # sessionization CTE reuses the proven events_sessionized spelling;
+        # start boundaries at 2t sort before same-µs end boundaries at 2t+1
+        "events_max_concurrent_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, epoch_us(ts) AS us,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)) > 1800
+                          OR LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE user_id IS NOT NULL
+            ), numbered AS (
+              SELECT user_id, us,
+                     SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sidx
+              FROM flagged
+            ), sess AS (
+              SELECT user_id, sidx, MIN(us) AS s_us, MAX(us) AS e_us
+              FROM numbered GROUP BY user_id, sidx
+            ), bounds AS (
+              SELECT s_us * 2 AS v, CAST(1 AS BIGINT) AS w FROM sess
+              UNION ALL
+              SELECT e_us * 2 + 1 AS v, CAST(-1 AS BIGINT) AS w FROM sess
+            ), net AS (
+              SELECT v, SUM(w) AS w FROM bounds GROUP BY v
+            ), conc AS (
+              SELECT v, SUM(w) OVER (ORDER BY v) AS conc FROM net
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess)
+                     AS n_sessions,
+                   CAST(conc AS BIGINT) AS max_concurrent,
+                   CAST(v // 2 AS BIGINT) AS at_us
+            FROM conc ORDER BY conc DESC, v ASC LIMIT 1
+        """,
+        "part_component_label_propagation": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING COUNT(*) >= 2
+            ), und AS (
+              SELECT pa AS u, pb AS v FROM edges
+              UNION ALL SELECT pb AS u, pa AS v FROM edges
+            ), l0 AS (
+              SELECT DISTINCT u AS node, u AS lbl FROM und
+            ), l1 AS (
+              SELECT l.node, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+              FROM l0 l JOIN und e ON e.u = l.node
+              JOIN l0 n ON n.node = e.v
+              GROUP BY l.node, l.lbl
+            ), l2 AS (
+              SELECT l.node, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+              FROM l1 l JOIN und e ON e.u = l.node
+              JOIN l1 n ON n.node = e.v
+              GROUP BY l.node, l.lbl
+            ), l3 AS (
+              SELECT l.node, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+              FROM l2 l JOIN und e ON e.u = l.node
+              JOIN l2 n ON n.node = e.v
+              GROUP BY l.node, l.lbl
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) AS n_nodes,
+                   (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM l3)
+                     AS n_components,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM l3 a JOIN l2 b ON a.node = b.node
+                    WHERE a.lbl <> b.lbl) AS n_changed_last_round,
+                   (SELECT CAST(MAX(c) AS BIGINT) FROM (
+                      SELECT COUNT(*) AS c FROM l3 GROUP BY lbl))
+                     AS max_component_size
+        """,
+        "doc_containment_dup_pairs": r"""
+            WITH raw AS (
+              SELECT doc_id AS k, text FROM documents WHERE doc_id < 150
+            ), corp AS (
+              SELECT 'd' || CAST(k AS VARCHAR) AS doc_id, text FROM raw
+              UNION ALL
+              SELECT 'c' || CAST(k AS VARCHAR) AS doc_id,
+                     array_to_string(w[1 : len(w) // 2], ' ') AS text
+              FROM (SELECT k, regexp_split_to_array(TRIM(text), '\s+') AS w
+                    FROM raw WHERE k < 40)
+            ), words AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w
+              FROM corp
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+              WHERE len(w) >= 3
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(w, ' ') AS g
+              FROM words WHERE len(w) < 3
+            ), hv AS (
+              SELECT DISTINCT doc_id, md5_number_lower(g) AS h FROM grams
+            ), sizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM hv GROUP BY doc_id
+            ), kept AS (
+              SELECT h FROM (SELECT h, COUNT(*) AS df FROM hv GROUP BY h)
+              WHERE df <= GREATEST(
+                64, CEIL(CAST((SELECT COUNT(DISTINCT doc_id) FROM hv)
+                              AS DOUBLE) * 0.005))
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM hv a JOIN hv b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN kept k2 ON k2.h = a.h
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, sa.sz AS len_a, sb.sz AS len_b,
+                   i AS inter,
+                   CAST(i AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+                     AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+                  >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "customer_top_orders_lateral": """
+            SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+            WHERE c.c_custkey % 100 = 7
+            ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """,
+        # EMA weights are integer SHIFTS (1<<(n-rn), n<=12 so shift<=11 —
+        # far below DuckDB's <<63 overflow edge); the normalized EMA is
+        # one division of exact BIGINTs, bit-identical, no ROUND
+        "events_hourly_ema": """
+            WITH hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS cents
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, h
+            ), ranked AS (
+              SELECT event_type, h, cents,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY h DESC) AS BIGINT)
+                       AS rn
+              FROM hourly
+            ), kept AS (
+              SELECT event_type, h, cents, rn,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_h
+              FROM ranked WHERE rn <= 12
+            )
+            SELECT event_type,
+                   CAST(MAX(n_h) AS BIGINT) AS n_hours_used,
+                   CAST(MAX(h) AS BIGINT) AS last_hour,
+                   CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+                     AS last_cents,
+                   CAST(SUM(cents * (CAST(1 AS BIGINT)
+                     << CAST(n_h - rn AS INTEGER))) AS BIGINT) AS ema_num,
+                   CAST(SUM(cents * (CAST(1 AS BIGINT)
+                     << CAST(n_h - rn AS INTEGER))) AS DOUBLE)
+                     / CAST((CAST(1 AS BIGINT)
+                       << CAST(MAX(n_h) AS INTEGER)) - 1 AS DOUBLE)
+                     AS ema_cents
+            FROM kept GROUP BY event_type ORDER BY event_type
+        """,
+        # replays the IDENTICAL three peel rounds (exact whether or not
+        # peeling converged; n_removed_last_round reports convergence)
+        "part_kcore_peel": """
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), edges AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb
+              FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey
+              HAVING COUNT(*) >= 2
+            ), und AS (
+              SELECT pa AS u, pb AS v FROM edges
+              UNION ALL SELECT pb AS u, pa AS v FROM edges
+            ), a0 AS (
+              SELECT DISTINCT u AS node FROM und
+            ), a1 AS (
+              SELECT e.u AS node FROM und e
+              JOIN a0 x ON x.node = e.u JOIN a0 y ON y.node = e.v
+              GROUP BY e.u HAVING COUNT(*) >= 3
+            ), a2 AS (
+              SELECT e.u AS node FROM und e
+              JOIN a1 x ON x.node = e.u JOIN a1 y ON y.node = e.v
+              GROUP BY e.u HAVING COUNT(*) >= 3
+            ), a3 AS (
+              SELECT e.u AS node FROM und e
+              JOIN a2 x ON x.node = e.u JOIN a2 y ON y.node = e.v
+              GROUP BY e.u HAVING COUNT(*) >= 3
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a1) AS n_alive_r1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a2) AS n_alive_r2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a3) AS n_alive_r3,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a2)
+                     - (SELECT CAST(COUNT(*) AS BIGINT) FROM a3)
+                     AS n_removed_last_round
         """,
     }

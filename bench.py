@@ -282,6 +282,12 @@ def run_headline(spark) -> dict[str, float]:
         "embedding_kmeans_lloyd",
         "events_bootstrap_mean_ci",
         "events_kruskal_wallis",
+        # round-5 fourth session: the sweep-line peak-concurrency pass
+        # (sessionize + time-bucketed distributed cumsum) and the
+        # 3-round min-label-propagation connected components (the
+        # fully-relational CC scale path)
+        "events_max_concurrent_sessions",
+        "part_component_label_propagation",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -361,6 +367,10 @@ def run_headline(spark) -> dict[str, float]:
         "embedding_kmeans_lloyd": _force_collect,
         "events_bootstrap_mean_ci": _force_collect,
         "events_kruskal_wallis": _force_collect,
+        # 1-row cross joins of aggregates: count() would prune the agg
+        # EXPRESSIONS (the sweep-line / propagation subtrees) entirely
+        "events_max_concurrent_sessions": _force_collect,
+        "part_component_label_propagation": _force_collect,
     }
     for _ in range(2):
         for name in headline:

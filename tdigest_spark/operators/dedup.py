@@ -25,6 +25,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "ngram_contamination",
     "simhash64",
     "shingle_minhash_arrow",
@@ -489,6 +490,82 @@ def ngram_jaccard_pairs(
         common.withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: max-containment
+    ``|A ∩ B| / min(|A|, |B|)`` over n-gram shingle sets — the metric
+    that catches SUBSET duplication (a document quoted or truncated
+    inside another), which symmetric Jaccard misses: a 100-shingle doc
+    fully embedded in a 10,000-shingle doc scores Jaccard ≈ 0.01 but
+    containment 1.0. Same inverted-index shape as ``ngram_jaccard_pairs``
+    (postings self-join on 8-byte hashes, never all pairs; ``max_df``
+    hot-shingle cap with the identical underestimate-only contract), so
+    the whole pipeline stays exactly SQL-oracled. Emits the pair, both
+    set sizes, the intersection, and the UNROUNDED containment (a single
+    IEEE division of exact ints — bit-identical across engines)."""
+    from pyspark import StorageLevel
+
+    base = spread_small_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).select(
+        "_id", shingle_hash_sets_arrow(F.col("_text"), shingle_n).alias("_sh")
+    ).withColumn("_len", F.size("_sh"))
+    posts = base.select("_id", "_len", F.explode("_sh").alias("_g"))
+    if max_df is not None:
+        dfs = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        if max_df == "auto":
+            ndocs = posts.agg(F.countDistinct("_id").alias("_n"))
+            cap = F.greatest(
+                F.lit(64).cast("long"),
+                F.ceil(F.col("_n").cast("double") * F.lit(0.005)),
+            )
+            keep = (
+                dfs.crossJoin(F.broadcast(ndocs))
+                .where(F.col("_df") <= cap)
+                .select("_g")
+            )
+        else:
+            keep = dfs.where(F.col("_df") <= int(max_df)).select("_g")
+        posts = posts.join(keep, "_g", "left_semi")
+    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+    common = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._len").alias("len_a"),
+            F.col("b._len").alias("len_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("len_a"), F.col("len_b")
+    ).cast("double")
+    return (
+        common.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("len_a").cast("long").alias("len_a"),
+            F.col("len_b").cast("long").alias("len_b"),
+            "inter",
+            "containment",
+        )
     )
 
 

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "sessionize", "range_join", "distributed_value_cumsum"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "range_join",
+    "distributed_value_cumsum",
+    "time_bucketed_cumsum",
+]
 
 
 def asof_join(
@@ -219,6 +225,52 @@ def bloom_semi_join(
     rkeys = right.select(F.col(right_key).alias("_bsj_rkey")).distinct()
     return pruned.join(
         rkeys, pruned[left_key] == rkeys["_bsj_rkey"], "left_semi"
+    )
+
+
+def time_bucketed_cumsum(
+    df: DataFrame,
+    value_col: str = "v",
+    weight_col: str = "w",
+    bucket_div: int = 86_400_000_000,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` over the total order of an
+    integer TIME-DOMAIN ``value_col`` — the sibling of
+    ``distributed_value_cumsum`` for epoch-microsecond domains, where
+    bit-length bucketing degenerates (every timestamp in a corpus shares
+    the same ~51-bit length, so the 'bucket' window would see the whole
+    series in one task). Buckets here are ``value DIV bucket_div`` —
+    calendar-bounded (days/hours grow with the calendar, never with data
+    volume), so per-bucket totals collect to the driver (≤ thousands of
+    rows), cumulative offsets broadcast-join back, and the within-bucket
+    running sum windows PARTITIONED BY bucket. Input rows must be
+    pre-grouped to one row per distinct value; weights are exact 64-bit
+    ints (negative weights fine — sweep-line deltas)."""
+    spark = df.sparkSession
+    g = df.withColumn(
+        "_b", F.expr(f"{value_col} div {int(bucket_div)}")
+    ).localCheckpoint(eager=False)
+    btotals = sorted(
+        (int(r["_b"]), int(r["_tw"]))
+        for r in g.groupBy("_b").agg(F.sum(weight_col).alias("_tw")).collect()
+    )
+    offs, running = [], 0
+    for b, tw in btotals:
+        offs.append((b, running))
+        running += tw
+    offdf = spark.createDataFrame(offs or [], "_b long, _off long")
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.asc(value_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        g.join(F.broadcast(offdf), "_b")
+        .withColumn(
+            "prefix",
+            F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col("_off"),
+        )
+        .drop("_b", "_off")
     )
 
 

@@ -313,3 +313,31 @@ def test_duplicate_span_coverage_random_matches_bruteforce(spark):
             for r in duplicate_span_coverage(df, "tokens", "doc_id", k=k).collect()
         }
         assert got == _brute_span_coverage(rows, k)
+
+
+def test_ngram_containment_planted_subset(spark):
+    """A doc that is a strict PREFIX of another must surface at
+    containment exactly 1.0 (every trigram of the prefix is a trigram of
+    the full doc), while its symmetric Jaccard is far below threshold —
+    the asymmetric-metric motivation. Unrelated docs emit no pair."""
+    from tdigest_spark.operators.dedup import ngram_containment_pairs
+
+    full = " ".join(f"w{i}" for i in range(40))
+    half = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [("full", full), ("half", half), ("other", other)],
+        "doc_id string, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.len_a, r.len_b, r.inter, r.containment)
+        for r in ngram_containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert set(got) == {("full", "half")}
+    la, lb, inter, cont = got[("full", "half")]
+    assert (la, lb) == (38, 10)  # n_words - 2 trigrams each
+    assert inter == 10 and cont == 1.0
+    # the symmetric metric would have missed it: 10/38 < 0.3
+    assert inter / la < 0.3

@@ -150,3 +150,91 @@ def test_hits_matches_python(spark):
         assert 0.0 <= r["hub"] <= 1.0 and 0.0 <= r["authority"] <= 1.0
     assert max(r["hub"] for r in rows) == 1.0
     assert max(r["authority"] for r in rows) == 1.0
+
+
+def test_label_propagation_matches_python(spark):
+    """Replays exactly three min-label rounds in pure Python over the
+    same support>=2 co-purchase edges and compares component stats plus
+    the convergence counter — independent of both engine twins."""
+    edges = _copurchase_edges()
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lbl = {n: n for n in nbrs}
+    prev = dict(lbl)
+    for _ in range(3):
+        prev = dict(lbl)
+        nxt = {}
+        for n in lbl:
+            m = min(lbl[x] for x in nbrs[n])
+            nxt[n] = min(lbl[n], m)
+        lbl = nxt
+    [r] = entry.part_component_label_propagation(spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(lbl)
+    assert r["n_components"] == len(set(lbl.values()))
+    sizes = Counter(lbl.values())
+    assert r["max_component_size"] == max(sizes.values())
+    assert r["n_changed_last_round"] == sum(
+        1 for n in lbl if lbl[n] != prev[n]
+    )
+
+
+def test_max_concurrent_sessions_matches_python(spark):
+    """Pure-Python sweep line over per-user 1800s-gap sessions: peak
+    open-session count, earliest attaining start, session count."""
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["user_id", "ts"],
+        use_threads=False,
+    )
+    uid = np.asarray(t.column("user_id"), dtype="float64")
+    us = np.asarray(t.column("ts").cast("int64"))
+    keep = ~np.isnan(uid)
+    uid, us = uid[keep].astype(np.int64), us[keep]
+    by_user = defaultdict(list)
+    for u, m in zip(uid.tolist(), us.tolist()):
+        by_user[u].append(m)
+    sessions = []
+    for u, ms in by_user.items():
+        ms.sort()
+        s = e = ms[0]
+        for m in ms[1:]:
+            if m - e > 1800 * 1_000_000:
+                sessions.append((s, e))
+                s = m
+            e = m
+        sessions.append((s, e))
+    bounds = sorted(
+        [(2 * s, 1) for s, _ in sessions] + [(2 * e + 1, -1) for _, e in sessions]
+    )
+    run = best = 0
+    best_v = None
+    for v, w in bounds:
+        run += w
+        if run > best:
+            best, best_v = run, v
+    [r] = entry.events_max_concurrent_sessions(spark, SF_DIR).collect()
+    assert r["n_sessions"] == len(sessions)
+    assert r["max_concurrent"] == best
+    assert r["at_us"] == best_v // 2
+
+
+def test_kcore_peel_matches_python(spark):
+    """Replays exactly three k=3 peel rounds in pure Python over the
+    same support>=2 co-purchase edges."""
+    edges = _copurchase_edges()
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(nbrs)
+    sizes = []
+    for _ in range(3):
+        alive = {
+            n for n in alive if len(nbrs[n] & alive) >= 3
+        }
+        sizes.append(len(alive))
+    [r] = entry.part_kcore_peel(spark, SF_DIR).collect()
+    assert r["n_nodes"] == len(nbrs)
+    assert (r["n_alive_r1"], r["n_alive_r2"], r["n_alive_r3"]) == tuple(sizes)
+    assert r["n_removed_last_round"] == sizes[1] - sizes[2]

@@ -184,3 +184,47 @@ def test_distributed_value_cumsum_plan_has_no_global_window(spark):
         if "Window " in ln:
             for nxt in lines[i + 1 : i + 4]:
                 assert "Exchange SinglePartition" not in nxt, plan
+
+
+def test_time_bucketed_cumsum_matches_bruteforce(spark):
+    """Exclusive prefix sums over an epoch-microsecond-like domain with
+    NEGATIVE weights (sweep-line deltas), values straddling several
+    calendar buckets, equal a driver-side brute force."""
+    from tdigest_spark.operators.relational import time_bucketed_cumsum
+
+    day = 86_400_000_000
+    vals = [
+        (0, 3), (5, -1), (day - 1, 2),            # bucket 0
+        (day, -2), (day + 7, 4),                   # bucket 1
+        (3 * day + 11, -3), (3 * day + 12, 1),     # bucket 3 (gap at 2)
+        (10 * day, 5),                             # bucket 10
+    ]
+    df = spark.createDataFrame(vals, "v long, w long")
+    got = {
+        r.v: r.prefix
+        for r in time_bucketed_cumsum(df, "v", "w", bucket_div=day).collect()
+    }
+    run, expect = 0, {}
+    for v, w in sorted(vals):
+        expect[v] = run
+        run += w
+    assert got == expect
+
+
+def test_time_bucketed_cumsum_plan_has_no_global_window(spark):
+    """Contract: the within-bucket running sum windows PARTITIONED BY the
+    calendar bucket — no Exchange SinglePartition feeds a Window."""
+    from tdigest_spark.operators.relational import time_bucketed_cumsum
+
+    df = spark.createDataFrame(
+        [(i * 3_600_000_000, (-1) ** i) for i in range(1, 300)],
+        "v long, w long",
+    )
+    out = time_bucketed_cumsum(df, "v", "w", bucket_div=86_400_000_000)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window " in ln:
+            for nxt in lines[i + 1 : i + 4]:
+                assert "Exchange SinglePartition" not in nxt, plan

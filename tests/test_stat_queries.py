@@ -535,3 +535,48 @@ def test_dow_seasonal_decomposition_matches_numpy(spark):
         assert r["seasonal"] == pytest.approx(
             np.mean(detr) / 7.0, rel=1e-12
         )
+
+
+def test_hourly_ema_matches_python(spark):
+    """Recomputes the truncated (n<=12) alpha=1/2 EMA per event type with
+    Python ints/Fractions over raw parquet — the textbook recursive
+    formula, independent of both engine twins' shift spelling."""
+    from fractions import Fraction
+    from collections import defaultdict
+    from math import floor
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet", columns=["event_type", "ts", "value"],
+        use_threads=False,
+    )
+    et = t.column("event_type").to_pylist()
+    us = t.column("ts").cast("int64").to_pylist()
+    val = t.column("value").to_pylist()
+    hourly = defaultdict(int)
+    for e, m, v in zip(et, us, val):
+        if v is not None:
+            hourly[(e, m // 3_600_000_000)] += floor(v * 100)
+    series = defaultdict(list)
+    for (e, h), c in sorted(hourly.items()):
+        series[e].append((h, c))
+    rows = {r["event_type"]: r for r in
+            entry.events_hourly_ema(spark, SF_DIR).collect()}
+    assert set(rows) == set(series)
+    for e, pts in series.items():
+        last = pts[-12:]  # trailing n<=12 hours, oldest first
+        n = len(last)
+        # textbook: weights alpha*(1-alpha)^k, k=0 newest, normalized
+        num = sum(
+            Fraction(1, 2 ** (k + 1)) * c
+            for k, (_, c) in enumerate(reversed(last))
+        )
+        den = 1 - Fraction(1, 2**n)
+        exact = num / den
+        r = rows[e]
+        assert r["n_hours_used"] == n
+        assert r["last_hour"] == last[-1][0]
+        assert r["last_cents"] == last[-1][1]
+        assert r["ema_num"] == num * 2**n  # integer numerator identity
+        # the engine's single division is correctly rounded; the exact
+        # rational sits within half an ulp
+        assert r["ema_cents"] == pytest.approx(float(exact), abs=0, rel=1e-15)

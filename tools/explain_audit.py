@@ -288,6 +288,19 @@ AUDITS = {
     # CUPED: one checkpointed (user,h,cents) base, 1-row hmid cross,
     # one user_id shuffle to an 11-moment reduce — no equi joins
     "events_ab_cuped_adjustment": (0, True, False),
+    # LATERAL top-3 per customer: Catalyst DecorrelateInnerQuery must
+    # rewrite the correlated limit into a per-custkey rank (never a
+    # per-row rescan); the pre-aggregated sides broadcast; modulo
+    # sampling stays a DataFilter (not parquet-pushable) so no pushed
+    # requirement
+    "customer_top_orders_lateral": (2, True, False),
+    # sweep line: the bucket-offset dim broadcasts, session windows are
+    # user-partitioned, the running sum windows by calendar bucket —
+    # no SMJ anywhere, user_id IS NOT NULL pushes to the scan
+    "events_max_concurrent_sessions": (2, True, True),
+    # truncated EMA: hourly partial agg + per-type rank window — no
+    # joins at all; the value IS NOT NULL filter pushes to the scan
+    "events_hourly_ema": (0, True, True),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -303,6 +316,9 @@ SALTED = {"skewed_key_join"}
 # prefix (plan text is parent-first, so the child exchange prints within
 # the next few lines)
 NO_GLOBAL_WINDOW = {
+    "customer_top_orders_lateral",
+    "events_hourly_ema",
+    "events_max_concurrent_sessions",
     "events_user_gini",
     "lineitem_abc_classification",
     "doc_chars_quantile_normalize",
