@@ -5726,6 +5726,134 @@ def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def iceberg_ref_retention_expire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PER-REF RETENTION (``max-ref-age-ms``): a nightly tag
+    carries an age cap while a release tag pins forever. The first
+    expiration runs INSIDE the cap — the tag survives and keeps its
+    snapshot un-expirable; the second runs past it — the ref is removed
+    in the same commit (iceberg_write.expire_snapshots ``removed_refs``),
+    its snapshot immediately expires under keep_last, and time travel to
+    it raises, while the capless release tag still resolves and the
+    aged snapshot's DATA files survive because retained append
+    snapshots still reference them (expiration deletes only
+    unreachable files — ref removal never implies data loss on an
+    append-only history). Ref age measures against the REFERENCED
+    SNAPSHOT's commit timestamp, Iceberg's RemoveSnapshots rule; all
+    clocks are explicit ts_ms so the fixture is deterministic. Spec:
+    https://iceberg.apache.org/docs/latest/branching/ (maxRefAgeMs)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_ref_age" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    report_file = root / "retention.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists() and report_file.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        even = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 0))
+        odd = tbl.filter(pc.equal(pc.bit_wise_and(tbl["doc_id"], 1), 1))
+        en = tbl.filter(pc.equal(tbl["lang"], "en"))
+        f_even = root / "data" / "even.parquet"
+        f_odd = root / "data" / "odd.parquet"
+        f_en = root / "data" / "en.parquet"
+        pq.write_table(even, f_even)
+        pq.write_table(odd, f_odd)
+        pq.write_table(en, f_en)
+        W.append_snapshot(root, [f_even], snapshot_id=1, ts_ms=2000)
+        W.append_snapshot(root, [f_odd], snapshot_id=2, ts_ms=3000)
+        W.append_snapshot(root, [f_en], snapshot_id=3, ts_ms=4000)
+        W.create_ref(
+            root, "nightly", snapshot_id=1, ts_ms=4100,
+            max_ref_age_ms=3000,
+        )
+        W.create_ref(root, "release", snapshot_id=2, ts_ms=4200)
+        # inside the cap: nightly age = 4400-2000 = 2400 <= 3000
+        r1 = W.expire_snapshots(root, keep_last=1, ts_ms=4400)
+        # past the cap: age 4000 > 3000 -> ref removed, snapshot 1 expires
+        r2 = W.expire_snapshots(root, keep_last=1, ts_ms=6000)
+        from tdigest_spark.sources.iceberg import iceberg_ref_snapshot
+
+        try:
+            release_rows = read_sequences(
+                spark,
+                str(root),
+                snapshot_id=iceberg_ref_snapshot(str(root), "release"),
+            ).count()
+        except Exception:
+            release_rows = -1
+        s1_raises = 0
+        try:
+            read_sequences(spark, str(root), snapshot_id=1).count()
+        except Exception:
+            s1_raises = 1
+        report = {
+            "r1_removed": len(r1["removed_refs"]),
+            "r1_expired": len(r1["expired"]),
+            "r2_removed": len(r2["removed_refs"]),
+            "r2_expired": len(r2["expired"]),
+            "even_file_survives": int(f_even.exists()),
+            "release_resolves": int(release_rows > 0),
+            "s1_travel_raises": s1_raises,
+        }
+        report_file.write_text(_json.dumps(report))
+        marker.write_text(_json.dumps(params))
+    rep = _json.loads(report_file.read_text())
+    df = read_sequences(spark, str(root))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            *[
+                F.lit(rep[k]).cast("long").alias(k)
+                for k in (
+                    "r1_removed",
+                    "r1_expired",
+                    "r2_removed",
+                    "r2_expired",
+                    "even_file_survives",
+                    "release_resolves",
+                    "s1_travel_raises",
+                )
+            ],
+        )
+        .orderBy("source")
+    )
+
+
 def iceberg_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg MERGE INTO (upsert) as ONE atomic commit: v1 commits the
     documents table; v2 upserts — every even doc_id gets a new row version
@@ -10558,6 +10686,70 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream_semi_converted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join — the third join flavor
+    next to inner (events_stream_attribution) and left/full outer: emit
+    each CLICK exactly once iff SOME purchase by the same user lands in
+    [click_ts, click_ts + 2h], never duplicating the click per match and
+    never shipping purchase columns at all (the state-efficient
+    "did it convert?" shape). Unlike the outer flavors, the emitted set
+    is watermark-INDEPENDENT on a drained bounded input — it is exactly
+    the EXISTS set — so the oracle is a plain SQL EXISTS with the same
+    interval, no finalization-semantics margin needed. Same bounded
+    state contract as inner: a buffered click is evicted once the
+    purchase watermark passes click_ts + horizon."""
+    import time as _time
+
+    from tdigest_spark.streaming import interval_join_streams
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _stream(etype: str, prefix: str, ts_name: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias(ts_name),
+            )
+        )
+
+    clicks = _stream("click", "click", "click_ts")
+    purchases = _stream("purchase", "purchase", "purchase_ts")
+    joined = interval_join_streams(
+        clicks, purchases, ["user_id"], "click_ts", "purchase_ts",
+        horizon="2 hours", how="left_semi",
+    )
+    qname = f"ev_semi_{int(_time.time() * 1000)}"
+    q = (
+        joined.select(
+            "click_id", "user_id", F.unix_micros("click_ts").alias("click_us")
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return (
+        spark.table(qname)
+        .select(
+            F.col("click_id").cast("long").alias("click_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("click_us").cast("long").alias("click_us"),
+        )
+        .orderBy("click_id")
+    )
+
+
 def events_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join — the attribution flavor
     where unconverted clicks must ALSO be emitted (with nulls) once the
@@ -10881,6 +11073,124 @@ def events_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(t, n, c, 2) for t, n, c in rows]
     return spark.createDataFrame(
         out, "event_type string, n_events long, cents long, n_corrupt int"
+    ).orderBy("event_type")
+
+
+def doc_collated_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-INSENSITIVE vocabulary top-k via STRING COLLATION (Spark 4
+    ``CAST(… AS STRING COLLATE UTF8_LCASE)``) — the collation-aware
+    GROUP BY replaces the classic ``lower(word)`` normalize-then-group,
+    letting comparisons/joins/aggregations carry the collation in the
+    TYPE. Case is planted deterministically (even doc_ids upper-cased)
+    since the corpus is lowercase; each group reports its BINARY-min
+    surface form (min over the original utf8_binary column — unique and
+    deterministic even though group members compare equal under the
+    collation), the count, and how many distinct surface forms merged.
+    For this ASCII corpus UTF8_LCASE grouping coincides with lower()
+    grouping, which is exactly what the DuckDB oracle replays. Scale
+    shape: explode → one word-hash shuffle → TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper(F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    words.createOrReplaceTempView("collated_words_v")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT word,
+                 CAST(word AS STRING COLLATE UTF8_LCASE) AS ci
+          FROM collated_words_v
+        )
+        SELECT MIN(word) AS rep,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_forms
+        FROM t GROUP BY ci
+        ORDER BY n DESC, rep LIMIT 20
+        """
+    )
+
+
+def events_xml_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NATIVE XML source (new in Spark 4 — no external package): events
+    staged as ``<row>`` records, read back with an enforced schema and
+    PERMISSIVE corrupt-record capture (two planted malformed records
+    must surface in ``_corrupt_record``; the oracle's literal 2
+    certifies the error path ran). Values are integer floor-cents — the
+    text-roundtrips-of-longs-are-exact rule shared with the JSONL/CSV
+    twin (events_text_source_roundtrip). Null user_ids are OMITTED
+    elements on write and come back null — asserted by agreeing with
+    the parquet-sourced aggregate in-query. XML is NOT splittable the
+    way JSONL is; the stage writes one file per task so read
+    parallelism follows the staged file count."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="evt_xml_src_")
+    try:
+        (
+            ev.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "row")
+            .save(f"{tmp}/xml")
+        )
+        with open(f"{tmp}/xml/zz-corrupt.xml", "w") as fh:
+            fh.write("<events>\n")
+            fh.write("<row><event_id>not-a-long</event_id></row>\n")
+            fh.write("<row><event_id>7<unclosed></row>\n")
+            fh.write("</events>\n")
+        schema = (
+            "event_id long, user_id long, event_type string, cents long, "
+            "_corrupt_record string"
+        )
+        xdf = (
+            spark.read.schema(schema)
+            .option("rowTag", "row")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .format("xml")
+            .load(f"{tmp}/xml")
+            .cache()
+        )
+        n_corrupt = xdf.where(F.col("_corrupt_record").isNotNull()).count()
+        assert n_corrupt == 2, n_corrupt
+        good = xdf.where(F.col("_corrupt_record").isNull())
+
+        def _agg(df):
+            return (
+                df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.count("user_id").alias("n_with_user"),
+                    F.sum("cents").alias("cents"),
+                )
+                .orderBy("event_type")
+            )
+
+        rows = [tuple(r) for r in _agg(good).collect()]
+        assert rows == [tuple(r) for r in _agg(ev).collect()]
+        xdf.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = [(t, n, nu, c, 2) for t, n, nu, c in rows]
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_events long, n_with_user long, cents long,"
+        " n_corrupt int",
     ).orderBy("event_type")
 
 
@@ -13360,6 +13670,110 @@ def part_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dynamic_gap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC-GAP SESSION WINDOWS — Spark's ``session_window`` with a
+    PER-ROW gap expression (purchases hold a session open 3600 s, other
+    events 1800 s), the engagement-aware sessionization the fixed-gap
+    operator can't express. Semantics pinned empirically (micro-probe in
+    the oracle's comment): each event contributes [ts, ts+gap); an event
+    MERGES into the running session iff ts ≤ max over previous members
+    of (ts+gap) (touching windows merge — gap-boundary inclusive), and
+    the session end is the max (ts+gap) of its members. The oracle
+    replays exactly that as a gaps-and-islands running max. All
+    microsecond BIGINTs; key-residue sampling (user_id % 50 = 7) bounds
+    output and pushes to the scan. The native operator keeps the state
+    machine inside the JVM aggregation — one user_id shuffle, same shape
+    streaming uses."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull() & (F.col("user_id") % 50 == 7)
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.when(
+                F.col("event_type") == "purchase", "3600 seconds"
+            )
+            .otherwise("1800 seconds")
+            .alias("gap"),
+        )
+    )
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", F.col("gap"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        s.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("s_us"),
+            F.unix_micros(F.col("session_window.end")).alias("e_us"),
+            "n",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.min("s_us").cast("long").alias("first_start_us"),
+            F.max("e_us").cast("long").alias("last_end_us"),
+            F.max(F.col("e_us") - F.col("s_us"))
+            .cast("long")
+            .alias("max_session_len_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def orders_priority_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG … WITHIN GROUP (ORDER BY …)`` (new SQL-function
+    surface in Spark 4.x) + ``GROUP BY ALL`` / ``ORDER BY ALL`` — the
+    ordered string-aggregation dialect previously spelled via
+    array_join(sort_array(collect_list(struct))). Per order priority:
+    the top-3 order keys by price as ONE deterministic comma-joined
+    string (rank window pinned by (price DESC, key), listagg order
+    pinned by the same tuple) plus their exact floor-cents total (BIGINT
+    sum — order-independent, no float-sum drift). The rank is TWO-STAGE
+    because the group key has cardinality 5: a per-INPUT-PARTITION local
+    top-3 (spark_partition_id projected, then a plain-column window)
+    prunes to ≤ 3·n_partitions candidates before the per-priority rank —
+    a single-stage window would funnel N/5 rows through one task at
+    100 TB. The pid is layout-dependent but only prunes: the final top-3
+    per priority is invariant, which is exactly what the oracle's
+    single-stage DuckDB string_agg(… ORDER BY …) spelling replays."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lga_v")
+    return spark.sql(
+        """
+        WITH tagged AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 spark_partition_id() AS pid
+          FROM orders_lga_v
+        ), local AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority, pid
+                   ORDER BY o_totalprice DESC, o_orderkey) AS lrn
+          FROM tagged
+        ), ranked AS (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM local WHERE lrn <= 3
+        )
+        SELECT o_orderpriority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                 WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)
+                 AS top_keys,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS top3_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_top
+        FROM ranked WHERE rn <= 3
+        GROUP BY ALL ORDER BY ALL
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -13529,6 +13943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_cherry_pick": iceberg_wap_cherry_pick,
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
+        "iceberg_ref_retention_expire": iceberg_ref_retention_expire,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
@@ -13599,12 +14014,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_importance_sample": doc_quality_importance_sample,
         "events_hourly_stream_digest": events_hourly_stream_digest,
         "events_stream_attribution": events_stream_attribution,
+        "events_stream_semi_converted": events_stream_semi_converted,
         "events_stream_attribution_outer": events_stream_attribution_outer,
         "events_stream_attribution_full": events_stream_attribution_full,
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_iceberg_sink": events_stream_iceberg_sink,
         "events_stream_session_stats": events_stream_session_stats,
         "events_text_source_roundtrip": events_text_source_roundtrip,
+        "events_xml_source_roundtrip": events_xml_source_roundtrip,
+        "doc_collated_vocab_topk": doc_collated_vocab_topk,
         "events_stream_enriched_segments": events_stream_enriched_segments,
         "events_stream_heavy_users": events_stream_heavy_users,
         "ann_topk_cosine": ann_topk_cosine,
@@ -13632,6 +14050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_top_orders_lateral": customer_top_orders_lateral,
         "events_hourly_ema": events_hourly_ema,
         "part_kcore_peel": part_kcore_peel,
+        "events_dynamic_gap_sessions": events_dynamic_gap_sessions,
+        "orders_priority_listagg": orders_priority_listagg,
     }
 
 
@@ -17386,6 +17806,26 @@ def oracle_sql() -> dict[str, str]:
                             WHERE lang = 'en')
             ORDER BY doc_id
         """,
+        # current = even + odd + en appends; counters pinned by the
+        # deterministic ts_ms fixture (ref aged out in round 2 only)
+        "iceberg_ref_retention_expire": """
+            WITH cur AS (
+              SELECT source, n_chars FROM documents
+              UNION ALL
+              SELECT source, n_chars FROM documents WHERE lang = 'en'
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(0 AS BIGINT) AS r1_removed,
+                   CAST(0 AS BIGINT) AS r1_expired,
+                   CAST(1 AS BIGINT) AS r2_removed,
+                   CAST(1 AS BIGINT) AS r2_expired,
+                   CAST(1 AS BIGINT) AS even_file_survives,
+                   CAST(1 AS BIGINT) AS release_resolves,
+                   CAST(1 AS BIGINT) AS s1_travel_raises
+            FROM cur GROUP BY source ORDER BY source
+        """,
         "iceberg_expire_maintenance_read": """
             SELECT source,
                    COUNT(*) AS n_docs,
@@ -19346,6 +19786,34 @@ def oracle_sql() -> dict[str, str]:
         # text-source roundtrip: staged column is integer cents (exact in
         # text); n_corrupt's literal 2 certifies the PERMISSIVE path found
         # exactly the injected malformed lines
+        "events_xml_source_roundtrip": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(user_id) AS BIGINT) AS n_with_user,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents,
+                   CAST(2 AS INTEGER) AS n_corrupt
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # UTF8_LCASE grouping == lower() grouping on this ASCII corpus;
+        # rep is the BINARY min surface form (upper sorts before lower)
+        "doc_collated_vocab_topk": """
+            WITH cased AS (
+              SELECT CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                          ELSE text END AS text
+              FROM documents
+            ), words AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+              FROM cased
+            ), t AS (
+              SELECT word, lower(word) AS ci FROM words WHERE word <> ''
+            )
+            SELECT MIN(word) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT word) AS BIGINT) AS n_forms
+            FROM t GROUP BY ci
+            ORDER BY n DESC, rep LIMIT 20
+        """,
         "events_text_source_roundtrip": """
             SELECT event_type,
                    COUNT(*) AS n_events,
@@ -19416,6 +19884,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY win_start, event_type
         """,
         # drained interval stream-stream join == batch interval join
+        # drained-bounded left-semi emission == the EXISTS set (no
+        # watermark finalization term, unlike the outer flavors)
+        "events_stream_semi_converted": """
+            SELECT CAST(c.event_id AS BIGINT) AS click_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+            FROM events c
+            WHERE c.event_type = 'click' AND EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase'
+                AND p.user_id = c.user_id
+                AND epoch_us(p.ts) >= epoch_us(c.ts)
+                AND epoch_us(p.ts) <= epoch_us(c.ts) + 7200000000)
+            ORDER BY click_id
+        """,
         "events_stream_attribution": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id,
                    c.user_id, ROUND(p.value, 2) AS purchase_value
@@ -19961,5 +20444,67 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM a2)
                      - (SELECT CAST(COUNT(*) AS BIGINT) FROM a3)
                      AS n_removed_last_round
+        """,
+        # pinned by micro-probe: fixed gap 10s with events at 0s and 10s
+        # yields ONE session 0->20 (touching windows MERGE: new session
+        # iff ts > running max(ts+gap)); dynamic gaps [0,5)[4,24)[23,28)
+        # merge to one 0->28 session (end = max member ts+gap)
+        "events_dynamic_gap_sessions": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 3600000000 ELSE 1800000000 END AS gap
+              FROM events
+              WHERE user_id IS NOT NULL AND user_id % 50 = 7
+            ), flagged AS (
+              SELECT user_id, us, gap,
+                     CASE WHEN MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL THEN 1
+                          WHEN us > MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) THEN 1
+                     ELSE 0 END AS ns
+              FROM ev
+            ), numbered AS (
+              SELECT user_id, us, gap,
+                     SUM(ns) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sidx
+              FROM flagged
+            ), sess AS (
+              SELECT user_id, sidx,
+                     MIN(us) AS s_us, MAX(us + gap) AS e_us,
+                     COUNT(*) AS n
+              FROM numbered GROUP BY user_id, sidx
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(MIN(s_us) AS BIGINT) AS first_start_us,
+                   CAST(MAX(e_us) AS BIGINT) AS last_end_us,
+                   CAST(MAX(e_us - s_us) AS BIGINT)
+                     AS max_session_len_us
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_priority_listagg": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            )
+            SELECT o_orderpriority,
+                   string_agg(CAST(o_orderkey AS VARCHAR), ','
+                     ORDER BY o_totalprice DESC, o_orderkey) AS top_keys,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS top3_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_top
+            FROM ranked WHERE rn <= 3
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     }

@@ -899,12 +899,19 @@ def create_ref(
     snapshot_id: int | None = None,
     kind: str = "tag",
     ts_ms: int | None = None,
+    max_ref_age_ms: int | None = None,
 ) -> int:
     """Create a named REF — ``tag`` (immutable pointer, e.g. the snapshot
     a model was trained on) or ``branch`` (movable head for isolated
     writes) — as a METADATA-ONLY commit. Refs resolve on read (option
     ``ref``/``iceberg_ref_snapshot``) and PIN their snapshots against
-    :func:`expire_snapshots`. Returns the pinned snapshot id."""
+    :func:`expire_snapshots` — unless ``max_ref_age_ms`` is set (the
+    spec's per-ref ``max-ref-age-ms`` retention property): expiration
+    then REMOVES the ref once ``now − referenced snapshot's
+    timestamp-ms`` exceeds it (Iceberg's RemoveSnapshots measures ref
+    age from the referenced snapshot's commit timestamp), after which
+    the snapshot competes for retention like any other. Returns the
+    pinned snapshot id."""
     if kind not in ("tag", "branch"):
         raise ValueError(f"ref kind must be 'tag' or 'branch', got {kind!r}")
     root = Path(str(root))
@@ -918,6 +925,10 @@ def create_ref(
     if name in refs:
         raise ValueError(f"ref {name!r} already exists (drop_ref first)")
     refs[name] = {"snapshot-id": sid, "type": kind}
+    if max_ref_age_ms is not None:
+        if int(max_ref_age_ms) <= 0:
+            raise ValueError("max_ref_age_ms must be positive")
+        refs[name]["max-ref-age-ms"] = int(max_ref_age_ms)
     doc = dict(meta)
     doc["refs"] = refs
     _commit_metadata_only(root, version, doc, ts_ms)
@@ -1551,7 +1562,15 @@ def expire_snapshots(
     retained snapshot still references (even as a DELETED tombstone entry)
     is never touched. Time travel to an expired id then raises, exactly
     Iceberg's contract. Returns counts + the deleted paths; ``dry_run``
-    reports without deleting or committing."""
+    reports without deleting or committing.
+
+    Refs carrying ``max-ref-age-ms`` (see :func:`create_ref`) are aged
+    FIRST: a ref whose referenced snapshot's ``timestamp-ms`` is more
+    than that age before this expiration's ``ts_ms`` is REMOVED in the
+    same commit (reported under ``removed_refs``), un-pinning its
+    snapshot so it competes for retention like any other — Iceberg's
+    RemoveSnapshots ref-retention rule. Pass an explicit ``ts_ms`` for
+    deterministic aging."""
     root = Path(str(root))
     version, meta = _load_current(root)
     snaps = sorted(
@@ -1560,12 +1579,31 @@ def expire_snapshots(
     if not snaps:
         return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
     keep_last = max(1, int(keep_last))
+    # age out refs whose max-ref-age-ms has lapsed (measured against the
+    # referenced snapshot's commit timestamp, per the spec)
+    now_ms = _now_ms(ts_ms)
+    snap_ts = {
+        sn["snapshot-id"]: sn.get("timestamp-ms", 0)
+        for sn in meta.get("snapshots", [])
+    }
+    live_refs, removed_refs = {}, []
+    for rname, r in meta.get("refs", {}).items():
+        age_cap = r.get("max-ref-age-ms")
+        if (
+            age_cap is not None
+            and now_ms - snap_ts.get(r["snapshot-id"], 0) > int(age_cap)
+        ):
+            removed_refs.append(rname)
+        else:
+            live_refs[rname] = r
+    meta = dict(meta)
+    meta["refs"] = live_refs
     # refs PIN their snapshots: a tagged/branched snapshot never expires
     # (Iceberg's retention contract — consumers address refs by name).
     # The current snapshot is always pinned too: branch commits carry
     # HIGHER sequence numbers than main's head, so "last N" alone could
     # otherwise drop it.
-    pinned = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    pinned = {r["snapshot-id"] for r in live_refs.values()}
     cur = meta.get("current-snapshot-id")
     if cur is not None and cur != -1:
         pinned.add(cur)
@@ -1578,7 +1616,16 @@ def expire_snapshots(
         raise ValueError("expiration must retain the current snapshot")
     expired = [sn for sn in snaps if sn not in retained]
     if not expired:
-        return {"expired": [], "deleted_data_files": [], "deleted_meta_files": []}
+        # an aged-out ref is still a metadata change that must commit
+        # even when every snapshot survives retention
+        if removed_refs and not dry_run:
+            _commit_metadata_only(root, version, dict(meta), ts_ms)
+        return {
+            "expired": [],
+            "deleted_data_files": [],
+            "deleted_meta_files": [],
+            "removed_refs": removed_refs,
+        }
     keep_ids = [sn["snapshot-id"] for sn in retained]
     drop_ids = [sn["snapshot-id"] for sn in expired]
     keep_meta, keep_files = _referenced_paths(root, keep_ids, live_only=True)
@@ -1619,6 +1666,7 @@ def expire_snapshots(
         "expired": drop_ids,
         "deleted_data_files": dead_files,
         "deleted_meta_files": dead_meta,
+        "removed_refs": removed_refs,
     }
 
 

@@ -1855,3 +1855,50 @@ def test_rewrite_position_deletes_all_dangling_drops_entry(tmp_path, spark):
     entries = iceberg_scan_entries_static(str(root))
     assert entries["pos_deletes"] == []
     assert sorted(r.k for r in read_sequences(spark, str(root)).collect()) == [1, 2, 3]
+
+
+def test_ref_max_age_retention(table_root):
+    """max-ref-age-ms ref retention: a capped ref survives expiration
+    inside its age, is REMOVED past it (same commit — metadata version
+    advances even when no snapshot expires), un-pinning its snapshot;
+    capless refs never age; dry_run removes nothing; age measures from
+    the REFERENCED snapshot's timestamp, not the ref's creation time."""
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_ref_snapshot
+
+    f_a = _pq(table_root / "data" / "a.parquet", [1])
+    f_b = _pq(table_root / "data" / "b.parquet", [2])
+    s1 = W.append_snapshot(table_root, [f_a], ts_ms=2000)
+    s2 = W.append_snapshot(table_root, [f_b], ts_ms=3000)
+    # capped ref created LATE (ts 4100) on the OLD snapshot: age anchors
+    # to s1's commit (2000), not ref creation
+    W.create_ref(table_root, "nightly", snapshot_id=s1, ts_ms=4100,
+                 max_ref_age_ms=3000)
+    W.create_ref(table_root, "release", snapshot_id=s1, ts_ms=4200)
+    # inside the cap (age 2400): nothing removed, nothing expired
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=4400)
+    assert rep["removed_refs"] == [] and rep["expired"] == []
+    # past the cap, dry run: reports the would-be removal, commits nothing
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=6000,
+                             dry_run=True)
+    assert rep["removed_refs"] == ["nightly"]
+    assert iceberg_ref_snapshot(str(table_root), "nightly") == s1
+    # past the cap for real: ref gone; s1 still PINNED by capless release
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=6000)
+    assert rep["removed_refs"] == ["nightly"] and rep["expired"] == []
+    with pytest.raises(KeyError):
+        iceberg_ref_snapshot(str(table_root), "nightly")
+    assert iceberg_ref_snapshot(str(table_root), "release") == s1
+    # drop the capless ref -> s1 finally expires
+    W.drop_ref(table_root, "release", ts_ms=6100)
+    rep = W.expire_snapshots(table_root, keep_last=1, ts_ms=6200)
+    assert rep["expired"] == [s1]
+    assert W.snapshot_ids(table_root) == [s2]
+
+
+def test_create_ref_rejects_nonpositive_age(table_root):
+    from tdigest_spark.sources import iceberg_write as W
+
+    W.append_snapshot(table_root, [_pq(table_root / "data" / "a.parquet", [1])])
+    with pytest.raises(ValueError, match="positive"):
+        W.create_ref(table_root, "bad", max_ref_age_ms=0)

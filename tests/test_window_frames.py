@@ -97,3 +97,54 @@ def sf_dir():
     import os
 
     return os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def _dyn_sessions(spark, rows):
+    """rows: (key, seconds, gap_seconds) -> [(start_s, end_s, n)] sorted."""
+    df = spark.createDataFrame(rows, "k string, sec double, g int").select(
+        "k",
+        F.expr("timestamp_micros(cast(sec * 1000000 as long))").alias("ts"),
+        "g",
+    )
+    out = (
+        df.groupBy(
+            "k",
+            F.session_window(
+                "ts", F.concat(F.col("g").cast("string"), F.lit(" seconds"))
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias("s"),
+            F.unix_micros(F.col("session_window.end")).alias("e"),
+            "n",
+        )
+    )
+    return sorted((r.s / 1e6, r.e / 1e6, r.n) for r in out.collect())
+
+
+def test_session_window_boundary_touch_merges(spark):
+    """The oracle contract for events_dynamic_gap_sessions: an event AT
+    exactly the running session end MERGES (new session iff ts STRICTLY
+    exceeds max prior ts+gap); 1 microsecond earlier also merges, and
+    1 microsecond later splits."""
+    # events at 0s and 10s, gap 10s: touching -> ONE session [0, 20)
+    assert _dyn_sessions(spark, [("a", 0.0, 10), ("a", 10.0, 10)]) == [
+        (0.0, 20.0, 2)
+    ]
+    # 10.000001s: strictly past the end -> TWO sessions
+    assert _dyn_sessions(spark, [("b", 0.0, 10), ("b", 10.000001, 10)]) == [
+        (0.0, 10.0, 1),
+        (10.000001, 20.000001, 1),
+    ]
+
+
+def test_session_window_dynamic_gap_uses_each_rows_gap(spark):
+    """Dynamic gaps: [0,5) [4,24) [23,28) chain-merge into one session
+    whose end is the max member ts+gap — each row extends the session by
+    ITS OWN gap, not the group's first."""
+    rows = [("u", 0.0, 5), ("u", 4.0, 20), ("u", 23.0, 5)]
+    assert _dyn_sessions(spark, rows) == [(0.0, 28.0, 3)]
+    # break the chain: the 20s-gap row moved past 0+5 -> first row alone
+    rows2 = [("v", 0.0, 5), ("v", 6.0, 20), ("v", 23.0, 5)]
+    assert _dyn_sessions(spark, rows2) == [(0.0, 5.0, 1), (6.0, 28.0, 2)]

@@ -301,6 +301,12 @@ AUDITS = {
     # truncated EMA: hourly partial agg + per-type rank window — no
     # joins at all; the value IS NOT NULL filter pushes to the scan
     "events_hourly_ema": (0, True, True),
+    # dynamic-gap sessions: the native session_window aggregation is one
+    # user_id shuffle, no joins; user_id IS NOT NULL pushes to the scan
+    "events_dynamic_gap_sessions": (0, True, True),
+    # listagg top-3: two-stage rank (pid-local prune first) so the
+    # 5-cardinality priority window never sees N/5 rows; no joins
+    "orders_priority_listagg": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
@@ -320,6 +326,7 @@ NO_GLOBAL_WINDOW = {
     "events_hourly_ema",
     "events_max_concurrent_sessions",
     "events_user_gini",
+    "orders_priority_listagg",
     "lineitem_abc_classification",
     "doc_chars_quantile_normalize",
     "orders_cohort_ltv",
