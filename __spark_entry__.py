@@ -13531,6 +13531,120 @@ def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING EASE per source — the classic readability screen a
+    curation pipeline runs next to quality/repetition scores. All three
+    inputs are exact BIGINT sums over one scan: words (whitespace
+    tokens), sentences ([.!?]+ terminator groups, floored at 1 per doc —
+    the corpus is terminator-free so this degrades to per-doc units,
+    documented), syllables (vowel-group count [aeiou]+ — the standard
+    dictionary-free approximation). The score 206.835 − 1.015·(W/S) −
+    84.6·(Syl/W) is computed on PER-SOURCE aggregate ratios (never an
+    average of per-doc floats — that would be summation-order-dependent):
+    two exact-int divisions, two literal multiplies, one subtraction
+    chain, spelled identically in both engines — bit-identical,
+    UNROUNDED. Scale: map-side partial agg to 20 source rows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        ).alias("s"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).alias("syl"),
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.sum("s").cast("long").alias("sentences"),
+        F.sum("syl").cast("long").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch"),
+    ).orderBy("source")
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW FIRST-DIGIT AUDIT on order totals — the
+    fraud/synthetic-data screen: leading-digit frequencies vs the
+    log-law expectation. The first digit comes from the DECIMAL STRING
+    of exact floor-cents (substr of CAST(bigint AS STRING)) — never
+    floor(x/10^floor(log10 x)), whose libm log10 could disagree at
+    powers of ten. Expected probabilities log10(1+1/d) are INLINED
+    17-digit double literals (identical text in both engines — no libm
+    in-plan); per-digit share and the chi-square terms are identically
+    spelled single-op chains on exact ints (bit-identical); only the
+    9-term chi² SUM carries ROUND 6 (association order). Scale: one
+    3-col scan to a 9-row digit aggregate."""
+    import math
+
+    p = {d: float(f"{math.log10(1 + 1 / d):.17g}") for d in range(1, 10)}
+    cents = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("long")
+            .alias("c")
+        )
+        .where(F.col("c") > 0)
+    )
+    dig = (
+        cents.select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # the 9-row aggregate feeds four consumers (terms, total, chi2,
+        # final projection) — checkpoint or the scan replays per branch
+        .localCheckpoint(eager=False)
+    )
+    tot = dig.agg(F.sum("n").cast("long").alias("total"))
+    pexp = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in p.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    terms = dig.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        "total",
+        pexp.alias("p_benford"),
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        (
+            (
+                F.col("n").cast("double")
+                - F.col("total").cast("double") * pexp
+            )
+            * (
+                F.col("n").cast("double")
+                - F.col("total").cast("double") * pexp
+            )
+            / (F.col("total").cast("double") * pexp)
+        ).alias("term"),
+    )
+    chi2 = terms.agg(F.round(F.sum("term"), 6).alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit", "n", "share", "p_benford", "chi2"
+        )
+        .orderBy("digit")
+    )
+
+
 def events_hourly_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUNCATED EXPONENTIAL SMOOTHING (EMA, α=1/2) of the hourly
     revenue series per event type — the dashboard forecast primitive —
@@ -14050,6 +14164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_top_orders_lateral": customer_top_orders_lateral,
         "events_hourly_ema": events_hourly_ema,
         "part_kcore_peel": part_kcore_peel,
+        "doc_readability_scores": doc_readability_scores,
+        "orders_benford_audit": orders_benford_audit,
         "events_dynamic_gap_sessions": events_dynamic_gap_sessions,
         "orders_priority_listagg": orders_priority_listagg,
     }
@@ -20372,6 +20488,74 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
             WHERE c.c_custkey % 100 = 7
             ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """,
+        # flesch = identical literal/division/subtraction chain on exact
+        # ints — bit-identical, unrounded
+        "doc_readability_scores": r"""
+            WITH d AS (
+              SELECT source,
+                     len(string_split_regex(trim(text), '\s+')) AS w,
+                     GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS s,
+                     len(regexp_extract_all(text, '[aeiou]+')) AS syl
+              FROM documents
+            ), agg AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(w) AS BIGINT) AS words,
+                     CAST(SUM(s) AS BIGINT) AS sentences,
+                     CAST(SUM(syl) AS BIGINT) AS syllables
+              FROM d GROUP BY source
+            )
+            SELECT source, n_docs, words, sentences, syllables,
+                   CAST(206.835 AS DOUBLE)
+                     - CAST(1.015 AS DOUBLE)
+                       * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     - CAST(84.6 AS DOUBLE)
+                       * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                     AS flesch
+            FROM agg ORDER BY source
+        """,
+        # p literals are %.17g roundtrips of math.log10(1+1/d) — the
+        # exact doubles the Spark side carries; no libm in either plan
+        "orders_benford_audit": """
+            WITH c AS (
+              SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders
+              WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) > 0
+            ), dig AS (
+              SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM c GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS total FROM dig
+            ), pmap AS (
+              SELECT * FROM (VALUES
+                (1, CAST(0.3010299956639812 AS DOUBLE)),
+                (2, CAST(0.17609125905568124 AS DOUBLE)),
+                (3, CAST(0.12493873660829992 AS DOUBLE)),
+                (4, CAST(0.09691001300805642 AS DOUBLE)),
+                (5, CAST(0.079181246047624818 AS DOUBLE)),
+                (6, CAST(0.066946789630613221 AS DOUBLE)),
+                (7, CAST(0.057991946977686733 AS DOUBLE)),
+                (8, CAST(0.051152522447381291 AS DOUBLE)),
+                (9, CAST(0.045757490560675143 AS DOUBLE))
+              ) AS t(digit, p)
+            ), terms AS (
+              SELECT d.digit, d.n, p.p,
+                     CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share,
+                     (CAST(d.n AS DOUBLE) - CAST(t.total AS DOUBLE) * p.p)
+                       * (CAST(d.n AS DOUBLE)
+                          - CAST(t.total AS DOUBLE) * p.p)
+                       / (CAST(t.total AS DOUBLE) * p.p) AS term
+              FROM dig d JOIN pmap p ON p.digit = d.digit
+              CROSS JOIN tot t
+            )
+            SELECT digit, n, share, p AS p_benford,
+                   (SELECT ROUND(SUM(term), 6) FROM terms) AS chi2
+            FROM terms ORDER BY digit
         """,
         # EMA weights are integer SHIFTS (1<<(n-rn), n<=12 so shift<=11 —
         # far below DuckDB's <<63 overflow edge); the normalized EMA is

@@ -580,3 +580,67 @@ def test_hourly_ema_matches_python(spark):
         # the engine's single division is correctly rounded; the exact
         # rational sits within half an ulp
         assert r["ema_cents"] == pytest.approx(float(exact), abs=0, rel=1e-15)
+
+
+def test_readability_matches_python(spark):
+    """Re-derives words/sentences/syllables with Python re over raw
+    parquet and the textbook Flesch formula — bit-identical doubles."""
+    import re
+
+    t = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["source", "text"],
+        use_threads=False,
+    )
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # n, w, s, syl
+    for src, txt in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        a = acc[src]
+        a[0] += 1
+        a[1] += len(re.split(r"\s+", txt.strip()))
+        a[2] += max(1, len(re.findall(r"[.!?]+", txt)))
+        a[3] += len(re.findall(r"[aeiou]+", txt))
+    rows = {r["source"]: r for r in
+            entry.doc_readability_scores(spark, SF_DIR).collect()}
+    assert set(rows) == set(acc)
+    for src, (n, w, s, syl) in acc.items():
+        r = rows[src]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) == (
+            n, w, s, syl,
+        )
+        assert r["flesch"] == 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+
+
+def test_benford_matches_python(spark):
+    """First-digit counts from exact cents strings + the chi-square
+    statistic recomputed with math.log10 — shares bit-identical, chi2
+    equal after the documented ROUND 6."""
+    import math
+    from collections import Counter
+    from math import floor
+
+    t = pq.read_table(
+        SF_DIR + "/orders.parquet", columns=["o_totalprice"],
+        use_threads=False,
+    )
+    cnt = Counter()
+    for v in t.column("o_totalprice").to_pylist():
+        c = floor(v * 100)
+        if c > 0:
+            cnt[int(str(c)[0])] += 1
+    total = sum(cnt.values())
+    rows = {r["digit"]: r for r in
+            entry.orders_benford_audit(spark, SF_DIR).collect()}
+    assert set(rows) == set(cnt)
+    chi2 = 0.0
+    for d, n in sorted(cnt.items()):
+        p = math.log10(1 + 1 / d)
+        r = rows[d]
+        assert r["n"] == n
+        assert r["share"] == n / total
+        assert r["p_benford"] == p
+        chi2 += (n - total * p) ** 2 / (total * p)
+    # association order differs; ROUND 6 is the documented absorber
+    assert abs(rows[1]["chi2"] - chi2) < 2e-6

@@ -307,6 +307,11 @@ AUDITS = {
     # listagg top-3: two-stage rank (pid-local prune first) so the
     # 5-cardinality priority window never sees N/5 rows; no joins
     "orders_priority_listagg": (0, True, False),
+    # readability: one 2-col scan, map-side regexp counts, 20-row agg
+    "doc_readability_scores": (0, True, False),
+    # benford: ONE pruned scan into a checkpointed 9-row digit agg;
+    # total/chi2 come back as keyless broadcast nested-loop (not BHJ)
+    "orders_benford_audit": (0, True, False),
 }
 
 # queries whose scan must show directory-level partition pruning: a
