@@ -13531,6 +13531,128 @@ def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mann_kendall_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MANN-KENDALL TREND TEST on the daily event-count series — the
+    nonparametric significance companion to events_theil_sen_trend's
+    robust slope (same pair machinery, answers "is there a monotone
+    trend at all?"). S = Σ_{i<j} sign(c_j − c_i) over day pairs — the
+    pair join is CALENDAR-bounded (≤ ~500 pairs on a 30-day table at
+    ANY data volume; the heavy lifting is the map-side daily count).
+    Tie-corrected variance Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)] / 18
+    with every numerator term an exact BIGINT; z = (S∓1)/sqrt(Var) is a
+    3-op identically-spelled chain (one division to double, one
+    correctly-rounded sqrt, one division) — bit-identical, UNROUNDED."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    s = (
+        daily.alias("a")
+        .join(daily.alias("b"), F.col("a.d") < F.col("b.d"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = daily.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    tsum = ties.agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        )
+        .cast("long")
+        .alias("tie_term")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    base = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tsum))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            .cast("long")
+            .alias("var_num"),
+        )
+    )
+    var = F.col("var_num").cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return base.select(
+        "n_days", "s_stat", "var_num", var.alias("var_s"), z.alias("z")
+    )
+
+
+def customer_l_diversity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """L-DIVERSITY AUDIT — the privacy gate k-anonymity misses: a QI
+    group can be large (k-anonymous) yet expose its members anyway when
+    every row shares the SAME sensitive value (homogeneity attack).
+    Per (nation, market segment) quasi-identifier group, l = the number
+    of DISTINCT sensitive values (account-balance century band); groups
+    with l < 3 leak. ONE two-level aggregation — distinct (QI,
+    sensitive) pairs map-side, then per-QI counts — scale-safe at any
+    volume; all counts exact BIGINT, the violating-row share one
+    unrounded division. Companion to customer_k_anonymity_audit."""
+    ell = 3
+    pairs = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(
+                F.col("c_acctbal") / F.lit(100).cast("double")
+            ).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("g"),
+            F.countDistinct("bal_band").cast("long").alias("l"),
+        )
+    )
+    return pairs.agg(
+        F.sum("g").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < ell, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("l") < ell, F.col("g")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_l",
+        "n_violating_groups",
+        "n_exposed_rows",
+        (
+            F.col("n_exposed_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("exposed_share"),
+    )
+
+
 def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLESCH READING EASE per source — the classic readability screen a
     curation pipeline runs next to quality/repetition scores. All three
@@ -14166,6 +14288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_kcore_peel": part_kcore_peel,
         "doc_readability_scores": doc_readability_scores,
         "orders_benford_audit": orders_benford_audit,
+        "events_mann_kendall_trend": events_mann_kendall_trend,
+        "customer_l_diversity_audit": customer_l_diversity_audit,
         "events_dynamic_gap_sessions": events_dynamic_gap_sessions,
         "orders_priority_listagg": orders_priority_listagg,
     }
@@ -20488,6 +20612,64 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
             WHERE c.c_custkey % 100 = 7
             ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """,
+        # z = three identically-spelled ops on exact ints; DuckDB sign()
+        # == Spark signum on integer diffs
+        "events_mann_kendall_trend": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY d
+            ), s AS (
+              SELECT CAST(SUM(sign(b.c - a.c)) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b ON a.d < b.d
+            ), ties AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c
+            ), tsum AS (
+              SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+              FROM ties
+            ), n AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+            ), base AS (
+              SELECT n_days, s_stat,
+                     CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                          - tie_term AS BIGINT) AS var_num
+              FROM n, s, tsum
+            )
+            SELECT n_days, s_stat, var_num,
+                   CAST(var_num AS DOUBLE) / CAST(18.0 AS DOUBLE)
+                     AS var_s,
+                   CASE WHEN s_stat > 0 THEN
+                          CAST(s_stat - 1 AS DOUBLE)
+                          / sqrt(CAST(var_num AS DOUBLE)
+                                 / CAST(18.0 AS DOUBLE))
+                        WHEN s_stat < 0 THEN
+                          CAST(s_stat + 1 AS DOUBLE)
+                          / sqrt(CAST(var_num AS DOUBLE)
+                                 / CAST(18.0 AS DOUBLE))
+                        ELSE CAST(0.0 AS DOUBLE) END AS z
+            FROM base
+        """,
+        "customer_l_diversity_audit": """
+            WITH grp AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS g,
+                     CAST(COUNT(DISTINCT
+                       FLOOR(c_acctbal / CAST(100 AS DOUBLE)))
+                       AS BIGINT) AS l
+              FROM customer GROUP BY c_nationkey, c_mktsegment
+            )
+            SELECT CAST(SUM(g) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(l) AS BIGINT) AS min_l,
+                   CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating_groups,
+                   CAST(SUM(CASE WHEN l < 3 THEN g ELSE 0 END) AS BIGINT)
+                     AS n_exposed_rows,
+                   CAST(SUM(CASE WHEN l < 3 THEN g ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(g) AS DOUBLE) AS exposed_share
+            FROM grp
         """,
         # flesch = identical literal/division/subtraction chain on exact
         # ints — bit-identical, unrounded

@@ -644,3 +644,62 @@ def test_benford_matches_python(spark):
         chi2 += (n - total * p) ** 2 / (total * p)
     # association order differs; ROUND 6 is the documented absorber
     assert abs(rows[1]["chi2"] - chi2) < 2e-6
+
+
+def test_mann_kendall_matches_python(spark):
+    """Textbook S / tie-corrected variance / z recomputed from raw
+    parquet with itertools — bit-identical doubles."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    t = pq.read_table(SF_DIR + "/events.parquet", columns=["ts"],
+                      use_threads=False)
+    us = np.asarray(t.column("ts").cast("int64"))
+    daily = Counter((us // 86_400_000_000).tolist())
+    cs = [c for _, c in sorted(daily.items())]
+    s = sum(
+        (0 if a == b else (1 if b > a else -1))
+        for a, b in combinations(cs, 2)
+    )
+    n = len(cs)
+    ties = Counter(cs)
+    tie_term = sum(t_ * (t_ - 1) * (2 * t_ + 5) for t_ in ties.values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    var_s = var_num / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    [r] = entry.events_mann_kendall_trend(spark, SF_DIR).collect()
+    assert (r["n_days"], r["s_stat"], r["var_num"]) == (n, s, var_num)
+    assert r["var_s"] == var_s and r["z"] == z
+
+
+def test_l_diversity_matches_python(spark):
+    from collections import defaultdict
+    from math import floor
+
+    t = pq.read_table(
+        SF_DIR + "/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        use_threads=False,
+    )
+    groups = defaultdict(lambda: [0, set()])
+    for nk, seg, bal in zip(
+        t.column("c_nationkey").to_pylist(),
+        t.column("c_mktsegment").to_pylist(),
+        t.column("c_acctbal").to_pylist(),
+    ):
+        g = groups[(nk, seg)]
+        g[0] += 1
+        g[1].add(floor(bal / 100.0))
+    [r] = entry.customer_l_diversity_audit(spark, SF_DIR).collect()
+    assert r["n_rows"] == sum(g for g, _ in groups.values())
+    assert r["n_groups"] == len(groups)
+    assert r["min_l"] == min(len(s) for _, s in groups.values())
+    exposed = sum(g for g, s in groups.values() if len(s) < 3)
+    assert r["n_exposed_rows"] == exposed
+    assert r["exposed_share"] == exposed / r["n_rows"]
