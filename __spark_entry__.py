@@ -5726,6 +5726,94 @@ def iceberg_expire_maintenance_read(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def iceberg_partition_stats_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg PARTITION STATISTICS files (spec v3
+    ``partition-statistics``): per-partition file/record/size counts
+    computed from the snapshot's live manifest entries and attached as a
+    stats file in a METADATA-ONLY commit — the planner answers "how big
+    is each partition / is the backfill skewed?" with ZERO data files
+    opened (iceberg_write.write_partition_stats / read_partition_stats).
+    The fixture partitions documents by identity(source) with TWO files
+    for src0 (stats must aggregate per PARTITION, not per file) and one
+    for every other source; the oracle replays exactly those counts from
+    the raw table. Expiration GC's partition-stats files with their
+    snapshots (mirrors the NDV statistics list)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_pstats" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    rows = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                rows = doc["rows"]
+        except Exception:
+            rows = None
+    if rows is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(
+            root, ts_ms=1000,
+            schema_fields=[("doc_id", "long"), ("source", "string")],
+        )
+        W.set_partition_spec(root, [("source", "identity")], ts_ms=1500)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        sources = sorted(set(tbl["source"].to_pylist()))
+        files = []
+        for s in sources:
+            part = tbl.filter(pc.equal(tbl["source"], s)).sort_by("doc_id")
+            if s == sources[0]:
+                half = (part.num_rows + 1) // 2
+                for tag, sl in (
+                    ("a", part.slice(0, half)),
+                    ("b", part.slice(half)),
+                ):
+                    f = root / "data" / f"p-{s}-{tag}.parquet"
+                    pq.write_table(sl, f)
+                    files.append(f)
+            else:
+                f = root / "data" / f"p-{s}.parquet"
+                pq.write_table(part, f)
+                files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        W.write_partition_stats(root, ts_ms=3000)
+        stats = W.read_partition_stats(root)
+        rows = [
+            (
+                next(iter(p["partition"].values())),
+                p["n_files"],
+                p["record_count"],
+                int(p["total_size_bytes"] > 0),
+            )
+            for p in stats
+        ]
+        marker.write_text(_json.dumps({"params": params, "rows": rows}))
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "source string, n_files long, record_count long, size_positive int",
+    ).orderBy("source")
+
+
 def iceberg_ref_retention_expire(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -14180,6 +14268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_metadata_tables_read": iceberg_metadata_tables_read,
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_ref_retention_expire": iceberg_ref_retention_expire,
+        "iceberg_partition_stats_read": iceberg_partition_stats_read,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
@@ -18045,6 +18134,16 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id = (SELECT MIN(doc_id) FROM documents
                             WHERE lang = 'en')
             ORDER BY doc_id
+        """,
+        # the min source gets two files; counts replay from raw docs
+        "iceberg_partition_stats_read": """
+            WITH m AS (SELECT MIN(source) AS s0 FROM documents)
+            SELECT source,
+                   CAST(CASE WHEN source = (SELECT s0 FROM m)
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_files,
+                   CAST(COUNT(*) AS BIGINT) AS record_count,
+                   CAST(1 AS INTEGER) AS size_positive
+            FROM documents GROUP BY source ORDER BY source
         """,
         # current = even + odd + en appends; counters pinned by the
         # deterministic ts_ms fixture (ref aged out in round 2 only)

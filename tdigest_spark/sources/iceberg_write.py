@@ -1639,7 +1639,8 @@ def expire_snapshots(
     drop_set = set(drop_ids)
     dead_stats = [
         _re.sub(r"^file:/+", "/", s["statistics-path"])
-        for s in meta.get("statistics", [])
+        for kind in ("statistics", "partition-statistics")
+        for s in meta.get(kind, [])
         if s.get("snapshot-id") in drop_set
     ]
     dead_meta = sorted(set(dead_meta) | set(dead_stats))
@@ -1655,12 +1656,13 @@ def expire_snapshots(
             enty for enty in meta.get("snapshot-log", [])
             if enty.get("snapshot-id") not in drop_set
         ]
-        if meta.get("statistics"):
-            doc["statistics"] = [
-                s
-                for s in meta["statistics"]
-                if s.get("snapshot-id") not in drop_set
-            ]
+        for kind in ("statistics", "partition-statistics"):
+            if meta.get(kind):
+                doc[kind] = [
+                    s
+                    for s in meta[kind]
+                    if s.get("snapshot-id") not in drop_set
+                ]
         _commit_metadata_only(root, version, doc, ts_ms)
     return {
         "expired": drop_ids,
@@ -1778,6 +1780,139 @@ def read_table_stats(
             t["ndv"].to_pylist(),
         )
     }
+
+
+def write_partition_stats(
+    root: str | Path,
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> str:
+    """Compute and attach PARTITION STATISTICS to a snapshot — the
+    flat-file analog of Iceberg's partition statistics files (spec v3
+    ``partition-statistics``: one file per snapshot holding per-partition
+    record/file counts so engines can answer partition-level planning
+    questions — "how big is each partition?", "is this backfill skewed?"
+    — from METADATA, zero data files opened). Derived entirely from the
+    snapshot's live manifest entries (partition tuple, record_count,
+    file_size are already in each entry); partitions serialize as
+    sorted-key JSON. Re-writing REPLACES the snapshot's entry (at most
+    one partition-stats file per snapshot, mirroring setStatistics).
+    MOR caveat: counts are of LIVE DATA FILES — rows tombstoned by
+    pos/eq deletes are still in record_count, exactly like the real
+    partition-stats spec (which tracks data-record counts per partition
+    before delete application). Returns the stats file path."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .iceberg import iceberg_scan_entries_static
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("current-snapshot-id"))
+    )
+    if sid == -1:
+        raise ValueError("no snapshot to attach partition statistics to")
+    if sid not in {sn["snapshot-id"] for sn in meta.get("snapshots", [])}:
+        raise ValueError(f"unknown snapshot id {sid}")
+    acc: dict[tuple[int | None, str], list[int]] = {}
+    for e in iceberg_scan_entries_static(str(root), snapshot_id=sid)["data"]:
+        key = (
+            e.get("spec_id"),
+            _json.dumps(e.get("partition") or {}, sort_keys=True),
+        )
+        a = acc.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(e.get("record_count") or 0)
+        a[2] += int(e.get("file_size") or 0)
+    keys = sorted(acc, key=lambda k: (k[0] if k[0] is not None else -1, k[1]))
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"pstats-{sid}").hex[:8]
+    path = _meta_dir(root) / f"partition-stats-{sid}-{tag}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "partition": pa.array([k[1] for k in keys], pa.string()),
+                "spec_id": pa.array(
+                    [k[0] if k[0] is not None else -1 for k in keys],
+                    pa.int32(),
+                ),
+                "n_files": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "record_count": pa.array(
+                    [acc[k][1] for k in keys], pa.int64()
+                ),
+                "total_size_bytes": pa.array(
+                    [acc[k][2] for k in keys], pa.int64()
+                ),
+            }
+        ),
+        path,
+    )
+    doc = dict(meta)
+    stats = [
+        s
+        for s in meta.get("partition-statistics", [])
+        if s.get("snapshot-id") != sid
+    ]
+    stats.append(
+        {"snapshot-id": sid, "statistics-path": f"file://{path}"}
+    )
+    doc["partition-statistics"] = stats
+    _commit_metadata_only(root, version, doc, ts_ms)
+    return str(path)
+
+
+def read_partition_stats(
+    root: str | Path, snapshot_id: int | None = None
+) -> list[dict]:
+    """Read the partition statistics attached to a snapshot (default:
+    current). Returns a list of ``{"partition": dict, "spec_id": int,
+    "n_files": int, "record_count": int, "total_size_bytes": int}``
+    sorted by partition JSON; raises KeyError when absent — a planner
+    must KNOW stats are missing, not see an empty table."""
+    import json as _json
+    import re
+
+    import pyarrow.parquet as pq
+
+    root = Path(str(root))
+    _, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("current-snapshot-id"))
+    )
+    entry = next(
+        (
+            s
+            for s in meta.get("partition-statistics", [])
+            if s.get("snapshot-id") == sid
+        ),
+        None,
+    )
+    if entry is None:
+        raise KeyError(f"snapshot {sid} has no partition statistics")
+    local = re.sub(r"^file:/+", "/", entry["statistics-path"])
+    t = pq.read_table(local, use_threads=False)
+    return [
+        {
+            "partition": _json.loads(p),
+            "spec_id": int(sp),
+            "n_files": int(nf),
+            "record_count": int(rc),
+            "total_size_bytes": int(sz),
+        }
+        for p, sp, nf, rc, sz in zip(
+            t["partition"].to_pylist(),
+            t["spec_id"].to_pylist(),
+            t["n_files"].to_pylist(),
+            t["record_count"].to_pylist(),
+            t["total_size_bytes"].to_pylist(),
+        )
+    ]
 
 
 def orphan_files(root: str | Path) -> list[str]:

@@ -80,3 +80,71 @@ def test_concurrent_commit_conflict(tmp_path):
     v2, _ = W._load_current(root)
     assert v2 == version + 1
     assert W.snapshot_ids(root) == [1]
+
+
+def _mk_partitioned(root):
+    W.create_table(
+        root, ts_ms=1000,
+        schema_fields=[("id", "long"), ("grp", "string")],
+    )
+    W.set_partition_spec(root, [("grp", "identity")], ts_ms=1500)
+    files = []
+    for name, grp, ids in (
+        ("a1", "a", range(0, 7)),
+        ("a2", "a", range(7, 10)),
+        ("b1", "b", range(100, 104)),
+    ):
+        f = root / "data" / f"{name}.parquet"
+        pq.write_table(
+            pa.table({
+                "id": pa.array(list(ids), pa.int64()),
+                "grp": pa.array([grp] * len(list(ids)), pa.string()),
+            }),
+            f,
+        )
+        files.append(f)
+    W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+
+
+def test_partition_stats_aggregate_per_partition(tmp_path):
+    """Two files in partition a must aggregate to ONE stats row; counts
+    and sizes come from manifest entries (no data files opened)."""
+    root = tmp_path / "tbl"
+    _mk_partitioned(root)
+    W.write_partition_stats(root, ts_ms=3000)
+    got = {
+        next(iter(p["partition"].values())): p
+        for p in W.read_partition_stats(root)
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_files"] == 2 and got["a"]["record_count"] == 10
+    assert got["b"]["n_files"] == 1 and got["b"]["record_count"] == 4
+    assert got["a"]["total_size_bytes"] > 0
+    # replace-on-rewrite: still exactly one entry for the snapshot
+    W.write_partition_stats(root, ts_ms=3100)
+    _, meta = W._load_current(root)
+    assert sum(
+        s["snapshot-id"] == 1 for s in meta["partition-statistics"]
+    ) == 1
+
+
+def test_partition_stats_absent_raise_and_expiration_gc(tmp_path):
+    from pathlib import Path
+
+    root = tmp_path / "tbl"
+    _mk_partitioned(root)
+    with pytest.raises(KeyError):
+        W.read_partition_stats(root)
+    p1 = Path(W.write_partition_stats(root, snapshot_id=1, ts_ms=3000))
+    # a second snapshot + its own stats; expiring snapshot 1 GCs ITS file
+    f = root / "data" / "c1.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([7], pa.int64()),
+                  "grp": pa.array(["c"], pa.string())}), f)
+    W.append_snapshot(root, [f], snapshot_id=2, ts_ms=4000)
+    p2 = Path(W.write_partition_stats(root, snapshot_id=2, ts_ms=5000))
+    W.expire_snapshots(root, keep_last=1, ts_ms=6000)
+    assert not p1.exists() and p2.exists()
+    with pytest.raises(KeyError):
+        W.read_partition_stats(root, 1)
+    assert W.read_partition_stats(root, 2)
