@@ -7358,6 +7358,111 @@ def iceberg_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def iceberg_scd2_dimension_build(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD TYPE-2 DIMENSION BUILD from the Iceberg CDC changelog — the
+    classic warehouse history table (one row per key VERSION with
+    [valid_from, valid_to) commit-sequence bounds), maintained from
+    O(changed files) changelog rows, never a table rescan. History:
+    seq 1 inserts doc_id<120, seq 2 UPSERTS the %3==0 keys (doubled
+    chars), seq 3 deletes the %5==0 keys. Version algebra is fully
+    relational: open events = base-snapshot rows (valid_from 1) ∪
+    changelog inserts; close events = inserts ∪ delete_keys;
+    valid_to(k, s) = MIN close seq STRICTLY greater than s — strictness
+    is what makes an upsert's SAME-sequence delete close the old
+    version but not its own new one (the changelog's delete-before-
+    insert replay order, expressed as algebra instead of ordering).
+    NULL valid_to (open version) maps to −1 so both engines hash
+    identically. Scale: one key-hash shuffle for the min-close join,
+    version-count bounded per key."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_changelog,
+        read_sequences,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ice_scd2_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        tbl = tbl.filter(pc.less(tbl["doc_id"], 120))
+        f1 = root / "data" / "base.parquet"
+        pq.write_table(tbl, f1)
+        W.append_snapshot(root, [f1], ts_ms=2000)  # snap 1
+        import pyarrow as pa
+
+        ids = tbl["doc_id"].to_numpy()
+        mod3 = tbl.filter(pa.array(ids % 3 == 0))
+        mod3 = mod3.set_column(
+            mod3.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.multiply(mod3["n_chars"], 2),
+        )
+        f2 = root / "data" / "upd.parquet"
+        pq.write_table(mod3, f2)
+        fk2 = root / "data" / "keys2.parquet"
+        pq.write_table(mod3.select(["doc_id"]), fk2)
+        W.upsert_snapshot(root, [f2], fk2, ts_ms=3000)  # snap 2
+        mod5 = tbl.filter(pa.array(ids % 5 == 0))
+        fk3 = root / "data" / "keys3.parquet"
+        pq.write_table(mod5.select(["doc_id"]), fk3)
+        W.equality_delete_snapshot(root, fk3, ts_ms=4000)  # snap 3
+        base = read_sequences(spark, str(root), snapshot_id=1).select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("value"),
+            F.lit(1).cast("long").alias("valid_from"),
+        )
+        cl = iceberg_changelog(spark, str(root), 1, 3)
+        ins = base.unionByName(
+            cl.where(F.col("_change_type") == "insert").select(
+                "doc_id",
+                F.col("n_chars").cast("long").alias("value"),
+                F.col("_commit_seq").cast("long").alias("valid_from"),
+            )
+        )
+        closers = cl.select(
+            "doc_id", F.col("_commit_seq").cast("long").alias("cs")
+        )
+        vt = (
+            ins.join(
+                closers,
+                (ins["doc_id"] == closers["doc_id"])
+                & (closers["cs"] > ins["valid_from"]),
+                "left",
+            )
+            .groupBy(
+                ins["doc_id"].alias("doc_id"), "value", "valid_from"
+            )
+            .agg(F.min("cs").alias("vt"))
+        )
+        out = vt.select(
+            "doc_id",
+            "value",
+            "valid_from",
+            F.coalesce(F.col("vt"), F.lit(-1)).cast("long").alias(
+                "valid_to"
+            ),
+            F.when(F.col("vt").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_current"),
+        ).orderBy("doc_id", "valid_from")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_ref_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg REFS — tags and branches (iceberg_write.create_ref, branch
     appends; resolved by the data source's ``ref`` option): odd documents
@@ -14269,6 +14374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_expire_maintenance_read": iceberg_expire_maintenance_read,
         "iceberg_ref_retention_expire": iceberg_ref_retention_expire,
         "iceberg_partition_stats_read": iceberg_partition_stats_read,
+        "iceberg_scd2_dimension_build": iceberg_scd2_dimension_build,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
@@ -18134,6 +18240,33 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id = (SELECT MIN(doc_id) FROM documents
                             WHERE lang = 'en')
             ORDER BY doc_id
+        """,
+        # version algebra replayed from the modulo history: v1 for every
+        # key (closed by the %3 upsert at 2 else the %5 delete at 3),
+        # v2 for %3 keys (closed only by the %5 delete); -1 = open
+        "iceberg_scd2_dimension_build": """
+            WITH k AS (
+              SELECT doc_id, n_chars FROM documents WHERE doc_id < 120
+            ), v1 AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
+                     CAST(1 AS BIGINT) AS valid_from,
+                     CAST(CASE WHEN doc_id % 3 = 0 THEN 2
+                               WHEN doc_id % 5 = 0 THEN 3
+                               ELSE -1 END AS BIGINT) AS valid_to
+              FROM k
+            ), v2 AS (
+              SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS value,
+                     CAST(2 AS BIGINT) AS valid_from,
+                     CAST(CASE WHEN doc_id % 5 = 0 THEN 3
+                               ELSE -1 END AS BIGINT) AS valid_to
+              FROM k WHERE doc_id % 3 = 0
+            ), v AS (
+              SELECT * FROM v1 UNION ALL SELECT * FROM v2
+            )
+            SELECT doc_id, value, valid_from, valid_to,
+                   CAST(CASE WHEN valid_to = -1 THEN 1 ELSE 0 END
+                     AS INTEGER) AS is_current
+            FROM v ORDER BY doc_id, valid_from
         """,
         # the min source gets two files; counts replay from raw docs
         "iceberg_partition_stats_read": """
