@@ -11440,6 +11440,69 @@ def events_stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).orderBy("user_id", "session_start")
 
 
+def events_stream_dynamic_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING dynamic-gap session windows — the stateful twin of the
+    batch events_dynamic_gap_sessions: purchases hold a session open
+    3600 s, other events 1800 s, per-row gap evaluated INSIDE the native
+    session_window aggregation, append mode + watermark so a session
+    emits exactly once when the watermark passes its end and state stays
+    bounded by OPEN sessions. The oracle rebuilds the dynamic sessions
+    gaps-and-islands style (running max of ts+gap — each event extends
+    by ITS OWN gap) and keeps exactly those finalized at drain:
+    end <= max event time − 1 s. Floor-cents sums exact."""
+    import time as _time
+
+    from tdigest_spark.streaming import session_windows
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "gap",
+            F.when(
+                F.col("event_type") == "purchase", "3600 seconds"
+            ).otherwise("1800 seconds"),
+        )
+    )
+    sessions = session_windows(
+        stream,
+        "user_id",
+        "ts",
+        gap=F.col("gap"),
+        delay="1 second",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0))).alias("cents"),
+        ],
+    )
+    qname = f"ev_dsess_{int(_time.time() * 1000)}"
+    q = (
+        sessions.select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "cents",
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream did not drain within 300s")
+    return spark.table(qname).orderBy("user_id", "session_start")
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates with exact-jaccard verification.
     Fully oracled: base hashing is md5-lower-64 (DuckDB md5_number_lower)
@@ -14451,6 +14514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup_counts": events_stream_dedup_counts,
         "events_stream_iceberg_sink": events_stream_iceberg_sink,
         "events_stream_session_stats": events_stream_session_stats,
+        "events_stream_dynamic_sessions": events_stream_dynamic_sessions,
         "events_text_source_roundtrip": events_text_source_roundtrip,
         "events_xml_source_roundtrip": events_xml_source_roundtrip,
         "doc_collated_vocab_topk": doc_collated_vocab_topk,
@@ -20298,6 +20362,46 @@ def oracle_sql() -> dict[str, str]:
         # sessions the final watermark (max ts - 1s) finalized are emitted.
         # tests/test_streaming guards the boundary margin (no session end
         # near the watermark at any SF)
+        # dynamic gaps-and-islands: running max of us+gap (each event
+        # extends by ITS OWN gap); finalized iff end <= max_us - 1s
+        "events_stream_dynamic_sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, value,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 3600000000 ELSE 1800000000 END AS gap
+              FROM events
+            ), flagged AS (
+              SELECT user_id, us, value, gap,
+                     CASE WHEN MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL THEN 1
+                          WHEN us > MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) THEN 1
+                     ELSE 0 END AS new_sess
+              FROM e
+            ), sess AS (
+              SELECT user_id, us, value, gap,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            ), agg AS (
+              SELECT user_id,
+                     MIN(us) AS session_start,
+                     MAX(us + gap) AS session_end,
+                     COUNT(*) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events, cents
+            FROM agg
+            WHERE session_end <=
+                  (SELECT MAX(epoch_us(ts)) FROM events) - 1000000
+            ORDER BY user_id, session_start
+        """,
         "events_stream_session_stats": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS us, value FROM events

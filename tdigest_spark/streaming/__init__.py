@@ -407,6 +407,12 @@ def session_windows(
 
     ``aggs`` defaults to a row count; pass pyspark aggregate Columns for
     more. Returns key, session_window (start/end struct), and the aggs.
+
+    ``gap`` may be a duration STRING (fixed gap) or a COLUMN evaluating
+    to a per-row duration (dynamic gap — each event extends the session
+    by ITS OWN gap; merge rule: an event joins iff ts ≤ running
+    max(ts+gap), end = max member ts+gap — pinned by the batch probes in
+    test_window_frames).
     """
     from pyspark.sql import functions as F
 

@@ -1259,3 +1259,51 @@ def test_tws_state_ttl_short_expires_long_survives(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
+
+
+def test_dynamic_session_watermark_boundary_margin():
+    """events_stream_dynamic_sessions keys on session_end <= max_ts - 1s
+    with PER-ROW gaps: guard that no dynamic session end sits near that
+    watermark at any SF."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'/root/testdata/{sf}/events.parquet'"
+        )
+        (margin,) = con.execute(
+            """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 3600000000 ELSE 1800000000 END AS gap
+              FROM events),
+            flagged AS (
+              SELECT user_id, us, gap,
+                     CASE WHEN MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL THEN 1
+                          WHEN us > MAX(us + gap) OVER (
+                            PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) THEN 1
+                     ELSE 0 END AS new_sess
+              FROM e),
+            sess AS (
+              SELECT user_id, us, gap,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged),
+            ends AS (
+              SELECT MAX(us + gap) AS session_end
+              FROM sess GROUP BY user_id, sid)
+            SELECT MIN(ABS(session_end -
+                           ((SELECT MAX(epoch_us(ts)) FROM events)
+                            - 1000000)))
+            FROM ends
+            """
+        ).fetchone()
+        assert margin > 100_000, (sf, margin)
