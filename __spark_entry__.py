@@ -5814,6 +5814,108 @@ def iceberg_partition_stats_read(
     ).orderBy("source")
 
 
+def doc_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the Catalyst runtime optimization
+    static pruning can't reach: the fact side is hive-partitioned by
+    source (20 directories), the dim side's 'hot' filter is only known
+    at RUNTIME through the join, and Spark injects a
+    DynamicPruningExpression into the fact scan's PartitionFilters so
+    only the 3 joined directories are READ. Both halves are PROVEN
+    in-query: the executed plan must contain dynamicpruning, and the
+    scan's post-execution numFiles metric must equal 3 (of 20) — the
+    assertion fails loudly if a regression turns this into a full scan.
+    At 100 TB this is the difference between reading 3 partitions and
+    reading the table. Oracle replays the hot set (3 lexicographically
+    smallest sources) and pins both file counters as literals."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "hive_dpp" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        for s in sorted(set(tbl["source"].to_pylist())):
+            part = tbl.filter(pc.equal(tbl["source"], s)).drop(["source"])
+            d = root / f"source={s}"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(part, d / "part-0.parquet")
+        marker.write_text(_json.dumps(params))
+    sources = sorted(
+        p.name.split("=", 1)[1]
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith("source=")
+    )
+    hot = sources[:3]
+    # AQE wraps stages as leaf QueryStageExec nodes, hiding the scan
+    # from collectLeaves — classic (non-adaptive) DPP for the metric
+    # walk; the pruning mechanism under test is the same either way
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fact = spark.read.parquet(str(root))
+        dim = spark.createDataFrame(
+            [(s, "hot" if s in hot else "cold") for s in sources],
+            "source string, tier string",
+        )
+        out = (
+            fact.join(
+                F.broadcast(dim.where(F.col("tier") == "hot")), "source"
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+            )
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        leaves = out._jdf.queryExecution().executedPlan().collectLeaves()
+        n_read = None
+        for i in range(leaves.size()):
+            try:
+                n_read = int(
+                    leaves.apply(i).metrics().apply("numFiles").value()
+                )
+                break
+            except Exception:
+                continue
+        assert n_read == len(hot), (n_read, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    return spark.createDataFrame(
+        [
+            (r["source"], r["n_docs"], r["sum_chars"], n_read, len(sources))
+            for r in rows
+        ],
+        "source string, n_docs long, sum_chars long,"
+        " n_files_read int, n_files_total int",
+    ).orderBy("source")
+
+
 def iceberg_ref_retention_expire(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -14438,6 +14540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_ref_retention_expire": iceberg_ref_retention_expire,
         "iceberg_partition_stats_read": iceberg_partition_stats_read,
         "iceberg_scd2_dimension_build": iceberg_scd2_dimension_build,
+        "doc_dpp_partitioned_join": doc_dpp_partitioned_join,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
@@ -18304,6 +18407,20 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id = (SELECT MIN(doc_id) FROM documents
                             WHERE lang = 'en')
             ORDER BY doc_id
+        """,
+        # hot = 3 lexicographically-smallest sources; counters pinned
+        "doc_dpp_partitioned_join": """
+            WITH hot AS (
+              SELECT DISTINCT source FROM documents
+              ORDER BY source LIMIT 3
+            )
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(3 AS INTEGER) AS n_files_read,
+                   CAST(20 AS INTEGER) AS n_files_total
+            FROM documents d JOIN hot h ON h.source = d.source
+            GROUP BY d.source ORDER BY d.source
         """,
         # version algebra replayed from the modulo history: v1 for every
         # key (closed by the %3 upsert at 2 else the %5 delete at 3),
