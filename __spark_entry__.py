@@ -13889,6 +13889,73 @@ def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_weekly_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING 7-DAY PEARSON CORRELATION between the purchase and view
+    daily revenue series — the co-movement monitor ("are views still
+    driving purchases this week?") next to the one-pass global
+    correlation matrix. The day spine is calendar-bounded (the RANGE
+    window sees ≤7 rows at ANY data volume; heavy lifting is the
+    map-side daily agg). All five rolling moments are exact BIGINT sums
+    of exact floor-cents (products ≤ ~7·(daily cents)² — far under 2^63
+    at these SFs; a 100-TB deployment rescales to dollars first, noted);
+    corr = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²))
+    is an identically-spelled chain — exact-int subtractions, two
+    correctly-rounded sqrts, one multiply, one division — bit-identical
+    UNROUNDED; windows with zero variance on either side emit NULL
+    (both engines via NULLIF)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .groupBy(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("d")
+        )
+        .pivot("event_type", ["purchase", "view"])
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")),
+                F.lit(0),
+            )
+        )
+        .select(
+            "d",
+            F.coalesce("purchase", F.lit(0)).alias("x"),
+            F.coalesce("view", F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rangeBetween(-6, 0)
+    m = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    ).where(F.col("n") == 7)
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "d",
+        "n",
+        "sx",
+        "sy",
+        (num / F.nullif(F.sqrt(vx) * F.sqrt(vy), F.lit(0.0))).alias(
+            "corr7"
+        ),
+    ).orderBy("d")
+
+
 def events_mann_kendall_trend(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -14650,6 +14717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_kcore_peel": part_kcore_peel,
         "doc_readability_scores": doc_readability_scores,
         "orders_benford_audit": orders_benford_audit,
+        "events_rolling_weekly_corr": events_rolling_weekly_corr,
         "events_mann_kendall_trend": events_mann_kendall_trend,
         "customer_l_diversity_audit": customer_l_diversity_audit,
         "events_dynamic_gap_sessions": events_dynamic_gap_sessions,
@@ -21065,6 +21133,41 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
             WHERE c.c_custkey % 100 = 7
             ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """,
+        # identical RANGE-frame peers-by-value semantics both engines;
+        # corr chain spelled op-for-op, NULLIF guards zero variance
+        "events_rolling_weekly_corr": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS d,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                     CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(FLOOR(value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+              FROM events
+              WHERE event_type IN ('purchase', 'view')
+              GROUP BY d
+            ), m AS (
+              SELECT d,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                     CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                     CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                     CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+                     CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+              FROM daily
+              WINDOW w AS (ORDER BY d
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT d, n, sx, sy,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / NULLIF(
+                         sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE))
+                     AS corr7
+            FROM m WHERE n = 7 ORDER BY d
         """,
         # z = three identically-spelled ops on exact ints; DuckDB sign()
         # == Spark signum on integer diffs

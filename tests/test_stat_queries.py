@@ -703,3 +703,50 @@ def test_l_diversity_matches_python(spark):
     exposed = sum(g for g, s in groups.values() if len(s) < 3)
     assert r["n_exposed_rows"] == exposed
     assert r["exposed_share"] == exposed / r["n_rows"]
+
+
+def test_rolling_weekly_corr_matches_numpy(spark):
+    """7-day rolling Pearson recomputed with numpy over raw parquet —
+    bit-identical via the same exact-int moment chain."""
+    import math
+    from collections import defaultdict
+    from math import floor
+
+    t = pq.read_table(
+        SF_DIR + "/events.parquet",
+        columns=["event_type", "ts", "value"],
+        use_threads=False,
+    )
+    us = np.asarray(t.column("ts").cast("int64"))
+    acc = defaultdict(lambda: [0, 0])
+    for et, m, v in zip(
+        t.column("event_type").to_pylist(), us.tolist(),
+        t.column("value").to_pylist(),
+    ):
+        if et in ("purchase", "view") and v is not None:
+            acc[m // 86_400_000_000][0 if et == "purchase" else 1] += floor(
+                v * 100.0
+            )
+        elif et in ("purchase", "view"):
+            acc[m // 86_400_000_000]  # day exists even if all-null
+    days = sorted(acc)
+    rows = {r["d"]: r for r in
+            entry.events_rolling_weekly_corr(spark, SF_DIR).collect()}
+    for d in days:
+        win = [acc[dd] for dd in days if d - 6 <= dd <= d]
+        if len(win) != 7:
+            assert d not in rows
+            continue
+        xs = [w[0] for w in win]
+        ys = [w[1] for w in win]
+        n = 7
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+        vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+        r = rows[d]
+        assert (r["sx"], r["sy"]) == (sum(xs), sum(ys))
+        denom = math.sqrt(float(vx)) * math.sqrt(float(vy))
+        if denom == 0.0:
+            assert r["corr7"] is None
+        else:
+            assert r["corr7"] == float(num) / denom
