@@ -7754,6 +7754,90 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_stream_rate_limited_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RATE-LIMITED streaming tail (option ``max_snapshots_per_batch`` —
+    the Python-datasource analog of Iceberg's
+    streaming-max-files-per-micro-batch read limit): with a 3-commit
+    backlog landed after the initial batch, a capped reader MUST drain
+    it as three single-snapshot micro-batches — bounding per-batch work
+    is what keeps a 100-TB catch-up from planning one giant batch. The
+    per-batch row counts are the %4 residue-class sizes of the staged
+    doc_ids, so every batch boundary is exact-oracled from the raw
+    documents table (batch order = snapshot order = residue order)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_rl_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        ids = tbl["doc_id"].to_numpy()
+        parts = [tbl.filter(pa.array(ids % 4 == r)) for r in range(4)]
+        f0 = root / "data" / "r0.parquet"
+        pq.write_table(parts[0], f0)
+        W.append_snapshot(root, [f0], snapshot_id=1, ts_ms=2000)
+        out_dir = f"{tmp}/tailed"
+        q = (
+            spark.readStream.format("iceberg_static")
+            .option("path", str(root))
+            .option("max_snapshots_per_batch", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # initial batch: residue 0
+            for r in (1, 2, 3):
+                fp = root / "data" / f"r{r}.parquet"
+                pq.write_table(parts[r], fp)
+                W.append_snapshot(
+                    root, [fp], snapshot_id=r + 1, ts_ms=2000 + r
+                )
+            q.processAllAvailable()  # capped: one snapshot per batch
+            batch_rows = [
+                int(p.numInputRows)
+                for p in q.recentProgress
+                if p.numInputRows > 0
+            ]
+        finally:
+            q.stop()
+        assert len(batch_rows) == 4, batch_rows  # 1 initial + 3 capped
+        total = (
+            spark.read.parquet(out_dir)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("n_chars").cast("long")).alias("chars"),
+            )
+            .collect()[0]
+        )
+        rows = [
+            (i, batch_rows[i], int(total["n"]), int(total["chars"]))
+            for i in range(4)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "batch_idx int, batch_rows long, total_rows long,"
+            " total_chars long",
+        ).orderBy("batch_idx")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_datasource_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both STREAMING halves of the Python Data Source in one pipeline
     (sources/datasource.py): events, staged as two input files and
@@ -14571,6 +14655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_write_read": iceberg_datasource_write_read,
         "iceberg_datasource_partitioned_write": iceberg_datasource_partitioned_write,
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
+        "iceberg_stream_rate_limited_tail": iceberg_stream_rate_limited_tail,
         "events_variant_extract": events_variant_extract,
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "events_stream_tws_ttl_counts": events_stream_tws_ttl_counts,
@@ -18846,6 +18931,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_events, value_cents,
                    files_scanned, files_total
             FROM m, f ORDER BY event_type
+        """,
+        # batch i carries exactly the %4 == i residue class
+        "iceberg_stream_rate_limited_tail": """
+            WITH t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents
+            ), b AS (
+              SELECT CAST(doc_id % 4 AS INTEGER) AS batch_idx,
+                     CAST(COUNT(*) AS BIGINT) AS batch_rows
+              FROM documents GROUP BY doc_id % 4
+            )
+            SELECT batch_idx, batch_rows, total_rows, total_chars
+            FROM b CROSS JOIN t ORDER BY batch_idx
         """,
         "iceberg_datasource_stream_tail": """
             SELECT event_type,

@@ -591,6 +591,22 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.root = _table_root(options)
+        # rate limit (Iceberg's streaming read-limit analog, e.g.
+        # streaming-max-files-per-micro-batch): cap how many SNAPSHOTS a
+        # micro-batch may advance. Python's stream-reader API exposes no
+        # read-limit hook in latestOffset, so the cap anchors to the
+        # last range THIS reader planned (partitions() records its end):
+        # the very first batch of a fresh checkpoint — the full MOR
+        # initial read — is uncapped; after that every planned batch
+        # advances at most K snapshots, including after restart (Spark
+        # replays checkpoint state through partitions() before asking
+        # for a new offset). An availableNow run latches its end from
+        # the first capped latestOffset, so one such run advances at
+        # most K snapshots; a continuous trigger drains a backlog as
+        # successive K-snapshot batches (tests pin both behaviors).
+        # 0/absent = unlimited.
+        self.max_snaps = int(options.get("max_snapshots_per_batch", 0) or 0)
+        self._last_end: int | None = None
 
     def _current_snapshot_id(self) -> int:
         from .iceberg import current_metadata
@@ -606,9 +622,31 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
         return {"snapshot_id": 0}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": self._current_snapshot_id()}
+        cur = self._current_snapshot_id()
+        if not self.max_snaps or self._last_end is None or cur == 0:
+            return {"snapshot_id": cur}
+        from .iceberg import current_metadata
+
+        meta = current_metadata(self.root)
+        snaps = sorted(
+            meta.get("snapshots", []),
+            key=lambda s: s.get("sequence-number", 0),
+        )
+        seq_of = {
+            s["snapshot-id"]: s.get("sequence-number", 0) for s in snaps
+        }
+        lo_seq = seq_of.get(self._last_end, 0)
+        ahead = [s for s in snaps if s.get("sequence-number", 0) > lo_seq]
+        if not ahead:
+            return {"snapshot_id": self._last_end}
+        return {
+            "snapshot_id": int(
+                ahead[min(self.max_snaps, len(ahead)) - 1]["snapshot-id"]
+            )
+        }
 
     def partitions(self, start: dict, end: dict):
+        self._last_end = int(end["snapshot_id"]) or None
         from .iceberg import (
             current_metadata,
             evolution_mapping,

@@ -713,3 +713,115 @@ def test_stream_incremental_batch_applies_within_range_pos_deletes(
     drain()  # incremental: f2 minus k=5; f1's delete is NOT retracted
     got = sorted((r.k, r.v) for r in registered.read.parquet(out).collect())
     assert got == [(1, "a1"), (2, "a2"), (3, "a3"), (4, "b4"), (6, "b6")]
+
+
+def test_stream_source_rate_limit_max_snapshots(registered, tmp_path):
+    """max_snapshots_per_batch caps steady-state micro-batches: after
+    the uncapped catch-up batch, three pending commits drain as THREE
+    single-snapshot batches (not one), with no rows lost or duplicated.
+    Without the option the same backlog drains in one batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    def _mk(root):
+        W.create_table(root, ts_ms=1000)
+        for s in range(4):
+            f = root / "data" / f"c{s}.parquet"
+            pq.write_table(
+                pa.table({"v": pa.array(
+                    range(s * 10, s * 10 + 10), pa.int64())}), f)
+            W.append_snapshot(root, [f], snapshot_id=s + 1,
+                              ts_ms=2000 + s)
+
+    def _drain(root, out, ckpt, **opts):
+        reader = (registered.readStream.format("iceberg_static")
+                  .option("path", str(root)))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load()
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(540), "stream did not drain"
+        return [p.numInputRows for p in q.recentProgress
+                if p.numInputRows > 0]
+
+    # capped: catch-up to snapshot 1 (10 rows) planned BEFORE the other
+    # commits exist is impossible here (all 4 pre-exist), so this run
+    # shows the restart/catch-up semantics: first batch uncapped
+    root = tmp_path / "tbl"
+    _mk(root)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    batches = _drain(root, out, ckpt, max_snapshots_per_batch="1")
+    assert batches and batches[0] == 40  # catch-up batch is uncapped
+    # three MORE commits while the reader instance is live-checkpointed:
+    # a fresh availableNow run catches up (uncapped first batch), then
+    # caps — plant commits and rerun against the SAME checkpoint
+    for s in range(4, 7):
+        f = root / "data" / f"c{s}.parquet"
+        pq.write_table(
+            pa.table({"v": pa.array(range(s * 10, s * 10 + 10),
+                                    pa.int64())}), f)
+        W.append_snapshot(root, [f], snapshot_id=s + 1, ts_ms=2000 + s)
+    # an availableNow run latches its end from the FIRST latestOffset
+    # call — Spark replays checkpoint state first, so _last_end is set
+    # and the latched end is capped: each run advances ONE snapshot.
+    # Three runs drain the three-commit backlog, none losing rows.
+    for _ in range(3):
+        batches2 = _drain(root, out, ckpt, max_snapshots_per_batch="1")
+        assert sum(batches2) == 10, batches2
+    got = sorted(
+        r.v for r in registered.read.parquet(out).collect()
+    )
+    assert got == list(range(70))  # nothing lost, nothing duplicated
+
+
+def test_stream_source_rate_limit_caps_within_run(registered, tmp_path):
+    """Within ONE run (processAllAvailable), commits that land after the
+    first planned batch drain one snapshot per micro-batch under the
+    cap."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+
+    root = tmp_path / "tbl"
+    W.create_table(root, ts_ms=1000)
+    f = root / "data" / "c0.parquet"
+    pq.write_table(pa.table({"v": pa.array(range(10), pa.int64())}), f)
+    W.append_snapshot(root, [f], snapshot_id=1, ts_ms=2000)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        registered.readStream.format("iceberg_static")
+        .option("path", str(root))
+        .option("max_snapshots_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # initial batch: snapshot 1
+        for s in range(1, 4):
+            fp = root / "data" / f"c{s}.parquet"
+            pq.write_table(
+                pa.table({"v": pa.array(range(s * 10, s * 10 + 10),
+                                        pa.int64())}), fp)
+            W.append_snapshot(root, [fp], snapshot_id=s + 1,
+                              ts_ms=2000 + s)
+        q.processAllAvailable()
+        incr = [p.numInputRows for p in q.recentProgress
+                if p.numInputRows > 0][1:]
+        # the 3-commit backlog drained as three 10-row micro-batches
+        assert incr == [10, 10, 10], incr
+    finally:
+        q.stop()
+    got = sorted(r.v for r in registered.read.parquet(out).collect())
+    assert got == list(range(40))
