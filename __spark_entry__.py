@@ -7754,6 +7754,124 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_incremental_join_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MAINTENANCE OF A JOIN VIEW — the delta-join algebra
+    every streaming-MV engine implements, here composed from the repo's
+    Iceberg primitives: with fact F (orders) and dim D (customer) each
+    growing by one append, the nation-level join aggregate updates as
+    MV_new = MV_old ⊕ agg(ΔF⋈D_old ∪ F_old⋈ΔD ∪ ΔF⋈ΔD) — the three
+    cross terms of (F_old∪ΔF)⋈(D_old∪ΔD). ΔF/ΔD come from the
+    INCREMENTAL scan (files added in the range — O(changed files)),
+    F_old/D_old from TIME TRAVEL to the pre-commit snapshots; the
+    maintenance never joins F_new⋈D_new (asserted: the delta reads see
+    exactly the one appended file per table). At 100 TB this is the
+    difference between touching the day's partitions and re-joining the
+    table. Exact: counts and floor-cents sums are BIGINTs, merged by
+    per-nation addition; oracle = the full join on the raw tables."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_incremental_paths,
+        read_sequences,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ice_jmv_")
+    try:
+        fro = Path(tmp) / "fact"
+        dro = Path(tmp) / "dim"
+        W.create_table(fro, ts_ms=1000)
+        W.create_table(dro, ts_ms=1000)
+        ot = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        ct = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        ok = ot["o_orderkey"].to_numpy()
+        ck = ct["c_custkey"].to_numpy()
+        f_parts, d_parts = [], []
+        for t, mask_src, parts, root in [
+            (ot, ok, f_parts, fro),
+            (ct, ck, d_parts, dro),
+        ]:
+            for m in (0, 1):
+                sl = t.filter(pa.array(mask_src % 2 == m))
+                f = root / "data" / f"m{m}.parquet"
+                pq.write_table(sl, f)
+                parts.append(f)
+        W.append_snapshot(fro, [f_parts[0]], snapshot_id=1, ts_ms=2000)
+        W.append_snapshot(dro, [d_parts[0]], snapshot_id=1, ts_ms=2000)
+
+        def _cents(df):
+            return df.select(
+                "o_custkey",
+                F.floor(F.col("o_totalprice") * F.lit(100.0))
+                .cast("long")
+                .alias("cents"),
+            )
+
+        def _agg(fdf, ddf):
+            return (
+                _cents(fdf)
+                .join(
+                    ddf.select("c_custkey", "c_nationkey"),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+                .groupBy("c_nationkey")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orders"),
+                    F.sum("cents").cast("long").alias("cents"),
+                )
+            )
+
+        mv = {
+            r["c_nationkey"]: [r["n_orders"], r["cents"]]
+            for r in _agg(
+                read_sequences(spark, str(fro)),
+                read_sequences(spark, str(dro)),
+            ).collect()
+        }
+        W.append_snapshot(fro, [f_parts[1]], snapshot_id=2, ts_ms=3000)
+        W.append_snapshot(dro, [d_parts[1]], snapshot_id=2, ts_ms=3000)
+        dfp = iceberg_incremental_paths(str(fro), 1, 2)
+        ddp = iceberg_incremental_paths(str(dro), 1, 2)
+        assert len(dfp) == 1 and len(ddp) == 1, (dfp, ddp)
+        d_f = spark.read.parquet(*dfp)
+        d_d = spark.read.parquet(*ddp)
+        f_old = read_sequences(spark, str(fro), snapshot_id=1)
+        d_old = read_sequences(spark, str(dro), snapshot_id=1)
+        delta = (
+            _agg(d_f, d_old)
+            .unionByName(_agg(f_old, d_d))
+            .unionByName(_agg(d_f, d_d))
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+        for r in delta.collect():
+            acc = mv.setdefault(r["c_nationkey"], [0, 0])
+            acc[0] += r["n_orders"]
+            acc[1] += r["cents"]
+        return spark.createDataFrame(
+            [(int(k), int(v[0]), int(v[1])) for k, v in sorted(mv.items())],
+            "c_nationkey long, n_orders long, cents long",
+        ).orderBy("c_nationkey")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def iceberg_stream_rate_limited_tail(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -14656,6 +14774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_datasource_partitioned_write": iceberg_datasource_partitioned_write,
         "iceberg_datasource_stream_tail": iceberg_datasource_stream_tail,
         "iceberg_stream_rate_limited_tail": iceberg_stream_rate_limited_tail,
+        "iceberg_incremental_join_mv": iceberg_incremental_join_mv,
         "events_variant_extract": events_variant_extract,
         "events_stream_tws_user_totals": events_stream_tws_user_totals,
         "events_stream_tws_ttl_counts": events_stream_tws_ttl_counts,
@@ -18931,6 +19050,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_events, value_cents,
                    files_scanned, files_total
             FROM m, f ORDER BY event_type
+        """,
+        # delta-join maintenance must equal the full join on raw tables
+        "iceberg_incremental_join_mv": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+                     AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         # batch i carries exactly the %4 == i residue class
         "iceberg_stream_rate_limited_tail": """
