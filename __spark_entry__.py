@@ -14394,6 +14394,76 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_sql_udf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED FUNCTIONS (Spark 4 ``CREATE FUNCTION … RETURN``) —
+    both flavors: a SCALAR SQL UDF (exact floor-cents) used inside the
+    aggregation, and a TABLE SQL UDF generating the bucket spine so
+    EMPTY price buckets still appear as zero rows (the left-join-spine
+    idiom, with the spine itself coming from a declarative function
+    instead of a VALUES literal). SQL UDFs inline into the plan at
+    analysis time — unlike Python UDFs they stay whole-stage-codegen
+    JVM expressions, the right default for a 100-TB scan. All exact
+    BIGINTs; bucket width 100000 cents."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqludf_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bucket_spine(k INT) "
+        "RETURNS TABLE(bucket BIGINT) "
+        "RETURN SELECT explode(sequence(0, k - 1))"
+    )
+    return spark.sql(
+        """
+        WITH agg AS (
+          SELECT to_cents(o_totalprice) DIV 100000 AS bucket,
+                 COUNT(*) AS n_orders,
+                 SUM(to_cents(o_totalprice)) AS cents
+          FROM orders_sqludf_v
+          GROUP BY to_cents(o_totalprice) DIV 100000
+        )
+        SELECT s.bucket,
+               CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents
+        FROM bucket_spine(7) s LEFT JOIN agg a ON a.bucket = s.bucket
+        ORDER BY s.bucket
+        """
+    )
+
+
+def doc_source_metrics_transpose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``DataFrame.transpose()`` (new in Spark 4) — the metric-matrix
+    flip every dashboard wants (metrics as rows, entities as columns)
+    without hand-written unpivot/pivot pairs: a 3-source × 2-metric
+    aggregate transposes to 2 rows whose column NAMES are the source
+    values (transpose reads them from the first column). Sources are
+    the 3 lexicographically smallest (deterministic); both metrics are
+    exact BIGINTs so the transposed values hash exactly. The oracle
+    spells the same matrix as scalar-subquery columns."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [
+        r["source"]
+        for r in docs.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(3)
+        .collect()
+    ]
+    m = (
+        docs.where(F.col("source").isin(srcs))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+    return m.transpose().orderBy("key")
+
+
 def events_hourly_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUNCATED EXPONENTIAL SMOOTHING (EMA, α=1/2) of the hourly
     revenue series per event type — the dashboard forecast primitive —
@@ -14919,6 +14989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_top_orders_lateral": customer_top_orders_lateral,
         "events_hourly_ema": events_hourly_ema,
         "part_kcore_peel": part_kcore_peel,
+        "orders_sql_udf_buckets": orders_sql_udf_buckets,
+        "doc_source_metrics_transpose": doc_source_metrics_transpose,
         "doc_readability_scores": doc_readability_scores,
         "orders_benford_audit": orders_benford_audit,
         "events_rolling_weekly_corr": events_rolling_weekly_corr,
@@ -21360,6 +21432,45 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
             WHERE c.c_custkey % 100 = 7
             ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """,
+        # Spark DIV on positive BIGINTs == DuckDB // ; spine 0..6
+        "orders_sql_udf_buckets": """
+            WITH agg AS (
+              SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 100000
+                       AS bucket,
+                     COUNT(*) AS n_orders,
+                     SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                       AS cents
+              FROM orders
+              GROUP BY 1
+            ), spine AS (
+              SELECT CAST(g AS BIGINT) AS bucket
+              FROM generate_series(0, 6) AS t(g)
+            )
+            SELECT s.bucket,
+                   CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents
+            FROM spine s LEFT JOIN agg a ON a.bucket = s.bucket
+            ORDER BY s.bucket
+        """,
+        # the 3 lexicographically-smallest sources of src0..src19
+        "doc_source_metrics_transpose": """
+            SELECT 'n_docs' AS key,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                    WHERE source = 'src0') AS src0,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                    WHERE source = 'src1') AS src1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                    WHERE source = 'src10') AS src10
+            UNION ALL
+            SELECT 'sum_chars' AS key,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE source = 'src0') AS src0,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE source = 'src1') AS src1,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE source = 'src10') AS src10
+            ORDER BY key
         """,
         # identical RANGE-frame peers-by-value semantics both engines;
         # corr chain spelled op-for-op, NULLIF guards zero variance
