@@ -5814,6 +5814,79 @@ def iceberg_partition_stats_read(
     ).orderBy("source")
 
 
+def doc_bloom_index_point_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILE-LEVEL BLOOM SIDECAR INDEX (plans/bloom_index) — point
+    lookups over a key column HASH-SCATTERED across files, where parquet
+    zone maps are useless (every file's [min,max] spans the domain, the
+    case that defeats z-order and sort-based pruning alike). The fixture
+    shards documents round-robin by md5(doc_id) into 8 files, builds one
+    tiny Bloom sidecar per file, and the lookup opens ONLY files whose
+    bloom might contain a probe key — pruning asserted in-query (< 8
+    files opened; no false negatives possible by construction). The
+    oracle is the plain IN-list lookup; n_files metadata is driver-side
+    sidecar bytes, never a data scan."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.plans.bloom_index import (
+        build_bloom_index,
+        prune_files_by_keys,
+    )
+    from tdigest_spark.sketch.hashing import md5_lower64_ints
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "bloom_idx" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    fresh = False
+    if marker.exists():
+        try:
+            fresh = _json.loads(marker.read_text()) == params
+        except Exception:
+            fresh = False
+    if not fresh:
+        if root.exists():
+            shutil.rmtree(root)
+        root.mkdir(parents=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        import pyarrow as pa
+
+        ids = tbl["doc_id"].to_numpy()
+        shard = (md5_lower64_ints(ids) % 8).astype(np.int64)
+        files = []
+        for s in range(8):
+            f = root / f"shard-{s}.parquet"
+            pq.write_table(tbl.filter(pa.array(shard == s)), f)
+            files.append(f)
+        build_bloom_index(files, "doc_id", fpp=0.01)
+        marker.write_text(_json.dumps(params))
+    files = sorted(str(p) for p in root.glob("shard-*.parquet"))
+    keys = [1, 3, 5, 7, 9]
+    kept = prune_files_by_keys(files, keys)
+    assert kept and len(kept) < len(files), (len(kept), len(files))
+    out = (
+        spark.read.parquet(*kept)
+        .where(F.col("doc_id").isin(keys))
+        .select("doc_id", "source", F.col("n_chars").cast("long"))
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def doc_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC PARTITION PRUNING — the Catalyst runtime optimization
     static pruning can't reach: the fact side is hive-partitioned by
@@ -14882,6 +14955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_stats_read": iceberg_partition_stats_read,
         "iceberg_scd2_dimension_build": iceberg_scd2_dimension_build,
         "doc_dpp_partitioned_join": doc_dpp_partitioned_join,
+        "doc_bloom_index_point_lookup": doc_bloom_index_point_lookup,
         "iceberg_upsert_read": iceberg_upsert_read,
         "lineitem_zorder_pruned_scan": lineitem_zorder_pruned_scan,
         "bottomk_sample_check": bottomk_sample_check,
@@ -18750,6 +18824,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang = 'en'
               AND doc_id = (SELECT MIN(doc_id) FROM documents
                             WHERE lang = 'en')
+            ORDER BY doc_id
+        """,
+        "doc_bloom_index_point_lookup": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id IN (1, 3, 5, 7, 9)
             ORDER BY doc_id
         """,
         # hot = 3 lexicographically-smallest sources; counters pinned
