@@ -4812,6 +4812,101 @@ def iceberg_delete_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_deletion_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS (iceberg_write.delete_where_dv /
+    write_deletion_vectors): row deletes land as ONE merged bitmap blob
+    per data file (the spec's ``referenced_data_file`` position delete)
+    instead of v2's one delete parquet per commit — per-file delete state
+    stays O(1) files no matter how many delete commits touch it, the
+    metadata shape that survives a high delete cadence at 100 TB. Two
+    overlapping DELETEs run at fixture build: ``n_chars < 60`` then
+    ``n_chars < 100``; the second MERGES the first's positions and
+    SUPERSEDES its DVs (one live DV per file, enforced at write). The
+    MOR read plus every DV counter is exact-oracled: ``n_deleted_2``
+    counts only newly tombstoned rows (the [60,100) band), ``n_live_dvs``
+    is the per-source file count with any physical match (min(n_chars) <
+    100), ``n_superseded`` the files whose commit-2 DV was replaced
+    (min(n_chars) < 60)."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import (
+        iceberg_scan_entries_static,
+        read_sequences,
+    )
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_dv" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        files = []
+        for s in sorted(set(tbl["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        d1, dv1, sup1, _, _ = W.delete_where_dv(
+            root, [("n_chars", "<", 60)], snapshot_id=2, ts_ms=3000
+        )
+        d2, dv2, sup2, _, _ = W.delete_where_dv(
+            root, [("n_chars", "<", 100)], snapshot_id=3, ts_ms=4000
+        )
+        live = iceberg_scan_entries_static(str(root))["dvs"]
+        refs = [d["referenced"] for d in live]
+        # the v3 invariant, asserted on the real table: one DV per file
+        assert len(refs) == len(set(refs)) == dv2, (refs, dv2)
+        report = {
+            "n_deleted_1": d1,
+            "n_deleted_2": d2,
+            "n_live_dvs": len(live),
+            "n_superseded": sup2,
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    survivors = read_sequences(spark, str(root))
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    ).select(
+        "n_docs",
+        "chars_sum",
+        "id_sum",
+        F.lit(report["n_deleted_1"]).cast("long").alias("n_deleted_1"),
+        F.lit(report["n_deleted_2"]).cast("long").alias("n_deleted_2"),
+        F.lit(report["n_live_dvs"]).cast("long").alias("n_live_dvs"),
+        F.lit(report["n_superseded"]).cast("long").alias("n_superseded"),
+    )
+
+
 def iceberg_update_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE ... SET ... WHERE (iceberg_write.update_where) —
     the third DML leg after DELETE (iceberg_delete_where_read) and MERGE
@@ -11646,6 +11741,105 @@ def events_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage — the third columnar container after
+    parquet and Avro: events are staged as ORC (zlib, Spark's native
+    vectorized writer), read back, filtered with a predicate that must
+    reach the ORC scan as a PUSHED FILTER (asserted on the physical plan
+    text — ORC carries min/max stripe stats exactly for this), and
+    aggregated per event type. The staged value column is integer
+    floor-cents, so the roundtrip is exact and the DuckDB oracle replays
+    it straight off the parquet table. Scale shape: ORC is splittable;
+    the read plans one task per stripe and the aggregate is the usual
+    partial+final pass."""
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="evt_orc_src_")
+    try:
+        ev.write.mode("overwrite").orc(f"{tmp}/orc")
+        odf = (
+            spark.read.schema(
+                "event_id long, user_id long, event_type string, cents long"
+            )
+            .orc(f"{tmp}/orc")
+            .where(F.col("cents") >= 0)
+        )
+        plan = odf._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "cents" in plan.split(
+            "PushedFilters:"
+        )[1].split("]")[0], plan[:800]
+        rows = [
+            tuple(r)
+            for r in odf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("cents"),
+                F.count_distinct("user_id").alias("n_users"),
+            )
+            .orderBy("event_type")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, cents long, n_users long"
+    ).orderBy("event_type")
+
+
+def doc_grouped_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE k-fold cross-validation assignment — the CV sibling of
+    doc_leakage_safe_split: every document of a group (here the source,
+    the unit whose near-duplicates would leak across folds) lands in the
+    SAME fold, decided by ``md5_lower64('fold:' || source) % k`` — a
+    content-keyed hash, so the split is deterministic, layout-independent,
+    and replayable in SQL via DuckDB ``md5_number_lower``. Per fold the
+    query reports group count, row count and char mass (the imbalance a
+    grouped split trades for leak-freedom), plus ``leaked_groups``
+    MEASURED from the data (groups spanning >1 fold — pinned 0 by the
+    oracle, the property that makes per-fold validation sound). Scale
+    shape: fold assignment is a map-side expression; one source-keyed
+    aggregation, no join."""
+    from tdigest_spark.operators.sample import md5_lower64
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (md5_lower64(F.concat(F.lit("fold:"), F.col("source"))) % 5)
+        .cast("long")
+        .alias("fold"),
+    )
+    leaked = (
+        docs.groupBy("source")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+    )
+    return (
+        docs.groupBy("fold")
+        .agg(
+            F.count_distinct("source").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(
+            "fold",
+            "n_groups",
+            "n_docs",
+            "chars_sum",
+            F.lit(leaked).cast("long").alias("leaked_groups"),
+        )
+        .orderBy("fold")
+    )
+
+
 def doc_collated_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-INSENSITIVE vocabulary top-k via STRING COLLATION (Spark 4
     ``CAST(… AS STRING COLLATE UTF8_LCASE)``) — the collation-aware
@@ -14941,6 +15135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_hidden_partition_read": iceberg_hidden_partition_read,
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
+        "iceberg_deletion_vector_read": iceberg_deletion_vector_read,
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
@@ -15034,6 +15229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_session_stats": events_stream_session_stats,
         "events_stream_dynamic_sessions": events_stream_dynamic_sessions,
         "events_text_source_roundtrip": events_text_source_roundtrip,
+        "events_orc_source_roundtrip": events_orc_source_roundtrip,
+        "doc_grouped_kfold_split": doc_grouped_kfold_split,
         "events_xml_source_roundtrip": events_xml_source_roundtrip,
         "doc_collated_vocab_topk": doc_collated_vocab_topk,
         "events_stream_enriched_segments": events_stream_enriched_segments,
@@ -18643,6 +18840,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY state
         """,
+        "iceberg_deletion_vector_read": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 100)
+                     AS n_docs,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE n_chars >= 100) AS chars_sum,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+                    WHERE n_chars >= 100) AS id_sum,
+                   (SELECT COUNT(*) FROM documents WHERE n_chars < 60)
+                     AS n_deleted_1,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE n_chars >= 60 AND n_chars < 100) AS n_deleted_2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                      SELECT source FROM documents
+                      GROUP BY source HAVING MIN(n_chars) < 100))
+                     AS n_live_dvs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                      SELECT source FROM documents
+                      GROUP BY source HAVING MIN(n_chars) < 60))
+                     AS n_superseded
+        """,
         "iceberg_delete_where_read": """
             SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 60)
                      AS n_docs,
@@ -20920,6 +21137,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cents,
                    CAST(2 AS INTEGER) AS n_corrupt
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_orc_source_roundtrip": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE CAST(FLOOR(value * 100.0) AS BIGINT) >= 0
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_grouped_kfold_split": """
+            SELECT CAST(md5_number_lower('fold:' || source) % 5 AS BIGINT)
+                     AS fold,
+                   COUNT(DISTINCT source) AS n_groups,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(0 AS BIGINT) AS leaked_groups
+            FROM documents GROUP BY fold ORDER BY fold
         """,
         # streaming session windows: gaps-and-islands rebuild; only
         # sessions the final watermark (max ts - 1s) finalized are emitted.

@@ -317,7 +317,19 @@ def _encode(schema, value, out: bytearray, named: dict) -> None:
     if t in ("record", "error"):
         _register(schema, named)
         for f in schema["fields"]:
-            _encode(f["type"], value[f["name"]], out, named)
+            # a record decoded under an OLDER writer schema legitimately
+            # lacks fields added since; fill the schema default (standard
+            # Avro writer behavior) so carried-verbatim manifest entries
+            # re-encode under the current schema
+            if f["name"] in value:
+                v = value[f["name"]]
+            elif "default" in f:
+                v = f["default"]
+            else:
+                raise KeyError(
+                    f"record missing field {f['name']!r} with no default"
+                )
+            _encode(f["type"], v, out, named)
     elif t == "enum":
         _write_long(out, schema["symbols"].index(value))
     elif t == "fixed":

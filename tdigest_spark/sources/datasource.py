@@ -128,11 +128,16 @@ class _FilePartition(InputPartition):
     projection onto the current schema (``None`` for schema-less tables:
     raw batches)."""
 
-    def __init__(self, path: str, pos_deletes=(), eq_deletes=(), mapping=None):
+    def __init__(
+        self, path: str, pos_deletes=(), eq_deletes=(), mapping=None, dvs=()
+    ):
         self.path = path
         self.pos_deletes = tuple(pos_deletes)
         self.eq_deletes = tuple(eq_deletes)
         self.mapping = mapping
+        # v3 deletion-vector blob(s) referencing THIS file (≤1 when
+        # written by delete_where_dv — the supersede rule)
+        self.dvs = tuple(dvs)
 
 
 def _norm_path(p: str) -> str:
@@ -232,6 +237,11 @@ def _read_partition_mor(partition: _FilePartition):
 
     pos: set = set()
     me = _norm_path(partition.path)
+    if getattr(partition, "dvs", ()):
+        from .iceberg import read_deletion_vector
+
+        for dvp in partition.dvs:
+            pos.update(read_deletion_vector(dvp))
     for dp in partition.pos_deletes:
         t = pq.read_table(dp, columns=["file_path", "pos"], use_threads=False)
         fps = t.column("file_path").to_pylist()
@@ -298,6 +308,7 @@ def _plan_file_partitions(root, predicates, snapshot_id):
             p["pos_deletes"],
             [(dp, rn(dsid)) for dp, dsid in p["eq_deletes"]],
             mapping=ev(p["schema_id"]),
+            dvs=p.get("dvs", ()),
         )
         for p in plan
     ]
@@ -354,7 +365,11 @@ class _StaticIcebergReader(DataSourceReader):
         # empty partition list, so None means "empty result", not a bug
         if partition is None:
             return
-        if partition.pos_deletes or partition.eq_deletes:
+        if (
+            partition.pos_deletes
+            or partition.eq_deletes
+            or getattr(partition, "dvs", ())
+        ):
             yield from _read_partition_mor(partition)
         elif partition.mapping is not None:
             for batch in _read_parquet_batches(partition.path):
@@ -688,11 +703,18 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
             for e in entries["pos_deletes"]
             if lo_seq < e["seq"] <= hi_seq
         )
+        # same within-range rule for v3 deletion vectors: a DV committed
+        # in (lo, hi] attaches to the range-added file it references
+        range_dvs: dict[str, list[str]] = {}
+        for e in entries.get("dvs", ()):
+            if lo_seq < e["seq"] <= hi_seq:
+                range_dvs.setdefault(e["referenced"], []).append(e["path"])
         return [
             _FilePartition(
                 p,
                 pos_deletes=range_pos,
                 mapping=evolution_mapping(meta, sid_of.get(p)),
+                dvs=range_dvs.get(_norm_path(p), ()),
             )
             for p in paths
         ]
@@ -700,7 +722,11 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if partition is None:
             return
-        if partition.pos_deletes or partition.eq_deletes:
+        if (
+            partition.pos_deletes
+            or partition.eq_deletes
+            or getattr(partition, "dvs", ())
+        ):
             yield from _read_partition_mor(partition)
         elif partition.mapping is not None:
             for batch in _read_parquet_batches(partition.path):

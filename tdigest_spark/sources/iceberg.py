@@ -50,7 +50,89 @@ __all__ = [
     "iceberg_metadata_aggregates",
     "read_table_evolved",
     "current_metadata",
+    "encode_deletion_vector",
+    "decode_deletion_vector",
+    "read_deletion_vector",
+    "deletion_vector_positions",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (Iceberg v3 semantics). The v3 spec stores one roaring
+# bitmap per data file in a Puffin sidecar, referenced from a position-delete
+# manifest entry via `referenced_data_file`; this writer's stand-in blob is a
+# delta-varint list of sorted row positions (same information, stdlib-only).
+# The semantic rules implemented here ARE the spec's: at most ONE live DV per
+# data file, a new DV must contain (supersede) every previously deleted
+# position for that file, and application is path-keyed to the referenced
+# file only.
+_DV_MAGIC = b"ICDV1\n"
+
+
+def encode_deletion_vector(positions) -> bytes:
+    """Serialize row positions as the DV blob: magic, varint cardinality,
+    then delta-varints over the sorted deduplicated positions."""
+    pos = sorted(set(int(p) for p in positions))
+    out = [_DV_MAGIC]
+
+    def varint(n: int) -> bytes:
+        b = bytearray()
+        while True:
+            lo = n & 0x7F
+            n >>= 7
+            b.append(lo | (0x80 if n else 0))
+            if not n:
+                return bytes(b)
+
+    out.append(varint(len(pos)))
+    prev = 0
+    for p in pos:
+        out.append(varint(p - prev))
+        prev = p
+    return b"".join(out)
+
+
+def decode_deletion_vector(data: bytes) -> list[int]:
+    """Inverse of :func:`encode_deletion_vector` (strict magic check)."""
+    if not data.startswith(_DV_MAGIC):
+        raise ValueError("not a deletion-vector blob (bad magic)")
+    i = len(_DV_MAGIC)
+
+    def varint() -> int:
+        nonlocal i
+        shift = n = 0
+        while True:
+            byte = data[i]
+            i += 1
+            n |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return n
+            shift += 7
+
+    count = varint()
+    out, cur = [], 0
+    for _ in range(count):
+        cur += varint()
+        out.append(cur)
+    return out
+
+
+def read_deletion_vector(path) -> list[int]:
+    return decode_deletion_vector(Path(str(path)).read_bytes())
+
+
+def deletion_vector_positions(entries: dict) -> dict[str, set]:
+    """Map (normalized referenced data path) -> deleted row positions from a
+    snapshot's live DV entries (``entries`` from
+    :func:`iceberg_scan_entries_static`). DVs are tiny next to the data they
+    tombstone, so driver-side decode is the right cost model — the same
+    reason the v2 pos-delete path broadcasts."""
+    out: dict[str, set] = {}
+    for e in entries.get("dvs", ()):
+        out.setdefault(e["referenced"], set()).update(
+            read_deletion_vector(e["path"])
+        )
+    return out
 
 
 def has_iceberg(spark: SparkSession) -> bool:
@@ -92,13 +174,18 @@ def read_sequences(
                 "(no data files to read)"
             )
         pos_paths = [x["path"] for x in entries["pos_deletes"]]
+        dv_pairs = [
+            (ref, p)
+            for ref, ps in sorted(deletion_vector_positions(entries).items())
+            for p in sorted(ps)
+        ]
         eqs = entries["eq_deletes"]
         if not eqs:
             df = spark.read.parquet(*[x["path"] for x in entries["data"]])
-            if pos_paths:
-                df = _apply_position_deletes(spark, df, pos_paths)
+            if pos_paths or dv_pairs:
+                df = _apply_position_deletes(spark, df, pos_paths, dv_pairs)
             return df
-        return _read_with_equality_deletes(spark, entries, pos_paths)
+        return _read_with_equality_deletes(spark, entries, pos_paths, dv_pairs)
     if snapshot_id is not None:
         raise ValueError(
             f"time travel requested but {source!r} is not an Iceberg table"
@@ -107,7 +194,10 @@ def read_sequences(
 
 
 def _apply_position_deletes(
-    spark: SparkSession, df: DataFrame, delete_paths: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    delete_paths: list[str],
+    dv_pairs: list[tuple] | None = None,
 ) -> DataFrame:
     """Merge-on-read: subtract v2 position-delete rows (file_path, pos)
     from a data scan — Spark-first, via the parquet reader's
@@ -120,10 +210,19 @@ def _apply_position_deletes(
     normalize to a plain path before the join."""
     from pyspark.sql import functions as F
 
-    dels = spark.read.parquet(*delete_paths).select(
-        F.regexp_replace("file_path", "^file:/+", "/").alias("_dfp"),
-        F.col("pos").cast("long").alias("_dpos"),
-    )
+    dels = None
+    if delete_paths:
+        dels = spark.read.parquet(*delete_paths).select(
+            F.regexp_replace("file_path", "^file:/+", "/").alias("_dfp"),
+            F.col("pos").cast("long").alias("_dpos"),
+        )
+    if dv_pairs:
+        # deletion vectors decode driver-side (tiny blobs) into the same
+        # (path, pos) broadcast shape as the v2 delete parquet
+        dv_df = spark.createDataFrame(
+            [(p, int(i)) for p, i in dv_pairs], "_dfp string, _dpos long"
+        )
+        dels = dv_df if dels is None else dels.unionByName(dv_df)
     keyed = df.withColumns(
         {
             "_fp": F.regexp_replace(
@@ -143,7 +242,10 @@ def _apply_position_deletes(
 
 
 def _read_with_equality_deletes(
-    spark: SparkSession, entries: dict, pos_paths: list[str]
+    spark: SparkSession,
+    entries: dict,
+    pos_paths: list[str],
+    dv_pairs: list[tuple] | None = None,
 ) -> DataFrame:
     """Merge-on-read with v2 EQUALITY deletes: an equality delete applies
     to data files with STRICTLY SMALLER sequence numbers, so data files are
@@ -166,8 +268,8 @@ def _read_with_equality_deletes(
     parts = []
     for applicable, paths in sorted(groups.items()):
         part = spark.read.parquet(*sorted(paths))
-        if pos_paths:
-            part = _apply_position_deletes(spark, part, pos_paths)
+        if pos_paths or dv_pairs:
+            part = _apply_position_deletes(spark, part, pos_paths, dv_pairs)
         for dp in applicable:
             keys = spark.read.parquet(dp)
             part = part.join(F.broadcast(keys), on=keys.columns, how="left_anti")
@@ -280,7 +382,7 @@ def iceberg_scan_entries_static(
     meta = current_metadata(table_dir)
     snap_id = meta.get("current-snapshot-id") if snapshot_id is None else snapshot_id
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
-    empty = {"data": [], "pos_deletes": [], "eq_deletes": []}
+    empty = {"data": [], "pos_deletes": [], "eq_deletes": [], "dvs": []}
     if snap_id is None or snap_id == -1:
         return empty  # empty table: no committed snapshot yet
     if snap_id not in snaps:
@@ -295,7 +397,7 @@ def iceberg_scan_entries_static(
     }
     manifest_list = _localize(snaps[snap_id]["manifest-list"], root)
     _, manifests = avro_lite.read_container(manifest_list)
-    out = {"data": [], "pos_deletes": [], "eq_deletes": []}
+    out = {"data": [], "pos_deletes": [], "eq_deletes": [], "dvs": []}
     kind = {0: "data", 1: "pos_deletes", 2: "eq_deletes"}
     for m in manifests:
         _, entries = avro_lite.read_container(_localize(m["manifest_path"], root))
@@ -305,6 +407,28 @@ def iceberg_scan_entries_static(
             df_rec = e["data_file"]
             bucket = kind.get(df_rec.get("content", 0))
             if bucket is None:
+                continue
+            # v3 deletion vector: a position delete that references ONE
+            # data file and stores its positions as a bitmap blob, not a
+            # (file_path, pos) parquet — classified apart so v2 pos-delete
+            # consumers never try to parquet-read the blob
+            if bucket == "pos_deletes" and df_rec.get("referenced_data_file"):
+                out["dvs"].append(
+                    {
+                        "path": _localize(df_rec["file_path"], root),
+                        "referenced": re.sub(
+                            r"^file:/+",
+                            "/",
+                            df_rec["referenced_data_file"],
+                        ),
+                        "seq": (
+                            int(e["sequence_number"])
+                            if e.get("sequence_number") is not None
+                            else seq_of.get(e.get("snapshot_id"), 0)
+                        ),
+                        "record_count": df_rec.get("record_count"),
+                    }
+                )
                 continue
             out[bucket].append(
                 {
@@ -861,11 +985,27 @@ def iceberg_scan_plan_mor(
     by_id = _specs_by_id(meta)
     pos_paths = sorted(e["path"] for e in entries["pos_deletes"])
     eqs = entries["eq_deletes"]
+    dvs_by_ref: dict[str, list[str]] = {}
+    for d in entries.get("dvs", ()):
+        dvs_by_ref.setdefault(d["referenced"], []).append(d["path"])
     plan = [
         {
             "path": e["path"],
             "schema_id": e.get("schema_id"),
             "pos_deletes": pos_paths,
+            # v3 deletion vectors are inherently per-file: attach only the
+            # blob(s) referencing THIS file (at most one when written by
+            # delete_where_dv — the supersede rule)
+            "dvs": sorted(
+                dvs_by_ref.get(
+                    re.sub(
+                        r"^file:/+",
+                        "/",
+                        f"file://{Path(str(e['path'])).resolve()}",
+                    ),
+                    (),
+                )
+            ),
             "eq_deletes": sorted(
                 (d["path"], d.get("schema_id"))
                 for d in eqs

@@ -96,6 +96,17 @@ _MANIFEST_ENTRY_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # v3 deletion vectors: a position delete that applies
+                    # to exactly one data file records that file here (the
+                    # spec's referenced_data_file field); null for data
+                    # files and v2 path-keyed delete parquets. Avro
+                    # containers embed their writer schema, so manifests
+                    # written before this field still read fine.
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "default": None,
+                    },
                     {
                         "name": "schema_id",
                         "type": ["null", "int"],
@@ -1171,7 +1182,12 @@ def delete_where(
     paths, total = iceberg_scan_paths_pruned(str(root), predicates)
     # positions already tombstoned: don't double-count them as deleted
     already: set[tuple[str, int]] = set()
-    for e in iceberg_scan_entries_static(str(root))["pos_deletes"]:
+    _entries = iceberg_scan_entries_static(str(root))
+    from .iceberg import deletion_vector_positions as _dvp
+
+    for ref, ps in _dvp(_entries).items():
+        already.update((ref, int(i)) for i in ps)
+    for e in _entries["pos_deletes"]:
         dt = pq.read_table(
             e["path"], columns=["file_path", "pos"], use_threads=False
         )
@@ -1212,6 +1228,233 @@ def delete_where(
             root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms
         )
     return n_deleted, len(paths), total
+
+
+def write_deletion_vectors(
+    root: str | Path,
+    positions: dict[str, list[int]],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> dict:
+    """Commit row deletes as v3 DELETION VECTORS: one blob per data file
+    holding every deleted position for that file, referenced from a
+    position-delete manifest entry via ``referenced_data_file``. The two
+    v3 invariants are enforced here, not left to readers:
+
+    * **merge-on-write** — the new DV for a file is the UNION of the new
+      positions, the file's previous DV (if any), and every v2
+      position-delete row targeting it, so one blob is always the complete
+      tombstone set for its file;
+    * **supersede** — at most ONE live DV per data file: the previous DV's
+      entry is dropped from its (rewritten) manifest and recorded as a
+      status-2 tombstone in this commit's delete manifest, same explicit
+      history as overwrite commits.
+
+    Why this matters at scale: v2 position deletes accumulate one delete
+    FILE per commit and every reader must open all of them; a DV keeps
+    per-data-file delete state O(1) files regardless of how many delete
+    commits touched it, which is the metadata shape that survives a
+    100-TB table with a high delete cadence. Only manifests containing a
+    superseded DV are rewritten (metadata-only, O(affected manifests)).
+
+    Semantics reference: Apache Iceberg v3 table spec (public docs) —
+    deletion vectors, ``referenced_data_file``, one-DV-per-file rule.
+    Returns ``{"snapshot_id", "n_dvs", "n_superseded", "cardinality"}``."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from .iceberg import (
+        _localize,
+        deletion_vector_positions,
+        encode_deletion_vector,
+        iceberg_scan_entries_static,
+    )
+
+    root = Path(str(root))
+    version, meta = _load_current(root)
+    sid = (
+        int(snapshot_id)
+        if snapshot_id is not None
+        else int(meta.get("last-sequence-number", 0)) + 1
+    )
+    eseq = int(meta.get("last-sequence-number", 0)) + 1
+    entries = iceberg_scan_entries_static(str(root))
+
+    def _norm(p) -> str:
+        return _re.sub(r"^file:/+", "/", f"file://{Path(str(p)).resolve()}")
+
+    merged = {
+        _norm(p): set(int(i) for i in idxs) for p, idxs in positions.items()
+    }
+    # merge-on-write: previous DV positions ...
+    for ref, prev in deletion_vector_positions(entries).items():
+        if ref in merged:
+            merged[ref] |= prev
+    # ... and v2 position-delete rows for the affected files
+    for e in entries["pos_deletes"]:
+        t = pq.read_table(
+            e["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, p in zip(t["file_path"].to_pylist(), t["pos"].to_pylist()):
+            ref = _re.sub(r"^file:/+", "/", fp)
+            if ref in merged:
+                merged[ref].add(int(p))
+    tag = uuid.uuid5(uuid.NAMESPACE_URL, f"dv-{sid}").hex[:8]
+    new_entries = []
+    for i, ref in enumerate(sorted(merged)):
+        blob = root / "data" / f"dv-{sid}-{tag}-{i}.dv"
+        blob.write_bytes(encode_deletion_vector(merged[ref]))
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": sid,
+                "sequence_number": eseq,
+                "data_file": {
+                    "content": 1,  # position delete, DV flavor
+                    "file_path": f"file://{blob}",
+                    "file_format": "dv",
+                    "record_count": len(merged[ref]),
+                    "file_size_in_bytes": blob.stat().st_size,
+                    "referenced_data_file": f"file://{ref}",
+                    "schema_id": None,
+                    "spec_id": None,
+                    "partition": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    # supersede: strip the previous DVs of the affected files from their
+    # manifests (only touched manifests are rewritten) and keep explicit
+    # status-2 tombstones in this commit's delete manifest
+    tombstones: list[dict] = []
+    manifest_rows = []
+    for mi, mrow in enumerate(_current_manifests(root, meta)):
+        mp = _localize(mrow["manifest_path"], root)
+        _, m_entries = avro_lite.read_container(mp)
+        drop = [
+            e
+            for e in m_entries
+            if e.get("status", 0) != 2
+            and e["data_file"].get("referenced_data_file")
+            and _re.sub(
+                r"^file:/+", "/", e["data_file"]["referenced_data_file"]
+            )
+            in merged
+        ]
+        if not drop:
+            manifest_rows.append(mrow)
+            continue
+        drop_ids = {id(e) for e in drop}
+        kept = [e for e in m_entries if id(e) not in drop_ids]
+        tombstones.extend(dict(e, status=2) for e in drop)
+        if kept:
+            rm = _meta_dir(root) / f"m-{sid}-{tag}-r{mi}.avro"
+            avro_lite.write_container(rm, _MANIFEST_ENTRY_SCHEMA, kept)
+            manifest_rows.append(
+                {
+                    "manifest_path": f"file://{rm}",
+                    "manifest_length": rm.stat().st_size,
+                    "content": mrow.get("content", 1),
+                    "added_snapshot_id": sid,
+                }
+            )
+    m = _meta_dir(root) / f"m-{sid}-{tag}.avro"
+    avro_lite.write_container(
+        m, _MANIFEST_ENTRY_SCHEMA, new_entries + tombstones
+    )
+    manifest_rows.append(
+        {
+            "manifest_path": f"file://{m}",
+            "manifest_length": m.stat().st_size,
+            "content": 1,
+            "added_snapshot_id": sid,
+        }
+    )
+    _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+    return {
+        "snapshot_id": sid,
+        "n_dvs": len(new_entries),
+        "n_superseded": len(tombstones),
+        "cardinality": {ref: len(ps) for ref, ps in sorted(merged.items())},
+    }
+
+
+def delete_where_dv(
+    root: str | Path,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+    ts_ms: int | None = None,
+) -> tuple[int, int, int, int, int]:
+    """``DELETE FROM ... WHERE`` committed as v3 DELETION VECTORS — the
+    same manifest-metadata-only planning as :func:`delete_where` (stats +
+    per-spec partition pruning, predicate columns only read), but the
+    matched positions land in one merged DV per file instead of an
+    ever-growing pile of v2 delete parquets (see
+    :func:`write_deletion_vectors` for the scale rationale). Returns
+    ``(n_deleted, n_dvs, n_superseded, files_scanned, files_total)`` where
+    ``n_deleted`` counts only NEWLY tombstoned rows — positions already in
+    a DV or a v2 position delete are merged, not recounted."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .iceberg import (
+        deletion_vector_positions,
+        iceberg_scan_entries_static,
+        iceberg_scan_paths_pruned,
+    )
+
+    root = Path(str(root))
+    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
+    entries = iceberg_scan_entries_static(str(root))
+    already: set[tuple[str, int]] = set()
+    for ref, ps in deletion_vector_positions(entries).items():
+        already.update((ref, int(p)) for p in ps)
+    for e in entries["pos_deletes"]:
+        dt = pq.read_table(
+            e["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, pos in zip(
+            dt["file_path"].to_pylist(), dt["pos"].to_pylist()
+        ):
+            already.add((_re.sub(r"^file:/+", "/", fp), int(pos)))
+    cols = sorted({c for c, _, _ in predicates})
+    ops = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">=": pc.greater_equal,
+        ">": pc.greater,
+        "<=": pc.less_equal,
+        "<": pc.less,
+    }
+    positions: dict[str, list[int]] = {}
+    n_deleted = 0
+    for p in paths:
+        tbl = pq.read_table(p, columns=cols, use_threads=False)
+        mask = None
+        for c, op, lit in predicates:
+            m = ops[op](tbl[c], lit)
+            mask = m if mask is None else pc.and_(mask, m)
+        idx = np.nonzero(
+            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        )[0]
+        if idx.shape[0]:
+            positions[str(p)] = [int(i) for i in idx]
+            norm = _re.sub(
+                r"^file:/+", "/", f"file://{Path(str(p)).resolve()}"
+            )
+            n_deleted += sum(1 for i in idx if (norm, int(i)) not in already)
+    n_dvs = n_sup = 0
+    if positions:
+        rep = write_deletion_vectors(
+            root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms
+        )
+        n_dvs, n_sup = rep["n_dvs"], rep["n_superseded"]
+    return n_deleted, n_dvs, n_sup, len(paths), total
 
 
 def update_where(
@@ -1277,6 +1520,10 @@ def update_where(
             pos_map.setdefault(re.sub(r"^file:/+", "/", fp), set()).add(
                 int(p)
             )
+    from .iceberg import deletion_vector_positions as _dvp
+
+    for ref, ps in _dvp(entries).items():
+        pos_map.setdefault(ref, set()).update(int(i) for i in ps)
     ops = {
         "==": pc.equal,
         "!=": pc.not_equal,
@@ -2051,6 +2298,10 @@ def rewrite_data_files(
             pos_map.setdefault(
                 _re.sub(r"^file:/+", "/", fp), set()
             ).add(int(p))
+    from .iceberg import deletion_vector_positions as _dvp
+
+    for ref, ps in _dvp(entries).items():
+        pos_map.setdefault(ref, set()).update(int(i) for i in ps)
 
     def _eq_cols(path: str) -> list[str]:
         return pq.read_schema(path).names
@@ -2210,6 +2461,11 @@ def rewrite_data_files(
     def _delete_still_applies(e: dict) -> bool:
         dfrec = e["data_file"]
         dpath = str(_localize(dfrec["file_path"], root))
+        if dfrec.get("referenced_data_file"):  # v3 DV: single-file keyed
+            return (
+                _re.sub(r"^file:/+", "/", dfrec["referenced_data_file"])
+                in live_norm
+            )
         if dfrec.get("content", 0) == 1:  # position delete: path-keyed
             try:
                 t = pq.read_table(
