@@ -4146,6 +4146,46 @@ def _iceberg_tt_fixture(sf_dir: str):
     return root
 
 
+def iceberg_time_travel_by_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``AS OF <timestamp>`` time travel (iceberg.snapshot_as_of_ms): a
+    wall-clock instant resolves through the metadata's SNAPSHOT-LOG to
+    the last snapshot committed at or before it — the log, not the
+    snapshots list, defines what a reader saw at that moment (rollbacks
+    append log entries rather than erase history). Over the three-commit
+    fixture (appends at t=2000/3000, overwrite at t=4000): t=2500 must
+    see only the even half, t=3500 the full table, t=99999 the current
+    English-only state; t=1500 predates the first commit and must RAISE
+    (silently returning the oldest snapshot would fabricate history —
+    asserted in-query). Metadata-only resolution; the read itself is the
+    usual snapshot-pinned static walk."""
+    from tdigest_spark.sources.iceberg import (
+        read_sequences,
+        snapshot_as_of_ms,
+    )
+
+    root = _iceberg_tt_fixture(sf_dir)
+    try:
+        snapshot_as_of_ms(str(root), 1500)
+        raise AssertionError("pre-history timestamp must raise")
+    except ValueError:
+        pass
+    outs = []
+    for label, ts in (("t2500", 2500), ("t3500", 3500), ("t99999", 99999)):
+        sid = snapshot_as_of_ms(str(root), ts)
+        snap = read_sequences(spark, str(root), snapshot_id=sid)
+        outs.append(
+            snap.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit(label).alias("asof"), "source", "n_docs")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("asof", "source")
+
+
 def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (CDC-style) Iceberg consumption: read ONLY the files
     added between snapshot 1 and snapshot 2 of the three-snapshot fixture
@@ -4904,6 +4944,81 @@ def iceberg_deletion_vector_read(
         F.lit(report["n_deleted_2"]).cast("long").alias("n_deleted_2"),
         F.lit(report["n_live_dvs"]).cast("long").alias("n_live_dvs"),
         F.lit(report["n_superseded"]).cast("long").alias("n_superseded"),
+    )
+
+
+def iceberg_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (create_table(row_lineage=True) +
+    iceberg.read_with_lineage): every appended row gets a stable
+    ``_row_id`` — files claim consecutive first-row-id ranges in append
+    order — that survives row-level DELETEs (a deletion-vector commit
+    here) AND compaction, because rewrite_data_files MATERIALIZES the
+    lineage columns into the consolidated file (the spec rule: position
+    arithmetic cannot survive a rewrite). The fixture appends per-source
+    document files in sorted-source order, so each doc's _row_id is
+    exactly ``ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1`` — the
+    DuckDB oracle replays identity assignment, the delete, and the
+    preserved sums after compaction. ``n_seq1`` pins every surviving
+    row's _last_updated_sequence_number at the append's sequence 1
+    (deletes and compaction must NOT bump it). Scale shape: lineage
+    derivation is a broadcast dim join on the scan; compaction carries
+    ids as plain columns."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_with_lineage
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_lineage" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    ok = False
+    if marker.exists():
+        try:
+            ok = _json.loads(marker.read_text()).get("params") == params
+        except Exception:
+            ok = False
+    if not ok:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000, row_lineage=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        files = []
+        for s in sorted(set(tbl["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        W.delete_where_dv(
+            root, [("n_chars", "<", 60)], snapshot_id=2, ts_ms=3000
+        )
+        rep = W.rewrite_data_files(root, ts_ms=4000)
+        assert rep["files_after"] < rep["files_before"], rep
+        marker.write_text(_json.dumps({"params": params}))
+    df = read_with_lineage(spark, str(root))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_row_id").alias("row_id_sum"),
+        F.min("_row_id").alias("row_id_min"),
+        F.max("_row_id").alias("row_id_max"),
+        F.sum(
+            (F.col("_last_updated_sequence_number") == 1).cast("long")
+        ).alias("n_seq1"),
+        F.sum("doc_id").alias("id_sum"),
     )
 
 
@@ -11793,6 +11908,67 @@ def events_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinctive terms per source — the classic corpus-profiling
+    pass (what does each slice talk about that the others don't): tf is
+    the per-(source, word) count, df the number of SOURCES carrying the
+    word, idf = ln(n_sources/df), score = tf·idf. Words in every source
+    score 0; high-frequency source-local words surface. All counts are
+    exact integers; the single ln·multiply chain is spelled identically
+    in both engines with ROUND 6 absorbing ln ULPs, and the top-3 window
+    orders by the ROUNDED score with a word tiebreak (the
+    doc_pmi_collocations convention) so the LIMIT is deterministic.
+    Scale shape: ONE corpus scan into the (source, word) aggregate
+    (persisted — the df/n derivations and the join must not re-scan the
+    corpus, the doc_source_word_kl lesson), one word-keyed shuffle for
+    df, broadcast of the tiny per-word df back onto tf, bounded
+    per-source window."""
+    from tdigest_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    words = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    tf = (
+        words.groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    ns = tf.select(
+        F.count_distinct("source").cast("double").alias("ns")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("ns") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "rank", "word", "tf", "df", "score")
+        .orderBy("source", "rank")
+    )
+
+
 def doc_grouped_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-AWARE k-fold cross-validation assignment — the CV sibling of
     doc_leakage_safe_split: every document of a group (here the source,
@@ -15101,6 +15277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skewed_key_join": skewed_key_join,
         "iceberg_snapshot_isolated_read": iceberg_snapshot_isolated_read,
         "iceberg_time_travel_read": iceberg_time_travel_read,
+        "iceberg_time_travel_by_timestamp": iceberg_time_travel_by_timestamp,
         "iceberg_mor_deleted_read": iceberg_mor_deleted_read,
         "iceberg_incremental_read": iceberg_incremental_read,
         "iceberg_incremental_sketch_maintenance": iceberg_incremental_sketch_maintenance,
@@ -15136,6 +15313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution_read": iceberg_partition_evolution_read,
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_deletion_vector_read": iceberg_deletion_vector_read,
+        "iceberg_row_lineage_read": iceberg_row_lineage_read,
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
@@ -15231,6 +15409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_text_source_roundtrip": events_text_source_roundtrip,
         "events_orc_source_roundtrip": events_orc_source_roundtrip,
         "doc_grouped_kfold_split": doc_grouped_kfold_split,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_xml_source_roundtrip": events_xml_source_roundtrip,
         "doc_collated_vocab_topk": doc_collated_vocab_topk,
         "events_stream_enriched_segments": events_stream_enriched_segments,
@@ -18693,6 +18872,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang = 'en' GROUP BY source
             ORDER BY snapshot, source
         """,
+        "iceberg_time_travel_by_timestamp": """
+            SELECT 't2500' AS "asof", source, COUNT(*) AS n_docs
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+            UNION ALL
+            SELECT 't3500' AS "asof", source, COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 't99999' AS "asof", source, COUNT(*) AS n_docs
+            FROM documents WHERE lang = 'en' GROUP BY source
+            ORDER BY "asof", source
+        """,
         # discrete digest = exact value map: Nearest-Rank quantiles per
         # snapshot state (v1 = even doc_ids, v2 = the whole table)
         "iceberg_incremental_sketch_maintenance": """
@@ -18839,6 +19029,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT '3_published', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
             FROM documents
             ORDER BY state
+        """,
+        "iceberg_row_lineage_read": """
+            WITH ids AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1
+                       AS row_id
+              FROM documents
+            )
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(row_id) AS BIGINT) AS row_id_sum,
+                   CAST(MIN(row_id) AS BIGINT) AS row_id_min,
+                   CAST(MAX(row_id) AS BIGINT) AS row_id_max,
+                   COUNT(*) AS n_seq1,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM ids WHERE n_chars >= 60
         """,
         "iceberg_deletion_vector_read": """
             SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 100)
@@ -21147,6 +21352,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(FLOOR(value * 100.0) AS BIGINT) >= 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_tfidf_top_terms": r"""
+            WITH w AS (
+              SELECT source,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                       AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ), ww AS (
+              SELECT * FROM w WHERE word <> ''
+            ), tf AS (
+              SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM ww GROUP BY source, word
+            ), df AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY word
+            ), ns AS (
+              SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns FROM tf
+            ), scored AS (
+              SELECT source, word, tf, df,
+                     ROUND(tf * LN(ns / CAST(df AS DOUBLE)), 6) AS score
+              FROM tf JOIN df USING (word) CROSS JOIN ns
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY source
+                          ORDER BY score DESC, word ASC) AS rank
+              FROM scored
+            )
+            SELECT source, CAST(rank AS INTEGER) AS rank, word, tf, df,
+                   score
+            FROM r WHERE rank <= 3 ORDER BY source, rank
         """,
         "doc_grouped_kfold_split": """
             SELECT CAST(md5_number_lower('fold:' || source) % 5 AS BIGINT)

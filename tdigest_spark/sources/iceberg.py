@@ -54,6 +54,7 @@ __all__ = [
     "decode_deletion_vector",
     "read_deletion_vector",
     "deletion_vector_positions",
+    "read_with_lineage",
 ]
 
 
@@ -193,6 +194,119 @@ def read_sequences(
     return spark.read.parquet(source)
 
 
+def read_with_lineage(spark: SparkSession, source: str) -> DataFrame:
+    """Read a row-lineage table (``create_table(row_lineage=True)``) with
+    the v3 lineage metadata columns materialized: ``_row_id`` (stable row
+    identity assigned at first append, surviving deletes AND compaction)
+    and ``_last_updated_sequence_number`` (the sequence that last wrote
+    the row — the append's for untouched rows, preserved verbatim by
+    compaction). Spark-first shape: data files without materialized
+    lineage columns join a tiny broadcast dim (file → first_row_id, seq)
+    and derive ``_row_id = first_row_id + _metadata.row_index``; files
+    REWRITTEN by compaction carry the columns physically (the spec's
+    materialization rule — position arithmetic can't survive a rewrite)
+    and are read as-is. Position deletes and deletion vectors subtract as
+    usual; surviving rows keep their ids, which is the point.
+
+    Semantics reference: Apache Iceberg v3 table spec (public docs) —
+    row lineage, first-row-id assignment, lineage materialization on
+    rewrite. Raises on equality-delete tables (lineage + eq-delete
+    replay is out of scope for this reader)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    entries = iceberg_scan_entries_static(source)
+    if entries["eq_deletes"]:
+        raise NotImplementedError(
+            "read_with_lineage does not support equality-delete tables"
+        )
+    pos_paths = [x["path"] for x in entries["pos_deletes"]]
+    dv_pairs = [
+        (ref, p)
+        for ref, ps in sorted(deletion_vector_positions(entries).items())
+        for p in sorted(ps)
+    ]
+    virtual, materialized = [], []
+    for e in entries["data"]:
+        cols = pq.read_schema(e["path"]).names
+        if "_row_id" in cols and "_last_updated_sequence_number" in cols:
+            materialized.append(e)
+        elif e.get("first_row_id") is not None:
+            virtual.append(e)
+        else:
+            raise ValueError(
+                f"data file {e['path']!r} has neither a first_row_id "
+                "assignment nor materialized lineage columns — was the "
+                "table created with row_lineage=True?"
+            )
+    parts = []
+    if virtual:
+        # capture (file, position) ON the scan relation — the hidden
+        # _metadata columns resolve there and both the tombstone
+        # subtraction and the lineage arithmetic key on them
+        keyed = spark.read.parquet(*[e["path"] for e in virtual]).withColumns(
+            {
+                "_fp0": F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+                "_ri0": F.col("_metadata.row_index"),
+            }
+        )
+        dels = None
+        if pos_paths:
+            dels = spark.read.parquet(*pos_paths).select(
+                F.regexp_replace("file_path", "^file:/+", "/").alias("_dfp"),
+                F.col("pos").cast("long").alias("_dpos"),
+            )
+        if dv_pairs:
+            dv_df = spark.createDataFrame(
+                [(p, int(i)) for p, i in dv_pairs], "_dfp string, _dpos long"
+            )
+            dels = dv_df if dels is None else dels.unionByName(dv_df)
+        if dels is not None:
+            keyed = keyed.join(
+                F.broadcast(dels),
+                (keyed["_fp0"] == dels["_dfp"])
+                & (keyed["_ri0"] == dels["_dpos"]),
+                "left_anti",
+            )
+        dim = spark.createDataFrame(
+            [
+                (
+                    re.sub(
+                        r"^file:/+",
+                        "/",
+                        f"file://{Path(str(e['path'])).resolve()}",
+                    ),
+                    int(e["first_row_id"]),
+                    int(e["seq"]),
+                )
+                for e in virtual
+            ],
+            "_lfp string, _first long, _lseq long",
+        )
+        joined = keyed.join(
+            F.broadcast(dim), keyed["_fp0"] == dim["_lfp"], "inner"
+        )
+        parts.append(
+            joined.withColumns(
+                {
+                    "_row_id": F.col("_first") + F.col("_ri0"),
+                    "_last_updated_sequence_number": F.col("_lseq"),
+                }
+            ).drop("_fp0", "_ri0", "_lfp", "_first", "_lseq")
+        )
+    if materialized:
+        df = spark.read.parquet(*[e["path"] for e in materialized])
+        if pos_paths or dv_pairs:
+            df = _apply_position_deletes(spark, df, pos_paths, dv_pairs)
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _apply_position_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -325,6 +439,29 @@ def current_metadata(table_dir: str) -> dict:
     return json.loads(meta_file.read_text())
 
 
+def snapshot_as_of_ms(table_dir: str, ts_ms: int) -> int:
+    """Resolve ``AS OF <timestamp>`` time travel to a snapshot id: the
+    LAST snapshot whose commit time is <= ``ts_ms``, read from the
+    metadata's snapshot-log (the spec's timestamp-resolution structure —
+    rollbacks append log entries rather than erase history, so the log,
+    not the snapshots list, defines what the table looked like at a wall
+    clock instant). Raises for a timestamp before the first commit —
+    the table did not exist yet, and silently returning the oldest
+    snapshot would fabricate history."""
+    meta = current_metadata(table_dir)
+    log = meta.get("snapshot-log", [])
+    best = None
+    for entry in log:
+        if int(entry["timestamp-ms"]) <= int(ts_ms):
+            best = entry
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms} "
+            f"(first commit: {log[0]['timestamp-ms'] if log else 'none'})"
+        )
+    return int(best["snapshot-id"])
+
+
 def iceberg_ref_snapshot(table_dir: str, name: str) -> int:
     """Resolve a named ref (tag or branch) to its snapshot id — the read
     half of iceberg_write.create_ref / branch appends."""
@@ -444,6 +581,7 @@ def iceberg_scan_entries_static(
                     "schema_id": df_rec.get("schema_id"),
                     "spec_id": df_rec.get("spec_id"),
                     "record_count": df_rec.get("record_count"),
+                    "first_row_id": df_rec.get("first_row_id"),
                     "file_size": df_rec.get("file_size_in_bytes"),
                     "partition": df_rec.get("partition"),
                     "lower_bounds": df_rec.get("lower_bounds"),

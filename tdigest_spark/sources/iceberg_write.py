@@ -107,6 +107,16 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": ["null", "string"],
                         "default": None,
                     },
+                    # v3 row lineage: the first row id assigned to this
+                    # data file's rows (_row_id = first_row_id + position
+                    # for rows without a materialized _row_id column);
+                    # null when lineage is off or ids live in the file
+                    # itself (post-compaction materialized columns)
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "default": None,
+                    },
                     {
                         "name": "schema_id",
                         "type": ["null", "int"],
@@ -165,13 +175,18 @@ def create_table(
     root: str | Path,
     ts_ms: int | None = None,
     schema_fields: list[tuple[str, str]] | None = None,
+    row_lineage: bool = False,
 ) -> Path:
     """Initialize an empty Iceberg table (v2 metadata, no snapshot).
     ``schema_fields`` — optional ``[(name, iceberg_type), ...]`` — records
     schema 0 with stable FIELD IDS (ids 1..N), enabling the evolution
     commits (:func:`add_column` / :func:`rename_column` / :func:`drop_
     column`) and the field-id-resolved evolved read
-    (sources/iceberg.read_table_evolved)."""
+    (sources/iceberg.read_table_evolved). ``row_lineage`` opts into v3
+    ROW LINEAGE: the table tracks ``next-row-id`` and every appended data
+    file is assigned a ``first_row_id`` range, giving each row a stable
+    ``_row_id`` that survives deletes and compaction (see
+    ``iceberg.read_with_lineage``)."""
     root = Path(str(root))
     meta = _meta_dir(root)
     (root / "data").mkdir(parents=True, exist_ok=True)
@@ -186,6 +201,8 @@ def create_table(
         "snapshots": [],
         "snapshot-log": [],
     }
+    if row_lineage:
+        doc["next-row-id"] = 0
     if schema_fields is not None:
         fields = [
             {"id": i + 1, "name": n, "type": t, "required": False}
@@ -985,6 +1002,7 @@ def append_snapshot(
     cur_schema = meta.get("current-schema-id")
     spec_fields = _default_spec(meta)
     entries = []
+    next_row_id = meta.get("next-row-id")
     for p in data_files:
         e = _file_entry(
             p, 1, sid, schema_id=cur_schema, sequence_number=eseq
@@ -994,7 +1012,15 @@ def append_snapshot(
                 Path(str(p)), spec_fields
             )
             e["data_file"]["spec_id"] = meta.get("default-spec-id")
+        if next_row_id is not None:
+            # v3 row lineage: files claim consecutive row-id ranges in
+            # append order; the table's next-row-id advances atomically
+            # with this commit (it rides the same metadata doc)
+            e["data_file"]["first_row_id"] = int(next_row_id)
+            next_row_id += max(0, int(e["data_file"]["record_count"]))
         entries.append(e)
+    if next_row_id is not None:
+        meta = dict(meta, **{"next-row-id": int(next_row_id)})
     avro_lite.write_container(m, _MANIFEST_ENTRY_SCHEMA, entries)
     rows = _current_manifests(root, meta, branch=branch) + [
         {
@@ -1504,6 +1530,13 @@ def update_where(
     if _default_spec(meta):
         raise ValueError(
             "update_where on a partitioned table is not supported"
+        )
+    if meta.get("next-row-id") is not None:
+        # the v3 carry rule (updated copies keep _row_id, bump
+        # _last_updated_sequence_number) is not implemented for this
+        # path — fail loudly rather than silently mint new identities
+        raise NotImplementedError(
+            "update_where does not carry row lineage yet"
         )
     paths, total = iceberg_scan_paths_pruned(str(root), predicates)
     entries = iceberg_scan_entries_static(str(root))
@@ -2352,8 +2385,26 @@ def rewrite_data_files(
     if not bins:
         return result
 
+    lineage = meta.get("next-row-id") is not None
+
     def _mor_read(e: dict) -> pa.Table:
         tbl = pq.read_table(e["path"], use_threads=False)
+        if lineage and "_row_id" not in tbl.column_names:
+            # v3 rule: a rewrite MUST materialize lineage — position
+            # arithmetic cannot survive row reordering/consolidation
+            if e.get("first_row_id") is None:
+                raise ValueError(
+                    f"lineage table data file {e['path']!r} has no "
+                    "first_row_id assignment to materialize from"
+                )
+            first = int(e["first_row_id"])
+            tbl = tbl.append_column(
+                "_row_id",
+                pa.array(range(first, first + tbl.num_rows), pa.int64()),
+            ).append_column(
+                "_last_updated_sequence_number",
+                pa.array([int(e["seq"])] * tbl.num_rows, pa.int64()),
+            )
         norm = _re.sub(
             r"^file:/+", "/", f"file://{Path(str(e['path'])).resolve()}"
         )
