@@ -7017,6 +7017,100 @@ def iceberg_datasource_stream_upsert(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def iceberg_stream_dv_delete_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC DELETE apply through the data source sink
+    (option('delete_keys', 'doc_id') + option('sid_base', ...)): each
+    micro-batch's rows are delete MARKERS whose key set tombstones
+    matching live rows as v3 DELETION VECTORS — the marker files never
+    join the table, and per touched data file the commit leaves ONE
+    merged bitmap (batch 2's keys overlap batch 1's on doc_id%10==3, so
+    the second epoch MERGES and SUPERSEDES the first's DVs rather than
+    stacking delete files — the O(1)-files delete state a 100-TB
+    retention stream needs). Epoch order is immaterial (set-union
+    deletes commute), so no mtime pinning; exactly-once rides the same
+    epoch-keyed snapshot guard as the append/upsert sinks, shifted past
+    the base append by sid_base. The read back is the same data source's
+    MOR path; final state + snapshot and DV counters are exact."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.datasource import IcebergStaticDataSource
+    from tdigest_spark.sources.iceberg import iceberg_scan_entries_static
+
+    spark.dataSource.register(IcebergStaticDataSource)
+    tmp = tempfile.mkdtemp(prefix="ice_dvstream_")
+    try:
+        root = Path(tmp) / "tbl"
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        files = []
+        for s in sorted(set(tbl["source"].to_pylist())):
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(tbl.filter(pc.equal(tbl["source"], s)), f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        indir = Path(tmp) / "in"
+        indir.mkdir()
+        ids = tbl["doc_id"].to_numpy()
+        import pyarrow as _pa
+
+        ten = _pa.array(ids % 10 == 3)
+        five = _pa.array(ids % 5 == 3)
+        pq.write_table(tbl.filter(ten), indir / "del1.parquet")
+        pq.write_table(tbl.filter(five), indir / "del2.parquet")
+        q = (
+            spark.readStream.schema("doc_id long, source string, n_chars long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(indir))
+            .writeStream.format("iceberg_static")
+            .option("path", str(root))
+            .option("delete_keys", "doc_id")
+            .option("sid_base", "1")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("DV delete sink did not drain within 300s")
+        n_snapshots = len(W.snapshot_ids(root))
+        dvs = iceberg_scan_entries_static(str(root))["dvs"]
+        # one merged DV per touched file, whatever the epoch order
+        refs = [d["referenced"] for d in dvs]
+        assert len(refs) == len(set(refs)), refs
+        out = (
+            spark.read.format("iceberg_static")
+            .option("path", str(root))
+            .load()
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "sum_chars",
+                F.lit(n_snapshots).cast("long").alias("n_snapshots"),
+                F.lit(len(dvs)).cast("long").alias("n_live_dvs"),
+            )
+            .orderBy("source")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def events_stream_tws_type_breakdown(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -15314,6 +15408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_deletion_vector_read": iceberg_deletion_vector_read,
         "iceberg_row_lineage_read": iceberg_row_lineage_read,
+        "iceberg_stream_dv_delete_apply": iceberg_stream_dv_delete_apply,
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
         "iceberg_rewrite_manifests_read": iceberg_rewrite_manifests_read,
@@ -19029,6 +19124,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT '3_published', COUNT(*), CAST(SUM(doc_id) AS BIGINT)
             FROM documents
             ORDER BY state
+        """,
+        "iceberg_stream_dv_delete_apply": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(3 AS BIGINT) AS n_snapshots,
+                   (SELECT COUNT(DISTINCT source) FROM documents
+                    WHERE doc_id % 10 IN (3, 8)) AS n_live_dvs
+            FROM documents WHERE doc_id % 10 NOT IN (3, 8)
+            GROUP BY source ORDER BY source
         """,
         "iceberg_row_lineage_read": """
             WITH ids AS (

@@ -288,6 +288,11 @@ def run_headline(spark) -> dict[str, float]:
         # fully-relational CC scale path)
         "events_max_concurrent_sessions",
         "part_component_label_propagation",
+        # round-5 final session: the TF-IDF corpus profiler (persisted
+        # tf aggregate + df broadcast + per-source window) and the
+        # group-aware k-fold CV split (map-side hash + one aggregation)
+        "doc_tfidf_top_terms",
+        "doc_grouped_kfold_split",
     ]
     qs = entrymod.queries()
     out: dict[str, float] = {}
@@ -371,6 +376,9 @@ def run_headline(spark) -> dict[str, float]:
         # EXPRESSIONS (the sweep-line / propagation subtrees) entirely
         "events_max_concurrent_sessions": _force_collect,
         "part_component_label_propagation": _force_collect,
+        # count() of a groupBy prunes its agg expressions (the n_chars
+        # sum — the actual work); collect the 5-row result instead
+        "doc_grouped_kfold_split": _force_collect,
     }
     for _ in range(2):
         for name in headline:

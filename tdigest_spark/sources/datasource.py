@@ -552,6 +552,19 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
         self.upsert_keys = (
             [c.strip() for c in ks.split(",") if c.strip()] if ks else None
         )
+        dk = options.get("delete_keys")
+        self.delete_keys = (
+            [c.strip() for c in dk.split(",") if c.strip()] if dk else None
+        )
+        if self.upsert_keys and self.delete_keys:
+            raise ValueError(
+                "upsert_keys and delete_keys are mutually exclusive"
+            )
+        # a second stream against an existing table needs its epoch->
+        # snapshot mapping shifted past the committed history (sid space
+        # is batchId + 1 + sid_base); a LITERAL base keeps retried
+        # epochs idempotent
+        self.sid_base = int(options.get("sid_base", 0))
         import uuid as _uuid
 
         # per-writer-instance uuid (driver-side, pickled to tasks): a
@@ -571,11 +584,51 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
 
         root = _ensure_table(self.root)
         files = _committed_files(messages)
-        sid = int(batchId) + 1
+        sid = int(batchId) + 1 + self.sid_base
         if sid in set(W.snapshot_ids(root)):
             _unlink_files(messages)  # retried epoch: commit already durable
             return
         if not files:  # an empty epoch must not commit a snapshot
+            return
+        if self.delete_keys:
+            # CDC DELETE apply: the epoch's rows are delete MARKERS, not
+            # data — their key set tombstones matching live rows as v3
+            # DELETION VECTORS (one merged bitmap per touched file, the
+            # O(1)-files-per-file delete state that survives a high
+            # delete cadence; see iceberg_write.write_deletion_vectors).
+            # The marker files never join the table.
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from .iceberg import iceberg_scan_entries_static
+
+            keys = (
+                pa.concat_tables(
+                    pq.read_table(f, columns=self.delete_keys)
+                    for f in files
+                )
+                .group_by(self.delete_keys)
+                .aggregate([])
+            )
+            _unlink_files(messages)
+            positions: dict[str, list[int]] = {}
+            if keys.num_rows:
+                right = pd.MultiIndex.from_frame(keys.to_pandas())
+                for e in iceberg_scan_entries_static(str(root))["data"]:
+                    t = pq.read_table(
+                        e["path"],
+                        columns=self.delete_keys,
+                        use_threads=False,
+                    )
+                    hit = np.nonzero(
+                        pd.MultiIndex.from_frame(t.to_pandas()).isin(right)
+                    )[0]
+                    if hit.shape[0]:
+                        positions[str(e["path"])] = [int(i) for i in hit]
+            if positions:
+                W.write_deletion_vectors(root, positions, snapshot_id=sid)
             return
         if self.upsert_keys:
             # CDC sink: the epoch's distinct key set becomes a same-

@@ -146,3 +146,16 @@ def test_delete_where_v2_counts_dv_positions(tmp_path):
     # DV-tombstoned rows
     n_del, _, _ = W.delete_where(root, [("v", "<", 80)], snapshot_id=3, ts_ms=4000)
     assert n_del == 2  # ids 6, 7 only
+
+
+def test_stream_writer_delete_keys_options():
+    from tdigest_spark.sources.datasource import _StaticIcebergStreamWriter
+
+    w = _StaticIcebergStreamWriter(
+        {"path": "/tmp/x", "delete_keys": "doc_id", "sid_base": "7"}
+    )
+    assert w.delete_keys == ["doc_id"] and w.sid_base == 7
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _StaticIcebergStreamWriter(
+            {"path": "/tmp/x", "delete_keys": "a", "upsert_keys": "b"}
+        )

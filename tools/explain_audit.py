@@ -58,6 +58,13 @@ AUDITS = {
     "doc_clean_pipeline": (0, True, False),
     # bigram wordcount: same shape contract as doc_vocab_topk
     "doc_bigram_topk": (0, False, False),
+    # TF-IDF: the per-word df dim and the 1-row n_sources scalar must
+    # both BROADCAST onto the persisted tf aggregate; the top-3 window
+    # partitions by source (never a global rank — NO_GLOBAL_WINDOW)
+    "doc_tfidf_top_terms": (1, False, False),
+    # grouped k-fold: fold assignment is a map-side hash expression —
+    # one keyed aggregation, no join at all
+    "doc_grouped_kfold_split": (0, True, False),
     # correlated EXISTS must decorrelate to a (broadcast) SEMI join with
     # the l_returnflag predicate pushed to the scan — a per-row subquery
     # or cartesian here is a scale regression
@@ -340,6 +347,7 @@ NO_GLOBAL_WINDOW = {
     "events_user_spearman",
     "events_kruskal_wallis",
     "orders_rfm_segmentation",
+    "doc_tfidf_top_terms",
 }
 
 
