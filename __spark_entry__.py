@@ -12002,6 +12002,163 @@ def events_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the vector-DB shape every retrieval
+    deployment needs (cosine top-k restricted by a metadata predicate):
+    top-10 neighbors of doc 0's embedding among vectors with label 3
+    only. The filter composes BEFORE the ranking (predicate reaches the
+    scan; at index scale it composes with the pruned-storage buckets),
+    so the result differs from post-filtering a global top-10 — which is
+    the point, and the oracle proves it by replaying the filtered
+    ranking exactly. Also reports each hit's cosine RANK in the
+    unfiltered corpus, showing how deep a post-filter would have had to
+    scan — computed WITHOUT a global window (the events_user_gini
+    lesson): the ≤10 hits broadcast against the map-side scores and the
+    global rank is 1 + the strictly-ahead count, an aggregation that
+    never funnels the corpus into one task."""
+    from tdigest_spark.operators.similarity import cosine_to_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        cosine_to_query(F.col("embedding"), query).alias("cosine"),
+    )
+    filt = (
+        scored.where(F.col("label") == 3)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w10 = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))  # ≤10 rows
+    top = filt.withColumn("rank", F.row_number().over(w10)).select(
+        "rank",
+        F.col("vec_id").alias("tid"),
+        F.col("cosine").alias("tcos"),
+    )
+    ahead = (
+        scored.join(
+            F.broadcast(top),
+            (F.col("cosine") > F.col("tcos"))
+            | (
+                (F.col("cosine") == F.col("tcos"))
+                & (F.col("vec_id") < F.col("tid"))
+            ),
+        )
+        .groupBy("rank", "tid")
+        .agg((F.count(F.lit(1)) + 1).alias("global_rank"))
+    )
+    return (
+        top.join(
+            ahead.select("tid", "global_rank"), "tid", "left_outer"
+        )
+        .select(
+            "rank",
+            F.col("tid").alias("vec_id"),
+            F.coalesce("global_rank", F.lit(1)).cast("long").alias(
+                "global_rank"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+def embedding_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style DIMENSION-TRUNCATION evaluation — the modern
+    embedding-deployment question (serve 16 of 64 dims at 1/4 the cost:
+    what does retrieval lose?): recall@10 of cosine ranking on the
+    first-d prefix of every embedding vs the full-dimension exact
+    ranking, at d = 16, 32, 64. The d=64 row must equal 1.0 — the curve
+    carries its own correctness endpoint (the ann_recall_at_k
+    convention). Hits are integer set intersections and recall a single
+    exact-int division, so the measured quality numbers are exactly
+    oracled (DuckDB replays each truncated ranking via list slicing).
+    Scale shape: each ranking is map-side score + TakeOrderedAndProject;
+    the intersections join ≤10-row sides."""
+    from tdigest_spark.operators.similarity import topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    full = topk_cosine(emb, query, k=10, exclude_id=0).select("vec_id")
+    full.persist()
+    rows = []
+    for d in (16, 32, 64):
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        top = topk_cosine(trunc, query[:d], k=10, exclude_id=0).select(
+            "vec_id"
+        )
+        n_hits = top.join(full, "vec_id", "left_semi").count()
+        rows.append((d, 10, n_hits, n_hits / 10.0))
+    full.unpersist()
+    assert rows[-1][3] == 1.0, rows[-1]  # full dims == exact ranking
+    return spark.createDataFrame(
+        rows, "dims int, k int, n_hits long, recall double"
+    ).orderBy("dims")
+
+
+def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with Reciprocal Rank Fusion — the RAG-stack
+    shape: a lexical leg (total occurrences of the query terms per doc,
+    exact integers) and a dense leg (cosine top-k against doc 0's
+    embedding, the ann_topk_cosine probe) each produce a top-20 ranking;
+    RRF fuses them as ``Σ 1/(60+rank)`` over the legs that retrieved the
+    doc. Ranks are INTEGERS, so each RRF term is one exact-int division
+    and the fusion is ONE addition of two correctly-rounded doubles —
+    bit-identical across engines, left unrounded (the .5-tie lesson:
+    never ROUND a small-rational score). Missing-leg ranks surface as 0.
+    Scale shape: lexical = scan-filtered word aggregate +
+    TakeOrderedAndProject; dense = the brute-force probe (the IVF/PQ
+    indexes are the scale path); fusion joins two ≤20-row sides."""
+    from tdigest_spark.operators.similarity import topk_cosine
+    from tdigest_spark.operators.text import word_tokens
+
+    terms = ["spark", "join", "window"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(word_tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word").isin(terms))
+    )
+    lex = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    wl = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    lex_top = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    wd = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    dense_top = (
+        topk_cosine(emb, query, k=20, exclude_id=0)
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .select(F.col("vec_id").alias("doc_id"), "dense_rank")
+    )
+    one = F.lit(1.0)
+    fused = lex_top.join(dense_top, ["doc_id"], "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        (
+            F.coalesce(one / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                one / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF distinctive terms per source — the classic corpus-profiling
     pass (what does each slice talk about that the others don't): tf is
@@ -15505,6 +15662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orc_source_roundtrip": events_orc_source_roundtrip,
         "doc_grouped_kfold_split": doc_grouped_kfold_split,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "doc_hybrid_rrf_topk": doc_hybrid_rrf_topk,
+        "ann_filtered_topk": ann_filtered_topk,
+        "embedding_matryoshka_recall": embedding_matryoshka_recall,
         "events_xml_source_roundtrip": events_xml_source_roundtrip,
         "doc_collated_vocab_topk": doc_collated_vocab_topk,
         "events_stream_enriched_segments": events_stream_enriched_segments,
@@ -21456,6 +21616,99 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(FLOOR(value * 100.0) AS BIGINT) >= 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        "ann_filtered_topk": """
+            WITH q AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT vec_id, label,
+                     list_cosine_similarity(embedding, qe) AS cosine
+              FROM embeddings, q WHERE vec_id <> 0
+            ), g AS (
+              SELECT vec_id, label,
+                     ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+                       AS global_rank
+              FROM scored
+            ), f AS (
+              SELECT vec_id, global_rank,
+                     ROW_NUMBER() OVER (ORDER BY global_rank) AS rank
+              FROM g WHERE label = 3
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+                   CAST(global_rank AS BIGINT) AS global_rank
+            FROM f WHERE rank <= 10 ORDER BY rank
+        """,
+        "embedding_matryoshka_recall": """
+            WITH q AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), dims AS (
+              SELECT * FROM (VALUES (16), (32), (64)) t(d)
+            ), full_top AS (
+              SELECT vec_id FROM (
+                SELECT vec_id, ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(embedding, qe)
+                           DESC, vec_id) AS rk
+                FROM embeddings, q WHERE vec_id <> 0) WHERE rk <= 10
+            ), trunc_top AS (
+              SELECT d, vec_id FROM (
+                SELECT d, vec_id, ROW_NUMBER() OVER (
+                         PARTITION BY d
+                         ORDER BY list_cosine_similarity(
+                                    embedding[1:d], qe[1:d]) DESC,
+                                  vec_id) AS rk
+                FROM embeddings, q, dims WHERE vec_id <> 0) WHERE rk <= 10
+            )
+            SELECT CAST(d AS INTEGER) AS dims, CAST(10 AS INTEGER) AS k,
+                   (SELECT COUNT(*) FROM trunc_top t
+                    JOIN full_top f USING (vec_id) WHERE t.d = dims.d)
+                     AS n_hits,
+                   CAST((SELECT COUNT(*) FROM trunc_top t
+                         JOIN full_top f USING (vec_id)
+                         WHERE t.d = dims.d) AS DOUBLE)
+                     / CAST(10 AS DOUBLE) AS recall
+            FROM dims ORDER BY dims
+        """,
+        "doc_hybrid_rrf_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '\s+'))
+                       AS word
+              FROM documents WHERE TRIM(text) <> ''
+            ), lex AS (
+              SELECT doc_id, COUNT(*) AS tf
+              FROM w WHERE word IN ('spark', 'join', 'window')
+              GROUP BY doc_id
+            ), lexr AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id)
+                       AS lex_rank
+              FROM lex
+            ), q AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), denser AS (
+              SELECT vec_id AS doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(embedding, qe) DESC,
+                                vec_id) AS dense_rank
+              FROM embeddings, q WHERE vec_id <> 0
+            ), fused AS (
+              SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                     l.lex_rank, d.dense_rank,
+                     COALESCE(CAST(1 AS DOUBLE)
+                              / CAST(60 + l.lex_rank AS DOUBLE), 0)
+                     + COALESCE(CAST(1 AS DOUBLE)
+                                / CAST(60 + d.dense_rank AS DOUBLE), 0)
+                       AS rrf
+              FROM (SELECT * FROM lexr WHERE lex_rank <= 20) l
+              FULL OUTER JOIN
+                   (SELECT * FROM denser WHERE dense_rank <= 20) d
+              ON l.doc_id = d.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(lex_rank, 0) AS INTEGER) AS lex_rank,
+                   CAST(COALESCE(dense_rank, 0) AS INTEGER) AS dense_rank,
+                   rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "doc_tfidf_top_terms": r"""
             WITH w AS (

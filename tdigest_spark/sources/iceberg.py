@@ -649,7 +649,9 @@ def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):
     ``.snapshots`` / ``.manifests`` surface operators live on: everything
     comes from the metadata walk alone (O(manifest), no data file is
     opened), returned as a DataFrame so table health checks compose with
-    ordinary SQL. ``kind`` in {"files", "snapshots", "manifests"}."""
+    ordinary SQL. ``kind`` in {"files", "snapshots", "manifests",
+    "delete_files"} (the last lists v2 position/equality deletes AND v3
+    deletion vectors, distinguished by ``referenced_data_file``)."""
     root = Path(str(table_dir))
     meta = current_metadata(table_dir)
     if kind == "files":
@@ -680,6 +682,33 @@ def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):
         ]
         return spark.createDataFrame(
             rows, "snapshot_id long, sequence_number long, operation string"
+        )
+    if kind == "delete_files":
+        entries = iceberg_scan_entries_static(table_dir)
+        rows = [
+            (
+                Path(e["path"]).name,
+                k,
+                int(e["seq"]),
+                int(e.get("record_count") or -1),
+                None,
+            )
+            for k in ("pos_deletes", "eq_deletes")
+            for e in entries[k]
+        ] + [
+            (
+                Path(e["path"]).name,
+                "dv",
+                int(e["seq"]),
+                int(e.get("record_count") or -1),
+                Path(e["referenced"]).name,
+            )
+            for e in entries["dvs"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_name string, kind string, sequence_number long, "
+            "record_count long, referenced_data_file string",
         )
     if kind == "manifests":
         from . import avro_lite

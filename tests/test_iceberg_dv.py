@@ -159,3 +159,17 @@ def test_stream_writer_delete_keys_options():
         _StaticIcebergStreamWriter(
             {"path": "/tmp/x", "delete_keys": "a", "upsert_keys": "b"}
         )
+
+
+def test_metadata_delete_files_lists_dvs(tmp_path, spark):
+    root, files = _table(tmp_path)
+    W.delete_rows_snapshot(root, {str(files[1]): [0]}, snapshot_id=2, ts_ms=3000)
+    W.delete_where_dv(root, [("v", "<", 30)], snapshot_id=3, ts_ms=4000)
+    from tdigest_spark.sources.iceberg import iceberg_metadata_df
+
+    rows = {
+        (r.kind, r.file_name.startswith("dv-"), r.referenced_data_file)
+        for r in iceberg_metadata_df(spark, str(root), "delete_files").collect()
+    }
+    assert ("pos_deletes", False, None) in rows
+    assert ("dv", True, "f0.parquet") in rows

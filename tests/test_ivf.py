@@ -251,3 +251,38 @@ def test_kmeans_round2_score_margins(spark):
         fs = np.sort(f, axis=1)
         gap = (fs[:, 1] - fs[:, 0]) / np.maximum(np.abs(fs[:, 0]), 1.0)
         assert gap.min() > 1e-9, (sf, gap.min())
+
+
+def test_matryoshka_and_filtered_rank_margins_all_sfs():
+    """embedding_matryoshka_recall and ann_filtered_topk compare cosine
+    RANKINGS across engines (numpy pairwise summation vs DuckDB
+    sequential): exactness needs the score gaps around every decision
+    boundary — the top-10 cut of each truncated ranking, and the
+    filtered top-10 / global-rank neighborhoods — far above float64
+    summation-order noise (~1e-12 for <=64-term dots)."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        V = np.stack(
+            [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+        )
+        ids = tbl["vec_id"].to_numpy()
+        labels = tbl["label"].to_numpy()
+        q = V[ids == 0][0]
+        mask = ids != 0
+        for d in (16, 32, 64):
+            num = V[mask, :d] @ q[:d]
+            den = np.linalg.norm(V[mask, :d], axis=1) * np.linalg.norm(q[:d])
+            cos = np.sort(num / np.maximum(den, 1e-30))[::-1]
+            # adjacent-score gaps through rank 12: ties would make the
+            # cross-engine rank compare depend on rounding
+            assert np.abs(np.diff(cos[:12])).min() > 1e-9, (sf, d)
+        full = V[mask] @ q / (
+            np.linalg.norm(V[mask], axis=1) * np.linalg.norm(q)
+        )
+        lab3 = np.sort(full[labels[mask] == 3])[::-1]
+        assert np.abs(np.diff(lab3[:12])).min() > 1e-9, sf
+        # global ranks of the filtered hits: every adjacent gap in the
+        # whole corpus ordering (any could sit at a hit's boundary)
+        assert np.abs(np.diff(np.sort(full))).min() > 1e-10, sf
