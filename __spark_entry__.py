@@ -4947,6 +4947,103 @@ def iceberg_deletion_vector_read(
     )
 
 
+def iceberg_null_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-COUNT statistics pruning — the manifest's ``null_value_
+    counts`` map (recorded at commit from the parquet footers) lets the
+    planner answer ``IS NULL`` / ``IS NOT NULL`` predicates from
+    metadata alone: a file recording zero nulls cannot satisfy IS NULL,
+    and a file whose null count equals its record count cannot satisfy
+    IS NOT NULL. The fixture plants nulls deterministically (the
+    lexicographically first source's file is ENTIRELY null; sources
+    starting 'src1' null lang where doc_id%7==2), so both pruned
+    planning counters and the residual-filtered aggregates replay
+    exactly in SQL. At 100 TB this is the difference between opening
+    every footer and touching only the files that can match."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_nulls" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    ok = False
+    if marker.exists():
+        try:
+            ok = _json.loads(marker.read_text()).get("params") == params
+        except Exception:
+            ok = False
+    if not ok:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "lang", "n_chars"],
+        )
+        sources = sorted(set(tbl["source"].to_pylist()))
+        files = []
+        for s in sources:
+            part = tbl.filter(pc.equal(tbl["source"], s))
+            ids = part["doc_id"].to_numpy()
+            if s == sources[0]:
+                mask = np.ones(len(ids), dtype=bool)
+            elif s.startswith("src1"):
+                mask = ids % 7 == 2
+            else:
+                mask = np.zeros(len(ids), dtype=bool)
+            lang = pc.if_else(
+                pa.array(mask), pa.nulls(len(ids), pa.string()), part["lang"]
+            )
+            part = part.set_column(
+                part.schema.get_field_index("lang"), "lang", lang
+            )
+            f = root / "data" / f"s-{s}.parquet"
+            pq.write_table(part, f)
+            files.append(f)
+        W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+        marker.write_text(_json.dumps({"params": params}))
+    null_paths, total = iceberg_scan_paths_pruned(
+        str(root), [("lang", "isnull", None)]
+    )
+    notnull_paths, _ = iceberg_scan_paths_pruned(
+        str(root), [("lang", "notnull", None)]
+    )
+    nd = spark.read.parquet(*null_paths).where(F.col("lang").isNull())
+    nn = spark.read.parquet(*notnull_paths).where(F.col("lang").isNotNull())
+    return (
+        nd.agg(
+            F.count(F.lit(1)).alias("n_null"),
+            F.sum("n_chars").alias("null_chars"),
+        )
+        .crossJoin(nn.agg(F.count(F.lit(1)).alias("n_notnull")))
+        .select(
+            "n_null",
+            "null_chars",
+            "n_notnull",
+            F.lit(len(null_paths)).cast("long").alias("files_scanned_null"),
+            F.lit(len(notnull_paths))
+            .cast("long")
+            .alias("files_scanned_notnull"),
+            F.lit(total).cast("long").alias("files_total"),
+        )
+    )
+
+
 def iceberg_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 ROW LINEAGE (create_table(row_lineage=True) +
     iceberg.read_with_lineage): every appended row gets a stable
@@ -12102,6 +12199,63 @@ def embedding_matryoshka_recall(
     ).orderBy("dims")
 
 
+def embedding_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZATION retrieval evaluation (the SQ8 index shape:
+    store int8-ish codes, rank by integer dot products): vectors
+    quantize as ``floor(x·256)`` — a POWER-OF-TWO scale, so the float
+    multiply is exact and the codes are exact integers — and the
+    quantized cosine is a ratio of exact-integer dot products (every
+    sum ≤ 2^40, exact in double REGARDLESS of accumulation order),
+    making the quantized ranking bit-identical across engines with NO
+    margin assumptions at all (unlike float rankings, which need the
+    guarded gaps). Reports recall@10 vs the full-precision exact top-10
+    and the quantized top-1's identity. Scale shape: codes are 4×
+    smaller, the scan is integer arithmetic, map-side score +
+    TakeOrderedAndProject."""
+    import math
+
+    from tdigest_spark.operators.similarity import topk_cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    qq = [int(math.floor(x * 256.0)) for x in query]
+    nq2 = sum(q * q for q in qq)
+    qarr = F.array(*[F.lit(q).cast("long") for q in qq])
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(256.0)).cast("long"),
+    )
+    acc = lambda a, x: a + x  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(qvec, qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        acc,
+    )
+    nv2 = F.aggregate(
+        F.transform(qvec, lambda x: x * x), F.lit(0).cast("long"), acc
+    )
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        (
+            dot.cast("double")
+            / F.sqrt((nv2 * F.lit(int(nq2)).cast("long")).cast("double"))
+        ).alias("cosq"),
+    )
+    top = (
+        scored.orderBy(F.desc("cosq"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    full = topk_cosine(emb, query, k=10, exclude_id=0).select("vec_id")
+    n_hits = top.join(full, "vec_id", "left_semi").count()
+    top1 = scored.orderBy(F.desc("cosq"), F.asc("vec_id")).first()["vec_id"]
+    return spark.createDataFrame(
+        [(256, 10, n_hits, n_hits / 10.0, int(top1))],
+        "scale int, k int, n_hits long, recall double, top1_vec_id long",
+    )
+
+
 def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID RETRIEVAL with Reciprocal Rank Fusion — the RAG-stack
     shape: a lexical leg (total occurrences of the query terms per doc,
@@ -12157,6 +12311,63 @@ def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE RATIO MISMATCH check — the first gate every experimentation
+    platform runs before reading an A/B test: users are assigned to arms
+    by a content hash (md5-lower-64 of 'srm:'||user_id, mod 2 — the
+    deterministic assignment the repo's sampling ops use, replayable via
+    DuckDB md5_number_lower), and the observed arm counts are tested
+    against the designed 50/50 with the one-degree chi-square statistic
+    ``Σ(obs − n/2)²/(n/2)``. Counts are exact integers; the statistic is
+    one identical subtract-square-divide chain per arm plus one addition
+    — bit-identical across engines, left unrounded. ``srm_flag`` applies
+    the conventional 3.84 (p≈0.05) cut. Scale shape: one distinct-user
+    aggregation, then a 2-row arm count."""
+    from tdigest_spark.operators.sample import md5_lower64
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (
+                md5_lower64(
+                    F.concat(F.lit("srm:"), F.col("user_id").cast("string"))
+                )
+                % 2
+            )
+            .cast("long")
+            .alias("arm"),
+        )
+    )
+    counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.sum("n").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    half = F.col("n_users").cast("double") / F.lit(2.0)
+    chi2 = (
+        (F.col("n_a").cast("double") - half) * (F.col("n_a").cast("double") - half)
+        / half
+        + (F.col("n_b").cast("double") - half)
+        * (F.col("n_b").cast("double") - half)
+        / half
+    )
+    return agg.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.84)).alias("srm_flag"),
+    )
 
 
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15565,6 +15776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_where_read": iceberg_delete_where_read,
         "iceberg_deletion_vector_read": iceberg_deletion_vector_read,
         "iceberg_row_lineage_read": iceberg_row_lineage_read,
+        "iceberg_null_pruned_scan": iceberg_null_pruned_scan,
         "iceberg_stream_dv_delete_apply": iceberg_stream_dv_delete_apply,
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
@@ -15662,9 +15874,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_orc_source_roundtrip": events_orc_source_roundtrip,
         "doc_grouped_kfold_split": doc_grouped_kfold_split,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "events_ab_srm_check": events_ab_srm_check,
         "doc_hybrid_rrf_topk": doc_hybrid_rrf_topk,
         "ann_filtered_topk": ann_filtered_topk,
         "embedding_matryoshka_recall": embedding_matryoshka_recall,
+        "embedding_sq8_recall": embedding_sq8_recall,
         "events_xml_source_roundtrip": events_xml_source_roundtrip,
         "doc_collated_vocab_topk": doc_collated_vocab_topk,
         "events_stream_enriched_segments": events_stream_enriched_segments,
@@ -19294,6 +19508,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 10 NOT IN (3, 8)
             GROUP BY source ORDER BY source
         """,
+        "iceberg_null_pruned_scan": """
+            WITH rule AS (
+              SELECT doc_id, source, n_chars,
+                     (source = (SELECT MIN(source) FROM documents)
+                      OR (doc_id % 7 = 2 AND source LIKE 'src1%'))
+                       AS is_null
+              FROM documents
+            )
+            SELECT (SELECT COUNT(*) FROM rule WHERE is_null) AS n_null,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM rule
+                    WHERE is_null) AS null_chars,
+                   (SELECT COUNT(*) FROM rule WHERE NOT is_null)
+                     AS n_notnull,
+                   (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+                    FROM rule WHERE is_null) AS files_scanned_null,
+                   (SELECT CAST(COUNT(DISTINCT source) - 1 AS BIGINT)
+                    FROM rule) AS files_scanned_notnull,
+                   (SELECT CAST(COUNT(DISTINCT source) AS BIGINT)
+                    FROM rule) AS files_total
+        """,
         "iceberg_row_lineage_read": """
             WITH ids AS (
               SELECT doc_id, n_chars,
@@ -21638,6 +21872,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(global_rank AS BIGINT) AS global_rank
             FROM f WHERE rank <= 10 ORDER BY rank
         """,
+        "embedding_sq8_recall": """
+            WITH q AS (
+              SELECT list_transform(embedding, x ->
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 256) AS BIGINT))
+                       AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), vv AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(FLOOR(CAST(x AS DOUBLE) * 256) AS BIGINT))
+                       AS v
+              FROM embeddings WHERE vec_id <> 0
+            ), scored AS (
+              SELECT vec_id,
+                     list_dot_product(v, qv)
+                     / SQRT(list_dot_product(v, v)
+                            * list_dot_product(qv, qv)) AS cosq
+              FROM vv, q
+            ), qt AS (
+              SELECT vec_id, ROW_NUMBER() OVER (
+                       ORDER BY cosq DESC, vec_id) AS rk
+              FROM scored
+            ), ft AS (
+              SELECT vec_id FROM (
+                SELECT e.vec_id, ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(
+                                    e.embedding, f.embedding) DESC,
+                                  e.vec_id) AS rk
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) f
+                WHERE e.vec_id <> 0) WHERE rk <= 10
+            )
+            SELECT CAST(256 AS INTEGER) AS scale,
+                   CAST(10 AS INTEGER) AS k,
+                   (SELECT COUNT(*) FROM qt JOIN ft USING (vec_id)
+                    WHERE rk <= 10) AS n_hits,
+                   CAST((SELECT COUNT(*) FROM qt JOIN ft USING (vec_id)
+                         WHERE rk <= 10) AS DOUBLE)
+                     / CAST(10 AS DOUBLE) AS recall,
+                   (SELECT vec_id FROM qt WHERE rk = 1) AS top1_vec_id
+        """,
         "embedding_matryoshka_recall": """
             WITH q AS (
               SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
@@ -21709,6 +21984,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(dense_rank, 0) AS INTEGER) AS dense_rank,
                    rrf
             FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "events_ab_srm_check": """
+            WITH arms AS (
+              SELECT CAST(md5_number_lower(
+                       'srm:' || CAST(user_id AS VARCHAR)) % 2 AS BIGINT)
+                       AS arm
+              FROM (SELECT DISTINCT user_id FROM events)
+            ), c AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(COUNT(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+                     CAST(COUNT(*) FILTER (arm = 1) AS BIGINT) AS n_b
+              FROM arms
+            )
+            SELECT n_users, n_a, n_b,
+                   (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                   * (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                   / (CAST(n_users AS DOUBLE) / 2)
+                   + (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                   * (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                   / (CAST(n_users AS DOUBLE) / 2) AS chi2,
+                   ((CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                    * (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                    / (CAST(n_users AS DOUBLE) / 2)
+                    + (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                    * (CAST(n_b AS DOUBLE) - CAST(n_users AS DOUBLE) / 2)
+                    / (CAST(n_users AS DOUBLE) / 2))
+                   > CAST(3.84 AS DOUBLE) AS srm_flag
+            FROM c
         """,
         "doc_tfidf_top_terms": r"""
             WITH w AS (

@@ -586,6 +586,7 @@ def iceberg_scan_entries_static(
                     "partition": df_rec.get("partition"),
                     "lower_bounds": df_rec.get("lower_bounds"),
                     "upper_bounds": df_rec.get("upper_bounds"),
+                    "null_counts": df_rec.get("null_value_counts"),
                 }
             )
     for v in out.values():
@@ -650,8 +651,10 @@ def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):
     comes from the metadata walk alone (O(manifest), no data file is
     opened), returned as a DataFrame so table health checks compose with
     ordinary SQL. ``kind`` in {"files", "snapshots", "manifests",
-    "delete_files"} (the last lists v2 position/equality deletes AND v3
-    deletion vectors, distinguished by ``referenced_data_file``)."""
+    "delete_files", "history"} — delete_files lists v2 position/equality
+    deletes AND v3 deletion vectors (distinguished by
+    ``referenced_data_file``); history is the snapshot-log the AS-OF-
+    timestamp resolution walks."""
     root = Path(str(table_dir))
     meta = current_metadata(table_dir)
     if kind == "files":
@@ -709,6 +712,18 @@ def iceberg_metadata_df(spark: SparkSession, table_dir: str, kind: str):
             rows,
             "file_name string, kind string, sequence_number long, "
             "record_count long, referenced_data_file string",
+        )
+    if kind == "history":
+        # the snapshot-log (table.history): what the table looked like at
+        # each wall-clock instant — the structure snapshot_as_of_ms
+        # resolves AS OF <timestamp> reads against (rollbacks append
+        # entries rather than erase them)
+        rows = [
+            (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+            for e in meta.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long"
         )
     if kind == "manifests":
         from . import avro_lite
@@ -980,7 +995,18 @@ def _entry_matches(entry: dict, predicates) -> bool:
     file — pruning is an optimization, never a correctness filter."""
     lo_map = entry.get("lower_bounds") or {}
     hi_map = entry.get("upper_bounds") or {}
+    nc_map = entry.get("null_counts") or {}
     for col, op, value in predicates:
+        if op in ("isnull", "notnull"):
+            nc = nc_map.get(col)
+            if nc is None:
+                continue  # no null stats recorded: keep the file
+            if op == "isnull" and int(nc) == 0:
+                return False  # column has no nulls in this file
+            rc = entry.get("record_count")
+            if op == "notnull" and rc is not None and int(nc) == int(rc):
+                return False  # every row is null
+            continue
         lo = lo_map.get(col)
         hi = hi_map.get(col)
         try:
@@ -1213,6 +1239,9 @@ def _coerce_predicates(meta: dict, predicates) -> list[tuple]:
         t = types.get(col)
         if t is None:
             continue  # unknown column: nothing to prune on
+        if op in ("isnull", "notnull"):
+            out.append((col, op, None))  # null checks carry no literal
+            continue
         if t in ("int", "long"):
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 continue

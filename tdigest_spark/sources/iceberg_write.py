@@ -145,6 +145,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": ["null", {"type": "map", "values": "bytes"}],
                         "default": None,
                     },
+                    # the spec's null_value_counts: drives IS NULL /
+                    # IS NOT NULL manifest pruning
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", {"type": "map", "values": "long"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -465,6 +472,30 @@ def _truncate_upper(b: bytes) -> bytes | None:
     return None
 
 
+def _null_counts(path: Path) -> dict | None:
+    """Per-column null counts from the parquet footer's row-group
+    statistics — the spec's ``null_value_counts`` map. Lets the planner
+    prune ``IS NULL`` (no nulls recorded) and ``IS NOT NULL`` (all rows
+    null) predicates from the manifest alone. Columns without statistics
+    are absent (pruning stays an optimization, never a filter)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or st.null_count is None:
+                continue
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            out[name] = out.get(name, 0) + int(st.null_count)
+    return out or None
+
+
 def _column_bounds(path: Path) -> tuple[dict, dict] | None:
     """Per-column (lower, upper) bound maps from the parquet footer's
     row-group statistics — computed ONCE at commit time so the planner can
@@ -522,11 +553,13 @@ def _file_entry(
 ) -> dict:
     p = Path(str(path))
     bounds = None
+    nulls = None
     try:
         import pyarrow.parquet as pq
 
         record_count = pq.read_metadata(p).num_rows
         bounds = _column_bounds(p)
+        nulls = _null_counts(p)
     except Exception:
         record_count = -1
     return {
@@ -552,6 +585,7 @@ def _file_entry(
             "partition": None,
             "lower_bounds": bounds[0] if bounds else None,
             "upper_bounds": bounds[1] if bounds else None,
+            "null_value_counts": nulls,
         },
     }
 

@@ -173,3 +173,9 @@ def test_metadata_delete_files_lists_dvs(tmp_path, spark):
     }
     assert ("pos_deletes", False, None) in rows
     assert ("dv", True, "f0.parquet") in rows
+    hist = iceberg_metadata_df(spark, str(root), "history").collect()
+    assert [(r.made_current_at_ms, r.snapshot_id) for r in hist] == [
+        (2000, 1),
+        (3000, 2),
+        (4000, 3),
+    ]

@@ -148,3 +148,39 @@ def test_partition_stats_absent_raise_and_expiration_gc(tmp_path):
     with pytest.raises(KeyError):
         W.read_partition_stats(root, 1)
     assert W.read_partition_stats(root, 2)
+
+
+def test_null_count_pruning(tmp_path):
+    """null_value_counts manifest pruning: IS NULL drops files recording
+    zero nulls; IS NOT NULL drops all-null files; files without stats
+    survive both (pruning is never a correctness filter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_paths_pruned
+
+    root = tmp_path / "nulltbl"
+    W.create_table(root, ts_ms=1000)
+    cases = {
+        "a": pa.table({"v": pa.array([1, 2, 3], pa.int64())}),
+        "b": pa.table({"v": pa.array([None, None, None], pa.int64())}),
+        "c": pa.table({"v": pa.array([1, None, 3], pa.int64())}),
+    }
+    files = []
+    for name, t in cases.items():
+        f = root / "data" / f"{name}.parquet"
+        pq.write_table(t, f)
+        files.append(f)
+    W.append_snapshot(root, files, snapshot_id=1, ts_ms=2000)
+    isnull, total = iceberg_scan_paths_pruned(str(root), [("v", "isnull", None)])
+    assert total == 3
+    assert sorted(p.rsplit("/", 1)[-1] for p in isnull) == [
+        "b.parquet",
+        "c.parquet",
+    ]
+    notnull, _ = iceberg_scan_paths_pruned(str(root), [("v", "notnull", None)])
+    assert sorted(p.rsplit("/", 1)[-1] for p in notnull) == [
+        "a.parquet",
+        "c.parquet",
+    ]

@@ -316,3 +316,23 @@ def test_time_transform_hierarchy(ts):
     assert h // 24 == d
     # month of the day transform's date == month transform
     assert (ts.year - 1970) * 12 + ts.month - 1 == m
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**50), min_size=0, max_size=500
+    )
+)
+def test_deletion_vector_codec_roundtrip(positions):
+    """The DV blob is a lossless set codec: decode(encode(S)) is the
+    sorted deduplicated positions for ANY input multiset — the property
+    merge-on-write and the MOR readers both rely on."""
+    from tdigest_spark.sources.iceberg import (
+        decode_deletion_vector,
+        encode_deletion_vector,
+    )
+
+    assert decode_deletion_vector(encode_deletion_vector(positions)) == sorted(
+        set(positions)
+    )
