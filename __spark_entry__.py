@@ -12047,6 +12047,96 @@ def events_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_avro_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AVRO container source through a Python Data Source
+    (datasource.AvroLiteDataSource over the pure-python codec the
+    Iceberg manifests already use): events staged as four real Avro
+    object-container files (deflate blocks, embedded writer schema),
+    read back DISTRIBUTED — one input partition per container, schema
+    taken from Avro's self-describing header — and aggregated. The
+    staged value column is integer floor-cents (exact text-free
+    roundtrip); the partition count is asserted in-query. The oracle
+    replays the aggregate off the parquet twin."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import avro_lite
+    from tdigest_spark.sources.datasource import AvroLiteDataSource
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "avro_events" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/events.parquet"),
+        "version": 1,
+    }
+    ok = False
+    if marker.exists():
+        try:
+            ok = _json.loads(marker.read_text()).get("params") == params
+        except Exception:
+            ok = False
+    if not ok:
+        if root.exists():
+            shutil.rmtree(root)
+        root.mkdir(parents=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        cents = pc.floor(pc.multiply(tbl["value"], 100.0))
+        schema = {
+            "type": "record",
+            "name": "event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "cents", "type": "long"},
+            ],
+        }
+        ids = tbl["event_id"].to_pylist()
+        users = tbl["user_id"].to_pylist()
+        types = tbl["event_type"].to_pylist()
+        cl = [int(c) for c in cents.to_pylist()]
+        for part in range(4):
+            records = [
+                {
+                    "event_id": ids[i],
+                    "user_id": users[i],
+                    "event_type": types[i],
+                    "cents": cl[i],
+                }
+                for i in range(len(ids))
+                if ids[i] % 4 == part
+            ]
+            avro_lite.write_container(
+                root / f"events-{part}.avro", schema, records
+            )
+        marker.write_text(_json.dumps({"params": params}))
+    spark.dataSource.register(AvroLiteDataSource)
+    adf = spark.read.format("avro_lite").option("path", str(root)).load()
+    assert adf.rdd.getNumPartitions() == 4, adf.rdd.getNumPartitions()
+    return (
+        adf.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink coverage — the third columnar container after
     parquet and Avro: events are staged as ORC (zlib, Spark's native
@@ -12100,12 +12190,15 @@ def events_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search — the vector-DB shape every retrieval
-    deployment needs (cosine top-k restricted by a metadata predicate):
+    """FILTERED vector search, EXACT baseline — the brute-force twin of
+    ann_pruned_filtered_topk (the production path: directory-pruned LSH
+    index with the label predicate pushed into the surviving buckets):
     top-10 neighbors of doc 0's embedding among vectors with label 3
     only. The filter composes BEFORE the ranking (predicate reaches the
-    scan; at index scale it composes with the pruned-storage buckets),
-    so the result differs from post-filtering a global top-10 — which is
+    scan), so the result differs from post-filtering a global top-10 —
+    and the per-hit GLOBAL ranks this query adds quantify by how much:
+    a post-filter would have had to scan to global rank
+    max(global_rank) ≫ 10 to recover the same hits — which is
     the point, and the oracle proves it by replaying the filtered
     ranking exactly. Also reports each hit's cosine RANK in the
     unfiltered corpus, showing how deep a post-filter would have had to
@@ -12313,6 +12406,94 @@ def doc_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
 
 
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED mean per event type — the outlier-robust metric an
+    experimentation platform reports next to the raw mean (clamp to the
+    [p05, p95] nearest-rank cuts, then average): cut values come from a
+    per-type value-grouped cumulative count (bounded by distinct
+    floor-cents values, never a per-row global sort), rows clamp with
+    greatest/least, and the winsorized mean is ONE division of exact
+    integers — unrounded, bit-identical. The 0.05·n rank boundaries are
+    spelled identically in both engines (same double product, same
+    comparison), so the cuts agree exactly. Scale shape: one (type,
+    cents) aggregation, per-type window over distinct values, broadcast
+    of the 5-row cuts dim back onto the histogram."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
+    )
+    hist = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = hist.withColumns(
+        {"c": F.sum("cnt").over(wc), "n": F.sum("cnt").over(wn)}
+    )
+    lo_ok = F.col("c") >= F.col("n").cast("double") * F.lit(0.05)
+    hi_ok = F.col("c") >= F.col("n").cast("double") * F.lit(0.95)
+    cuts = cum.groupBy("event_type").agg(
+        F.min(F.when(lo_ok, F.col("cents"))).alias("lo_cut"),
+        F.min(F.when(hi_ok, F.col("cents"))).alias("hi_cut"),
+    )
+    joined = hist.join(F.broadcast(cuts), "event_type")
+    clamped = F.greatest(
+        F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("cents"))
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("lo_cut").alias("lo_cut"),
+            F.max("hi_cut").alias("hi_cut"),
+            F.sum("cnt").alias("n"),
+            (
+                F.sum(clamped * F.col("cnt")).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("win_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def doc_safety_keyword_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety KEYWORD screening — the first (cheapest) stage of every
+    content-filter cascade: documents whose token set intersects a
+    blocklist are flagged, reported per source as counts and an
+    UNROUNDED flag rate (single division of exact ints — bit-identical).
+    Word-boundary matching rides the corpus's whitespace tokenization
+    (no substring false-positives: 'duplicate' does not trip 'dup').
+    The blocklist here is a stand-in (this synthetic corpus has no
+    unsafe text); the plan shape — map-side array intersect, one
+    source-keyed aggregate — is the real one, and a real deployment
+    swaps the word list."""
+    from tdigest_spark.operators.text import word_tokens
+
+    blocklist = ["slow", "dup", "big"]
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.arrays_overlap(
+            word_tokens(F.lower(F.col("text"))),
+            F.array(*[F.lit(w) for w in blocklist]),
+        ).alias("flagged"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            (
+                F.sum(F.col("flagged").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE RATIO MISMATCH check — the first gate every experimentation
     platform runs before reading an A/B test: users are assigned to arms
@@ -12428,6 +12609,61 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("source", "rank", "word", "tf", "df", "score")
         .orderBy("source", "rank")
+    )
+
+
+def doc_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM-ordered shard assignment — the training-order half of
+    sequence packing (operators/pack.shard_by_cumsum): within each
+    language, documents are ordered by a curriculum key (longest-first:
+    n_chars DESC, doc_id tiebreak) and greedily assigned to ~2000-token
+    shards by the running token cumsum — never splitting a document.
+    Per (lang, shard) the query reports doc/token masses plus the FIRST
+    and LAST doc in curriculum order (the order-certifying endpoints a
+    trainer can assert against). Everything is exact integers and both
+    engines spell the same two windows. Scale shape: windows partition
+    by lang, so each language shards independently — no global sort; one
+    (lang, shard) aggregation after."""
+    from tdigest_spark.operators.pack import shard_by_cumsum
+    from tdigest_spark.operators.text import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+    )
+    # curriculum key: n_chars DESC with doc_id tiebreak, encoded as one
+    # ascending struct so shard_by_cumsum's single order column works
+    keyed = docs.withColumn(
+        "ckey", F.struct((-F.col("n_chars")).alias("nc"), F.col("doc_id"))
+    )
+    sharded = shard_by_cumsum(keyed, "lang", "ckey", F.col("n_tok"), 2000)
+    w = Window.partitionBy("lang", "shard").orderBy("ckey")
+    wb = Window.partitionBy("lang", "shard").orderBy(F.desc("ckey"))
+    return (
+        sharded.withColumns(
+            {
+                "rf": F.row_number().over(w),
+                "rb": F.row_number().over(wb),
+            }
+        )
+        .groupBy("lang", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.max(F.when(F.col("rf") == 1, F.col("doc_id"))).alias(
+                "lead_doc"
+            ),
+            F.max(F.when(F.col("rb") == 1, F.col("doc_id"))).alias(
+                "tail_doc"
+            ),
+        )
+        .orderBy("lang", "shard")
     )
 
 
@@ -15872,9 +16108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dynamic_sessions": events_stream_dynamic_sessions,
         "events_text_source_roundtrip": events_text_source_roundtrip,
         "events_orc_source_roundtrip": events_orc_source_roundtrip,
+        "events_avro_source_roundtrip": events_avro_source_roundtrip,
         "doc_grouped_kfold_split": doc_grouped_kfold_split,
+        "doc_curriculum_pack": doc_curriculum_pack,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_ab_srm_check": events_ab_srm_check,
+        "events_winsorized_mean": events_winsorized_mean,
+        "doc_safety_keyword_screen": doc_safety_keyword_screen,
         "doc_hybrid_rrf_topk": doc_hybrid_rrf_topk,
         "ann_filtered_topk": ann_filtered_topk,
         "embedding_matryoshka_recall": embedding_matryoshka_recall,
@@ -21841,6 +22081,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS INTEGER) AS n_corrupt
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "events_avro_source_roundtrip": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "events_orc_source_roundtrip": """
             SELECT event_type,
                    COUNT(*) AS n_events,
@@ -21985,6 +22233,53 @@ def oracle_sql() -> dict[str, str]:
                    rrf
             FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         """,
+        "events_winsorized_mean": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(FLOOR(value * 100.0) AS BIGINT) AS cents,
+                     COUNT(*) AS cnt
+              FROM events GROUP BY event_type, cents
+            ), cum AS (
+              SELECT *,
+                     SUM(cnt) OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS c,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM h
+            ), cuts AS (
+              SELECT event_type,
+                     MIN(CASE WHEN c >= CAST(n AS DOUBLE)
+                                       * CAST(0.05 AS DOUBLE)
+                              THEN cents END) AS lo_cut,
+                     MIN(CASE WHEN c >= CAST(n AS DOUBLE)
+                                       * CAST(0.95 AS DOUBLE)
+                              THEN cents END) AS hi_cut
+              FROM cum GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(MAX(lo_cut) AS BIGINT) AS lo_cut,
+                   CAST(MAX(hi_cut) AS BIGINT) AS hi_cut,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(GREATEST(lo_cut, LEAST(hi_cut, cents)) * cnt)
+                        AS DOUBLE)
+                     / CAST(SUM(cnt) AS DOUBLE) AS win_mean
+            FROM h JOIN cuts USING (event_type)
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_safety_keyword_screen": r"""
+            WITH d AS (
+              SELECT source,
+                     len(list_intersect(
+                           regexp_split_to_array(TRIM(LOWER(text)), '\s+'),
+                           ['slow', 'dup', 'big'])) > 0 AS flagged
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flagged,
+                   CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+            FROM d GROUP BY source ORDER BY source
+        """,
         "events_ab_srm_check": """
             WITH arms AS (
               SELECT CAST(md5_number_lower(
@@ -22042,6 +22337,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(rank AS INTEGER) AS rank, word, tf, df,
                    score
             FROM r WHERE rank <= 3 ORDER BY source, rank
+        """,
+        "doc_curriculum_pack": r"""
+            WITH d AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(len(regexp_split_to_array(TRIM(text), '\s+'))
+                          AS BIGINT) AS n_tok
+              FROM documents WHERE TRIM(text) <> ''
+            ), sh AS (
+              SELECT *,
+                     CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                              PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS DOUBLE)
+                            / 2000) AS BIGINT) AS shard
+              FROM d
+            ), rr AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY lang, shard
+                       ORDER BY n_chars DESC, doc_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY lang, shard
+                       ORDER BY n_chars ASC, doc_id DESC) AS rb
+              FROM sh
+            )
+            SELECT lang, shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(MAX(CASE WHEN rf = 1 THEN doc_id END) AS BIGINT)
+                     AS lead_doc,
+                   CAST(MAX(CASE WHEN rb = 1 THEN doc_id END) AS BIGINT)
+                     AS tail_doc
+            FROM rr GROUP BY lang, shard ORDER BY lang, shard
         """,
         "doc_grouped_kfold_split": """
             SELECT CAST(md5_number_lower('fold:' || source) % 5 AS BIGINT)

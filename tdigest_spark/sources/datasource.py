@@ -57,6 +57,7 @@ Arrow path as the batch read — a distributed CDC-style tail of the table.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Optional
 
 from pyspark.sql.datasource import (
@@ -74,7 +75,11 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-__all__ = ["IcebergStaticDataSource", "arrow_schema_to_ddl"]
+__all__ = [
+    "IcebergStaticDataSource",
+    "AvroLiteDataSource",
+    "arrow_schema_to_ddl",
+]
 
 _OPS = {
     EqualTo: "==",
@@ -792,6 +797,96 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class _AvroLitePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _AvroLiteReader(DataSourceReader):
+    """One InputPartition per container file; each task decodes its file
+    with the pure-python Avro reader (sources/avro_lite.py) worker-side —
+    the same distribution shape Spark's JVM Avro source plans (Avro
+    containers are file-splittable at block boundaries; file granularity
+    is the conservative version and matches this repo's manifest-sized
+    files)."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("avro_lite requires .option('path', <dir>)")
+        self.fields = [
+            f["name"] for f in _avro_first_schema(self.dir)["fields"]
+        ]
+
+    def partitions(self):
+        return [
+            _AvroLitePartition(str(p))
+            for p in sorted(Path(self.dir).glob("*.avro"))
+        ]
+
+    def read(self, partition):
+        from .avro_lite import read_container
+
+        _, records = read_container(partition.path)
+        fields = self.fields
+        for r in records:
+            yield tuple(r.get(f) for f in fields)
+
+
+def _avro_first_schema(path_dir: str) -> dict:
+    from .avro_lite import read_container
+
+    files = sorted(Path(path_dir).glob("*.avro"))
+    if not files:
+        raise ValueError(f"no .avro container files under {path_dir!r}")
+    schema, _ = read_container(files[0])
+    return schema
+
+
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+class AvroLiteDataSource(DataSource):
+    """spark.read.format("avro_lite").option("path", dir).load() — a
+    distributed reader for Avro object-container files on top of the
+    repo's pure-python Avro codec (the one the Iceberg manifests use).
+    The schema comes from the first container's EMBEDDED writer schema
+    (Avro's self-describing property); nullable unions map to nullable
+    Spark columns."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_lite"
+
+    def schema(self) -> str:
+        sch = _avro_first_schema(self.options.get("path"))
+
+        def one(t) -> str:
+            if isinstance(t, list):  # ["null", X] nullable union
+                branches = [b for b in t if b != "null"]
+                if len(branches) != 1:
+                    raise TypeError(f"unsupported avro union {t}")
+                return one(branches[0])
+            if isinstance(t, str):
+                return _AVRO_TO_SPARK[t]
+            raise TypeError(f"unsupported avro type {t}")
+
+        return ", ".join(
+            f"{f['name']} {one(f['type'])}" for f in sch["fields"]
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _AvroLiteReader(self.options)
 
 
 class IcebergStaticDataSource(DataSource):

@@ -65,6 +65,16 @@ AUDITS = {
     # grouped k-fold: fold assignment is a map-side hash expression —
     # one keyed aggregation, no join at all
     "doc_grouped_kfold_split": (0, True, False),
+    # SRM gate / Welch t / safety screen: map-side expressions + one
+    # aggregate — any join is a regression
+    "events_ab_srm_check": (0, True, False),
+    "doc_safety_keyword_screen": (0, True, False),
+    # winsorized mean: the 5-row per-type cuts dim must BROADCAST back
+    # onto the (type, cents) histogram
+    "events_winsorized_mean": (1, True, False),
+    # curriculum pack: two per-language windows + one aggregation,
+    # no join
+    "doc_curriculum_pack": (0, True, False),
     # correlated EXISTS must decorrelate to a (broadcast) SEMI join with
     # the l_returnflag predicate pushed to the scan — a per-row subquery
     # or cartesian here is a scale regression
