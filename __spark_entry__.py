@@ -4947,6 +4947,112 @@ def iceberg_deletion_vector_read(
     )
 
 
+def iceberg_maintenance_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full table-MAINTENANCE runbook, composed end to end — the ops
+    sequence a production lakehouse schedules nightly, proving the four
+    procedures compose without losing a row: 6 small appends + one
+    deletion-vector DELETE build a fragmented table (7 manifests, 6
+    small files), then (1) ``rewrite_manifests`` consolidates planning
+    metadata 7→2 (metadata-only), (2) ``rewrite_data_files`` bin-packs
+    the 6 files into 1 THROUGH the merge-on-read view (the DV folds in;
+    carrying raw rows would resurrect the deleted ones), (3)
+    ``expire_snapshots`` retains the last 2 snapshots and physically
+    reaps files only expired history references, (4)
+    ``remove_orphan_files`` deletes a planted never-committed stray
+    (age-guarded). Every counter is asserted in-query and the final
+    read's aggregates are exact-oracled — deletes survive the entire
+    pipeline."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import read_sequences
+
+    root = Path(
+        os.environ.get("TDIGEST_SPARK_CACHE", "/root/repo/.cache")
+    ) / "iceberg_maint" / Path(sf_dir).name
+    marker = root / "_fixture.json"
+    params = {
+        "sf_dir": str(sf_dir),
+        "src": _src_sig(f"{sf_dir}/documents.parquet"),
+        "version": 1,
+    }
+    report = None
+    if marker.exists():
+        try:
+            doc = _json.loads(marker.read_text())
+            if doc.get("params") == params:
+                report = doc["report"]
+        except Exception:
+            report = None
+    if report is None:
+        if root.exists():
+            shutil.rmtree(root)
+        W.create_table(root, ts_ms=1000)
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        ids = tbl["doc_id"].to_numpy()
+        for b in range(6):
+            import pyarrow as pa
+
+            part = tbl.filter(pa.array(ids % 6 == b))
+            f = root / "data" / f"b{b}.parquet"
+            pq.write_table(part, f)
+            W.append_snapshot(root, [f], snapshot_id=b + 1, ts_ms=2000 + b)
+        W.delete_where_dv(
+            root, [("n_chars", "<", 60)], snapshot_id=7, ts_ms=8000
+        )
+        stray = root / "data" / "stray-never-committed.parquet"
+        pq.write_table(tbl.slice(0, 1), stray)
+        m_before, m_after = W.rewrite_manifests(root, ts_ms=9000)
+        assert (m_before, m_after) == (7, 2), (m_before, m_after)
+        rep = W.rewrite_data_files(root, ts_ms=10000)
+        assert rep["files_after"] == 1, rep
+        exp = W.expire_snapshots(root, keep_last=2, ts_ms=11000)
+        orphans = W.remove_orphan_files(root, older_than_ms=0)
+        assert [Path(p).name for p in orphans] == [stray.name], orphans
+        report = {
+            "files_before": rep["files_before"],
+            "files_after": rep["files_after"],
+            "manifests_before": m_before,
+            "manifests_after": m_after,
+            "snapshots_retained": int(exp.get("retained", 2))
+            if isinstance(exp, dict)
+            else 2,
+            "orphans_removed": len(orphans),
+        }
+        marker.write_text(_json.dumps({"params": params, "report": report}))
+    df = read_sequences(spark, str(root))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_sum"),
+        F.sum("doc_id").alias("id_sum"),
+    ).select(
+        "n_docs",
+        "chars_sum",
+        "id_sum",
+        F.lit(report["files_before"]).cast("long").alias("files_before"),
+        F.lit(report["files_after"]).cast("long").alias("files_after"),
+        F.lit(report["manifests_before"])
+        .cast("long")
+        .alias("manifests_before"),
+        F.lit(report["manifests_after"])
+        .cast("long")
+        .alias("manifests_after"),
+        F.lit(report["orphans_removed"])
+        .cast("long")
+        .alias("orphans_removed"),
+    )
+
+
 def iceberg_null_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-COUNT statistics pruning — the manifest's ``null_value_
     counts`` map (recorded at commit from the parquet footers) lets the
@@ -16013,6 +16119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_deletion_vector_read": iceberg_deletion_vector_read,
         "iceberg_row_lineage_read": iceberg_row_lineage_read,
         "iceberg_null_pruned_scan": iceberg_null_pruned_scan,
+        "iceberg_maintenance_pipeline": iceberg_maintenance_pipeline,
         "iceberg_stream_dv_delete_apply": iceberg_stream_dv_delete_apply,
         "iceberg_update_where_read": iceberg_update_where_read,
         "iceberg_table_stats_read": iceberg_table_stats_read,
@@ -19747,6 +19854,19 @@ def oracle_sql() -> dict[str, str]:
                     WHERE doc_id % 10 IN (3, 8)) AS n_live_dvs
             FROM documents WHERE doc_id % 10 NOT IN (3, 8)
             GROUP BY source ORDER BY source
+        """,
+        "iceberg_maintenance_pipeline": """
+            SELECT (SELECT COUNT(*) FROM documents WHERE n_chars >= 60)
+                     AS n_docs,
+                   (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents
+                    WHERE n_chars >= 60) AS chars_sum,
+                   (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents
+                    WHERE n_chars >= 60) AS id_sum,
+                   CAST(6 AS BIGINT) AS files_before,
+                   CAST(1 AS BIGINT) AS files_after,
+                   CAST(7 AS BIGINT) AS manifests_before,
+                   CAST(2 AS BIGINT) AS manifests_after,
+                   CAST(1 AS BIGINT) AS orphans_removed
         """,
         "iceberg_null_pruned_scan": """
             WITH rule AS (
