@@ -4981,7 +4981,7 @@ def iceberg_maintenance_pipeline(
     params = {
         "sf_dir": str(sf_dir),
         "src": _src_sig(f"{sf_dir}/documents.parquet"),
-        "version": 1,
+        "version": 2,
     }
     report = None
     if marker.exists():
@@ -5017,6 +5017,9 @@ def iceberg_maintenance_pipeline(
         rep = W.rewrite_data_files(root, ts_ms=10000)
         assert rep["files_after"] == 1, rep
         exp = W.expire_snapshots(root, keep_last=2, ts_ms=11000)
+        # snapshots 1..7 expire; 8 (manifest rewrite) and 9 (compaction)
+        # survive and keep the pre-compaction files referenced
+        assert len(exp["expired"]) == 7, exp
         orphans = W.remove_orphan_files(root, older_than_ms=0)
         assert [Path(p).name for p in orphans] == [stray.name], orphans
         report = {
@@ -5024,9 +5027,6 @@ def iceberg_maintenance_pipeline(
             "files_after": rep["files_after"],
             "manifests_before": m_before,
             "manifests_after": m_after,
-            "snapshots_retained": int(exp.get("retained", 2))
-            if isinstance(exp, dict)
-            else 2,
             "orphans_removed": len(orphans),
         }
         marker.write_text(_json.dumps({"params": params, "report": report}))
@@ -12528,8 +12528,13 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("cents"),
     )
-    hist = ev.groupBy("event_type", "cents").agg(
-        F.count(F.lit(1)).alias("cnt")
+    hist = (
+        ev.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # the histogram feeds BOTH the cuts derivation and the final
+        # clamped aggregate — checkpoint it or Spark scans events twice
+        # (the doc_source_word_kl lesson)
+        .localCheckpoint(eager=False)
     )
     wc = (
         Window.partitionBy("event_type")

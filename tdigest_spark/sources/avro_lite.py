@@ -177,6 +177,26 @@ def _collect_named(schema, named: dict) -> None:
             _collect_named(t, named)
 
 
+def read_schema(path) -> dict:
+    """The container's embedded writer schema from the HEADER alone —
+    magic + metadata map, no block is decompressed or decoded (Avro's
+    self-describing property makes schema discovery O(KB) however large
+    the file)."""
+    with open(os.fspath(path), "rb") as fh:
+        head = fh.read(64 * 1024)  # header is a handful of bytes
+        buf = io.BytesIO(head)
+        if buf.read(4) != _MAGIC:
+            raise ValueError("not an Avro object container file")
+        try:
+            meta = _decode({"type": "map", "values": "bytes"}, buf, {})
+        except Exception:
+            # pathological header larger than the probe: read it all
+            buf = io.BytesIO(head + fh.read())
+            buf.read(4)
+            meta = _decode({"type": "map", "values": "bytes"}, buf, {})
+    return json.loads(meta["avro.schema"])
+
+
 def read_container(path_or_bytes) -> tuple[dict, list]:
     """Read an Avro object container file -> (schema, records)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):

@@ -591,6 +591,28 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
         files = _committed_files(messages)
         sid = int(batchId) + 1 + self.sid_base
         if sid in set(W.snapshot_ids(root)):
+            if self.delete_keys:
+                # the bare id-exists guard cannot tell a RETRIED epoch
+                # from a collision with pre-existing history (the
+                # mis-set-sid_base footgun: the epoch would be silently
+                # dropped as 'already committed'); delete commits stamp
+                # their epoch in the snapshot summary, so check it
+                from .iceberg import current_metadata
+
+                snaps = {
+                    s["snapshot-id"]: s
+                    for s in current_metadata(str(root)).get(
+                        "snapshots", []
+                    )
+                }
+                summ = snaps.get(sid, {}).get("summary", {})
+                if summ.get("sink-epoch") != str(int(batchId)):
+                    raise ValueError(
+                        f"snapshot id {sid} already exists but was not "
+                        f"committed by this sink's epoch {batchId} — "
+                        "the table has prior history; set "
+                        "option('sid_base', <last snapshot id>)"
+                    )
             _unlink_files(messages)  # retried epoch: commit already durable
             return
         if not files:  # an empty epoch must not commit a snapshot
@@ -620,8 +642,32 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
             _unlink_files(messages)
             positions: dict[str, list[int]] = {}
             if keys.num_rows:
+                cand = iceberg_scan_entries_static(str(root))["data"]
+                if len(self.delete_keys) == 1:
+                    # single-key epochs prune candidates by the key
+                    # RANGE through the manifest stats planner — the
+                    # difference between touching the matching files
+                    # and opening every live file each micro-batch.
+                    # (Multi-key epochs fall back to the full driver
+                    # walk; at real scale the distributed anti-join
+                    # upsert path is the right tool.)
+                    from .iceberg import iceberg_scan_paths_pruned
+
+                    k = self.delete_keys[0]
+                    vals = keys[k].to_pylist()
+                    try:
+                        pruned, _tot = iceberg_scan_paths_pruned(
+                            str(root),
+                            [(k, ">=", min(vals)), (k, "<=", max(vals))],
+                        )
+                        pset = {str(p) for p in pruned}
+                        cand = [
+                            e for e in cand if str(e["path"]) in pset
+                        ]
+                    except TypeError:
+                        pass  # un-orderable key type: keep all files
                 right = pd.MultiIndex.from_frame(keys.to_pandas())
-                for e in iceberg_scan_entries_static(str(root))["data"]:
+                for e in cand:
                     t = pq.read_table(
                         e["path"],
                         columns=self.delete_keys,
@@ -633,7 +679,12 @@ class _StaticIcebergStreamWriter(DataSourceStreamArrowWriter):
                     if hit.shape[0]:
                         positions[str(e["path"])] = [int(i) for i in hit]
             if positions:
-                W.write_deletion_vectors(root, positions, snapshot_id=sid)
+                W.write_deletion_vectors(
+                    root,
+                    positions,
+                    snapshot_id=sid,
+                    extra_summary={"sink-epoch": str(int(batchId))},
+                )
             return
         if self.upsert_keys:
             # CDC sink: the epoch's distinct key set becomes a same-
@@ -762,7 +813,10 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
             if lo_seq < e["seq"] <= hi_seq
         )
         # same within-range rule for v3 deletion vectors: a DV committed
-        # in (lo, hi] attaches to the range-added file it references
+        # in (lo, hi] attaches to the range-added file it references.
+        # DV 'referenced' keys are resolve()d at write time — resolve the
+        # candidate path too, or a symlinked/non-canonical table root
+        # silently misses the DV and resurrects its deleted rows
         range_dvs: dict[str, list[str]] = {}
         for e in entries.get("dvs", ()):
             if lo_seq < e["seq"] <= hi_seq:
@@ -772,7 +826,9 @@ class _StaticIcebergStreamReader(DataSourceStreamReader):
                 p,
                 pos_deletes=range_pos,
                 mapping=evolution_mapping(meta, sid_of.get(p)),
-                dvs=range_dvs.get(_norm_path(p), ()),
+                dvs=range_dvs.get(
+                    _norm_path(str(Path(str(p)).resolve())), ()
+                ),
             )
             for p in paths
         ]
@@ -835,14 +891,16 @@ class _AvroLiteReader(DataSourceReader):
             yield tuple(r.get(f) for f in fields)
 
 
-def _avro_first_schema(path_dir: str) -> dict:
-    from .avro_lite import read_container
+def _avro_first_schema(path_dir) -> dict:
+    from .avro_lite import read_schema
 
+    if not path_dir:
+        raise ValueError("avro_lite requires .option('path', <dir>)")
     files = sorted(Path(path_dir).glob("*.avro"))
     if not files:
         raise ValueError(f"no .avro container files under {path_dir!r}")
-    schema, _ = read_container(files[0])
-    return schema
+    # header-only read: schema discovery must not decode the file
+    return read_schema(files[0])
 
 
 _AVRO_TO_SPARK = {

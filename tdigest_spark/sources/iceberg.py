@@ -216,6 +216,11 @@ def read_with_lineage(spark: SparkSession, source: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     entries = iceberg_scan_entries_static(source)
+    if not entries["data"]:
+        raise ValueError(
+            f"Iceberg table {source!r} has no committed snapshot "
+            "(no data files to read)"
+        )
     if entries["eq_deletes"]:
         raise NotImplementedError(
             "read_with_lineage does not support equality-delete tables"

@@ -482,6 +482,7 @@ def _null_counts(path: Path) -> dict | None:
 
     md = pq.read_metadata(path)
     out: dict = {}
+    seen: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -493,6 +494,12 @@ def _null_counts(path: Path) -> dict | None:
             if "." in name:
                 continue
             out[name] = out.get(name, 0) + int(st.null_count)
+            seen[name] = seen.get(name, 0) + 1
+    # a column whose stats are missing from ANY row group would
+    # UNDERCOUNT — recording it would turn IS NULL pruning into a
+    # correctness filter (the pruned rows could hide in the unstatted
+    # group); drop it instead (file simply never prunes on that column)
+    out = {k: v for k, v in out.items() if seen[k] == md.num_row_groups}
     return out or None
 
 
@@ -1149,6 +1156,83 @@ def overwrite_snapshot(
     return _commit(root, version, meta, sid, rows, "overwrite", ts_ms)
 
 
+def _residual_ops() -> dict:
+    """Predicate-op table for the DML paths' row-level residual masks —
+    the same conjunction grammar the pruning planner speaks, including
+    the isnull/notnull ops (whose literal slot is ignored)."""
+    import pyarrow.compute as pc
+
+    return {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        ">=": pc.greater_equal,
+        ">": pc.greater,
+        "<=": pc.less_equal,
+        "<": pc.less,
+        "isnull": lambda arr, _lit: pc.is_null(arr),
+        "notnull": lambda arr, _lit: pc.is_valid(arr),
+    }
+
+
+def _plan_matched_positions(
+    root: Path, predicates: list[tuple]
+) -> tuple[dict[str, list[int]], int, int, int]:
+    """Shared DELETE planning for the v2 and v3 paths: prune candidate
+    files from manifest metadata alone, read ONLY the predicate columns
+    of those files, and return per-file matched row positions plus the
+    count of NEWLY tombstoned rows — positions already in a deletion
+    vector or a v2 position delete are matched again (deletes are sets)
+    but not recounted. Returns ``(positions, n_deleted, files_scanned,
+    files_total)``."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .iceberg import (
+        deletion_vector_positions,
+        iceberg_scan_entries_static,
+        iceberg_scan_paths_pruned,
+    )
+
+    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
+    entries = iceberg_scan_entries_static(str(root))
+    already: set[tuple[str, int]] = set()
+    for ref, ps in deletion_vector_positions(entries).items():
+        already.update((ref, int(i)) for i in ps)
+    for e in entries["pos_deletes"]:
+        dt = pq.read_table(
+            e["path"], columns=["file_path", "pos"], use_threads=False
+        )
+        for fp, pos in zip(
+            dt["file_path"].to_pylist(), dt["pos"].to_pylist()
+        ):
+            already.add((_re.sub(r"^file:/+", "/", fp), int(pos)))
+    cols = sorted({c for c, _, _ in predicates})
+    ops = _residual_ops()
+    positions: dict[str, list[int]] = {}
+    n_deleted = 0
+    for p in paths:
+        # worker-side read discipline: no nested thread pool
+        # (use_threads=False — CLAUDE.md), predicate columns only
+        tbl = pq.read_table(p, columns=cols, use_threads=False)
+        mask = None
+        for c, op, lit in predicates:
+            m = ops[op](tbl[c], lit)
+            mask = m if mask is None else pc.and_(mask, m)
+        idx = np.nonzero(
+            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        )[0]
+        if idx.shape[0]:
+            positions[str(p)] = [int(i) for i in idx]
+            norm = _re.sub(
+                r"^file:/+", "/", f"file://{Path(str(p)).resolve()}"
+            )
+            n_deleted += sum(1 for i in idx if (norm, int(i)) not in already)
+    return positions, n_deleted, len(paths), total
+
+
 def delete_rows_snapshot(
     root: str | Path,
     positions: dict[str, list[int]],
@@ -1230,64 +1314,15 @@ def delete_where(
     the key join per row — the read side does that, this counter does
     not), so ``n_deleted`` can over-report on tables with prior
     equality-delete commits."""
-    import re
-
-    import numpy as np
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from .iceberg import iceberg_scan_entries_static, iceberg_scan_paths_pruned
-
     root = Path(str(root))
-    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
-    # positions already tombstoned: don't double-count them as deleted
-    already: set[tuple[str, int]] = set()
-    _entries = iceberg_scan_entries_static(str(root))
-    from .iceberg import deletion_vector_positions as _dvp
-
-    for ref, ps in _dvp(_entries).items():
-        already.update((ref, int(i)) for i in ps)
-    for e in _entries["pos_deletes"]:
-        dt = pq.read_table(
-            e["path"], columns=["file_path", "pos"], use_threads=False
-        )
-        for fp, pos in zip(
-            dt["file_path"].to_pylist(), dt["pos"].to_pylist()
-        ):
-            already.add((re.sub(r"^file:/+", "/", fp), int(pos)))
-    cols = sorted({c for c, _, _ in predicates})
-    ops = {
-        "==": pc.equal,
-        "!=": pc.not_equal,
-        ">=": pc.greater_equal,
-        ">": pc.greater,
-        "<=": pc.less_equal,
-        "<": pc.less,
-    }
-    positions: dict[str, list[int]] = {}
-    n_deleted = 0
-    for p in paths:
-        # worker-side read discipline: no nested thread pool
-        # (use_threads=False — CLAUDE.md), predicate columns only
-        tbl = pq.read_table(p, columns=cols, use_threads=False)
-        mask = None
-        for c, op, lit in predicates:
-            m = ops[op](tbl[c], lit)
-            mask = m if mask is None else pc.and_(mask, m)
-        idx = np.nonzero(
-            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
-        )[0]
-        if idx.shape[0]:
-            positions[str(p)] = [int(i) for i in idx]
-            norm = re.sub(r"^file:/+", "/", f"file://{Path(str(p)).resolve()}")
-            n_deleted += sum(
-                1 for i in idx if (norm, int(i)) not in already
-            )
+    positions, n_deleted, scanned, total = _plan_matched_positions(
+        root, predicates
+    )
     if positions:
         delete_rows_snapshot(
             root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms
         )
-    return n_deleted, len(paths), total
+    return n_deleted, scanned, total
 
 
 def write_deletion_vectors(
@@ -1295,6 +1330,7 @@ def write_deletion_vectors(
     positions: dict[str, list[int]],
     snapshot_id: int | None = None,
     ts_ms: int | None = None,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Commit row deletes as v3 DELETION VECTORS: one blob per data file
     holding every deleted position for that file, referenced from a
@@ -1432,7 +1468,16 @@ def write_deletion_vectors(
             "added_snapshot_id": sid,
         }
     )
-    _commit(root, version, meta, sid, manifest_rows, "delete", ts_ms)
+    _commit(
+        root,
+        version,
+        meta,
+        sid,
+        manifest_rows,
+        "delete",
+        ts_ms,
+        extra_summary=extra_summary,
+    )
     return {
         "snapshot_id": sid,
         "n_dvs": len(new_entries),
@@ -1456,65 +1501,17 @@ def delete_where_dv(
     ``(n_deleted, n_dvs, n_superseded, files_scanned, files_total)`` where
     ``n_deleted`` counts only NEWLY tombstoned rows — positions already in
     a DV or a v2 position delete are merged, not recounted."""
-    import re as _re
-
-    import numpy as np
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from .iceberg import (
-        deletion_vector_positions,
-        iceberg_scan_entries_static,
-        iceberg_scan_paths_pruned,
-    )
-
     root = Path(str(root))
-    paths, total = iceberg_scan_paths_pruned(str(root), predicates)
-    entries = iceberg_scan_entries_static(str(root))
-    already: set[tuple[str, int]] = set()
-    for ref, ps in deletion_vector_positions(entries).items():
-        already.update((ref, int(p)) for p in ps)
-    for e in entries["pos_deletes"]:
-        dt = pq.read_table(
-            e["path"], columns=["file_path", "pos"], use_threads=False
-        )
-        for fp, pos in zip(
-            dt["file_path"].to_pylist(), dt["pos"].to_pylist()
-        ):
-            already.add((_re.sub(r"^file:/+", "/", fp), int(pos)))
-    cols = sorted({c for c, _, _ in predicates})
-    ops = {
-        "==": pc.equal,
-        "!=": pc.not_equal,
-        ">=": pc.greater_equal,
-        ">": pc.greater,
-        "<=": pc.less_equal,
-        "<": pc.less,
-    }
-    positions: dict[str, list[int]] = {}
-    n_deleted = 0
-    for p in paths:
-        tbl = pq.read_table(p, columns=cols, use_threads=False)
-        mask = None
-        for c, op, lit in predicates:
-            m = ops[op](tbl[c], lit)
-            mask = m if mask is None else pc.and_(mask, m)
-        idx = np.nonzero(
-            pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
-        )[0]
-        if idx.shape[0]:
-            positions[str(p)] = [int(i) for i in idx]
-            norm = _re.sub(
-                r"^file:/+", "/", f"file://{Path(str(p)).resolve()}"
-            )
-            n_deleted += sum(1 for i in idx if (norm, int(i)) not in already)
+    positions, n_deleted, scanned, total = _plan_matched_positions(
+        root, predicates
+    )
     n_dvs = n_sup = 0
     if positions:
         rep = write_deletion_vectors(
             root, positions, snapshot_id=snapshot_id, ts_ms=ts_ms
         )
         n_dvs, n_sup = rep["n_dvs"], rep["n_superseded"]
-    return n_deleted, n_dvs, n_sup, len(paths), total
+    return n_deleted, n_dvs, n_sup, scanned, total
 
 
 def update_where(
@@ -1591,14 +1588,7 @@ def update_where(
 
     for ref, ps in _dvp(entries).items():
         pos_map.setdefault(ref, set()).update(int(i) for i in ps)
-    ops = {
-        "==": pc.equal,
-        "!=": pc.not_equal,
-        ">=": pc.greater_equal,
-        ">": pc.greater,
-        "<=": pc.less_equal,
-        "<": pc.less,
-    }
+    ops = _residual_ops()
     positions: dict[str, list[int]] = {}
     updated: list[pa.Table] = []
     n_updated = 0

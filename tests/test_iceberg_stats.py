@@ -184,3 +184,38 @@ def test_null_count_pruning(tmp_path):
         "a.parquet",
         "c.parquet",
     ]
+
+
+def test_delete_where_isnull_predicate(tmp_path):
+    """DELETE WHERE col IS NULL — the retention op the null-count pruning
+    support advertises — must plan (pruned), mask, and commit, not
+    KeyError on the residual op table (found by review: the ops dict
+    lacked isnull/notnull)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.sources import iceberg_write as W
+    from tdigest_spark.sources.iceberg import iceberg_scan_plan_mor
+
+    root = tmp_path / "nulldel"
+    W.create_table(root, ts_ms=1000)
+    t = pa.table(
+        {
+            "id": pa.array(range(6), pa.int64()),
+            "v": pa.array([1, None, 3, None, 5, 6], pa.int64()),
+        }
+    )
+    f = root / "data" / "d.parquet"
+    pq.write_table(t, f)
+    W.append_snapshot(root, [f], snapshot_id=1, ts_ms=2000)
+    n_del, scanned, total = W.delete_where(
+        root, [("v", "isnull", None)], snapshot_id=2, ts_ms=3000
+    )
+    assert (n_del, scanned, total) == (2, 1, 1)
+    # and the DV flavor, re-deleting nothing new
+    n_del, n_dvs, n_sup, _, _ = W.delete_where_dv(
+        root, [("v", "isnull", None)], snapshot_id=3, ts_ms=4000
+    )
+    assert (n_del, n_dvs, n_sup) == (0, 1, 0)
+    plan, _ = iceberg_scan_plan_mor(str(root), [])
+    assert len(plan[0]["dvs"]) == 1
