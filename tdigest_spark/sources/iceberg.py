@@ -898,6 +898,13 @@ def read_table_evolved(
     cur_by_id = {f["id"]: f for f in cur["fields"]}
     entries = iceberg_scan_entries_static(table_dir, snapshot_id=snapshot_id)
     pos_paths = [x["path"] for x in entries["pos_deletes"]]
+    # v3 deletion vectors subtract exactly like pos-deletes (and before
+    # the field-id projection, same as them — positions are physical)
+    dv_pairs = [
+        (ref, p)
+        for ref, ps in sorted(deletion_vector_positions(entries).items())
+        for p in sorted(ps)
+    ]
     eqs = entries["eq_deletes"]
     # (file schema id, applicable delete set) -> data paths; a key
     # re-inserted by a later-sequence append survives (spec rule)
@@ -950,11 +957,11 @@ def read_table_evolved(
             else:
                 cols.append(F.col(src["name"]).cast(t).alias(f["name"]))
         scan = spark.read.parquet(*sorted(paths))
-        if pos_paths:
+        if pos_paths or dv_pairs:
             # position deletes key on (file_path, row_index) — schema-name
             # independent, so they compose with evolution by applying
             # BEFORE the field-id projection (which drops _metadata)
-            scan = _apply_position_deletes(spark, scan, pos_paths)
+            scan = _apply_position_deletes(spark, scan, pos_paths, dv_pairs)
         part = scan.select(cols)
         for dp, del_sid in applicable:
             keys = current_keys(dp, del_sid)

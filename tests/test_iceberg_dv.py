@@ -179,3 +179,29 @@ def test_metadata_delete_files_lists_dvs(tmp_path, spark):
         (3000, 2),
         (4000, 3),
     ]
+
+
+def test_evolved_read_applies_dvs(tmp_path, spark):
+    """read_table_evolved must subtract deletion vectors like pos-deletes
+    (found by review follow-up: the evolved path only wired pos_paths)."""
+    from tdigest_spark.sources.iceberg import read_table_evolved
+
+    root = tmp_path / "evdv"
+    W.create_table(
+        root, ts_ms=1000, schema_fields=[("id", "long"), ("v", "long")]
+    )
+    t = pa.table(
+        {
+            "id": pa.array(range(10), pa.int64()),
+            "v": pa.array([x * 10 for x in range(10)], pa.int64()),
+        }
+    )
+    f = root / "data" / "d.parquet"
+    pq.write_table(t, f)
+    W.append_snapshot(root, [f], snapshot_id=1, ts_ms=2000)
+    W.delete_where_dv(root, [("v", "<", 30)], snapshot_id=2, ts_ms=3000)
+    W.rename_column(root, "v", "val", ts_ms=4000)
+    got = sorted(
+        (r.id, r.val) for r in read_table_evolved(spark, str(root)).collect()
+    )
+    assert got == [(i, i * 10) for i in range(3, 10)]
