@@ -205,3 +205,63 @@ def test_evolved_read_applies_dvs(tmp_path, spark):
         (r.id, r.val) for r in read_table_evolved(spark, str(root)).collect()
     )
     assert got == [(i, i * 10) for i in range(3, 10)]
+
+
+def test_delete_sink_collision_raises_retry_skips(tmp_path):
+    """The delete sink's epoch guard distinguishes a snapshot-id
+    COLLISION with pre-existing history (raise, hint sid_base) from a
+    genuine RETRY of its own epoch (skip): DV commits stamp sink-epoch
+    in the snapshot summary."""
+    from tdigest_spark.sources.datasource import (
+        _DataFileCommit,
+        _StaticIcebergStreamWriter,
+    )
+
+    root, _files = _table(tmp_path)  # table with snapshot id 1
+    marker = root / "data" / "marker.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array([0, 1], pa.int64())}), marker
+    )
+    w = _StaticIcebergStreamWriter(
+        {"path": str(root), "delete_keys": "id"}
+    )
+    msgs = [_DataFileCommit(paths=[str(marker)], rows=2)]
+    # sid_base defaulted to 0 on a table whose snapshot 1 exists and was
+    # NOT committed by this sink: silent drop would lose the deletes
+    with pytest.raises(ValueError, match="sid_base"):
+        w.commit(msgs, batchId=0)
+    # correctly based: epoch 0 -> snapshot 2 commits DVs for ids 0,1
+    w2 = _StaticIcebergStreamWriter(
+        {"path": str(root), "delete_keys": "id", "sid_base": "1"}
+    )
+    pq.write_table(pa.table({"id": pa.array([0, 1], pa.int64())}), marker)
+    w2.commit([_DataFileCommit(paths=[str(marker)], rows=2)], batchId=0)
+    e = iceberg_scan_entries_static(str(root))
+    assert len(e["dvs"]) == 1
+    # retry of the SAME epoch: summary matches -> idempotent skip
+    pq.write_table(pa.table({"id": pa.array([0, 1], pa.int64())}), marker)
+    w2.commit([_DataFileCommit(paths=[str(marker)], rows=2)], batchId=0)
+    assert len(iceberg_scan_entries_static(str(root))["dvs"]) == 1
+
+
+def test_avro_read_schema_matches_container():
+    """Header-only read_schema returns exactly the embedded writer schema
+    the full decode sees."""
+    import tempfile
+
+    from tdigest_spark.sources import avro_lite
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/t.avro"
+        avro_lite.write_container(
+            p, schema, [{"a": 1, "b": "x"}, {"a": 2, "b": None}]
+        )
+        assert avro_lite.read_schema(p) == avro_lite.read_container(p)[0]
