@@ -12570,6 +12570,53 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-BIGRAM Shannon entropy per source — the predictability
+    profile quality pipelines use to catch templated/repetitive slices
+    (low entropy) and encoding noise (anomalously high): every
+    overlapping 2-char window of the lowercased text counts once, and
+    H = ln N − (Σ c·ln c)/N over the per-source bigram histogram.
+    Counts are exact integers; each c·ln c term is spelled identically
+    in both engines and ROUND 6 absorbs ln ULPs + summation order (the
+    doc_source_word_kl convention). Scale shape: the explode is
+    map-side (sequence+substr codegen), ONE (source, bigram) shuffle,
+    then a per-source fold of ≤ alphabet² rows."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.lower(F.col("text")).alias("t"))
+        .where(F.length("t") >= 2)
+    )
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("_s"),
+    )
+    return agg.select(
+        "source",
+        "n_bigrams",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_bigrams").cast("double"))
+            - F.col("_s") / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("source")
+
+
 def doc_safety_keyword_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Safety KEYWORD screening — the first (cheapest) stage of every
     content-filter cascade: documents whose token set intersects a
@@ -16227,6 +16274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_srm_check": events_ab_srm_check,
         "events_winsorized_mean": events_winsorized_mean,
         "doc_safety_keyword_screen": doc_safety_keyword_screen,
+        "doc_char_bigram_entropy": doc_char_bigram_entropy,
         "doc_hybrid_rrf_topk": doc_hybrid_rrf_topk,
         "ann_filtered_topk": ann_filtered_topk,
         "embedding_matryoshka_recall": embedding_matryoshka_recall,
@@ -22389,6 +22437,28 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(SUM(cnt) AS DOUBLE) AS win_mean
             FROM h JOIN cuts USING (event_type)
             GROUP BY event_type ORDER BY event_type
+        """,
+        "doc_char_bigram_entropy": """
+            WITH d AS (
+              SELECT source, LOWER(text) AS t FROM documents
+              WHERE LENGTH(LOWER(text)) >= 2
+            ), g AS (
+              SELECT source,
+                     UNNEST(list_transform(
+                       generate_series(1, LENGTH(t) - 1),
+                       i -> substr(t, CAST(i AS INTEGER), 2))) AS g
+              FROM d
+            ), c AS (
+              SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c
+              FROM g GROUP BY source, g
+            )
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   COUNT(*) AS n_distinct,
+                   ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                         - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)))
+                           / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+            FROM c GROUP BY source ORDER BY source
         """,
         "doc_safety_keyword_screen": r"""
             WITH d AS (
