@@ -12570,6 +12570,78 @@ def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_repeat_purchase_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REPEAT-purchase behavior per order priority — the retention
+    dashboard trio: repeat-customer rate (share of customers with ≥2
+    orders), order counts, and the EXACT median inter-order gap in days
+    (per-customer lag window → integer day gaps → nearest-rank median
+    over the value-grouped cumulative count, the discrete_quantity_mad
+    machinery — integer medians are exact in both engines). Rates are
+    single divisions of exact ints, unrounded. Scale shape: one
+    o_custkey shuffle for the lag window, value-grouped gap histogram
+    per priority (bounded by distinct day-gaps), no global window."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    # o_orderkey tiebreak makes same-day orders a TOTAL order — without
+    # it the 0-day gap's priority attribution is partition-arrival luck
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.withColumn(
+        "gap", F.col("day") - F.lag("day").over(w)
+    )
+    per_cust = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    base = per_cust.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("n") >= 2).cast("long")).alias("n_repeat"),
+        F.sum("n").alias("n_orders"),
+    )
+    hist = (
+        gaps.where(F.col("gap").isNotNull())
+        .groupBy("o_orderpriority", "gap")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    med = (
+        hist.withColumns(
+            {"cum": F.sum("c").over(wc), "tot": F.sum("c").over(wn)}
+        )
+        .where(
+            F.col("cum") >= F.col("tot").cast("double") * F.lit(0.5)
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.min("gap").alias("median_gap_days"))
+    )
+    return (
+        base.join(med, "o_orderpriority", "left_outer")
+        .select(
+            "o_orderpriority",
+            "n_customers",
+            "n_repeat",
+            "n_orders",
+            (
+                F.col("n_repeat").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("repeat_rate"),
+            "median_gap_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def doc_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-BIGRAM Shannon entropy per source — the predictability
     profile quality pipelines use to catch templated/repetitive slices
@@ -16275,6 +16347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized_mean": events_winsorized_mean,
         "doc_safety_keyword_screen": doc_safety_keyword_screen,
         "doc_char_bigram_entropy": doc_char_bigram_entropy,
+        "orders_repeat_purchase_stats": orders_repeat_purchase_stats,
         "doc_hybrid_rrf_topk": doc_hybrid_rrf_topk,
         "ann_filtered_topk": ann_filtered_topk,
         "embedding_matryoshka_recall": embedding_matryoshka_recall,
@@ -22437,6 +22510,50 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(SUM(cnt) AS DOUBLE) AS win_mean
             FROM h JOIN cuts USING (event_type)
             GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_repeat_purchase_stats": """
+            WITH o AS (
+              SELECT o_custkey, o_orderkey, o_orderpriority,
+                     epoch_us(o_orderdate) // 86400000000 AS day
+              FROM orders
+            ), g AS (
+              SELECT o_orderpriority,
+                     day - LAG(day) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY day, o_orderkey) AS gap
+              FROM o
+            ), pc AS (
+              SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+              FROM o GROUP BY o_custkey, o_orderpriority
+            ), base AS (
+              SELECT o_orderpriority,
+                     COUNT(*) AS n_customers,
+                     CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_repeat,
+                     CAST(SUM(n) AS BIGINT) AS n_orders
+              FROM pc GROUP BY o_orderpriority
+            ), h AS (
+              SELECT o_orderpriority, gap, COUNT(*) AS c
+              FROM g WHERE gap IS NOT NULL
+              GROUP BY o_orderpriority, gap
+            ), med AS (
+              SELECT o_orderpriority,
+                     CAST(MIN(gap) AS BIGINT) AS median_gap_days
+              FROM (
+                SELECT *,
+                       SUM(c) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY gap) AS cum,
+                       SUM(c) OVER (PARTITION BY o_orderpriority) AS tot
+                FROM h)
+              WHERE cum >= CAST(tot AS DOUBLE) * CAST(0.5 AS DOUBLE)
+              GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, n_customers, n_repeat, n_orders,
+                   CAST(n_repeat AS DOUBLE) / CAST(n_customers AS DOUBLE)
+                     AS repeat_rate,
+                   median_gap_days
+            FROM base LEFT JOIN med USING (o_orderpriority)
+            ORDER BY o_orderpriority
         """,
         "doc_char_bigram_entropy": """
             WITH d AS (
